@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query core (SURVEY §2.1).
+  *
+  * Design rules for 100 TB:
+  *   - dimension tables (region/nation/supplier, and customer vs lineitem)
+  *     are broadcast explicitly so the fact table never shuffles for them;
+  *   - aggregates go through partial (map-side) aggregation — plain
+  *     groupBy.agg, no distinct-on-fact unless keyed;
+  *   - top-k uses orderBy.limit which Spark plans as TakeOrderedAndProject
+  *     (per-partition heap + driver merge, no global sort);
+  *   - double aggregates are rounded post-agg for oracle hash stability.
+  */
+object Relational {
+
+  private def disc(c: Column, d: Column): Column = c * (lit(1.0) - d)
+
+  /** TPC-H Q1-style pricing summary: one scan, one shuffle, partial aggs. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(disc(col("l_extendedprice"), col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(disc(col("l_extendedprice"), col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: selective dim (customer) broadcast into orders, then
+    * one shuffle join with lineitem, agg, top-10 heap. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < lit("1998-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t.lineitem.filter(col("l_shipdate") > lit("1998-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    // customer (selective dim) broadcasts into orders; orders⋈lineitem is
+    // fact⋈fact → keyed shuffle join, AQE-coalesced. Never broadcast a fact.
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(disc(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style 6-way join: all dims broadcast, the only shuffles are
+    * lineitem⋈orders (keyed) and the final group-by. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dims = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_nationkey"), col("n_name"))
+    val sup = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    // lineitem⋈orders stays a keyed shuffle join (both facts at scale).
+    // customer/supplier sides are left unhinted: AQE broadcasts them while
+    // they fit and falls back to shuffle joins at 100 TB. Only nation/region
+    // (inside `dims`) are force-broadcast — they are always tiny.
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .join(sup,
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(disc(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC""".stripMargin
+
+  /** TPC-H Q6-style scalar agg: pure scan+filter+partial-agg, zero joins. */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Filter + projection — the oracle also checks pushdown doesn't change
+    * results; plan must show PushedFilters + 3-column ReadSchema. */
+  def qFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+
+  val qFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin
+
+  /** Sort+limit → TakeOrderedAndProject (no global sort at scale). */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  val qSortLimitSql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Distinct = partial-aggregated dropDuplicates. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+  val qDistinctSql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** Window rank within partition (single shuffle on the partition key). */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
+  val qWindowRankSql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+      |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) WHERE rnk <= 3""".stripMargin
+
+  /** Union + agg — unionByName keeps schema alignment explicit. */
+  def qUnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val a = t.customer.select(col("c_nationkey").as("nationkey"))
+    val b = t.supplier.select(col("s_nationkey").as("nationkey"))
+    a.unionByName(b).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+  }
+
+  val qUnionAllSql: String =
+    """SELECT nationkey, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+      |GROUP BY nationkey""".stripMargin
+
+  /** Left-semi join (EXISTS): broadcast the filtered probe side. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    t.customer.join(urgent, col("c_custkey") === col("o_custkey"), "leftsemi")
+      .select("c_custkey", "c_name")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Left-anti join (NOT EXISTS). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val f = t.orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    t.customer.join(f, col("c_custkey") === col("o_custkey"), "leftanti")
+      .select("c_custkey", "c_name")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  /** Pivot-style conditional aggregation — one pass, no pivot shuffle. */
+  def qConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0.0)), 2).as("qty_f"),
+        round(sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0.0)), 2).as("qty_o"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"))
+
+  val qConditionalAggSql: String =
+    """SELECT l_returnflag,
+      |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f,
+      |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+      |  count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** HAVING = agg + post-aggregate filter (Catalyst pushes nothing here;
+    * the filter runs on the already-reduced side). */
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n_orders") >= 12)
+
+  val qHavingSql: String =
+    """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 12""".stripMargin
+
+  /** Multi-stat agg incl. distinct count (Spark plans expand+2-phase). */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"),
+        round(stddev_samp(col("c_acctbal")), 2).as("sd_bal"))
+
+  val qAggStatsSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  count(DISTINCT c_nationkey) AS n_nations,
+      |  round(min(c_acctbal), 2) AS min_bal,
+      |  round(max(c_acctbal), 2) AS max_bal,
+      |  round(stddev_samp(c_acctbal), 2) AS sd_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  /** Rollup (grouping sets) — single expand + one shuffle. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qRollupSql: String =
+    """SELECT r_name, n_name, count(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** Group-wise max (top-1 per group) via row_number — the scalable idiom
+    * for "correlated max" subqueries. */
+  def qGroupwiseMax(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, dir).customer
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_custkey"), round(col("c_acctbal"), 2).as("best_bal"))
+  }
+
+  val qGroupwiseMaxSql: String =
+    """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS best_bal FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) WHERE rn = 1""".stripMargin
+
+  /** name → (query fn, oracle sql) */
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q1_pricing_summary"  -> ((q1PricingSummary _, Some(q1Sql))),
+    "q3_shipping_priority" -> ((q3ShippingPriority _, Some(q3Sql))),
+    "q5_local_supplier"   -> ((q5LocalSupplier _, Some(q5Sql))),
+    "q6_revenue"          -> ((q6Revenue _, Some(q6Sql))),
+    "q_filter_project"    -> ((qFilterProject _, Some(qFilterProjectSql))),
+    "q_sort_limit"        -> ((qSortLimit _, Some(qSortLimitSql))),
+    "q_distinct"          -> ((qDistinct _, Some(qDistinctSql))),
+    "q_window_rank"       -> ((qWindowRank _, Some(qWindowRankSql))),
+    "q_union_all"         -> ((qUnionAll _, Some(qUnionAllSql))),
+    "q_semi_join"         -> ((qSemiJoin _, Some(qSemiJoinSql))),
+    "q_anti_join"         -> ((qAntiJoin _, Some(qAntiJoinSql))),
+    "q_conditional_agg"   -> ((qConditionalAgg _, Some(qConditionalAggSql))),
+    "q_having"            -> ((qHaving _, Some(qHavingSql))),
+    "q_agg_stats"         -> ((qAggStats _, Some(qAggStatsSql))),
+    "q_rollup"            -> ((qRollup _, Some(qRollupSql))),
+    "q_groupwise_max"     -> ((qGroupwiseMax _, Some(qGroupwiseMaxSql))),
+  )
+}
