@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** JSON-pointer access over dynamic JSON columns.
+  *
+  * chewdata addresses record fields with RFC-6901 pointers
+  * (reference: src/helper/json_pointer.rs); in Spark the dynamic part of a
+  * record is a JSON string column and pointer access compiles to
+  * `get_json_object`, which stays inside WholeStageCodegen.
+  */
+object JsonFns {
+
+  /** "/a/b/0" or "a/b" → JsonPath "$.a.b[0]". */
+  def pointerToPath(pointer: String): String = {
+    val parts = pointer.split("/").filter(_.nonEmpty)
+    parts.foldLeft("$") { (acc, p) =>
+      if (p.forall(_.isDigit)) s"$acc[$p]" else s"$acc.$p"
+    }
+  }
+
+  /** Extract a field by json-pointer from a JSON string column. */
+  def jsonPointer(c: Column, pointer: String): Column =
+    get_json_object(c, pointerToPath(pointer))
+
+  /** Extract typed. */
+  def jsonPointerLong(c: Column, pointer: String): Column =
+    jsonPointer(c, pointer).cast("bigint")
+
+  def jsonPointerDouble(c: Column, pointer: String): Column =
+    jsonPointer(c, pointer).cast("double")
+
+  /** Set/overwrite a top-level field of a one-level JSON object column.
+    * (Deep structural edits go through from_json/to_json with a schema.) */
+  def jsonSet(c: Column, key: String, value: Column): Column = {
+    val stripped = regexp_replace(regexp_replace(c, "^\\s*\\{\\s*", ""), "\\s*\\}\\s*$", "")
+    val prefix = when(length(trim(stripped)) > 0, concat(stripped, lit(", "))).otherwise(lit(""))
+    concat(lit("{"), prefix, lit("\"" + key + "\": "), value.cast("string"), lit("}"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  test("json pointer converts to JsonPath and extracts") {
+    assert(JsonFns.pointerToPath("/a/b/0") == "$.a.b[0]")
+    assert(JsonFns.pointerToPath("a/b") == "$.a.b")
+    val v = one(get_json_object(lit("""{"a":{"b":[7,8]}}"""), JsonFns.pointerToPath("/a/b/1")))
+    assert(v == "8")
+  }
+
+  test("string fns: base64 roundtrip, find, slugify, checksums") {
+    assert(one(StringFns.base64Encode(lit("EUROPE"))) == "RVVST1BF")
+    assert(one(StringFns.base64Decode(lit("RVVST1BF"))) == "EUROPE")
+    assert(one(StringFns.find(lit("order-42-x"), "\\d+")) == "42")
+    assert(one(StringFns.find(lit("nope"), "\\d+")) == null)
+    assert(one(StringFns.slugify(lit("  Hello, World! "))) == "hello-world")
+    assert(one(StringFns.checksumMd5(lit("x"))) == "9dd4e461268c8034f5c8564e155c67a6")
+  }
+
+  test("object fns: merge/replaceKey/replaceValue/extract/keys") {
+    val m  = map(lit("a"), lit("1"), lit("b"), lit("2"))
+    val m2 = map(lit("b"), lit("9"), lit("c"), lit("3"))
+    assert(one(concat_ws(",", ObjectFns.keys(ObjectFns.merge(m, m2)))) == "a,b,c")
+    assert(one(element_at(ObjectFns.merge(m, m2), "b")) == "9")
+    assert(one(element_at(ObjectFns.replaceKey(m, "a", "z"), "z")) == "1")
+    assert(one(element_at(ObjectFns.replaceValue(m, lit("2"), lit("two")), "b")) == "two")
+    assert(one(concat_ws(",", ObjectFns.keys(ObjectFns.extract(m, Seq("a"))))) == "a")
+    assert(one(concat_ws(",", ObjectFns.keys(ObjectFns.remove(m, "a")))) == "b")
+    assert(one(element_at(ObjectFns.update(m, "a", lit("7")), "a")) == "7")
+  }
+
+  test("faker is deterministic and seed-dependent") {
+    val rows = spark.range(20).select(
+      Faker.firstName(col("id")).as("fn"),
+      Faker.email(col("id")).as("em"),
+      Faker.ipv4(col("id")).as("ip")).collect()
+    val again = spark.range(20).select(
+      Faker.firstName(col("id")).as("fn"),
+      Faker.email(col("id")).as("em"),
+      Faker.ipv4(col("id")).as("ip")).collect()
+    assert(rows.toSeq == again.toSeq)
+    assert(rows.map(_.getString(0)).distinct.length > 1)
+    assert(rows.forall(r => r.getString(1).endsWith("@example.com")))
+    assert(rows.forall(r => r.getString(2).split("\\.").length == 4))
+  }
+
+  test("template compiles to concat of refs and literals") {
+    assert(Template.variables("{{ a }}-{{ b.c }}") == Seq("a", "b.c"))
+    val df = spark.range(1).select(lit("ada").as("first"), lit("l").as("last"))
+    val out = df.select(Template.render("{{ first }}.{{ last }}@x.io").as("v")).head().getString(0)
+    assert(out == "ada.l@x.io")
+  }
+
+  test("validator split: ok/err streams partition the input") {
+    val df = queries.EtlSteps.qValidator(spark, sf)
+    val total = df.count()
+    val okN = df.filter(col("_error").isNull).count()
+    val errN = df.filter(col("_error").isNotNull).count()
+    assert(okN + errN == total && errN > 0)
+  }
+}
