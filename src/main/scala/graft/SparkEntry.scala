@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlSteps, Relational}
+import graft.queries.{DataOps, EtlSteps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
     Seq(
       Relational.entries,
       EtlSteps.entries,
+      DataOps.entries,
     )
 
   private lazy val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =

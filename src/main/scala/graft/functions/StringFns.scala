@@ -20,7 +20,7 @@ object StringFns {
 
   /** All regex matches. */
   def findAll(c: Column, pattern: String): Column =
-    regexp_extract_all(c, lit(pattern))
+    regexp_extract_all(c, lit(pattern), lit(0))
 
   /** Checksums (chewdata src/helper/checksum.rs supports md5/sha families). */
   def checksumMd5(c: Column): Column    = md5(c.cast("binary"))

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.5 #44-47): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard verification.
+  *
+  * Scale contract: pair generation NEVER goes through a cross join. LSH
+  * banding turns near-dup discovery into groupBy(band, bucket) — linear in
+  * corpus size — and only in-bucket candidates are verified. Buckets are
+  * capped (skew guard: a degenerate bucket of s docs would emit s² pairs).
+  */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Exact dedup on a key expression: one hash-shuffle, keeps min id.
+    * Returns (key, keeper, n) groups. */
+  def exactGroups(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(md5(key.cast("binary")).as("fp"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("n"))
+
+  /** Input minus exact duplicates (keeps the min-id row per key). */
+  def exact(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val keep = df.groupBy(md5(key.cast("binary")).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__fp")
+    df.join(keep, Seq(idCol), "leftsemi")
+  }
+
+  // ---- shingles + minhash ------------------------------------------------
+
+  /** Word n-gram shingles from a PRE-TOKENIZED column (whole text when
+    * shorter). `toks` must be an attribute reference, never an inline
+    * `split(...)` expression: HOF lambdas re-evaluate captured argument
+    * expressions per element, so an inline split would tokenize the text
+    * once per shingle — O(len²) per row (observed: single task pegged for
+    * minutes on 500 docs). */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** k-permutation MinHash signature — native expression (one tight loop:
+    * S shingle hashes + S·k affine mixes per row). The equivalent HOF
+    * (`transform`+`array_min`) formulation is interpreted per element and
+    * measured ~0.7 s/row at 400 shingles × k=64 — 1000× too slow. */
+  def minhashSignature(toks: Column, shingleN: Int = 3, k: Int = 64): Column =
+    graft.plans.Native.minhashSig(toks, shingleN, k)
+
+  /** Band hashes: k-length signature → `b` band keys (native expression). */
+  def bandHashes(sig: Column, b: Int = 16): Column =
+    graft.plans.Native.bandKeys(sig, b)
+
+  /** Candidate pairs from LSH banding.
+    * Input df must carry (idCol, textCol). Output: (a, b) with a < b.
+    * maxBucket caps degenerate buckets (boilerplate/empty docs) — dropped
+    * buckets trade recall for a hard bound on pair blowup; at 100 TB that
+    * cap is what keeps the stage from exploding on skew. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 64): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), minhashSignature(col("toks"), shingleN, k).as("sig"))
+      .select(col("id"), bandHashes(col("sig"), bands).as("bh"))
+    val exploded = sig.select(col("id"), posexplode(col("bh")).as(Seq("band", "bucket")))
+    // bucket members, capped; same (band,bucket) ⇒ candidate
+    val buckets = exploded.groupBy(col("band"), col("bucket"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // in-bucket pairs via index-aware transform: s*(s-1)/2 per bucket
+    buckets.select(explode(flatten(transform(col("ids"),
+        (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard between two token-set columns. */
+  def jaccard(ta: Column, tb: Column): Column =
+    size(array_intersect(ta, tb)).cast("double") /
+      size(array_union(ta, tb)).cast("double")
+
+  /** Verified near-duplicate pairs: LSH candidates filtered by true
+    * shingle-set Jaccard ≥ threshold. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleN)
+    val sets = df
+      .select(col(idCol).as("__sid"), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col("__sid"), array_distinct(shinglesFromTokens(col("__toks"), shingleN)).as("__sset"))
+    cands
+      .join(sets.withColumnRenamed("__sid", "a").withColumnRenamed("__sset", "sa"), "a")
+      .join(sets.withColumnRenamed("__sid", "b").withColumnRenamed("__sset", "sb"), "b")
+      .select(col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Representative assignment: min-id label propagation over the dup graph
+    * (fixed sweeps approximate connected components; each sweep is one
+    * aggregate + join, no driver iteration over rows). */
+  def representatives(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), first(col("a"))).as("rep"))
+    for (_ <- 1 until iterations) {
+      labels = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id2"))
+        .agg(min(col("rep")).as("rep2"))
+        .withColumnRenamed("id2", "id").withColumnRenamed("rep2", "rep")
+        .join(labels.withColumnRenamed("rep", "repOld"), Seq("id"), "outer")
+        .select(col("id"), least(coalesce(col("rep"), col("repOld")),
+          coalesce(col("repOld"), col("rep"))).as("rep"))
+    }
+    labels
+  }
+
+  // ---- simhash -----------------------------------------------------------
+
+  /** 64-bit SimHash as a 0/1 bit array: per-token xxhash64, sign-vote per
+    * bit. Pure HOF expressions (aggregate + zip_with). */
+  /** 64-bit SimHash of a text column — native expression (distinct-token
+    * sign votes in one loop per row). */
+  def simhash(text: Column): Column =
+    graft.plans.Native.simhash64(split(trim(text), "\\s+"))
+
+  /** Hamming distance between two simhash longs (native popcount). */
+  def hamming(a: Column, b: Column): Column = graft.plans.Native.hamming(a, b)
+
+  /** SimHash near-dup pairs: block on 16-bit sub-bands (any doc pair within
+    * hamming ≤ 3 of a 64-bit simhash shares at least one of 4 bands), then
+    * verify true hamming ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val banded = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sim")))), 1, maxBucket).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets.select(explode(flatten(transform(col("ms"),
+        (a, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
+          b => struct(a.getField("id").as("a"), b.getField("id").as("b"),
+            hamming(a.getField("sim"), b.getField("sim")).as("dist")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.dist").as("dist"))
+      .filter(col("dist") <= maxHamming)
+      .distinct()
+  }
+}

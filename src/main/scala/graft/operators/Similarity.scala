@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §2.5 #48-50):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing for near-dup pairs, and an IVF-style cluster-pruned path for
+  * scale.
+  *
+  * Vectors stay as array<double> columns; dot products are sequential
+  * `aggregate` folds (deterministic order — required for oracle parity).
+  * TODO(perf): swap the fold for the codegen CosineSimilarity expression.
+  */
+object Similarity {
+
+  /** Cast float vector to double once (all math in f64). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine = dot / (|a| * |b|) — native codegen expression (the HOF fold
+    * is interpreted per element; this is the ANN inner loop). Accumulation
+    * order matches the DuckDB oracle's sequential loops. */
+  def cosine(a: Column, b: Column): Column = graft.plans.Native.cosineSim(a, b)
+
+  /** Exact top-k per query: broadcast the (small) query set against the
+    * corpus; the corpus is scanned once, ranking is a per-query window.
+    * At 100 TB the corpus side never shuffles — only k·|corpus| partial
+    * rows reach the TakeOrdered-style window. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val scored = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__q"))))
+      .select(col(qIdCol), col(idCol), cosine(col("__v"), col("__q")).as("cos"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: `planes` pseudo-random hyperplanes
+    * derived deterministically from xxhash64(dim, plane) — no stored model.
+    * Sign pattern per plane-group forms the bucket key. */
+  def lshBuckets(v: Column, planes: Int = 16): Column = {
+    val dims = sequence(lit(0), size(v) - 1)
+    transform(sequence(lit(0), lit(planes - 1)), p => {
+      val s = aggregate(zip_with(v, dims, (x, i) => struct(x.as("x"), i.as("i"))),
+        lit(0.0),
+        (acc, e) => acc + e.getField("x") *
+          ((pmod(xxhash64(e.getField("i"), p), lit(2001)) - 1000).cast("double") / 1000.0))
+      when(s > 0, 1).otherwise(0)
+    })
+  }
+
+  /** Near-duplicate pairs via LSH bucketing (approximate; band the sign
+    * bits into groups of `bandBits`, verify cosine ≥ threshold in-bucket). */
+  def lshNearDupPairs(df: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      planes: Int = 16, bandBits: Int = 8,
+                      maxBucket: Int = 128): DataFrame = {
+    val bands = planes / bandBits
+    val sig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", lshBuckets(col("v"), planes))
+    val banded = sig.select(col("id"), col("v"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => xxhash64(slice(col("sig"), bi * bandBits + 1, lit(bandBits)), bi))).as(Seq("band", "bucket")))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets.select(explode(flatten(transform(col("ms"),
+        (a, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
+          b => struct(a.getField("id").as("a"), b.getField("id").as("b"),
+            cosine(a.getField("v"), b.getField("v")).as("cos")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
+  /** IVF-style ANN: `nCentroids` deterministic seed vectors (lowest ids)
+    * act as coarse centroids; every corpus vector is assigned to its
+    * nearest centroid (one broadcast pass), queries probe the `nprobe`
+    * nearest cells only. The scan-side win at scale: the candidate set is
+    * |corpus| * nprobe / nCentroids instead of |corpus|. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_vec")))
+    def assign(df: DataFrame, id: Column, v: Column, n: Int) = {
+      val w = Window.partitionBy(id).orderBy(col("__d").desc, col("c_id"))
+      df.join(cents)
+        .withColumn("__d", cosine(v, col("c_vec")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+    }
+    val corpusCells = assign(
+      corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")), col(idCol), col("__v"), 1)
+      .select(col(idCol), col("__v"), col("c_id").as("cell"))
+    val queryCells = assign(
+      queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__q")), col(qIdCol), col("__q"), nprobe)
+      .select(col(qIdCol), col("__q"), col("c_id").as("cell"))
+    val scored = corpusCells.join(broadcast(queryCells), "cell")
+      .select(col(qIdCol), col(idCol), cosine(col("__v"), col("__q")).as("cos"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

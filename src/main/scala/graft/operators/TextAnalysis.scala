@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY §2.5: language-ID, quality scoring, token counting, document
+  * fingerprinting).
+  *
+  * Everything is a pure Column expression — the whole pack runs inside one
+  * WholeStageCodegen span over the scan, so a 100 TB corpus pays one pass
+  * and zero shuffles for per-document scoring.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCountWs(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, single punctuation. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
+
+  /** Mean word length (chars-without-spaces / word count). */
+  def avgWordLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") /
+      tokenCountWs(c).cast("double")
+
+  /** Stopword-profile table: tiny per-language discriminative sets. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en"),
+    "de" -> Seq("der", "die", "und", "das", "von", "mit", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  def stopwordHits(c: Column, lang: String): Column =
+    size(array_intersect(tokens(lower(c)),
+      array(stopwords(lang).map(lit): _*)))
+
+  def stopwordRatio(c: Column, lang: String = "en"): Column =
+    stopwordHits(c, lang).cast("double") / tokenCountWs(c).cast("double")
+
+  /** Language ID: argmax of per-language stopword hits with a fixed
+    * precedence order on ties; "und" when nothing matches. */
+  val langOrder: Seq[String] = Seq("en", "es", "fr", "de", "zh")
+
+  def langId(c: Column): Column = {
+    val toks = array_distinct(tokens(lower(c)))
+    val hits = langOrder.map(l =>
+      l -> size(array_intersect(toks, array(stopwords(l).map(lit): _*))))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: length band + word-length band +
+    * punctuation penalty. Deterministic arithmetic (no rounding). */
+  def qualityScore(c: Column): Column = {
+    val nw = tokenCountWs(c).cast("double")
+    val wl = avgWordLen(c)
+    val punct = size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(c).cast("double"), lit(1.0))
+    val lenScore = least(nw / lit(100.0), lit(1.0))
+    val wlScore = when(wl >= 3.0 && wl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punct * 5.0)
+    lenScore * 0.4 + wlScore * 0.3 + punctScore * 0.3
+  }
+
+  /** OpenRefine-style collision fingerprint: md5 of sorted distinct tokens —
+    * stable under word reorder, the exact-dedup key for shuffled text. */
+  def fingerprintSorted(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(c)))), " ").cast("binary"))
+
+  /** Polynomial rolling hash over tokens (order-sensitive fingerprint). */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}

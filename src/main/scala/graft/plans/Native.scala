@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
+/** Column-API entry points for the native expressions. */
+object Native {
+  def cosineSim(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
+
+  def minhashSig(tokens: Column, shingleN: Int = 3, k: Int = 64): Column =
+    toCol(MinHashSig(toExpr(tokens), shingleN, k))
+
+  def bandKeys(sig: Column, bands: Int = 16): Column =
+    toCol(BandKeys(toExpr(sig), bands))
+
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+
+  def hamming(a: Column, b: Column): Column = toCol(HammingDist(toExpr(a), toExpr(b)))
+}
+
+/** SQL-side registration: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or GraftExtensions.register(spark) on a live session) exposes the
+  * native expressions as SQL functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans." + name, null, name, usage, "", "", "", "", "", "", "scalar_func")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", info("CosineSim", "cosine similarity of two double arrays"),
+      (e: Seq[Expression]) => CosineSim(e(0), e(1))),
+    ("graft_minhash_sig", info("MinHashSig", "minhash signature of a token array"),
+      (e: Seq[Expression]) => MinHashSig(e(0), 3, 64)),
+    ("graft_simhash64", info("SimHash64", "64-bit simhash of a token array"),
+      (e: Seq[Expression]) => SimHash64(e(0))),
+    ("graft_hamming", info("HammingDist", "hamming distance of two longs"),
+      (e: Seq[Expression]) => HammingDist(e(0), e(1))))
+
+  /** Imperative registration for sessions built without the extension. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graftbridge.Bridge.functionRegistry(spark)
+    functions.foreach { case (name, inf, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}

@@ -1,0 +1,215 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot loops the built-in HOF
+  * (`transform`/`aggregate`) versions can't sustain: HOF lambdas are
+  * interpreted per element, which measured ~0.7 s/row for a 64-permutation
+  * MinHash over ~400 shingles. These evaluate one tight JVM loop per row.
+  *
+  * CosineSim additionally implements doGenCode so vector scoring stays
+  * inside WholeStageCodegen — it's the innermost loop of ANN scans.
+  */
+
+/** cosine(a, b) over array<double> columns (null if either side null;
+  * 0-norm guarded to NaN like the plain formula). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object MinHashUtil {
+  /** Affine permutation parameters from a fixed SplitMix64 stream —
+    * deterministic across JVMs/partitions. */
+  def params(k: Int): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    var i = 0
+    while (i < k) { a(i) = next() | 1L; b(i) = next(); i += 1 }
+    (a, b)
+  }
+
+  /** Hash a token window (shingle) without building the joined string. */
+  def shingleHash(toks: ArrayData, start: Int, n: Int): Long = {
+    var h = 42L
+    var j = 0
+    while (j < n) {
+      val t = toks.getUTF8String(start + j)
+      h = Murmur3_x86_32.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, (h ^ (h >>> 32)).toInt).toLong ^ (h << 1)
+      j += 1
+    }
+    h
+  }
+}
+
+/** MinHash signature: array<string> tokens → array<long> of k minima over
+  * word n-gram shingles. One pass: S shingle hashes + S·k affine mixes. */
+case class MinHashSig(child: Expression, shingleN: Int, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val (pa, pb) = MinHashUtil.params(k)
+
+  override def nullSafeEval(in: Any): Any = {
+    val toks = in.asInstanceOf[ArrayData]
+    val s = toks.numElements()
+    val nShingles = math.max(s - shingleN + 1, 1)
+    val n = math.min(shingleN, s)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < nShingles) {
+      val h = MinHashUtil.shingleHash(toks, i, n)
+      var j = 0
+      while (j < k) {
+        val v = pa(j) * h + pb(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** LSH band keys from a minhash signature: array<long> of `bands` hashes,
+  * each over k/bands consecutive signature entries. */
+case class BandKeys(child: Expression, bands: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_keys"
+
+  override def nullSafeEval(in: Any): Any = {
+    val sig = in.asInstanceOf[ArrayData]
+    val k = sig.numElements()
+    val r = math.max(k / bands, 1)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong * 0x9E3779B97F4A7C15L
+      var j = b * r
+      val end = math.min(j + r, k)
+      while (j < end) {
+        val v = sig.getLong(j)
+        h = (h ^ v) * 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 29)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
+}
+
+/** 64-bit SimHash of an array<string> token column (distinct tokens,
+  * sign-vote per bit), returned as long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(in: Any): Any = {
+    val toks = in.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[Long]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.numElements()) {
+      val t = toks.getUTF8String(i)
+      val h1 = Murmur3_x86_32.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42)
+      val h2 = Murmur3_x86_32.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 0x5bd1e995)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+      if (seen.add(h)) {
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Hamming distance between two long columns (bit popcount of xor). */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline + streaming-batch-equivalent queries (SURVEY §2.5/§2.6).
+  *
+  * Oracle-checked where DuckDB can express the same math; approximate /
+  * hash-family-dependent operators (MinHash, SimHash, LSH, IVF) are
+  * rows-only gates with deterministic output.
+  */
+object DataOps {
+
+  // ---- dedup -------------------------------------------------------------
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables(spark, dir).documents, col("doc_id"), col("text"))
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Exact token-set Jaccard over id-block-bounded pairs (equi-keyed
+    * self-join — the blocked shape that scales; discovery at scale goes
+    * through q_dedup_minhash instead). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      floor(col("doc_id") / 200).as("blk"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+    val a = d.select(col("blk"), col("doc_id").as("a"), col("toks").as("ta"))
+    val b = d.select(col("blk"), col("doc_id").as("b"), col("toks").as("tb"))
+    a.join(b, "blk").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), Dedup.jaccard(col("ta"), col("tb")).as("jac"))
+      .filter(col("jac") >= 0.7)
+  }
+
+  val qNgramJaccardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(floor(doc_id / 200) AS BIGINT) AS blk,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |  CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) AS jac
+      |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.7""".stripMargin
+
+  /** MinHash+LSH verified pairs — approximate discovery, rows-only gate. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables(spark, dir).documents, "doc_id", "text",
+        threshold = 0.5, shingleN = 3)
+      .orderBy(col("a"), col("b"))
+
+  /** SimHash near-dup pairs — rows-only gate. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, dir).documents, "doc_id", "text",
+        maxHamming = 8)
+      .orderBy(col("a"), col("b"))
+
+  // ---- text analysis -----------------------------------------------------
+
+  def qTextTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("n_tokens_ws"),
+      TextAnalysis.tokenCountBpe(col("text")).cast("bigint").as("n_tokens_bpe"),
+      length(col("text")).cast("bigint").as("len_chars"))
+
+  val qTextTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens_ws,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+      |  length(text) AS len_chars
+      |FROM documents""".stripMargin
+
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("n_words"),
+      TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
+
+  val qTextQualitySql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      |  + (CASE WHEN (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+      |       CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+      |      THEN 1.0 ELSE 0.5 END) * 0.3
+      |  + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+      |       greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3 AS score
+      |FROM documents""".stripMargin
+
+  /** Stopword-profile language ID — rows-only gate (deterministic). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang").as("lang_tagged"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextAnalysis.fingerprintSorted(col("text")).as("fp_sorted"))
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp_sorted
+      |FROM documents""".stripMargin
+
+  // ---- similarity --------------------------------------------------------
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  def qAnnTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteTopK(Tables(spark, dir).embeddings,
+        queriesDf(spark, dir), k = 10)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+
+  val qAnnTopkSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      |  FROM embeddings e CROSS JOIN q)
+      |SELECT q_id, vec_id, cos, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM scored) WHERE rnk <= 10""".stripMargin
+
+  /** Same-label blocked exact cosine pairs (deterministic blocking). */
+  def qEmbNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("label"), col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val a = e.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
+    a.join(b, "label").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.35)
+  }
+
+  val qEmbNeardupSql: String =
+    """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS a, b.vec_id AS b,
+      |  list_dot_product(a.v, b.v) /
+      |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin
+
+  /** LSH-bucketed near-dup (approximate) — rows-only gate. */
+  def qEmbNeardupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables(spark, dir).embeddings, threshold = 0.3)
+      .orderBy(col("a"), col("b"))
+
+  /** IVF cluster-pruned ANN — approximate, rows-only gate. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables(spark, dir).embeddings,
+        queriesDf(spark, dir), k = 10)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+
+  // ---- streaming batch-equivalents --------------------------------------
+
+  /** Hourly tumbling-window aggregate (batch shape of the streaming op). */
+  def qEventWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  val qEventWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization (30-min gap) via lag + running sum — integer microsecond
+    * timestamps on both sides so gap comparisons are exact. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .withColumn("new_s", when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).cast("bigint").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    CASE WHEN us - lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+      |FROM g GROUP BY user_id""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
+    "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
+    "q_dedup_minhash"  -> ((qDedupMinhash _, None)),
+    "q_dedup_simhash"  -> ((qDedupSimhash _, None)),
+    "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
+    "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
+    "q_lang_id"        -> ((qLangId _, None)),
+    "q_fingerprint"    -> ((qFingerprint _, Some(qFingerprintSql))),
+    "q_ann_topk"       -> ((qAnnTopk _, Some(qAnnTopkSql))),
+    "q_emb_neardup"    -> ((qEmbNeardup _, Some(qEmbNeardupSql))),
+    "q_emb_neardup_lsh" -> ((qEmbNeardupLsh _, None)),
+    "q_ann_ivf"        -> ((qAnnIvf _, None)),
+    "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
+    "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
+  )
+}

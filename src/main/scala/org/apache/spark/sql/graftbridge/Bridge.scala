@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
+
+/** Bridge into `private[sql]` helpers (the standard extension-library
+  * pattern: Column ⇄ catalyst Expression plus function-registry access). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def functionRegistry(spark: SparkSession): FunctionRegistry =
+    ClassicConversions.castToImpl(spark).sessionState.functionRegistry
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps one row per key") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", col("text"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash finds planted near-duplicates with high jaccard") {
+    val docs = Tables(spark, sf).documents
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash of identical token multisets is identical; hamming 0") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta epsilon zeta eta")).toDF("id", "text")
+    val sims = df.select(col("id"), Dedup.simhash(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+  }
+
+  test("cosine similarity: native expr matches hand math and self-sim is 1") {
+    val df = Seq((1L, Array(1.0, 0.0), 2L, Array(0.5, 0.5))).toDF("a", "va", "b", "vb")
+    val c = df.select(Similarity.cosine(col("va"), col("vb")).as("c")).head().getDouble(0)
+    assert(math.abs(c - math.sqrt(0.5)) < 1e-12)
+    val self = df.select(Similarity.cosine(col("va"), col("va")).as("c")).head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("bruteTopK rank-1 for an in-corpus query is the query itself") {
+    val emb = Tables(spark, sf).embeddings
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.bruteTopK(emb, q, k = 1).collect()
+    assert(top.length == 3)
+    assert(top.forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("vec_id")))
+  }
+
+  test("lang id picks stopword-matching language") {
+    val df = Seq((1, "the cat and the dog of a house"), (2, "el perro y la casa de los gatos"),
+      (3, "qqq zzz www")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.langId(col("t")).as("l")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en" && out(2) == "es" && out(3) == "und")
+  }
+
+  test("fingerprint is stable under token reorder") {
+    val df = Seq((1, "b a c"), (2, "c b a"), (3, "c b d")).toDF("id", "t")
+    val fps = df.select(col("id"), TextAnalysis.fingerprintSorted(col("t")).as("f")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(fps(1) == fps(2) && fps(1) != fps(3))
+  }
+
+  test("representatives propagate min id over dup chains") {
+    val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("a", "b")
+    val reps = Dedup.representatives(pairs, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(3L) == 1L && reps(2L) == 1L && reps(11L) == 10L)
+  }
+}
