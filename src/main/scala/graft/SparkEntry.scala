@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataOps, EtlSteps, Relational}
+import graft.queries.{DataOps, EtlSteps, Relational, SourcesQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5.
   *
@@ -17,6 +17,7 @@ object SparkEntry {
       Relational.entries,
       EtlSteps.entries,
       DataOps.entries,
+      SourcesQ.entries,
     )
 
   private lazy val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =

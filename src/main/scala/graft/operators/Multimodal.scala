@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (SURVEY §2.5 #55): image/audio/video travel as
+  * opaque binary columns with typed metadata; decode/feature steps run
+  * per-partition over the binary payloads.
+  *
+  * The Spark-side plumbing — schema, ingestion via binaryFile, partition
+  * sizing, batch-shaped processing — is real; the codec itself is an
+  * injectable function and the default is a DETERMINISTIC STUB (this
+  * container has no image/audio libraries). Swap `decode` for a real codec
+  * (e.g. javacv) without touching the plan shape.
+  */
+object Multimodal {
+
+  /** Typed media record: payload + metadata (mirrors binaryFile's schema
+    * plus media fields a pipeline would attach at ingest). */
+  final case class MediaRecord(
+      path: String,
+      modality: String,          // image | audio | video
+      contentType: String,
+      length: Long,
+      content: Array[Byte])
+
+  final case class MediaFeatures(
+      path: String,
+      modality: String,
+      length: Long,
+      width: Int, height: Int,   // stubbed decode output
+      channels: Int,
+      checksum: String)
+
+  /** Ingest a directory of binary files as media records. */
+  def readBinary(spark: SparkSession, path: String, modality: String,
+                 contentType: String = "application/octet-stream"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), lit(modality).as("modality"),
+        lit(contentType).as("contentType"), col("length"), col("content"))
+      .as[MediaRecord]
+  }
+
+  /** Deterministic stand-in for a real decoder: derives "dimensions" from
+    * the payload hash so tests are stable. Replace with a real codec. */
+  def stubDecode(r: MediaRecord): MediaFeatures = {
+    val h = java.util.Arrays.hashCode(r.content)
+    MediaFeatures(
+      path = r.path, modality = r.modality, length = r.length,
+      width = 16 + math.abs(h % 1024), height = 16 + math.abs((h / 1024) % 1024),
+      channels = if (r.modality == "audio") 2 else 3,
+      checksum = java.lang.Integer.toHexString(h))
+  }
+
+  /** Feature extraction over partitions: one codec instance per partition
+    * (the real-codec pattern — init once, stream the batch through). */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      decode: MediaRecord => MediaFeatures = stubDecode): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map(decode)
+    }
+  }
+
+  /** Frame sampling plan for video: explode N sample offsets per record —
+    * the shuffle-free shape for distributing frame decode. */
+  def sampleFrames(media: DataFrame, everyNBytes: Long = 1024): DataFrame =
+    media.select(col("path"), col("length"),
+        explode(sequence(lit(0L), greatest(col("length") - 1, lit(0L)), lit(everyNBytes)))
+          .as("frame_offset"))
+}

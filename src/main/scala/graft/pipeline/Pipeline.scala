@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.functions.Template
+import graft.sources.{Connector, Documents}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Config-driven pipeline (reference: src/step/mod.rs + src/main.rs): a
+  * JSON/YAML/HJSON-lite config is an ordered list of steps.
+  *
+  * Spark-first semantics: the whole pipeline compiles to LAZY DataFrame
+  * transformations — steps never materialize between stages (chewdata's
+  * per-record queues would defeat Catalyst), so filter/projection pushdown
+  * and codegen fuse across step boundaries, and one config runs unchanged
+  * over a 100 TB input.
+  *
+  * Error channel: chewdata tags each record Ok/Err and steps declare
+  * `data_type` ok|err. Here a validator SPLITS the flow into an ok stream
+  * and an err stream (`_error` column carries messages); subsequent steps
+  * declare which stream they consume.
+  */
+object Pipeline {
+
+  sealed trait Step { def dataType: String }
+  final case class Reader(name: String, connector: Connector, dataType: String) extends Step
+  final case class Writer(connector: Connector, dataType: String) extends Step
+  final case class Transformer(actions: Seq[Action], dataType: String) extends Step
+  final case class Validator(rules: Seq[Rule], errorSeparator: String, dataType: String) extends Step
+  final case class Referential(name: String, connector: Connector,
+                               leftOn: String, rightOn: String, dataType: String) extends Step
+  final case class Generator(count: Long, dataType: String) extends Step
+  final case class Eraser(connector: Connector, dataType: String) extends Step
+
+  final case class Action(field: String, pattern: Option[String], actionType: String)
+  final case class Rule(name: String, pattern: String, message: String)
+
+  /** Compile a chewdata-style pattern to a Column:
+    * `{{ ... }}` templates render to string concat; anything else is a SQL
+    * expression (the Spark-native analogue of tera's expression language). */
+  def compilePattern(pattern: String): Column =
+    if (pattern.contains("{{")) Template.render(pattern) else expr(pattern)
+
+  final case class Parsed(steps: Seq[Step])
+
+  // ---- config parsing ----------------------------------------------------
+
+  private val jsonMapper = new ObjectMapper()
+  private val yamlMapper = new ObjectMapper(new YAMLFactory())
+
+  def parse(config: String): Parsed = {
+    val trimmed = config.trim
+    val root =
+      if (trimmed.startsWith("[") || trimmed.startsWith("{")) jsonMapper.readTree(trimmed)
+      else yamlMapper.readTree(trimmed)
+    Parsed(root.elements().asScala.map(parseStep).toSeq)
+  }
+
+  private def parseStep(node: JsonNode): Step = {
+    def str(f: String, d: String = ""): String = if (node.has(f)) node.get(f).asText() else d
+    val dataType = if (node.has("data_type")) node.get("data_type").asText()
+      else if (node.has("data")) node.get("data").asText() else "ok"
+
+    def docOpts: Documents.DocOptions = {
+      val doc = node.get("document")
+      if (doc == null) Documents.DocOptions()
+      else Documents.DocOptions(
+        delimiter = if (doc.has("delimiter")) doc.get("delimiter").asText() else ",",
+        header = !doc.has("header") || doc.get("header").asBoolean(true),
+        quote = if (doc.has("quote")) doc.get("quote").asText() else "\"",
+        rowTag = if (doc.has("row_tag")) doc.get("row_tag").asText() else "row",
+        multiLine = doc.has("multi_line") && doc.get("multi_line").asBoolean())
+    }
+    def docType: String = {
+      val doc = node.get("document")
+      if (doc != null && doc.has("type")) doc.get("type").asText() else "json"
+    }
+    def connector: Connector = Connector.fromConfig(node.get("connector"), docType, docOpts)
+
+    str("type") match {
+      case "reader" | "read" | "r" => Reader(str("name", "reader"), connector, dataType)
+      case "writer" | "write" | "w" => Writer(connector, dataType)
+      case "transformer" | "transform" | "t" =>
+        val actions = Option(node.get("actions")).map(_.elements().asScala.map { a =>
+          Action(
+            field = if (a.has("field")) a.get("field").asText() else "/",
+            pattern = Option(a.get("pattern")).map(_.asText()),
+            actionType = if (a.has("type")) a.get("type").asText() else "merge")
+        }.toSeq).getOrElse(Seq.empty)
+        Transformer(actions, dataType)
+      case "validator" | "validate" | "v" =>
+        val rules = Option(node.get("rules")).map(_.properties().asScala.map { e =>
+          Rule(e.getKey,
+            pattern = e.getValue.get("pattern").asText(),
+            message = if (e.getValue.has("message")) e.getValue.get("message").asText()
+              else s"rule ${e.getKey} failed")
+        }.toSeq).getOrElse(Seq.empty)
+        Validator(rules, if (node.has("error_separator")) node.get("error_separator").asText() else "; ", dataType)
+      case "referential" | "ref" =>
+        Referential(str("name", "ref"), connector, str("left_on"), str("right_on"), dataType)
+      case "generator" | "g" =>
+        Generator(if (node.has("count")) node.get("count").asLong() else 1L, dataType)
+      case "eraser" | "erase" | "e" => Eraser(connector, dataType)
+      case other => throw new IllegalArgumentException(s"unknown step type: $other")
+    }
+  }
+
+  // ---- execution ---------------------------------------------------------
+
+  /** Stream state flowing between steps. */
+  final case class Flow(ok: Option[DataFrame], err: Option[DataFrame]) {
+    def apply(dataType: String): Option[DataFrame] = if (dataType == "err") err else ok
+    def updated(dataType: String, df: DataFrame): Flow =
+      if (dataType == "err") copy(err = Some(df)) else copy(ok = Some(df))
+  }
+
+  /** Apply transformer actions: merge = add/overwrite column, replace =
+    * overwrite, remove = drop. Field "/" with no pattern is identity. */
+  def applyActions(df: DataFrame, actions: Seq[Action]): DataFrame =
+    actions.foldLeft(df) { (d, a) =>
+      (a.actionType, a.field) match {
+        case ("remove", f)       => d.drop(fieldName(f))
+        case (_, "/")            => d // identity: output := input
+        case (_, f)              =>
+          val c = a.pattern.map(compilePattern).getOrElse(lit(null))
+          d.withColumn(fieldName(f), c)
+      }
+    }
+
+  private def fieldName(f: String): String = f.stripPrefix("/")
+
+  /** Apply validator rules: each rule's SQL pattern must hold; failures
+    * append messages into `_error`. Returns (ok, err) split. */
+  def applyRules(df: DataFrame, rules: Seq[Rule], sep: String): (DataFrame, DataFrame) = {
+    val err = nullif(concat_ws(sep,
+      rules.map(r => when(!compilePattern(r.pattern), lit(r.message))): _*), lit(""))
+    val tagged = df.withColumn("_error", err)
+    (tagged.filter(col("_error").isNull).drop("_error"),
+     tagged.filter(col("_error").isNotNull))
+  }
+
+  /** Run a parsed pipeline. Returns the final flow (ok/err streams) so
+    * callers (and tests) can inspect results; writers have already written. */
+  def run(spark: SparkSession, parsed: Parsed): Flow =
+    parsed.steps.foldLeft(Flow(None, None)) { (flow, step) =>
+      step match {
+        case Reader(_, conn, dt)  => flow.updated(dt, conn.load(spark))
+        case Generator(n, dt)     => flow.updated(dt, spark.range(n).toDF("id"))
+        case Eraser(conn, _)      => conn.erase(spark); flow
+        case Transformer(actions, dt) =>
+          flow(dt).map(df => flow.updated(dt, applyActions(df, actions))).getOrElse(flow)
+        case Validator(rules, sep, dt) =>
+          flow(dt).map { df =>
+            val (ok, err) = applyRules(df, rules, sep)
+            Flow(Some(ok), Some(err))
+          }.getOrElse(flow)
+        case Referential(name, conn, leftOn, rightOn, dt) =>
+          flow(dt).map { df =>
+            val ref = conn.load(spark)
+            val renamed = ref.columns.foldLeft(ref)((r, c) => r.withColumnRenamed(c, s"${name}_$c"))
+            flow.updated(dt, df.join(broadcast(renamed),
+              df(leftOn) === renamed(s"${name}_$rightOn"), "left"))
+          }.getOrElse(flow)
+        case Writer(conn, dt) =>
+          flow(dt).foreach(df => conn.save(df))
+          flow
+      }
+    }
+
+  def run(spark: SparkSession, config: String): Flow = run(spark, parse(config))
+}

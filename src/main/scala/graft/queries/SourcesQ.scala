@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/connector + pipeline-engine gate queries (SURVEY §2.2/§2.3).
+  * Roundtrips write to a fresh temp dir then read back through the same
+  * document layer — proving encode/decode, not just the read path. */
+object SourcesQ {
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Full config-driven pipeline: read parquet → transform (computed
+    * column) → validate (split ok/err) → return the ok stream. */
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val config =
+      s"""[
+         | {"type": "reader",
+         |  "connector": {"type": "local", "path": "$dir/orders.parquet"},
+         |  "document": {"type": "parquet"}},
+         | {"type": "transformer", "actions": [
+         |   {"field": "price_band",
+         |    "pattern": "CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END",
+         |    "type": "merge"}]},
+         | {"type": "validator", "rules": {
+         |   "price_pos": {"pattern": "o_totalprice > 1000", "message": "price too low"},
+         |   "status_known": {"pattern": "o_orderstatus IN ('O','F','P')", "message": "bad status"}}}
+         |]""".stripMargin
+    val flow = Pipeline.run(spark, config)
+    flow.ok.get.select(col("o_orderkey"), col("price_band"))
+  }
+
+  val qPipelineE2eSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS price_band
+      |FROM orders
+      |WHERE o_totalprice > 1000 AND o_orderstatus IN ('O','F','P')""".stripMargin
+
+  /** CSV encode → decode roundtrip, then aggregate (types re-cast after
+    * inference so the oracle schema matches). */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_csv")
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type": "reader",
+         |  "connector": {"type": "local", "path": "$dir/customer.parquet"},
+         |  "document": {"type": "parquet"}},
+         | {"type": "writer",
+         |  "connector": {"type": "local", "path": "$out/customer_csv"},
+         |  "document": {"type": "csv"}}
+         |]""".stripMargin)
+    graft.sources.Documents.read(spark, "csv", s"$out/customer_csv")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  val qCsvRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  /** JSON-lines encode → decode roundtrip, then aggregate. */
+  def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_json")
+    Tables(spark, dir).orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").json(s"$out/orders_json")
+    spark.read.json(s"$out/orders_json")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val qJsonRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_pipeline_e2e"  -> ((qPipelineE2e _, Some(qPipelineE2eSql))),
+    "q_csv_roundtrip" -> ((qCsvRoundtrip _, Some(qCsvRoundtripSql))),
+    "q_json_roundtrip" -> ((qJsonRoundtrip _, Some(qJsonRoundtripSql))),
+  )
+}

@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document formats (reference: src/document (Rust modules) — json, jsonl, csv, text,
+  * toml, xml, yaml, parquet, byte), re-expressed as Spark I/O.
+  *
+  * json/jsonl/csv/parquet/text/xml/binary map to native Spark sources (full
+  * pushdown + split parallelism). yaml/toml parse per-partition into JSON
+  * strings and reuse Spark's JSON inference — parallel, no driver loop.
+  */
+object Documents {
+
+  /** Options shared by chewdata document configs. */
+  final case class DocOptions(
+      delimiter: String = ",",
+      header: Boolean = true,
+      quote: String = "\"",
+      rowTag: String = "row",       // xml
+      multiLine: Boolean = false,   // json array files vs jsonl
+      wholetext: Boolean = false)   // text: one row per file
+
+  def read(spark: SparkSession, docType: String, path: String,
+           opts: DocOptions = DocOptions()): DataFrame = docType match {
+    case "parquet" => spark.read.parquet(path)
+    case "json"    => spark.read.option("multiLine", value = true).json(path)
+    case "jsonl"   => spark.read.json(path)
+    case "csv"     => spark.read
+      .option("header", opts.header).option("sep", opts.delimiter)
+      .option("quote", opts.quote).option("inferSchema", value = true)
+      .csv(path)
+    case "text"    => spark.read.option("wholetext", opts.wholetext).text(path)
+    case "xml"     => spark.read.format("xml").option("rowTag", opts.rowTag).load(path)
+    case "yaml"    => Yaml.read(spark, path)
+    case "toml"    => Toml.read(spark, path)
+    case "byte" | "binary" => spark.read.format("binaryFile").load(path)
+    case other     => throw new IllegalArgumentException(s"unknown document type: $other")
+  }
+
+  def write(df: DataFrame, docType: String, path: String,
+            opts: DocOptions = DocOptions(), mode: SaveMode = SaveMode.Overwrite): Unit =
+    docType match {
+      case "parquet" => df.write.mode(mode).parquet(path)
+      case "json" | "jsonl" => df.write.mode(mode).json(path)
+      case "csv" => df.write.mode(mode)
+        .option("header", opts.header).option("sep", opts.delimiter)
+        .option("quote", opts.quote).csv(path)
+      case "text" => df.write.mode(mode).text(path)
+      case "xml"  => df.write.format("xml").option("rowTag", opts.rowTag).mode(mode).save(path)
+      case "yaml" => Yaml.write(df, path, mode)
+      case "toml" => Toml.write(df, path, mode)
+      case other  => throw new IllegalArgumentException(s"unknown document type: $other")
+    }
+}
+
+/** YAML document support: per-partition snakeyaml parse → JSON strings →
+  * Spark JSON inference. Multi-document files (`---`) become multiple rows. */
+object Yaml {
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  private def toJson(obj: Object, mapper: ObjectMapper): String = mapper.writeValueAsString(obj)
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files: Dataset[String] =
+      spark.read.option("wholetext", value = true).text(path).as[String]
+    val jsonDs = files.mapPartitions { it =>
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val mapper = new ObjectMapper()
+      it.flatMap { content =>
+        val docs = yaml.loadAll(content).iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (docs.hasNext) {
+          docs.next() match {
+            case null => ()
+            case l: java.util.List[_] =>
+              l.forEach(e => buf += toJson(e.asInstanceOf[Object], mapper))
+            case m => buf += toJson(m.asInstanceOf[Object], mapper)
+          }
+        }
+        buf
+      }
+    }
+    spark.read.json(jsonDs)
+  }
+
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import df.sparkSession.implicits._
+    val out = df.toJSON.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      val opts = new org.yaml.snakeyaml.DumperOptions()
+      opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+      opts.setExplicitStart(true)
+      val yaml = new org.yaml.snakeyaml.Yaml(opts)
+      it.map(j => yaml.dump(mapper.readValue(j, classOf[java.util.Map[String, Object]])).stripLineEnd)
+    }
+    out.write.mode(mode).text(path)
+  }
+}
+
+/** Minimal TOML document support (flat key/value + [tables] + arrays of
+  * primitive values — the subset the reference's toml examples use).
+  * Parses per-partition into JSON, reuses Spark JSON inference. */
+object Toml {
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  /** Parse one TOML document into a list of JSON objects: each `[[name]]`
+    * array-of-tables entry becomes its own row; a bare document is one row. */
+  def tomlToJsonRows(content: String): Seq[String] = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    var current = root
+    val rows = scala.collection.mutable.ArrayBuffer.empty[com.fasterxml.jackson.databind.node.ObjectNode]
+
+    def parseValue(raw: String): com.fasterxml.jackson.databind.JsonNode = {
+      val v = raw.trim
+      if (v.startsWith("\"") && v.endsWith("\"")) mapper.getNodeFactory.textNode(v.substring(1, v.length - 1))
+      else if (v.startsWith("[") && v.endsWith("]")) {
+        val arr = mapper.createArrayNode()
+        splitTop(v.substring(1, v.length - 1)).filter(_.nonEmpty).foreach(e => arr.add(parseValue(e)))
+        arr
+      }
+      else if (v == "true" || v == "false") mapper.getNodeFactory.booleanNode(v.toBoolean)
+      else if (v.matches("[+-]?\\d+")) mapper.getNodeFactory.numberNode(v.toLong)
+      else if (v.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) mapper.getNodeFactory.numberNode(v.toDouble)
+      else mapper.getNodeFactory.textNode(v)
+    }
+
+    def splitTop(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var inStr = false; val sb = new StringBuilder
+      s.foreach {
+        case '"' => inStr = !inStr; sb += '"'
+        case '[' if !inStr => depth += 1; sb += '['
+        case ']' if !inStr => depth -= 1; sb += ']'
+        case ',' if !inStr && depth == 0 => out += sb.result().trim; sb.clear()
+        case c => sb += c
+      }
+      if (sb.nonEmpty) out += sb.result().trim
+      out.toSeq
+    }
+
+    content.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach { line =>
+      if (line.startsWith("[[") && line.endsWith("]]")) {
+        val node = mapper.createObjectNode()
+        rows += node
+        current = node
+      } else if (line.startsWith("[") && line.endsWith("]")) {
+        // nested table inside the root document row
+        val name = line.substring(1, line.length - 1)
+        val node = mapper.createObjectNode()
+        root.replace(name, node)
+        current = node
+      } else {
+        val idx = line.indexOf('=')
+        if (idx > 0) {
+          val key = line.substring(0, idx).trim
+          current.replace(key, parseValue(line.substring(idx + 1)))
+        }
+      }
+    }
+    if (rows.nonEmpty) rows.map(_.toString).toSeq
+    else if (root.size() > 0) Seq(root.toString)
+    else Seq.empty
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.option("wholetext", value = true).text(path).as[String]
+    spark.read.json(files.flatMap(tomlToJsonRows))
+  }
+
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import df.sparkSession.implicits._
+    val out = df.toJSON.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.map { j =>
+        val node = mapper.readTree(j)
+        val sb = new StringBuilder("[[row]]\n")
+        node.properties().forEach { e =>
+          val v = e.getValue
+          val rendered =
+            if (v.isTextual) "\"" + v.asText().replace("\"", "\\\"") + "\""
+            else v.toString
+          sb.append(s"${e.getKey} = $rendered\n")
+        }
+        sb.result()
+      }
+    }
+    out.write.mode(mode).text(path)
+  }
+}

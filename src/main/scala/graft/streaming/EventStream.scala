@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface (SURVEY §2.6): stream → transform → sink,
+  * watermarked windowed aggregation, and stateful sessionization.
+  *
+  * The same event schema as the batch `events` table, so every batch
+  * operator (validator, transformer, text analysis) lifts onto the stream
+  * unchanged — that is the Spark-native analogue of chewdata's "steps are
+  * connected by async channels".
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  final case class SessionSummary(user_id: Long, n_events: Int, n_sessions: Int)
+
+  /** File-based stream over a directory of JSON events. */
+  def readJsonStream(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).json(path)
+  }
+
+  /** Watermarked tumbling-window aggregate (the streaming shape of
+    * DataOps.qEventWindow). */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful sessionization with mapGroupsWithState: counts sessions per
+    * user with a 30-minute inactivity gap, state kept per user key. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Int, Int), SessionSummary](GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[(Long, Int, Int)]) =>
+          val (lastTs0, nEvents0, nSessions0) =
+            state.getOption.getOrElse((Long.MinValue, 0, 0))
+          var lastTs = lastTs0; var nEvents = nEvents0; var nSessions = nSessions0
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
+            nEvents += 1
+            lastTs = t
+          }
+          state.update((lastTs, nEvents, nSessions))
+          SessionSummary(userId, nEvents, nSessions)
+      }
+  }
+
+  /** Write a stream to parquet with checkpointing. */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", path).start()
+}

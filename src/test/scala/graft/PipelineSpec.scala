@@ -1,0 +1,139 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.sources._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("pipeline config parses all step types and aliases") {
+    val p = Pipeline.parse(
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":"[{\"a\":1}]"}},
+        | {"type":"t","actions":[{"field":"b","pattern":"a + 1"}]},
+        | {"type":"v","rules":{"r1":{"pattern":"a > 0"}}},
+        | {"type":"generator","count":5},
+        | {"type":"writer","connector":{"type":"cli"}}
+        |]""".stripMargin)
+    assert(p.steps.length == 5)
+  }
+
+  test("pipeline run: read mem → transform → validate splits ok/err") {
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":
+        |   "[{\"n\":5,\"s\":\"x\"},{\"n\":-1,\"s\":\"y\"},{\"n\":7,\"s\":\"z\"}]"}},
+        | {"type":"transformer","actions":[{"field":"n2","pattern":"n * 2"}]},
+        | {"type":"validator","rules":{"pos":{"pattern":"n > 0","message":"n must be positive"}}}
+        |]""".stripMargin)
+    val ok = flow.ok.get.orderBy("n").collect()
+    val err = flow.err.get.collect()
+    assert(ok.map(_.getAs[Long]("n")).toSeq == Seq(5L, 7L))
+    assert(ok.head.getAs[Long]("n2") == 10L)
+    assert(err.length == 1 && err.head.getAs[String]("_error") == "n must be positive")
+  }
+
+  test("yaml config parses too") {
+    val p = Pipeline.parse(
+      """- type: reader
+        |  connector:
+        |    type: mem
+        |    data: "[{\"a\":1}]"
+        |- type: writer
+        |  connector:
+        |    type: cli
+        |""".stripMargin)
+    assert(p.steps.length == 2)
+  }
+
+  test("referential step joins broadcast lookup") {
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":"[{\"k\":1,\"v\":\"a\"},{\"k\":2,\"v\":\"b\"}]"}},
+        | {"type":"referential","name":"m","left_on":"k","right_on":"code",
+        |  "connector":{"type":"mem","data":"[{\"code\":1,\"label\":\"one\"}]"}}
+        |]""".stripMargin)
+    val rows = flow.ok.get.orderBy("k").collect()
+    assert(rows(0).getAs[String]("m_label") == "one")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("m_label")))
+  }
+
+  test("yaml document roundtrip") {
+    val dir = tmp("yaml") + "/data"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Documents.write(df, "yaml", dir)
+    val back = Documents.read(spark, "yaml", dir)
+    assert(back.orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq
+      == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("toml document roundtrip") {
+    val dir = tmp("toml") + "/data"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    Documents.write(df, "toml", dir)
+    val back = Documents.read(spark, "toml", dir)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("score"))).toSeq
+      == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("toml parser handles tables and arrays") {
+    val rows = Toml.tomlToJsonRows(
+      """# comment
+        |title = "root"
+        |[owner]
+        |name = "ada"
+        |tags = [1, 2, 3]
+        |""".stripMargin)
+    assert(rows.length == 1)
+    assert(rows.head.contains(""""title":"root""""))
+    assert(rows.head.contains(""""tags":[1,2,3]"""))
+  }
+
+  test("xml document roundtrip") {
+    val dir = tmp("xml") + "/data"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Documents.write(df, "xml", dir)
+    val back = Documents.read(spark, "xml", dir)
+    assert(back.orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq
+      == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("http connector: pagination plan fetches every page in parallel") {
+    val fetched = HttpConnector("http://example/api", pages = 4,
+      fetch = i => s"""[{"page":$i,"v":${i * 10}}]""")
+    val rows = fetched.load(spark).orderBy("page").collect()
+    assert(rows.map(_.getAs[Long]("page")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("v")).toSeq == Seq(0L, 10L, 20L, 30L))
+  }
+
+  test("http auth header factories") {
+    assert(HttpConnector.basicAuth("u", "p")._2 == "Basic dTpw")
+    assert(HttpConnector.bearerAuth("tok")._2 == "Bearer tok")
+  }
+
+  test("eraser removes a local target") {
+    val dir = tmp("erase") + "/data"
+    Seq((1, "x")).toDF("id", "v").write.parquet(dir)
+    Pipeline.run(spark,
+      s"""[{"type":"eraser","connector":{"type":"local","path":"$dir"}}]""")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("multimodal: binary ingest + stubbed feature extraction") {
+    val dir = tmp("media")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"), Array[Byte](9, 8, 7))
+    val media = operators.Multimodal.readBinary(spark, dir + "/*.bin", "image")
+    val feats = operators.Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(f => f.width >= 16 && f.channels == 3))
+    // deterministic: same payload → same features
+    val again = operators.Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts aggregate a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    input.addData(
+      EventStream.Event(1, ts(1), 1, "click", 1.0, "{}"),
+      EventStream.Event(2, ts(5), 1, "click", 2.0, "{}"),
+      EventStream.Event(3, ts(7), 2, "view", 5.0, "{}"))
+    val q = EventStream.windowedCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM win ORDER BY event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization counts sessions per user across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    input.addData(
+      EventStream.Event(1, ts(0), 7, "click", 1.0, "{}"),
+      EventStream.Event(2, ts(5), 7, "click", 1.0, "{}"))
+    val sessions = EventStream.sessionize(spark, input.toDF())
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // second batch: 40 min later → new session for user 7
+      input.addData(EventStream.Event(3, ts(45), 7, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val last = spark.sql("SELECT n_events, n_sessions FROM sess WHERE user_id = 7")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).maxBy(_._1)
+      assert(last == ((3, 2)))
+    } finally q.stop()
+  }
+
+  test("file json stream → parquet sink roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString
+    val inDir = dir + "/in"; val outDir = dir + "/out"; val ckpt = dir + "/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    Seq(EventStream.Event(1, ts(0), 1, "click", 1.0, "{}"),
+        EventStream.Event(2, ts(1), 2, "view", 2.0, "{}"))
+      .toDF().coalesce(1).write.json(inDir + "/batch0")
+    val events = EventStream.readJsonStream(spark, inDir + "/*")
+    val q = EventStream.writeParquetStream(events, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+}
