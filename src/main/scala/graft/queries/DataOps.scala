@@ -169,6 +169,31 @@ object DataOps {
         queriesDf(spark, dir), k = 10)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
 
+  /** Deterministic hash sampling: keep rows whose content hash falls under
+    * a threshold — reproducible across runs/partitions, no RNG state. */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(md5(col("text").cast("binary")) < "1a")
+      .select(col("doc_id"))
+
+  val qSampleHashSql: String =
+    "SELECT doc_id FROM documents WHERE md5(text) < '1a'"
+
+  /** Corpus-level term frequencies: explode + partial-aggregated count +
+    * top-k heap (the scalable vocab-stats shape: one shuffle on term). */
+  def qTopTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  val qTopTermsSql: String =
+    """SELECT term, count(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+
   // ---- streaming batch-equivalents --------------------------------------
 
   /** Hourly tumbling-window aggregate (batch shape of the streaming op). */
@@ -221,6 +246,8 @@ object DataOps {
     "q_emb_neardup"    -> ((qEmbNeardup _, Some(qEmbNeardupSql))),
     "q_emb_neardup_lsh" -> ((qEmbNeardupLsh _, None)),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
+    "q_sample_hash"    -> ((qSampleHash _, Some(qSampleHashSql))),
+    "q_top_terms"      -> ((qTopTerms _, Some(qTopTermsSql))),
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
   )

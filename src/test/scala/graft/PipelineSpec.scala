@@ -124,6 +124,14 @@ class PipelineSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
   }
 
+  test("local connector glob wildcard fans out across files") {
+    val dir = tmp("glob")
+    Seq((1L, "a")).toDF("id", "v").write.json(dir + "/part1")
+    Seq((2L, "b")).toDF("id", "v").write.json(dir + "/part2")
+    val df = LocalConnector(dir + "/part*/*.json", "jsonl").load(spark)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("multimodal: binary ingest + stubbed feature extraction") {
     val dir = tmp("media")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3, 4))
