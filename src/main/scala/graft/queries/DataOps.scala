@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -233,7 +233,43 @@ object DataOps {
       |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
       |FROM g GROUP BY user_id""".stripMargin
 
+  /** As-of join: each purchase event picks up the user's most recent view
+    * at-or-before it. Oracle: DuckDB's native ASOF JOIN. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    AsOfJoin.asOf(purchases, views, key = "user_id",
+        leftTime = "ts", rightTime = "ts", payload = Seq("view_id"))
+      .select(col("event_id"), col("asof_view_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id, v.event_id AS asof_view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
+
+  /** Salted two-stage aggregation — result must equal the plain groupBy
+    * (the oracle IS the plain aggregation), proving the skew-spreading
+    * path is correctness-preserving. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(Tables(spark, dir).lineitem,
+        key = col("l_returnflag"), salts = 8,
+        partials = Map("n" -> count(lit(1)), "qty" -> sum(col("l_quantity"))),
+        merges = Map("n" -> (c => sum(c)), "qty" -> (c => sum(c))))
+      .select(col("__key").as("l_returnflag"), col("n").cast("bigint").as("n"),
+        round(col("qty"), 2).as("qty"))
+
+  val qSaltedAggSql: String =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
+    "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_dedup_minhash"  -> ((qDedupMinhash _, None)),

@@ -59,6 +59,28 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(1) == fps(2) && fps(1) != fps(3))
   }
 
+  test("asof join attaches most recent prior right row per key") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, 10L, t(30)), (2L, 10L, t(5)), (3L, 20L, t(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, t(10), 100L), (10L, t(20), 101L), (20L, t(10), 200L))
+      .toDF("user_id", "ts", "view_id")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "ts", Seq("view_id"))
+      .select("event_id", "asof_view_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) == 101L)  // latest view before 10:30
+    assert(out(2L) == -1L)   // no view before 10:05
+    assert(out(3L) == 200L)  // equal timestamp counts
+  }
+
+  test("salted join equals plain join") {
+    val big = Seq((1, "a", 10.0), (1, "b", 20.0), (2, "c", 30.0)).toDF("k", "u", "v")
+    val small = Seq((1, "one"), (2, "two")).toDF("k", "label")
+    val salted = Skew.saltedJoin(big, small, "k", salts = 4, uniqueCol = "u")
+      .select("k", "u", "label").collect().map(_.toSeq).toSet
+    val plain = big.join(small, "k").select("k", "u", "label").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("representatives propagate min id over dup chains") {
     val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("a", "b")
     val reps = Dedup.representatives(pairs, iterations = 3).collect()
