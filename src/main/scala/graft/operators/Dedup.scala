@@ -87,13 +87,17 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleN)
+    // sorted hashed shingle sets (same hash family the signature sketches);
+    // per-pair verify is then an O(|a|+|b|) long merge walk, no string work
     val sets = df
       .select(col(idCol).as("__sid"), split(trim(col(textCol)), "\\s+").as("__toks"))
-      .select(col("__sid"), array_distinct(shinglesFromTokens(col("__toks"), shingleN)).as("__sset"))
+      .select(col("__sid"),
+        graft.plans.NativeSets.hashedSet(col("__toks"), shingleN).as("__sset"))
     cands
       .join(sets.withColumnRenamed("__sid", "a").withColumnRenamed("__sset", "sa"), "a")
       .join(sets.withColumnRenamed("__sid", "b").withColumnRenamed("__sset", "sb"), "b")
-      .select(col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .select(col("a"), col("b"),
+        graft.plans.NativeSets.jaccardSorted(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

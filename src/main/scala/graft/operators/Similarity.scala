@@ -43,19 +43,11 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Random-hyperplane LSH signature: `planes` pseudo-random hyperplanes
-    * derived deterministically from xxhash64(dim, plane) — no stored model.
-    * Sign pattern per plane-group forms the bucket key. */
-  def lshBuckets(v: Column, planes: Int = 16): Column = {
-    val dims = sequence(lit(0), size(v) - 1)
-    transform(sequence(lit(0), lit(planes - 1)), p => {
-      val s = aggregate(zip_with(v, dims, (x, i) => struct(x.as("x"), i.as("i"))),
-        lit(0.0),
-        (acc, e) => acc + e.getField("x") *
-          ((pmod(xxhash64(e.getField("i"), p), lit(2001)) - 1000).cast("double") / 1000.0))
-      when(s > 0, 1).otherwise(0)
-    })
-  }
+  /** Random-hyperplane LSH sign bits, packed into a long — native
+    * expression (deterministic SplitMix64-derived planes, no stored
+    * model; one tight loop per row). */
+  def lshBits(v: Column, planes: Int = 16): Column =
+    graft.plans.NativeSets.hyperplaneLsh(v, planes)
 
   /** Near-duplicate pairs via LSH bucketing (approximate; band the sign
     * bits into groups of `bandBits`, verify cosine ≥ threshold in-bucket). */
@@ -64,11 +56,13 @@ object Similarity {
                       planes: Int = 16, bandBits: Int = 8,
                       maxBucket: Int = 128): DataFrame = {
     val bands = planes / bandBits
+    val mask = (1L << bandBits) - 1
     val sig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshBuckets(col("v"), planes))
+      .withColumn("sig", lshBits(col("v"), planes))
     val banded = sig.select(col("id"), col("v"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bi => xxhash64(slice(col("sig"), bi * bandBits + 1, lit(bandBits)), bi))).as(Seq("band", "bucket")))
+      posexplode(array((0 until bands).map(bi =>
+        shiftrightunsigned(col("sig"), bi * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("ms"))
       .filter(size(col("ms")) > 1)

@@ -53,3 +53,16 @@ object GraftExtensions {
     }
   }
 }
+
+/** Additional Column wrappers (appended with the second expression batch). */
+object NativeSets {
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+  import org.apache.spark.sql.Column
+
+  def hashedSet(tokens: Column, shingleN: Int = 1): Column =
+    toCol(HashedSet(toExpr(tokens), shingleN))
+  def jaccardSorted(a: Column, b: Column): Column =
+    toCol(JaccardSortedLongs(toExpr(a), toExpr(b)))
+  def hyperplaneLsh(vec: Column, planes: Int = 16): Column =
+    toCol(HyperplaneLsh(toExpr(vec), planes))
+}

@@ -213,3 +213,101 @@ case class HammingDist(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist =
     copy(left = l, right = r)
 }
+
+/** Sorted distinct shingle-hash set of a token array (shingleN=1 → token
+  * set). Pairs with JaccardSortedLongs for exact set jaccard without
+  * per-pair string work. Uses the same shingle hash as MinHashSig, so a
+  * jaccard verify measures exactly the sets the signature sketches. */
+case class HashedSet(child: Expression, shingleN: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_set"
+
+  override def nullSafeEval(in: Any): Any = {
+    val toks = in.asInstanceOf[ArrayData]
+    val s = toks.numElements()
+    val nShingles = math.max(s - shingleN + 1, 1)
+    val n = math.min(shingleN, s)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < nShingles) {
+      set.add(MinHashUtil.shingleHash(toks, i, n))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedSet = copy(child = c)
+}
+
+/** Exact Jaccard of two SORTED distinct long arrays via merge walk —
+  * O(|a|+|b|) with no allocation (vs per-pair hash-set building in the
+  * builtin array_intersect/array_union path). */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx.toLong + ny.toLong - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedLongs =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH sign bits of an array<double> vector, packed into
+  * a long (planes ≤ 64). Plane weights derive deterministically from
+  * SplitMix64(dim, plane) — no stored model, identical on every executor. */
+case class HyperplaneLsh(child: Expression, planes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(planes <= 64, "at most 64 planes fit one long")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_lsh"
+
+  private def weight(dim: Int, plane: Int): Double = {
+    var z = dim.toLong * 0x9E3779B97F4A7C15L + plane.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    // map to [-1, 1)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v.getDouble(i) * weight(i, p); i += 1 }
+      if (s > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}

@@ -27,14 +27,18 @@ object DataOps {
     * self-join — the blocked shape that scales; discovery at scale goes
     * through q_dedup_minhash instead). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents.select(
-      col("doc_id"),
-      floor(col("doc_id") / 200).as("blk"),
-      array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
-    val a = d.select(col("blk"), col("doc_id").as("a"), col("toks").as("ta"))
-    val b = d.select(col("blk"), col("doc_id").as("b"), col("toks").as("tb"))
+    // token sets hashed+sorted once per row; the per-pair jaccard is a
+    // native long merge walk (same value as string-set jaccard)
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), floor(col("doc_id") / 200).as("blk"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("blk"),
+        graft.plans.NativeSets.hashedSet(col("toks"), 1).as("hs"))
+    val a = d.select(col("blk"), col("doc_id").as("a"), col("hs").as("ta"))
+    val b = d.select(col("blk"), col("doc_id").as("b"), col("hs").as("tb"))
     a.join(b, "blk").filter(col("a") < col("b"))
-      .select(col("a"), col("b"), Dedup.jaccard(col("ta"), col("tb")).as("jac"))
+      .select(col("a"), col("b"),
+        graft.plans.NativeSets.jaccardSorted(col("ta"), col("tb")).as("jac"))
       .filter(col("jac") >= 0.7)
   }
 
