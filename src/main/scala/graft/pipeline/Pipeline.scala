@@ -51,11 +51,60 @@ object Pipeline {
   private val yamlMapper = new ObjectMapper(new YAMLFactory())
 
   def parse(config: String): Parsed = {
-    val trimmed = config.trim
+    val trimmed = hjsonLite(config.trim)
     val root =
       if (trimmed.startsWith("[") || trimmed.startsWith("{")) jsonMapper.readTree(trimmed)
       else yamlMapper.readTree(trimmed)
     Parsed(root.elements().asScala.map(parseStep).toSeq)
+  }
+
+  /** HJSON-lite normalization (the reference accepts hjson configs): strip
+    * `//`/`#` comments and trailing commas outside strings. Quoted keys and
+    * values pass through untouched. */
+  def hjsonLite(config: String): String = {
+    // pass 1: strip // and # comments (outside strings)
+    val noComments = {
+      val sb = new StringBuilder
+      var inStr = false; var esc = false; var i = 0
+      while (i < config.length) {
+        val c = config.charAt(i)
+        if (inStr) {
+          sb += c
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+          i += 1
+        } else c match {
+          case '"' => inStr = true; sb += c; i += 1
+          case '/' if i + 1 < config.length && config.charAt(i + 1) == '/' =>
+            while (i < config.length && config.charAt(i) != '\n') i += 1
+          case '#' =>
+            while (i < config.length && config.charAt(i) != '\n') i += 1
+          case _ => sb += c; i += 1
+        }
+      }
+      sb.result()
+    }
+    // pass 2: drop trailing commas (outside strings)
+    val sb = new StringBuilder
+    var inStr = false; var esc = false; var i = 0
+    while (i < noComments.length) {
+      val c = noComments.charAt(i)
+      if (inStr) {
+        sb += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+        i += 1
+      } else if (c == '"') { inStr = true; sb += c; i += 1 }
+      else if (c == ',') {
+        var j = i + 1
+        while (j < noComments.length && noComments.charAt(j).isWhitespace) j += 1
+        if (j < noComments.length && (noComments.charAt(j) == '}' || noComments.charAt(j) == ']')) i += 1
+        else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.result()
   }
 
   private def parseStep(node: JsonNode): Step = {

@@ -302,6 +302,21 @@ object Relational {
       |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
       |  FROM customer) WHERE rn = 1""".stripMargin
 
+  /** Exact percentiles (linear interpolation — same definition as the
+    * oracle's quantile_cont). */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** name → (query fn, oracle sql) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q1_pricing_summary"  -> ((q1PricingSummary _, Some(q1Sql))),
@@ -320,5 +335,6 @@ object Relational {
     "q_agg_stats"         -> ((qAggStats _, Some(qAggStatsSql))),
     "q_rollup"            -> ((qRollup _, Some(qRollupSql))),
     "q_groupwise_max"     -> ((qGroupwiseMax _, Some(qGroupwiseMaxSql))),
+    "q_percentile"        -> ((qPercentile _, Some(qPercentileSql))),
   )
 }

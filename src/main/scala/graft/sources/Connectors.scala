@@ -136,6 +136,39 @@ final case class HttpConnector(endpoint: String, pages: Int = 1,
   }
 }
 
+object CursorHttpConnector {
+  /** Cursor fetch: (cursorOrNull) -> (body, nextCursorOrNull). */
+  type CursorFetch = Option[String] => (String, Option[String])
+}
+
+/** Cursor-paginated HTTP source (reference: paginator/curl/cursor.rs).
+  * Cursor chains are inherently sequential — each page's token comes from
+  * the previous response — so pages are walked on the driver (bounded by
+  * maxPages) and PARSING is distributed. Use offset pagination
+  * (HttpConnector) when the API supports it; this exists for APIs that
+  * only hand out next-tokens. */
+final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
+                                     fetch: CursorHttpConnector.CursorFetch =
+                                       _ => throw new UnsupportedOperationException(
+                                         "HTTP transport unavailable (no egress)"))
+    extends Connector {
+  override def load(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cursor: Option[String] = None
+    var pages = 0
+    var done = false
+    while (!done && pages < maxPages) {
+      val (body, next) = fetch(cursor)
+      bodies += body
+      cursor = next
+      pages += 1
+      done = next.isEmpty
+    }
+    spark.read.json(bodies.toSeq.toDS())
+  }
+}
+
 object Connector {
   /** Build from a chewdata-style connector config node. */
   def fromConfig(node: com.fasterxml.jackson.databind.JsonNode,

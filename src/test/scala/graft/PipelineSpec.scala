@@ -124,6 +124,56 @@ class PipelineSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
   }
 
+  test("hjson-lite config: comments and trailing commas accepted") {
+    val flow = Pipeline.run(spark,
+      """[
+        | // a comment
+        | {"type":"reader","connector":{"type":"mem","data":"[{\"a\":1}]"},}, # trailing comma
+        |]""".stripMargin)
+    assert(flow.ok.get.count() == 1)
+  }
+
+  test("writer step persists the ok stream") {
+    val dir = tmp("writer")
+    Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":"[{\\"a\\":1},{\\"a\\":2}]"}},
+         | {"type":"writer","connector":{"type":"local","path":"$dir/out"},
+         |  "document":{"type":"jsonl"}}
+         |]""".stripMargin)
+    assert(spark.read.json(dir + "/out").count() == 2)
+  }
+
+  test("cursor paginator walks the token chain and stops at the end") {
+    val conn = CursorHttpConnector("http://example/api", maxPages = 10,
+      fetch = {
+        case None      => ("""[{"v":1}]""", Some("c1"))
+        case Some("c1") => ("""[{"v":2}]""", Some("c2"))
+        case Some(_)   => ("""[{"v":3}]""", None)
+      })
+    val vs = conn.load(spark).select("v").as[Long].collect().sorted.toSeq
+    assert(vs == Seq(1L, 2L, 3L))
+  }
+
+  test("metrics listener aggregates task counters") {
+    val l = graft.pipeline.QueryMetricsListener.attach(spark)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Thread.sleep(500)  // let the listener bus drain
+    val snap = l.snapshot
+    assert(snap("tasks_completed") > 0)
+    assert(snap("stages_completed") > 0)
+  }
+
+  test("uuid and env functions") {
+    val ids = spark.range(10).select(graft.functions.StringFns.uuidV4().as("u"))
+      .as[String].collect()
+    assert(ids.distinct.length == 10)
+    assert(ids.forall(_.matches("[0-9a-f-]{36}")))
+    val pathVal = spark.range(1).select(graft.functions.StringFns.env("PATH").as("p"))
+      .as[String].head()
+    assert(pathVal == sys.env("PATH"))
+  }
+
   test("local connector glob wildcard fans out across files") {
     val dir = tmp("glob")
     Seq((1L, "a")).toDF("id", "v").write.json(dir + "/part1")
