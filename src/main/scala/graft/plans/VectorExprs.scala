@@ -311,3 +311,25 @@ case class HyperplaneLsh(child: Expression, planes: Int)
 
   override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
 }
+
+/** Arbitrary MessageDigest checksum (hex) of a binary column — covers the
+  * SHA-3 family Spark has no builtin for (reference supports sha2+sha3). */
+case class DigestHex(child: Expression, algorithm: String)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_digest"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance(algorithm)
+
+  override def nullSafeEval(in: Any): Any = {
+    md.reset()
+    val out = md.digest(in.asInstanceOf[Array[Byte]])
+    val sb = new StringBuilder(out.length * 2)
+    out.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    UTF8String.fromString(sb.result())
+  }
+
+  override protected def withNewChildInternal(c: Expression): DigestHex = copy(child = c)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-layout behaviors that matter at 100 TB: bucketed co-located
+  * joins (no shuffle), partition pruning at the scan. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: ShuffleExchangeExec => s }.size
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val n = 1000
+    spark.range(n).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("t_left")
+    spark.range(n).select(col("id").as("k"), (col("id") + 7).as("w"))
+      .write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("t_right")
+    try {
+      val joined = spark.table("t_left").join(spark.table("t_right"), "k")
+        .groupBy().agg(sum(col("v") + col("w")).as("s"))
+      // bucketed join: zero shuffles before the final single-group agg
+      val plain = spark.table("t_left").withColumn("k2", col("k"))
+      assert(shuffleCount(spark.table("t_left").join(spark.table("t_right"), "k")) == 0)
+      assert(joined.head().getLong(0) ==
+        (0 until n).map(i => i.toLong * 2 + i + 7).sum)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_left")
+      spark.sql("DROP TABLE IF EXISTS t_right")
+    }
+  }
+
+  test("partition pruning reaches the scan for partitioned parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/data"
+    spark.range(100)
+      .select(col("id"), (col("id") % 5).as("part_key"))
+      .write.partitionBy("part_key").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("part_key") === 3)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val s = scan.toString
+    assert(s.contains("PartitionFilters") && s.contains("part_key"))
+    assert(df.count() == 20)
+  }
+
+  test("checksum dispatch covers sha2/sha3 families") {
+    import graft.functions.Checksums
+    def one(algo: String): String =
+      spark.range(1).select(Checksums.checksum(algo, lit("x")).as("h")).as[String].head()
+    assert(one("md5") == "9dd4e461268c8034f5c8564e155c67a6")
+    assert(one("sha256") == "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")
+    assert(one("sha3-256").length == 64)
+    assert(one("sha3-512").length == 128)
+    assert(one("sha384").length == 96)
+    assert(Checksums.parseAlgorithmChecksum("sha256:abc") == (("sha256", Some("abc"))))
+    assert(Checksums.parseAlgorithmChecksum("md5") == (("md5", None)))
+  }
+}
