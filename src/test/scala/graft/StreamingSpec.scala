@@ -46,6 +46,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch operators lift onto streams: validator rules + dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    input.addData(
+      EventStream.Event(1, ts(0), 1, "click", 5.0, "{}"),
+      EventStream.Event(1, ts(0), 1, "click", 5.0, "{}"),   // duplicate id
+      EventStream.Event(2, ts(1), 2, "view", -3.0, "{}"))   // invalid value
+    // the same Column-based rule machinery as the batch validator
+    val rules = Seq((col("value") >= 0) -> "negative value")
+    val err = nullif(concat_ws("; ",
+      rules.map { case (ok, msg) => when(!ok, lit(msg)) }: _*), lit(""))
+    val validated = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("_error", err)
+    val q = validated.writeStream.format("memory").queryName("lifted")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, _error FROM lifted ORDER BY event_id").collect()
+      assert(rows.length == 2) // dup dropped
+      assert(rows(0).isNullAt(1))
+      assert(rows(1).getString(1) == "negative value")
+    } finally q.stop()
+  }
+
   test("file json stream → parquet sink roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("stream").toString
     val inDir = dir + "/in"; val outDir = dir + "/out"; val ckpt = dir + "/ckpt"
