@@ -30,11 +30,12 @@ sealed trait Connector {
 /** Local filesystem (or any Hadoop-FS URI incl. s3a://) + document format.
   * Glob wildcards in `path` fan out to parallel file partitions. */
 final case class LocalConnector(path: String, docType: String = "json",
-                                opts: DocOptions = DocOptions()) extends Connector {
+                                opts: DocOptions = DocOptions(),
+                                partitionBy: Seq[String] = Nil) extends Connector {
   override def load(spark: SparkSession): DataFrame =
     Documents.read(spark, docType, path, opts)
   override def save(df: DataFrame, mode: SaveMode): Unit =
-    Documents.write(df, docType, path, opts, mode)
+    Documents.write(df, docType, path, opts, mode, partitionBy)
   override def erase(spark: SparkSession): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -176,7 +177,11 @@ object Connector {
     def str(field: String, default: String = ""): String =
       if (node.has(field)) node.get(field).asText() else default
     str("type", "local") match {
-      case "local" | "l"          => LocalConnector(str("path"), docType, opts)
+      case "local" | "l"          =>
+        val parts = Option(node.get("partition_by"))
+          .map(n => scala.jdk.CollectionConverters.IteratorHasAsScala(n.elements()).asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil)
+        LocalConnector(str("path"), docType, opts, parts)
       case "mem" | "in_memory"    => InMemoryConnector(str("data"), docType)
       case "cli" | "io"           => CliConnector(docType)
       case "bucket" | "bucket_select" => BucketConnector(str("bucket"), str("key"), docType, opts)

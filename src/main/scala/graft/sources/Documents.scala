@@ -39,19 +39,25 @@ object Documents {
   }
 
   def write(df: DataFrame, docType: String, path: String,
-            opts: DocOptions = DocOptions(), mode: SaveMode = SaveMode.Overwrite): Unit =
+            opts: DocOptions = DocOptions(), mode: SaveMode = SaveMode.Overwrite,
+            partitionBy: Seq[String] = Nil): Unit = {
+    def w = {
+      val base = df.write.mode(mode)
+      if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base
+    }
     docType match {
-      case "parquet" => df.write.mode(mode).parquet(path)
-      case "json" | "jsonl" => df.write.mode(mode).json(path)
-      case "csv" => df.write.mode(mode)
+      case "parquet" => w.parquet(path)
+      case "json" | "jsonl" => w.json(path)
+      case "csv" => w
         .option("header", opts.header).option("sep", opts.delimiter)
         .option("quote", opts.quote).csv(path)
-      case "text" => df.write.mode(mode).text(path)
-      case "xml"  => df.write.format("xml").option("rowTag", opts.rowTag).mode(mode).save(path)
+      case "text" => w.text(path)
+      case "xml"  => w.format("xml").option("rowTag", opts.rowTag).save(path)
       case "yaml" => Yaml.write(df, path, mode)
       case "toml" => Toml.write(df, path, mode)
       case other  => throw new IllegalArgumentException(s"unknown document type: $other")
     }
+  }
 }
 
 /** YAML document support: per-partition snakeyaml parse → JSON strings →

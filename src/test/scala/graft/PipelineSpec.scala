@@ -144,6 +144,19 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(dir + "/out").count() == 2)
   }
 
+  test("writer partition_by produces hive-style partition dirs") {
+    val dir = tmp("partwriter")
+    Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":
+         |   "[{\\"a\\":1,\\"grp\\":\\"x\\"},{\\"a\\":2,\\"grp\\":\\"y\\"}]"}},
+         | {"type":"writer","connector":{"type":"local","path":"$dir/out","partition_by":["grp"]},
+         |  "document":{"type":"parquet"}}
+         |]""".stripMargin)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "/out/grp=x")))
+    assert(spark.read.parquet(dir + "/out").count() == 2)
+  }
+
   test("cursor paginator walks the token chain and stops at the end") {
     val conn = CursorHttpConnector("http://example/api", maxPages = 10,
       fetch = {
