@@ -102,11 +102,34 @@ object DataOps {
       |       greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3 AS score
       |FROM documents""".stripMargin
 
-  /** Stopword-profile language ID — rows-only gate (deterministic). */
+  /** Stopword-profile language ID, oracle-checked: the same hit-count
+    * argmax with fixed precedence is expressed in SQL. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents.select(
       col("doc_id"), col("lang").as("lang_tagged"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val qLangIdSql: String = {
+    def arr(l: String) = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val hits = TextAnalysis.langOrder.map(l =>
+      s"len(list_intersect(toks, ${arr(l)})) AS h_$l").mkString(",\n    ")
+    val best = TextAnalysis.langOrder.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val cases = TextAnalysis.langOrder.map(l =>
+      s"WHEN best > 0 AND h_$l = best THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    $hits
+       |  FROM t),
+       |b AS (SELECT *, $best AS best FROM h)
+       |SELECT doc_id, lang AS lang_tagged,
+       |  CASE
+       |    $cases
+       |    ELSE 'und' END AS lang_pred
+       |FROM b""".stripMargin
+  }
 
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents.select(
@@ -280,7 +303,7 @@ object DataOps {
     "q_dedup_simhash"  -> ((qDedupSimhash _, None)),
     "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
     "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
-    "q_lang_id"        -> ((qLangId _, None)),
+    "q_lang_id"        -> ((qLangId _, Some(qLangIdSql))),
     "q_fingerprint"    -> ((qFingerprint _, Some(qFingerprintSql))),
     "q_ann_topk"       -> ((qAnnTopk _, Some(qAnnTopkSql))),
     "q_emb_neardup"    -> ((qEmbNeardup _, Some(qEmbNeardupSql))),

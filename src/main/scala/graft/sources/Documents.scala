@@ -24,6 +24,7 @@ object Documents {
   def read(spark: SparkSession, docType: String, path: String,
            opts: DocOptions = DocOptions()): DataFrame = docType match {
     case "parquet" => spark.read.parquet(path)
+    case "orc"     => spark.read.orc(path)
     case "json"    => spark.read.option("multiLine", value = true).json(path)
     case "jsonl"   => spark.read.json(path)
     case "csv"     => spark.read
@@ -47,6 +48,7 @@ object Documents {
     }
     docType match {
       case "parquet" => w.parquet(path)
+      case "orc"     => w.orc(path)
       case "json" | "jsonl" => w.json(path)
       case "csv" => w
         .option("header", opts.header).option("sep", opts.delimiter)

@@ -94,6 +94,16 @@ class PipelineSpec extends SparkSpec {
     assert(rows.head.contains(""""tags":[1,2,3]"""))
   }
 
+  test("orc document roundtrip") {
+    val dir = tmp("orc") + "/data"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    Documents.write(df, "orc", dir)
+    val back = Documents.read(spark, "orc", dir)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Double]("score"))).toSeq
+      == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
   test("xml document roundtrip") {
     val dir = tmp("xml") + "/data"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
