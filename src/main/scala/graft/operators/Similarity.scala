@@ -75,17 +75,45 @@ object Similarity {
       .distinct()
   }
 
-  /** IVF-style ANN: `nCentroids` deterministic seed vectors (lowest ids)
-    * act as coarse centroids; every corpus vector is assigned to its
-    * nearest centroid (one broadcast pass), queries probe the `nprobe`
-    * nearest cells only. The scan-side win at scale: the candidate set is
-    * |corpus| * nprobe / nCentroids instead of |corpus|. */
+  /** Train coarse centroids with Lloyd iterations, all distributed:
+    * assignment is a broadcast pass with the native cosine expression;
+    * the new centroid mean is computed by exploding (cell, dim, value)
+    * and averaging per (cell, dim) — linear in corpus size, one shuffle
+    * per iteration, centroids themselves never exceed k·dim doubles. */
+  def trainCentroids(corpus: DataFrame, k: Int = 16, iterations: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var centroids = vecs.orderBy(col("id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("c_id"), col("v").as("c_vec"))
+    for (_ <- 0 until iterations) {
+      val w = Window.partitionBy(col("id")).orderBy(col("__d").desc, col("c_id"))
+      val assigned = vecs.join(broadcast(centroids))
+        .withColumn("__d", cosine(col("v"), col("c_vec")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("c_id").as("cell"), col("v"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("c_vec"))
+        .select(col("cell").as("c_id"), col("c_vec"))
+    }
+    centroids
+  }
+
+  /** IVF-style ANN with trained coarse centroids: every corpus vector is
+    * assigned to its nearest centroid (one broadcast pass), queries probe
+    * the `nprobe` nearest cells only. The scan-side win at scale: the
+    * candidate set is |corpus| * nprobe / nCentroids instead of |corpus|. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 4,
+              nCentroids: Int = 16, nprobe: Int = 4, trainIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_vec")))
+    val cents = broadcast(trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol))
     def assign(df: DataFrame, id: Column, v: Column, n: Int) = {
       val w = Window.partitionBy(id).orderBy(col("__d").desc, col("c_id"))
       df.join(cents)

@@ -170,6 +170,19 @@ final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
   }
 }
 
+/** MongoDB connector (reference: mongodb.rs). Config-parse parity only:
+  * execution rides the official MongoDB Spark connector jar, which is not
+  * present in this environment — load/save fail fast with a clear message
+  * rather than a classpath error. */
+final case class MongoConnector(uri: String, database: String, collection: String)
+    extends Connector {
+  private def unavailable = new UnsupportedOperationException(
+    "MongoDB support requires the mongo-spark-connector jar on the classpath " +
+      s"(would read $database.$collection from $uri)")
+  override def load(spark: SparkSession): DataFrame = throw unavailable
+  override def save(df: DataFrame, mode: SaveMode): Unit = throw unavailable
+}
+
 object Connector {
   /** Build from a chewdata-style connector config node. */
   def fromConfig(node: com.fasterxml.jackson.databind.JsonNode,
@@ -189,6 +202,8 @@ object Connector {
         str("user"), str("password"))
       case "curl"                 => HttpConnector(str("endpoint"),
         if (node.has("pages")) node.get("pages").asInt() else 1)
+      case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
+        str("collection"))
       case other => throw new IllegalArgumentException(s"unknown connector type: $other")
     }
   }

@@ -44,6 +44,26 @@ class OperatorsSpec extends SparkSpec {
     assert(top.forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("vec_id")))
   }
 
+  test("trained centroids: k cells, right dimensionality, deterministic") {
+    val emb = Tables(spark, sf).embeddings
+    val c1 = Similarity.trainCentroids(emb, k = 4, iterations = 2).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val c2 = Similarity.trainCentroids(emb, k = 4, iterations = 2).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c1.size == 4 && c1.values.forall(_.length == 64))
+    assert(c1 == c2)
+  }
+
+  test("ivf top-k returns k ranked rows per query") {
+    val emb = Tables(spark, sf).embeddings
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Similarity.ivfTopK(emb, q, k = 5, nCentroids = 4, nprobe = 2)
+    val byQ = out.collect().groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L))
+    assert(byQ.values.forall(_.length == 5))
+  }
+
   test("lang id picks stopword-matching language") {
     val df = Seq((1, "the cat and the dog of a house"), (2, "el perro y la casa de los gatos"),
       (3, "qqq zzz www")).toDF("id", "t")
