@@ -18,7 +18,8 @@ object Documents {
       header: Boolean = true,
       quote: String = "\"",
       rowTag: String = "row",       // xml
-      multiLine: Boolean = false,   // json array files vs jsonl
+      attributePrefix: String = "_", // xml attribute field prefix
+      multiLine: Boolean = false,   // json array files / csv quoted newlines
       wholetext: Boolean = false)   // text: one row per file
 
   def read(spark: SparkSession, docType: String, path: String,
@@ -30,9 +31,11 @@ object Documents {
     case "csv"     => spark.read
       .option("header", opts.header).option("sep", opts.delimiter)
       .option("quote", opts.quote).option("inferSchema", value = true)
+      .option("multiLine", opts.multiLine).option("escape", "\"")
       .csv(path)
     case "text"    => spark.read.option("wholetext", opts.wholetext).text(path)
-    case "xml"     => spark.read.format("xml").option("rowTag", opts.rowTag).load(path)
+    case "xml"     => spark.read.format("xml").option("rowTag", opts.rowTag)
+      .option("attributePrefix", opts.attributePrefix).load(path)
     case "yaml"    => Yaml.read(spark, path)
     case "toml"    => Toml.read(spark, path)
     case "byte" | "binary" => spark.read.format("binaryFile").load(path)
@@ -59,6 +62,33 @@ object Documents {
       case "toml" => Toml.write(df, path, mode)
       case other  => throw new IllegalArgumentException(s"unknown document type: $other")
     }
+  }
+}
+
+/** Concatenated-JSON support: chewdata's jsonl document is a stream of
+  * (possibly pretty-printed) JSON values, not strictly line-delimited.
+  * Each file parses per-partition with a Jackson MappingIterator into
+  * compact one-line JSON, then Spark JSON inference takes over. For huge
+  * strictly-line-delimited files prefer docType "jsonl" (splittable). */
+object JsonConcat {
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.option("wholetext", value = true).text(path).as[String]
+    val lines = files.mapPartitions { it =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.flatMap { content =>
+        val parser = mapper.createParser(content)
+        val mit = mapper.readValues(parser, classOf[com.fasterxml.jackson.databind.JsonNode])
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (mit.hasNext) {
+          val n = mit.next()
+          if (n.isArray) n.elements().forEachRemaining(e => buf += e.toString)
+          else buf += n.toString
+        }
+        buf
+      }
+    }
+    spark.read.json(lines)
   }
 }
 
@@ -123,7 +153,9 @@ object Toml {
 
     def parseValue(raw: String): com.fasterxml.jackson.databind.JsonNode = {
       val v = raw.trim
-      if (v.startsWith("\"") && v.endsWith("\"")) mapper.getNodeFactory.textNode(v.substring(1, v.length - 1))
+      if (v.startsWith("\"") && v.endsWith("\""))
+        mapper.getNodeFactory.textNode(v.substring(1, v.length - 1)
+          .replace("\\n", "\n").replace("\\\"", "\""))
       else if (v.startsWith("[") && v.endsWith("]")) {
         val arr = mapper.createArrayNode()
         splitTop(v.substring(1, v.length - 1)).filter(_.nonEmpty).foreach(e => arr.add(parseValue(e)))
@@ -149,7 +181,33 @@ object Toml {
       out.toSeq
     }
 
-    content.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach { line =>
+    // fold `"""multi-line"""` values into single logical lines: the body
+    // becomes a normal quoted string with \n escapes (unescaped later in
+    // parseValue). TOML trims a newline right after the opening quotes.
+    val logical = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = content.linesIterator
+      while (it.hasNext) {
+        val line = it.next()
+        val start = line.indexOf("\"\"\"")
+        if (start >= 0 && line.indexOf("\"\"\"", start + 3) < 0) {
+          val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+          val firstRest = line.substring(start + 3)
+          if (firstRest.nonEmpty) parts += firstRest
+          var closed = false
+          while (!closed && it.hasNext) {
+            val l = it.next()
+            val e = l.indexOf("\"\"\"")
+            if (e >= 0) { parts += l.substring(0, e); closed = true }
+            else parts += l
+          }
+          val body = parts.mkString("\\n").replace("\"", "\\\"")
+          out += line.substring(0, start) + "\"" + body + "\""
+        } else out += line
+      }
+      out.toSeq
+    }
+    logical.iterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach { line =>
       if (line.startsWith("[[") && line.endsWith("]]")) {
         val node = mapper.createObjectNode()
         rows += node

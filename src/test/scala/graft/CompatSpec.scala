@@ -1,0 +1,93 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.sources.{Documents, JsonConcat}
+import org.apache.spark.sql.functions._
+
+/** Compatibility against the reference's OWN fixture files
+  * (/root/reference/data/multi_lines.* — read-only): every document format
+  * the reference ships parses to the same logical records, and a
+  * chewdata-shaped config with transformer actions + a referential mapping
+  * produces the mapped output its transform-mapping example expects. */
+class CompatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val data = "/root/reference/data"
+  private val expectedNumbers = Seq(10L, 20L, 30L)
+
+  private def numbers(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select(col("number").cast("long")).as[Long].collect().sorted.toSeq
+
+  test("csv fixture (quoted embedded newlines)") {
+    val df = Documents.read(spark, "csv", s"$data/multi_lines.csv",
+      Documents.DocOptions(multiLine = true))
+    assert(numbers(df) == expectedNumbers)
+    val ls = df.filter(col("number") === 10).select("long-string").as[String].head()
+    assert(ls == "Long val\nto test")
+  }
+
+  test("json fixture (array of multi-line objects)") {
+    val df = Documents.read(spark, "json", s"$data/multi_lines.json")
+    assert(numbers(df) == expectedNumbers)
+  }
+
+  test("jsonl fixture (concatenated pretty-printed objects)") {
+    val df = JsonConcat.read(spark, s"$data/multi_lines.jsonl")
+    assert(numbers(df) == expectedNumbers)
+    assert(df.filter(col("number") === 20).select("long-string").as[String].head()
+      == "Long val\nto test 2")
+  }
+
+  test("parquet fixture") {
+    val df = Documents.read(spark, "parquet", s"$data/multi_lines.parquet")
+    assert(numbers(df) == expectedNumbers)
+  }
+
+  test("xml fixture (attribute-style rows)") {
+    val df = Documents.read(spark, "xml", s"$data/multi_lines.xml",
+      Documents.DocOptions(rowTag = "item", attributePrefix = ""))
+    assert(numbers(df) == expectedNumbers)
+  }
+
+  test("yaml fixture (multi-document with block scalars)") {
+    val df = Documents.read(spark, "yaml", s"$data/multi_lines.yml")
+    assert(numbers(df) == expectedNumbers)
+    assert(df.filter(col("number") === 10).select("long-string").as[String].head()
+      == "Long val\nto test")
+  }
+
+  test("toml fixture (array-of-tables with triple-quoted strings)") {
+    val df = Documents.read(spark, "toml", s"$data/multi_lines.toml")
+    assert(numbers(df) == expectedNumbers)
+    assert(df.filter(col("number") === 10).select("long-string").as[String].head()
+      == "Long val\nto test")
+  }
+
+  test("transform-mapping example shape: actions + referential mapping") {
+    // mirrors examples/transform-mapping.rs: enrich each record through the
+    // mapping referential, add a computed field, drop one, replace one
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type": "r",
+         |  "connector": {"type": "local", "path": "$data/multi_lines.json"},
+         |  "document": {"type": "json"}},
+         | {"type": "referential", "name": "mapping",
+         |  "left_on": "code", "right_on": "mapping_code",
+         |  "connector": {"type": "local", "path": "$data/mapping.json"},
+         |  "document": {"type": "json"}},
+         | {"type": "t", "actions": [
+         |   {"field": "my_new_field", "pattern": "number * 2", "type": "merge"},
+         |   {"field": "remove_field", "type": "remove"},
+         |   {"field": "boolean", "pattern": "'replaced'", "type": "replace"}]}
+         |]""".stripMargin)
+    val out = flow.ok.get
+    assert(!out.columns.contains("remove_field"))
+    val rows = out.orderBy("number")
+      .select("number", "my_new_field", "mapping_mapping_value", "boolean")
+      .collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(20L, 40L, 60L))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("value mapped", "value mapped 2", "value mapped 3"))
+    assert(rows.forall(_.getString(3) == "replaced"))
+  }
+}
