@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataOps, EtlSteps, Relational, SourcesQ}
+import graft.queries.{DataOps, EtlSteps, Relational, Relational2, SourcesQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
   private def packs: Seq[Map[String, ((SparkSession, String) => DataFrame, Option[String])]] =
     Seq(
       Relational.entries,
+      Relational2.entries,
       EtlSteps.entries,
       DataOps.entries,
       SourcesQ.entries,

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second relational pack: TPC-H-flavored queries adapted to the testdata
+  * schema, covering date arithmetic, LIKE pushdown, OR-of-conjunctions,
+  * exists-with-condition, scalar subqueries, and ratio aggregates.
+  */
+object Relational2 {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q4-like: orders with any line shipped >90 days after order date. */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val late = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      .select("o_orderkey").distinct()
+    t.orders.join(late, "o_orderkey")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_late
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND o_orderkey IN (
+      |    SELECT o_orderkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q7-like: shipping volume between two nations by year. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n1 = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(rev), 2).as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q9-like: margin (revenue minus retail cost) by nation and year. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.part.filter(col("p_name").like("%a%")), col("l_partkey") === col("p_partkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      // exact decimal arithmetic: this sum's double value lands within an
+      // ulp of a rounding boundary, so engines' summation order flips the
+      // rounded cent. Decimal sums are exact and order-independent; the
+      // stored doubles sit on a 2dp grid so the decimal cast is stable.
+      .agg(sum(
+          col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+          - col("p_retailprice").cast("decimal(10,2)")
+            * col("l_quantity").cast("decimal(6,2)") * lit(0.1).cast("decimal(2,1)"))
+        .cast("double").as("margin"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |           - CAST(p_retailprice AS DECIMAL(10,2))
+      |             * CAST(l_quantity AS DECIMAL(6,2)) * CAST(0.1 AS DECIMAL(2,1)))
+      |       AS DOUBLE) AS margin
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%a%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q10-like: revenue lost to returns per customer, top 20. */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(rev), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Q14-like: promo revenue share (ratio of conditional aggregates). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type").like("PROMO%"), rev).otherwise(0.0)) * 100.0 / sum(rev), 4)
+        .as("promo_share"))
+  }
+
+  val q14Sql: String =
+    """SELECT round(
+      |  sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |  * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  /** Q18-like: orders whose total quantity exceeds a threshold. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 120)
+    big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+      |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 120) big
+      |JOIN orders ON big.l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin
+
+  /** Q19-like: OR-of-conjunction predicates across join sides. */
+  def q19OrPredicates(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity") >= 5) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) && col("l_quantity") >= 10) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) && col("l_quantity") >= 20))
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n"))
+  }
+
+  val q19Sql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20)""".stripMargin
+
+  /** Q22-like: above-average-balance customers with no orders (scalar
+    * subquery + anti join). */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal"))).head().getDouble(0)
+    t.customer.filter(col("c_acctbal") > avgBal)
+      .join(t.orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_idle"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  val q22Sql: String =
+    """SELECT c_nationkey, count(*) AS n_idle, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q4_late_orders"    -> ((q4LateOrders _, Some(q4Sql))),
+    "q7_nation_volume"  -> ((q7NationVolume _, Some(q7Sql))),
+    "q9_profit"         -> ((q9Profit _, Some(q9Sql))),
+    "q10_returned"      -> ((q10Returned _, Some(q10Sql))),
+    "q14_promo_share"   -> ((q14PromoShare _, Some(q14Sql))),
+    "q18_large_orders"  -> ((q18LargeOrders _, Some(q18Sql))),
+    "q19_or_predicates" -> ((q19OrPredicates _, Some(q19Sql))),
+    "q22_idle_customers" -> ((q22IdleCustomers _, Some(q22Sql))),
+  )
+}
