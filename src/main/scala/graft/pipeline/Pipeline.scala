@@ -192,7 +192,9 @@ object Pipeline {
 
   /** Run a parsed pipeline. Returns the final flow (ok/err streams) so
     * callers (and tests) can inspect results; writers have already written. */
-  def run(spark: SparkSession, parsed: Parsed): Flow =
+  def run(spark: SparkSession, parsed: Parsed): Flow = {
+    // make the graft SQL surface available to config patterns
+    try graft.plans.GraftExtensions.register(spark) catch { case _: Throwable => () }
     parsed.steps.foldLeft(Flow(None, None)) { (flow, step) =>
       step match {
         case Reader(_, conn, dt)  => flow.updated(dt, conn.load(spark))
@@ -217,6 +219,7 @@ object Pipeline {
           flow
       }
     }
+  }
 
   def run(spark: SparkSession, config: String): Flow = run(spark, parse(config))
 }

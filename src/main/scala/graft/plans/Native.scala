@@ -33,7 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.plans." + name, null, name, usage, "", "", "", "", "", "", "scalar_func")
+    new ExpressionInfo("graft.plans." + name, name)
+
+  import org.apache.spark.sql.graftbridge.Bridge
+  private def colFn1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression =
+    es => Bridge.toCatalyst(f(Bridge.column(es.head)))
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", info("CosineSim", "cosine similarity of two double arrays"),
@@ -43,7 +48,28 @@ object GraftExtensions {
     ("graft_simhash64", info("SimHash64", "64-bit simhash of a token array"),
       (e: Seq[Expression]) => SimHash64(e(0))),
     ("graft_hamming", info("HammingDist", "hamming distance of two longs"),
-      (e: Seq[Expression]) => HammingDist(e(0), e(1))))
+      (e: Seq[Expression]) => HammingDist(e(0), e(1))),
+    // tera-helper surface, callable from SQL and config patterns
+    ("graft_slugify", info("StringFns", "lowercase-alnum slug"),
+      colFn1(graft.functions.StringFns.slugify)),
+    ("graft_token_count", info("TextAnalysis", "whitespace token count"),
+      colFn1(graft.operators.TextAnalysis.tokenCountWs)),
+    ("graft_lang_id", info("TextAnalysis", "stopword-profile language id"),
+      colFn1(graft.operators.TextAnalysis.langId)),
+    ("graft_quality_score", info("TextAnalysis", "heuristic text quality in [0,1]"),
+      colFn1(graft.operators.TextAnalysis.qualityScore)),
+    ("graft_fingerprint", info("TextAnalysis", "sorted-token md5 fingerprint"),
+      colFn1(graft.operators.TextAnalysis.fingerprintSorted)),
+    ("graft_fake_first_name", info("Faker", "deterministic first name from a seed"),
+      colFn1(graft.functions.Faker.firstName)),
+    ("graft_fake_last_name", info("Faker", "deterministic last name from a seed"),
+      colFn1(graft.functions.Faker.lastName)),
+    ("graft_fake_email", info("Faker", "deterministic email from a seed"),
+      colFn1(graft.functions.Faker.email)),
+    ("graft_fake_city", info("Faker", "deterministic city from a seed"),
+      colFn1(graft.functions.Faker.city)),
+    ("graft_fake_country_code", info("Faker", "deterministic country code from a seed"),
+      colFn1(graft.functions.Faker.countryCode)))
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -10,6 +10,11 @@ import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Fully convert a Column's node tree into catalyst expressions (the
+    * analyzer can resolve these; the lazy ColumnNodeExpression wrapper from
+    * `expression` cannot be used inside a function-registry builder). */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     ClassicConversions.castToImpl(spark).sessionState.functionRegistry
 }

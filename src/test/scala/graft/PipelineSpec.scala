@@ -187,6 +187,28 @@ class PipelineSpec extends SparkSpec {
     assert(snap("stages_completed") > 0)
   }
 
+  test("graft SQL functions usable from config patterns") {
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"generator","count":3},
+        | {"type":"transformer","actions":[
+        |   {"field":"name","pattern":"graft_fake_first_name(id)"},
+        |   {"field":"email","pattern":"graft_fake_email(id)"},
+        |   {"field":"slug","pattern":"graft_slugify('Hello World!')"}]}
+        |]""".stripMargin)
+    val rows = flow.ok.get.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[String]("email").endsWith("@example.com")))
+    assert(rows.forall(_.getAs[String]("slug") == "hello-world"))
+    // deterministic across runs
+    val again = Pipeline.run(spark,
+      """[
+        | {"type":"generator","count":3},
+        | {"type":"transformer","actions":[{"field":"name","pattern":"graft_fake_first_name(id)"}]}
+        |]""".stripMargin).ok.get.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq == again.map(_.getAs[String]("name")).toSeq)
+  }
+
   test("uuid and env functions") {
     val ids = spark.range(10).select(graft.functions.StringFns.uuidV4().as("u"))
       .as[String].collect()
