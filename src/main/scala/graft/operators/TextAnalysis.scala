@@ -76,6 +76,28 @@ object TextAnalysis {
   def fingerprintSorted(c: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(c)))), " ").cast("binary"))
 
+  /** PII scrubbing: redact emails, URLs, and long digit runs (the standard
+    * pre-training hygiene pass). Pure regexp_replace — codegen'd, one scan. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern   = "https?://[^\\s]+"
+  val LongDigitPattern = "[0-9]{6,}"
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      LongDigitPattern, "<NUM>")
+
+  /** Repetition ratio: fraction of non-distinct token n-grams (high value =
+    * boilerplate/repetitive doc — the Gopher-style repetition filter). */
+  def repetitionRatio(toks: Column, n: Int = 2): Column = {
+    val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double")
+  }
+
   /** Polynomial rolling hash over tokens (order-sensitive fingerprint). */
   def rollingHash(c: Column): Column =
     aggregate(tokens(c), lit(0L),

@@ -196,6 +196,43 @@ object DataOps {
         queriesDf(spark, dir), k = 10)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
 
+  /** PII scrubbing over a deterministically PII-enriched text (the corpus
+    * itself is synthetic word soup, so the fixture plants the PII). */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example or https://ex.com/u/"), col("doc_id"),
+          lit(" id 1234567890")).as("dirty"))
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("dirty")).as("clean"))
+
+  val qPiiScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' contact user' || doc_id || '@mail.example or https://ex.com/u/' || doc_id || ' id 1234567890',
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      'https?://[^\s]+', '<URL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g') AS clean
+      |FROM documents""".stripMargin
+
+  /** Repetition-ratio quality filter (bigram duplication fraction). */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextAnalysis.repetitionRatio(col("toks"), 2).as("rep_ratio"))
+
+  val qRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |       ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |  END AS grams FROM t)
+      |SELECT doc_id,
+      |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS rep_ratio
+      |FROM g""".stripMargin
+
   /** Deterministic hash sampling: keep rows whose content hash falls under
     * a threshold — reproducible across runs/partitions, no RNG state. */
   def qSampleHash(spark: SparkSession, dir: String): DataFrame =
@@ -309,6 +346,8 @@ object DataOps {
     "q_emb_neardup"    -> ((qEmbNeardup _, Some(qEmbNeardupSql))),
     "q_emb_neardup_lsh" -> ((qEmbNeardupLsh _, None)),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
+    "q_pii_scrub"      -> ((qPiiScrub _, Some(qPiiScrubSql))),
+    "q_repetition"     -> ((qRepetition _, Some(qRepetitionSql))),
     "q_sample_hash"    -> ((qSampleHash _, Some(qSampleHashSql))),
     "q_top_terms"      -> ((qTopTerms _, Some(qTopTermsSql))),
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
