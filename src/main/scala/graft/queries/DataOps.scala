@@ -60,6 +60,19 @@ object DataOps {
         threshold = 0.5, shingleN = 3)
       .orderBy(col("a"), col("b"))
 
+  /** End-to-end near-dup removal: LSH pairs → min-id label propagation →
+    * corpus minus non-representative members. Rows-only (hash-family
+    * dependent), deterministic. */
+  def qDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val reps = Dedup.representatives(pairs)
+    docs.join(reps, docs("doc_id") === reps("id"), "left")
+      .filter(col("id").isNull || col("rep") === col("doc_id"))
+      .select(docs("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs — rows-only gate. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir).documents, "doc_id", "text",
@@ -337,6 +350,7 @@ object DataOps {
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_dedup_minhash"  -> ((qDedupMinhash _, None)),
+    "q_dedup_corpus"   -> ((qDedupCorpus _, None)),
     "q_dedup_simhash"  -> ((qDedupSimhash _, None)),
     "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
     "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
