@@ -59,6 +59,17 @@ class FunctionsSpec extends SparkSpec {
     assert(out == "ada.l@x.io")
   }
 
+  test("template filters chain tera-style and input. prefix resolves") {
+    val df = spark.range(1).select(lit("  Ada Lovelace ").as("name"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    assert(run("{{ name | trim | upper }}") == "ADA LOVELACE")
+    assert(run("{{ input.name | trim | slugify }}") == "ada-lovelace")
+    assert(run("{{ name | trim | length }}") == "12")
+    assert(run("{{ name | md5 }}").length == 32)
+    intercept[IllegalArgumentException](Template.render("{{ name | nope }}"))
+  }
+
   test("validator split: ok/err streams partition the input") {
     val df = queries.EtlSteps.qValidator(spark, sf)
     val total = df.count()
