@@ -203,7 +203,50 @@ object Relational2 {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_nationkey""".stripMargin
 
+  /** Q11-like: nations holding a disproportionate share of customer
+    * balance (group agg compared against a global-aggregate threshold). */
+  def q11Concentration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pos = t.customer.filter(col("c_acctbal") > 0)
+    val threshold = pos.agg(sum(col("c_acctbal"))).head().getDouble(0) * 0.05
+    pos.groupBy(col("c_nationkey"))
+      .agg(round(sum(col("c_acctbal")), 2).as("nation_bal"))
+      .filter(col("nation_bal") > threshold)
+      .orderBy(col("nation_bal").desc, col("c_nationkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_nationkey, round(sum(c_acctbal), 2) AS nation_bal
+      |FROM customer WHERE c_acctbal > 0
+      |GROUP BY c_nationkey
+      |HAVING round(sum(c_acctbal), 2) >
+      |  (SELECT sum(c_acctbal) * 0.05 FROM customer WHERE c_acctbal > 0)
+      |ORDER BY nation_bal DESC, c_nationkey""".stripMargin
+
+  /** Q16-like: distinct supplier reach per (brand, type-prefix) excluding a
+    * brand pattern. */
+  def q16SupplierReach(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.part.filter(!col("p_brand").like("Brand#1%")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .filter(col("n_suppliers") >= 5)
+      .orderBy(col("n_suppliers").desc, col("p_brand"), col("p_type"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS n_suppliers
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand NOT LIKE 'Brand#1%'
+      |GROUP BY p_brand, p_type
+      |HAVING count(DISTINCT l_suppkey) >= 5
+      |ORDER BY n_suppliers DESC, p_brand, p_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q11_concentration" -> ((q11Concentration _, Some(q11Sql))),
+    "q16_supplier_reach" -> ((q16SupplierReach _, Some(q16Sql))),
     "q4_late_orders"    -> ((q4LateOrders _, Some(q4Sql))),
     "q7_nation_volume"  -> ((q7NationVolume _, Some(q7Sql))),
     "q9_profit"         -> ((q9Profit _, Some(q9Sql))),
