@@ -27,6 +27,22 @@ class OperatorsSpec extends SparkSpec {
     assert(sims(1L) != sims(3L))
   }
 
+  test("native expressions tolerate empty and null inputs") {
+    val df = Seq((1L, "", Array.empty[Double]), (2L, "a b", Array(1.0, 2.0)))
+      .toDF("id", "t", "v")
+    val out = df.select(
+      Dedup.simhash(col("t")).as("sh"),
+      graft.plans.Native.minhashSig(split(col("t"), " ")).as("mh"),
+      graft.plans.NativeSets.hashedSet(split(col("t"), " ")).as("hs"),
+      Similarity.cosine(col("v"), col("v")).as("cos"))
+    val rows = out.collect()
+    assert(rows.length == 2)                       // no crash on empties
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("mh").length == 64)
+    val nulls = Seq((1L, null: String)).toDF("id", "t")
+      .select(Dedup.simhash(col("t")).as("sh")).collect()
+    assert(nulls.head.isNullAt(0))                 // null propagates
+  }
+
   test("cosine similarity: native expr matches hand math and self-sim is 1") {
     val df = Seq((1L, Array(1.0, 0.0), 2L, Array(0.5, 0.5))).toDF("a", "va", "b", "vb")
     val c = df.select(Similarity.cosine(col("va"), col("vb")).as("c")).head().getDouble(0)

@@ -72,6 +72,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming text dedup by fingerprint (reorder-stable)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    input.addData(
+      (1L, ts(0), "the quick brown fox"),
+      (2L, ts(1), "fox brown quick the"),   // same fingerprint (reordered)
+      (3L, ts(2), "a different document"))
+    val deduped = input.toDF().toDF("id", "ts", "text")
+      .withColumn("fp", operators.TextAnalysis.fingerprintSorted(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM sdedup ORDER BY id").collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("file json stream → parquet sink roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("stream").toString
     val inDir = dir + "/in"; val outDir = dir + "/out"; val ckpt = dir + "/ckpt"
