@@ -134,6 +134,27 @@ class PipelineSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
   }
 
+  test("connector config parses every reference connector type") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def conn(json: String): Connector =
+      Connector.fromConfig(mapper.readTree(json), "json", Documents.DocOptions())
+    assert(conn("""{"type":"local","path":"/tmp/x"}""").isInstanceOf[LocalConnector])
+    assert(conn("""{"type":"mem","data":"[]"}""").isInstanceOf[InMemoryConnector])
+    assert(conn("""{"type":"cli"}""").isInstanceOf[CliConnector])
+    assert(conn("""{"type":"bucket","bucket":"b","key":"k"}""").isInstanceOf[BucketConnector])
+    assert(conn("""{"type":"bucket_select","bucket":"b","key":"k"}""").isInstanceOf[BucketConnector])
+    assert(conn("""{"type":"psql","url":"jdbc:postgresql://h/db","table":"t"}""").isInstanceOf[JdbcConnector])
+    assert(conn("""{"type":"curl","endpoint":"http://x","pages":3}""").isInstanceOf[HttpConnector])
+    assert(conn("""{"type":"mongodb","endpoint":"mongodb://h","database":"d","collection":"c"}""").isInstanceOf[MongoConnector])
+    intercept[IllegalArgumentException](conn("""{"type":"nope"}"""))
+    // zero-egress transports fail fast with a clear message, not a classpath
+    // error (Spark wraps the executor-side exception)
+    val e = intercept[Exception](
+      conn("""{"type":"curl","endpoint":"http://x"}""").load(spark).collect())
+    assert(e.getMessage.contains("no egress") ||
+      Option(e.getCause).exists(_.getMessage.contains("no egress")))
+  }
+
   test("hjson-lite config: comments and trailing commas accepted") {
     val flow = Pipeline.run(spark,
       """[
