@@ -82,8 +82,10 @@ object Similarity {
     * per iteration, centroids themselves never exceed k·dim doubles. */
   def trainCentroids(corpus: DataFrame, k: Int = 16, iterations: Int = 3,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
+    // iterative working set: cache the casted vectors once — every Lloyd
+    // iteration (and the caller's final assignment) re-reads them
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = vecs.orderBy(col("id")).limit(k)
       .select((row_number().over(Window.orderBy(col("id"))) - 1).as("c_id"), col("v").as("c_vec"))
     for (_ <- 0 until iterations) {
@@ -102,7 +104,11 @@ object Similarity {
           e => e.getField("m")).as("c_vec"))
         .select(col("cell").as("c_id"), col("c_vec"))
     }
-    centroids
+    val result = centroids.collect()  // materialize before releasing the cache
+    vecs.unpersist(blocking = false)
+    corpus.sparkSession.createDataFrame(
+      corpus.sparkSession.sparkContext.parallelize(result.toSeq, 1),
+      centroids.schema)
   }
 
   /** IVF-style ANN with trained coarse centroids: every corpus vector is
