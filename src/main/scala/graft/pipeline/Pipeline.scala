@@ -33,6 +33,11 @@ object Pipeline {
                                leftOn: String, rightOn: String, dataType: String) extends Step
   final case class Generator(count: Long, dataType: String) extends Step
   final case class Eraser(connector: Connector, dataType: String) extends Step
+  /** graft extension steps: the training-data operators as config steps. */
+  final case class DedupStep(method: String, idCol: String, textCol: String,
+                             threshold: Double, dataType: String) extends Step
+  final case class ScrubStep(columns: Seq[String], dataType: String) extends Step
+  final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
 
   final case class Action(field: String, pattern: Option[String], actionType: String)
   final case class Rule(name: String, pattern: String, message: String)
@@ -152,6 +157,18 @@ object Pipeline {
       case "generator" | "g" =>
         Generator(if (node.has("count")) node.get("count").asLong() else 1L, dataType)
       case "eraser" | "erase" | "e" => Eraser(connector, dataType)
+      case "dedup" => DedupStep(
+        method = str("method", "exact"),
+        idCol = str("id", "id"), textCol = str("field", "text"),
+        threshold = if (node.has("threshold")) node.get("threshold").asDouble() else 0.7,
+        dataType)
+      case "scrub" =>
+        val cols = Option(node.get("fields"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("text"))
+        ScrubStep(cols, dataType)
+      case "sample" => SampleStep(
+        fraction = if (node.has("fraction")) node.get("fraction").asDouble() else 0.1,
+        keyCol = str("key", "id"), dataType)
       case other => throw new IllegalArgumentException(s"unknown step type: $other")
     }
   }
@@ -213,6 +230,36 @@ object Pipeline {
             val renamed = ref.columns.foldLeft(ref)((r, c) => r.withColumnRenamed(c, s"${name}_$c"))
             flow.updated(dt, df.join(broadcast(renamed),
               df(leftOn) === renamed(s"${name}_$rightOn"), "left"))
+          }.getOrElse(flow)
+        case DedupStep(method, id, text, threshold, dt) =>
+          flow(dt).map { df =>
+            val deduped = method match {
+              case "exact" => graft.operators.Dedup.exact(df, id, col(text))
+              case "fingerprint" =>
+                graft.operators.Dedup.exact(df, id,
+                  graft.operators.TextAnalysis.fingerprintSorted(col(text)))
+              case "minhash" =>
+                val pairs = graft.operators.Dedup.minhashPairs(df, id, text, threshold)
+                val reps = graft.operators.Dedup.representatives(pairs)
+                  .withColumnRenamed("id", "__rep_id").withColumnRenamed("rep", "__rep")
+                df.join(reps, df(id) === col("__rep_id"), "left")
+                  .filter(col("__rep").isNull || col("__rep") === df(id))
+                  .drop("__rep_id", "__rep")
+              case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
+            }
+            flow.updated(dt, deduped)
+          }.getOrElse(flow)
+        case ScrubStep(cols, dt) =>
+          flow(dt).map { df =>
+            flow.updated(dt, cols.foldLeft(df)((d, c) =>
+              d.withColumn(c, graft.operators.TextAnalysis.scrubPii(col(c)))))
+          }.getOrElse(flow)
+        case SampleStep(fraction, key, dt) =>
+          flow(dt).map { df =>
+            // deterministic md5-threshold sampling (no RNG state)
+            val bound = f"${(fraction * 16).toInt}%x"
+            flow.updated(dt, df.filter(
+              substring(md5(col(key).cast("string").cast("binary")), 1, 1) < bound))
           }.getOrElse(flow)
         case Writer(conn, dt) =>
           flow(dt).foreach(df => conn.save(df))

@@ -175,6 +175,43 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(dir + "/out").count() == 2)
   }
 
+  test("training-data steps: dedup + scrub + sample from config") {
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader",
+         |  "connector":{"type":"local","path":"/root/testdata/sf0.001/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"dedup","method":"minhash","id":"doc_id","field":"text","threshold":0.5},
+         | {"type":"scrub","fields":["text"]},
+         | {"type":"sample","fraction":0.5,"key":"doc_id"}
+         |]""".stripMargin)
+    val out = flow.ok.get
+    val n = out.count()
+    assert(n > 100 && n < 400)                   // deduped then ~50% sampled
+    assert(out.columns.contains("text"))
+    // deterministic: same config → same rows
+    val again = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader",
+         |  "connector":{"type":"local","path":"/root/testdata/sf0.001/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"dedup","method":"minhash","id":"doc_id","field":"text","threshold":0.5},
+         | {"type":"scrub","fields":["text"]},
+         | {"type":"sample","fraction":0.5,"key":"doc_id"}
+         |]""".stripMargin).ok.get.count()
+    assert(again == n)
+  }
+
+  test("fingerprint dedup step drops reordered duplicates") {
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":
+        |   "[{\"id\":1,\"text\":\"a b c\"},{\"id\":2,\"text\":\"c b a\"},{\"id\":3,\"text\":\"x y\"}]"}},
+        | {"type":"dedup","method":"fingerprint","id":"id","field":"text"}
+        |]""".stripMargin)
+    assert(flow.ok.get.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("writer partition_by produces hive-style partition dirs") {
     val dir = tmp("partwriter")
     Pipeline.run(spark,
