@@ -244,9 +244,60 @@ object Relational2 {
       |HAVING count(DISTINCT l_suppkey) >= 5
       |ORDER BY n_suppliers DESC, p_brand, p_type""".stripMargin
 
+  /** Window-function family: lag/lead/dense_rank/ntile/cume_dist in one
+    * partitioned, deterministically-ordered window. */
+  def qWindowFamily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, dir).customer
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_custkey"), col("c_nationkey"),
+        lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+        lead(col("c_custkey"), 1).over(w).as("next_cust"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  val qWindowFamilySql: String =
+    """SELECT c_custkey, c_nationkey,
+      |  lag(c_custkey, 1) OVER w AS prev_cust,
+      |  lead(c_custkey, 1) OVER w AS next_cust,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile,
+      |  cume_dist() OVER w AS cdist
+      |FROM customer WHERE c_nationkey < 5
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
+  /** Collection functions over token arrays (size/sort/first/last/contains/
+    * slice/distinct) with scalar outputs for oracle parity. */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n"),
+      size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+      element_at(array_sort(array_distinct(toks)), 1).as("first_sorted"),
+      element_at(array_sort(array_distinct(toks)), -1).as("last_sorted"),
+      array_contains(toks, "spark").as("has_spark"),
+      concat_ws(",", slice(array_sort(array_distinct(toks)), 1, 3)).as("top3"))
+  }
+
+  val qArrayFuncsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, list_sort(list_distinct(toks)) AS st FROM t)
+      |SELECT doc_id, len(toks) AS n, len(st) AS n_distinct,
+      |  st[1] AS first_sorted, st[-1] AS last_sorted,
+      |  list_contains(toks, 'spark') AS has_spark,
+      |  array_to_string(st[1:3], ',') AS top3
+      |FROM s""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q11_concentration" -> ((q11Concentration _, Some(q11Sql))),
     "q16_supplier_reach" -> ((q16SupplierReach _, Some(q16Sql))),
+    "q_window_family"   -> ((qWindowFamily _, Some(qWindowFamilySql))),
+    "q_array_funcs"     -> ((qArrayFuncs _, Some(qArrayFuncsSql))),
     "q4_late_orders"    -> ((q4LateOrders _, Some(q4Sql))),
     "q7_nation_volume"  -> ((q7NationVolume _, Some(q7Sql))),
     "q9_profit"         -> ((q9Profit _, Some(q9Sql))),
