@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants of the operator primitives over seeded random
+  * samples (single batched Spark job per property). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def word(): String =
+    (1 to (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  private def text(): String = (1 to (3 + rnd.nextInt(10))).map(_ => word()).mkString(" ")
+
+  test("jaccard is symmetric, bounded, and 1 on identical sets") {
+    val samples = Seq.fill(40)((text(), text()))
+    val rows = samples.toDF("a", "b")
+      .select(
+        graft.plans.NativeSets.hashedSet(split(col("a"), " ")).as("ha"),
+        graft.plans.NativeSets.hashedSet(split(col("b"), " ")).as("hb"))
+      .select(
+        graft.plans.NativeSets.jaccardSorted(col("ha"), col("hb")).as("jab"),
+        graft.plans.NativeSets.jaccardSorted(col("hb"), col("ha")).as("jba"),
+        graft.plans.NativeSets.jaccardSorted(col("ha"), col("ha")).as("jaa"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("simhash hamming is within [0,64]; 0 for reordered token multiset") {
+    val samples = Seq.fill(40)((text(), text()))
+    val rows = samples.toDF("a", "b")
+      .select(col("a"), col("b"),
+        operators.Dedup.simhash(col("a")).as("sa"),
+        operators.Dedup.simhash(col("b")).as("sb"),
+        operators.Dedup.simhash(
+          concat_ws(" ", reverse(split(col("a"), " ")))).as("sa_rev"))
+      .select(
+        operators.Dedup.hamming(col("sa"), col("sb")).as("d"),
+        operators.Dedup.hamming(col("sa"), col("sa_rev")).as("self"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 64)
+      assert(r.getInt(1) == 0)
+    }
+  }
+
+  test("slugify is idempotent and alphabet-restricted") {
+    val samples = Seq.fill(40)(
+      (1 to 12).map(_ => (' ' + rnd.nextInt(94)).toChar).mkString)
+    val rows = samples.toDF("s")
+      .select(
+        functions.StringFns.slugify(col("s")).as("once"),
+        functions.StringFns.slugify(functions.StringFns.slugify(col("s"))).as("twice"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(r.getString(0).matches("[a-z0-9-]*"))
+      assert(!r.getString(0).startsWith("-") && !r.getString(0).endsWith("-"))
+    }
+  }
+
+  test("minhash signature similarity tracks set jaccard") {
+    val df = Seq(("p q r s t u v w x y", "p q r s t u v w x y", "aa bb cc dd ee ff gg hh ii jj"))
+      .toDF("a", "b", "c")
+      .select(
+        graft.plans.Native.minhashSig(split(col("a"), " ")).as("sa"),
+        graft.plans.Native.minhashSig(split(col("b"), " ")).as("sb"),
+        graft.plans.Native.minhashSig(split(col("c"), " ")).as("sc"))
+    val r = df.select(
+      size(array_intersect(col("sa"), col("sb"))).as("same"),
+      size(array_intersect(col("sa"), col("sc"))).as("diff")).head()
+    assert(r.getInt(0) == 64)   // identical input → identical 64 minima
+    assert(r.getInt(1) < 8)     // disjoint shingles → near-zero agreement
+  }
+}
