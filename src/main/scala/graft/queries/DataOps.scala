@@ -246,6 +246,29 @@ object DataOps {
       |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS rep_ratio
       |FROM g""".stripMargin
 
+  /** Corpus-statistics quality signal: average corpus frequency of a
+    * document's tokens (the two-phase global-stats pattern — corpus term
+    * counts aggregate once, broadcast back onto the per-doc pass; rare-token
+    * documents score low). Integer sums divided explicitly, so the double
+    * is deterministic. */
+  def qDocFreqScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("term_n"))
+    toks.join(broadcast(counts), "term")
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term_n")).cast("double") / count(lit(1)).cast("double")).as("avg_term_freq"))
+  }
+
+  val qDocFreqScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS term_n FROM t GROUP BY term)
+      |SELECT doc_id,
+      |  CAST(sum(term_n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_term_freq
+      |FROM t JOIN c USING (term)
+      |GROUP BY doc_id""".stripMargin
+
   /** Deterministic hash sampling: keep rows whose content hash falls under
     * a threshold — reproducible across runs/partitions, no RNG state. */
   def qSampleHash(spark: SparkSession, dir: String): DataFrame =
@@ -360,6 +383,7 @@ object DataOps {
     "q_emb_neardup"    -> ((qEmbNeardup _, Some(qEmbNeardupSql))),
     "q_emb_neardup_lsh" -> ((qEmbNeardupLsh _, None)),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
+    "q_doc_freq_score" -> ((qDocFreqScore _, Some(qDocFreqScoreSql))),
     "q_pii_scrub"      -> ((qPiiScrub _, Some(qPiiScrubSql))),
     "q_repetition"     -> ((qRepetition _, Some(qRepetitionSql))),
     "q_sample_hash"    -> ((qSampleHash _, Some(qSampleHashSql))),
