@@ -163,7 +163,7 @@ object DataOps {
   def qAnnTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteTopK(Tables(spark, dir).embeddings,
         queriesDf(spark, dir), k = 10)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk").cast("bigint").as("rnk"))
 
   val qAnnTopkSql: String =
     """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -207,7 +207,7 @@ object DataOps {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables(spark, dir).embeddings,
         queriesDf(spark, dir), k = 10)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk").cast("bigint").as("rnk"))
 
   /** PII scrubbing over a deterministically PII-enriched text (the corpus
     * itself is synthetic word soup, so the fixture plants the PII). */
@@ -330,7 +330,7 @@ object DataOps {
       |    CASE WHEN us - lag(us) OVER w IS NULL
       |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
-      |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM g GROUP BY user_id""".stripMargin
 
   /** As-of join: each purchase event picks up the user's most recent view

@@ -175,7 +175,7 @@ object Relational {
     Tables(spark, dir).customer
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("c_acctbal"),
-        rank().over(w).as("rnk"))
+        rank().over(w).cast("bigint").as("rnk"))
       .filter(col("rnk") <= 3)
   }
 

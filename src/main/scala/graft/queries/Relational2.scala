@@ -255,8 +255,8 @@ object Relational2 {
       .select(col("c_custkey"), col("c_nationkey"),
         lag(col("c_custkey"), 1).over(w).as("prev_cust"),
         lead(col("c_custkey"), 1).over(w).as("next_cust"),
-        dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).cast("bigint").as("drnk"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
         cume_dist().over(w).as("cdist"))
   }
 
