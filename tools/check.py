@@ -7,17 +7,13 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(rows, cols):
-    # driver sorts columns by name before hashing values; emulate + row sort
+    # driver sorts columns by name before hashing values; emulate + row sort.
+    # floats compare EXACTLY (repr) — every oracle gate is engineered for
+    # bit-parity (identical IEEE op shapes or exact decimal aggregation).
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        rr = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = 0.0 if v == 0 else round(v, 6)
-            rr.append(str(v))
-        out.append(tuple(rr))
+        out.append(tuple(repr(r[i]) for i in order))
     out.sort()
     return out
 
