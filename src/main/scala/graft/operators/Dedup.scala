@@ -105,8 +105,11 @@ object Dedup {
     * (fixed sweeps approximate connected components; each sweep is one
     * aggregate + join, no driver iteration over rows). */
   def representatives(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    // the edge list feeds every propagation sweep — persist it or each
+    // lazy iteration re-runs the whole upstream pair-discovery pipeline
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), first(col("a"))).as("rep"))
     for (_ <- 1 until iterations) {
@@ -118,7 +121,11 @@ object Dedup {
         .select(col("id"), least(coalesce(col("rep"), col("repOld")),
           coalesce(col("repOld"), col("rep"))).as("rep"))
     }
-    labels
+    // materialize the (tiny) label table so the edge cache can release
+    val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    edges.unpersist(blocking = false)
+    out
   }
 
   // ---- simhash -----------------------------------------------------------
