@@ -308,6 +308,22 @@ object DataOps {
       |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Sliding-window aggregate: 2-hour windows every hour — each event lands
+    * in two buckets (the streaming sliding-window shape, batch-checked; the
+    * oracle replicates the bucket expansion with a 2-row unnest). */
+  def qEventSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+
+  val qEventSlidingSql: String =
+    """SELECT strftime(date_trunc('hour', ts) - INTERVAL (i) HOUR, '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  event_type, count(*) AS n
+      |FROM events, unnest([0, 1]) AS t(i)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Sessionization (30-min gap) via lag + running sum — integer microsecond
     * timestamps on both sides so gap comparisons are exact. */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
@@ -389,6 +405,7 @@ object DataOps {
     "q_sample_hash"    -> ((qSampleHash _, Some(qSampleHashSql))),
     "q_top_terms"      -> ((qTopTerms _, Some(qTopTermsSql))),
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
+    "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
   )
 }
