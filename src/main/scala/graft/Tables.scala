@@ -21,13 +21,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and surface `ts` as a proper timestamp
-    * (micros — the values carry micro precision). */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      timestamp_micros((col("ts") / 1000).cast("long")))
-  }
+    * rejects; the session reads nanos as long (GraftSession sets
+    * `spark.sql.legacy.parquet.nanosAsLong` at build time — no per-read
+    * config mutation here, which would race under concurrent use) and `ts`
+    * is surfaced as a micros timestamp via exact integer division (double
+    * division loses ulps above 2^53 nanos). */
+  def events: DataFrame =
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

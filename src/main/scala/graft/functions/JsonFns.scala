@@ -32,10 +32,18 @@ object JsonFns {
     jsonPointer(c, pointer).cast("double")
 
   /** Set/overwrite a top-level field of a one-level JSON object column.
+    * An existing `"key": value` pair (string or scalar) is removed first so
+    * the result never carries duplicate keys.
     * (Deep structural edits go through from_json/to_json with a schema.) */
   def jsonSet(c: Column, key: String, value: Column): Column = {
     val stripped = regexp_replace(regexp_replace(c, "^\\s*\\{\\s*", ""), "\\s*\\}\\s*$", "")
-    val prefix = when(length(trim(stripped)) > 0, concat(stripped, lit(", "))).otherwise(lit(""))
+    val q = java.util.regex.Pattern.quote(key)
+    // drop an existing pair (string values may contain escaped quotes) plus
+    // one adjacent comma; then tidy any leftover trailing comma
+    val removed = regexp_replace(stripped,
+      "\"" + q + "\"\\s*:\\s*(\"(\\\\.|[^\"\\\\])*\"|[^,}]*)\\s*(,\\s*)?", "")
+    val cleaned = regexp_replace(removed, ",\\s*$", "")
+    val prefix = when(length(trim(cleaned)) > 0, concat(cleaned, lit(", "))).otherwise(lit(""))
     concat(lit("{"), prefix, lit("\"" + key + "\": "), value.cast("string"), lit("}"))
   }
 }

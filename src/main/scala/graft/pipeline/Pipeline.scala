@@ -65,12 +65,15 @@ object Pipeline {
 
   /** HJSON-lite normalization (the reference accepts hjson configs): strip
     * `//`/`#` comments and trailing commas outside strings. Quoted keys and
-    * values pass through untouched. */
+    * values pass through untouched. A comment marker only counts at line
+    * start or after whitespace, so unquoted URLs (`endpoint: https://x`) and
+    * fragments (`foo#bar`) survive intact. */
   def hjsonLite(config: String): String = {
     // pass 1: strip // and # comments (outside strings)
     val noComments = {
       val sb = new StringBuilder
       var inStr = false; var esc = false; var i = 0
+      def atWordStart: Boolean = i == 0 || config.charAt(i - 1).isWhitespace
       while (i < config.length) {
         val c = config.charAt(i)
         if (inStr) {
@@ -81,9 +84,9 @@ object Pipeline {
           i += 1
         } else c match {
           case '"' => inStr = true; sb += c; i += 1
-          case '/' if i + 1 < config.length && config.charAt(i + 1) == '/' =>
+          case '/' if i + 1 < config.length && config.charAt(i + 1) == '/' && atWordStart =>
             while (i < config.length && config.charAt(i) != '\n') i += 1
-          case '#' =>
+          case '#' if atWordStart =>
             while (i < config.length && config.charAt(i) != '\n') i += 1
           case _ => sb += c; i += 1
         }
@@ -256,10 +259,17 @@ object Pipeline {
           }.getOrElse(flow)
         case SampleStep(fraction, key, dt) =>
           flow(dt).map { df =>
-            // deterministic md5-threshold sampling (no RNG state)
-            val bound = f"${(fraction * 16).toInt}%x"
-            flow.updated(dt, df.filter(
-              substring(md5(col(key).cast("string").cast("binary")), 1, 1) < bound))
+            // deterministic hash-threshold sampling (no RNG state, partition-
+            // independent): pmod(xxhash64(key), 2^30) < fraction*2^30 gives
+            // ~2^-30 fraction granularity; fraction >= 1 is identity
+            val out =
+              if (fraction >= 1.0) df
+              else {
+                val n = 1L << 30
+                df.filter(pmod(xxhash64(col(key).cast("string")), lit(n)) <
+                  lit(math.round(fraction * n)))
+              }
+            flow.updated(dt, out)
           }.getOrElse(flow)
         case Writer(conn, dt) =>
           flow(dt).foreach(df => conn.save(df))

@@ -16,6 +16,17 @@ class FunctionsSpec extends SparkSpec {
     assert(v == "8")
   }
 
+  test("jsonSet overwrites an existing key without duplicates") {
+    assert(one(JsonFns.jsonSet(lit("""{}"""), "k", lit(1))) == """{"k": 1}""")
+    assert(one(JsonFns.jsonSet(lit("""{"a": 1}"""), "k", lit(2))) == """{"a": 1, "k": 2}""")
+    // existing key mid-object is replaced, not duplicated
+    assert(one(JsonFns.jsonSet(lit("""{"a": 1, "k": "old, val", "b": 3}"""), "k", lit(9)))
+      == """{"a": 1, "b": 3, "k": 9}""")
+    // existing key at the end leaves no trailing comma
+    assert(one(JsonFns.jsonSet(lit("""{"a": 1, "k": 5}"""), "k", lit(6)))
+      == """{"a": 1, "k": 6}""")
+  }
+
   test("string fns: base64 roundtrip, find, slugify, checksums") {
     assert(one(StringFns.base64Encode(lit("EUROPE"))) == "RVVST1BF")
     assert(one(StringFns.base64Decode(lit("RVVST1BF"))) == "EUROPE")

@@ -164,6 +164,32 @@ class PipelineSpec extends SparkSpec {
     assert(flow.ok.get.count() == 1)
   }
 
+  test("hjson-lite preserves unquoted URLs and mid-word hashes") {
+    val in = "endpoint: https://api.example.com/v1 // note\npath: a#b\n# full comment\nk: v"
+    val out = Pipeline.hjsonLite(in)
+    assert(out.contains("https://api.example.com/v1"))
+    assert(!out.contains("note"))
+    assert(out.contains("a#b"))
+    assert(!out.contains("full comment"))
+    assert(out.contains("k: v"))
+  }
+
+  test("sample step honors fine-grained and boundary fractions") {
+    def run(fraction: Double): Long = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader",
+         |  "connector":{"type":"local","path":"/root/testdata/sf0.001/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sample","fraction":$fraction,"key":"doc_id"}
+         |]""".stripMargin).ok.get.count()
+    val total = run(1.0)
+    assert(total == 500)                       // fraction >= 1 is identity
+    val tiny = run(0.03)                       // below 1/16 must NOT be zero
+    assert(tiny > 0 && tiny < total * 0.12)
+    val half = run(0.5)
+    assert(half > total * 0.35 && half < total * 0.65)
+  }
+
   test("writer step persists the ok stream") {
     val dir = tmp("writer")
     Pipeline.run(spark,
