@@ -89,12 +89,13 @@ object Similarity {
     var centroids = vecs.orderBy(col("id")).limit(k)
       .select((row_number().over(Window.orderBy(col("id"))) - 1).as("c_id"), col("v").as("c_vec"))
     for (_ <- 0 until iterations) {
-      val w = Window.partitionBy(col("id")).orderBy(col("__d").desc, col("c_id"))
+      // argmax via max(struct) — partial-aggregates map-side, no window
+      // sort-shuffle; ties take the smallest c_id
       val assigned = vecs.join(broadcast(centroids))
-        .withColumn("__d", cosine(col("v"), col("c_vec")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("c_id").as("cell"), col("v"))
+        .select(col("id"), struct(cosine(col("v"), col("c_vec")).as("d"),
+          (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
+        .groupBy(col("id")).agg(max(col("s")).as("s"))
+        .select((-col("s.negc")).as("cell"), col("s.vv").as("v"))
       centroids = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
@@ -120,18 +121,23 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     val cents = broadcast(trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol))
-    def assign(df: DataFrame, id: Column, v: Column, n: Int) = {
-      val w = Window.partitionBy(id).orderBy(col("__d").desc, col("c_id"))
-      df.join(cents)
-        .withColumn("__d", cosine(v, col("c_vec")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-    }
-    val corpusCells = assign(
-      corpus.select(col(idCol), asDouble(col(vecCol)).as("__v")), col(idCol), col("__v"), 1)
-      .select(col(idCol), col("__v"), col("c_id").as("cell"))
-    val queryCells = assign(
-      queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__q")), col(qIdCol), col("__q"), nprobe)
+    // nearest-cell assignment is an argmax, not a ranking: max(struct(d,
+    // -c_id, v)) partial-aggregates map-side (no window sort-shuffle of
+    // |corpus|·k rows); ties pick the smallest c_id, matching a
+    // row_number() over (d DESC, c_id ASC) ordering
+    val corpusCells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(cents)
+      .select(col(idCol), struct(cosine(col("__v"), col("c_vec")).as("d"),
+        (-col("c_id")).as("negc"), col("__v").as("v")).as("s"))
+      .groupBy(col(idCol)).agg(max(col("s")).as("s"))
+      .select(col(idCol), col("s.v").as("__v"), (-col("s.negc")).as("cell"))
+    // query side probes nprobe cells — a handful of rows, window is fine
+    val qw = Window.partitionBy(col(qIdCol)).orderBy(col("__d").desc, col("c_id"))
+    val queryCells = queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__q"))
+      .join(cents)
+      .withColumn("__d", cosine(col("__q"), col("c_vec")))
+      .withColumn("__r", row_number().over(qw))
+      .filter(col("__r") <= nprobe)
       .select(col(qIdCol), col("__q"), col("c_id").as("cell"))
     val scored = corpusCells.join(broadcast(queryCells), "cell")
       .select(col(qIdCol), col(idCol), cosine(col("__v"), col("__q")).as("cos"))

@@ -252,12 +252,17 @@ object DataOps {
     * documents score low). Integer sums divided explicitly, so the double
     * is deterministic. */
   def qDocFreqScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir).documents
+    // one explode pass → (doc, term) partial counts (map-side combine), then
+    // a window-on-term supplies the corpus frequency without a second scan
+    // or a broadcast build job; sums stay integer so the final double is
+    // exact: sum(term_n over token instances) == sum(nt * term_n)
+    val tf = Tables(spark, dir).documents
       .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
-    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("term_n"))
-    toks.join(broadcast(counts), "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("nt"))
+    tf.withColumn("term_n", sum(col("nt")).over(Window.partitionBy(col("term"))))
       .groupBy(col("doc_id"))
-      .agg((sum(col("term_n")).cast("double") / count(lit(1)).cast("double")).as("avg_term_freq"))
+      .agg((sum(col("nt") * col("term_n")).cast("double") /
+        sum(col("nt")).cast("double")).as("avg_term_freq"))
   }
 
   val qDocFreqScoreSql: String =
