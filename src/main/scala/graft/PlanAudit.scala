@@ -1,14 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan audit main: prints formatted physical plans for the headline
   * queries so scan pushdown / broadcast / codegen spans can be reviewed.
   * `sbt "runMain graft.PlanAudit [queryName...]"` */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -32,16 +32,22 @@ object JsonFns {
     jsonPointer(c, pointer).cast("double")
 
   /** Set/overwrite a top-level field of a one-level JSON object column.
-    * An existing `"key": value` pair (string or scalar) is removed first so
-    * the result never carries duplicate keys.
+    * An existing `"key": value` pair whose value is a SCALAR (string,
+    * number, bool, null) is removed first so the result never carries
+    * duplicate keys. A pre-existing object/array value is deliberately NOT
+    * touched (a regex cannot balance braces): the new pair is appended
+    * last, so last-wins JSON parsers (Jackson, get_json_object) still read
+    * the new value, and the document stays well-formed.
     * (Deep structural edits go through from_json/to_json with a schema.) */
   def jsonSet(c: Column, key: String, value: Column): Column = {
     val stripped = regexp_replace(regexp_replace(c, "^\\s*\\{\\s*", ""), "\\s*\\}\\s*$", "")
     val q = java.util.regex.Pattern.quote(key)
     // drop an existing pair (string values may contain escaped quotes) plus
-    // one adjacent comma; then tidy any leftover trailing comma
+    // one adjacent comma; the scalar branch must not start with '{'/'[' so
+    // an object/array value is left intact rather than half-consumed; then
+    // tidy any leftover trailing comma
     val removed = regexp_replace(stripped,
-      "\"" + q + "\"\\s*:\\s*(\"(\\\\.|[^\"\\\\])*\"|[^,}]*)\\s*(,\\s*)?", "")
+      "\"" + q + "\"\\s*:\\s*(\"(\\\\.|[^\"\\\\])*\"|[^,}{\\[][^,}]*)\\s*(,\\s*)?", "")
     val cleaned = regexp_replace(removed, ",\\s*$", "")
     val prefix = when(length(trim(cleaned)) > 0, concat(cleaned, lit(", "))).otherwise(lit(""))
     concat(lit("{"), prefix, lit("\"" + key + "\": "), value.cast("string"), lit("}"))

@@ -65,15 +65,22 @@ object Pipeline {
 
   /** HJSON-lite normalization (the reference accepts hjson configs): strip
     * `//`/`#` comments and trailing commas outside strings. Quoted keys and
-    * values pass through untouched. A comment marker only counts at line
-    * start or after whitespace, so unquoted URLs (`endpoint: https://x`) and
-    * fragments (`foo#bar`) survive intact. */
+    * values pass through untouched. A comment marker counts at line start,
+    * after whitespace, or right after a value-ending `"`/`}`/`]`/`,`
+    * (`"v"//c` strips), so unquoted URLs (`endpoint: https://x`) and
+    * fragments (`foo#bar`) survive intact; a comment abutting an unquoted
+    * scalar (`1#c`) still needs whitespace before the marker. */
   def hjsonLite(config: String): String = {
     // pass 1: strip // and # comments (outside strings)
     val noComments = {
       val sb = new StringBuilder
       var inStr = false; var esc = false; var i = 0
-      def atWordStart: Boolean = i == 0 || config.charAt(i - 1).isWhitespace
+      def atWordStart: Boolean = i == 0 || {
+        val p = config.charAt(i - 1)
+        // whitespace, or a char that unambiguously ends a JSON value; NOT
+        // ':' or letters/digits, so unquoted `https://x` / `foo#bar` survive
+        p.isWhitespace || p == '"' || p == '}' || p == ']' || p == ','
+      }
       while (i < config.length) {
         val c = config.charAt(i)
         if (inStr) {
@@ -261,12 +268,15 @@ object Pipeline {
           flow(dt).map { df =>
             // deterministic hash-threshold sampling (no RNG state, partition-
             // independent): pmod(xxhash64(key), 2^30) < fraction*2^30 gives
-            // ~2^-30 fraction granularity; fraction >= 1 is identity
+            // ~2^-30 fraction granularity; fraction >= 1 is identity.
+            // Null-key policy: null keys are always dropped (xxhash64(NULL)
+            // would return the seed and always pass, a silent keep-all flip)
             val out =
               if (fraction >= 1.0) df
               else {
                 val n = 1L << 30
-                df.filter(pmod(xxhash64(col(key).cast("string")), lit(n)) <
+                df.filter(col(key).isNotNull &&
+                  pmod(xxhash64(col(key).cast("string")), lit(n)) <
                   lit(math.round(fraction * n)))
               }
             flow.updated(dt, out)

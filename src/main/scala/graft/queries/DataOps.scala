@@ -252,14 +252,17 @@ object DataOps {
     * documents score low). Integer sums divided explicitly, so the double
     * is deterministic. */
   def qDocFreqScore(spark: SparkSession, dir: String): DataFrame = {
-    // one explode pass → (doc, term) partial counts (map-side combine), then
-    // a window-on-term supplies the corpus frequency without a second scan
-    // or a broadcast build job; sums stay integer so the final double is
-    // exact: sum(term_n over token instances) == sum(nt * term_n)
+    // one explode pass → (doc, term) partial counts (map-side combine); the
+    // corpus frequency comes from a second groupBy on term (partial agg, so
+    // a hot term like "the" combines map-side and AQE can split the join's
+    // skewed partitions — a window.partitionBy(term) cannot be split and
+    // pins the hottest term on one task). Sums stay integer so the final
+    // double is exact: sum(term_n over token instances) == sum(nt * term_n)
     val tf = Tables(spark, dir).documents
       .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("nt"))
-    tf.withColumn("term_n", sum(col("nt")).over(Window.partitionBy(col("term"))))
+    val corpus = tf.groupBy(col("term")).agg(sum(col("nt")).as("term_n"))
+    tf.join(corpus, "term")
       .groupBy(col("doc_id"))
       .agg((sum(col("nt") * col("term_n")).cast("double") /
         sum(col("nt")).cast("double")).as("avg_term_freq"))

@@ -188,9 +188,12 @@ object Relational2 {
     * subquery + anti join). */
   def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // scalar subquery as a broadcast crossJoin: the threshold stays inside
+    // one lazy plan (no driver-side job at plan-build, composable/reusable)
     val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal"))).head().getDouble(0)
-    t.customer.filter(col("c_acctbal") > avgBal)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    t.customer.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
       .join(t.orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "leftanti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_idle"), round(sum(col("c_acctbal")), 2).as("total_bal"))
@@ -208,10 +211,13 @@ object Relational2 {
   def q11Concentration(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val pos = t.customer.filter(col("c_acctbal") > 0)
-    val threshold = pos.agg(sum(col("c_acctbal"))).head().getDouble(0) * 0.05
+    // global threshold via broadcast crossJoin — lazy, no plan-build job
+    val threshold = pos.agg((sum(col("c_acctbal")) * 0.05).as("threshold"))
     pos.groupBy(col("c_nationkey"))
       .agg(round(sum(col("c_acctbal")), 2).as("nation_bal"))
-      .filter(col("nation_bal") > threshold)
+      .crossJoin(broadcast(threshold))
+      .filter(col("nation_bal") > col("threshold"))
+      .select(col("c_nationkey"), col("nation_bal"))
       .orderBy(col("nation_bal").desc, col("c_nationkey"))
   }
 
