@@ -3,9 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Mustache/tera-style template rendering compiled to a `concat` of column
-  * references and literals (reference: src/helper/mustache.rs and the tera
-  * pattern strings in src/step/transformer.rs).
+/** Tera-style template rendering compiled to Column expressions
+  * (reference: src/updater/tera.rs builds a full tera engine;
+  * src/helper/mustache.rs does `{{ var }}` substitution; transformer
+  * patterns in src/step/transformer.rs use interpolation, conditionals
+  * and loops).
   *
   * `render("{{ first }}.{{ last }}@{{ domain }}")` becomes
   * `concat(col("first"), lit("."), col("last"), lit("@"), col("domain"))` —
@@ -13,15 +15,31 @@ import org.apache.spark.sql.functions._
   * never a template-engine interpreter in the row loop (which is what makes
   * it survive a 100 TB scan).
   *
-  * Filters compose tera-style: `{{ name | trim | upper }}`. The `input.` /
-  * `output.` context prefixes of chewdata patterns resolve to the current
-  * row (steps are column transformations here, so input ≡ output ≡ row).
+  * Control flow compiles the same way:
+  *   - `{% if cond %}A{% elif c2 %}B{% else %}C{% endif %}` →
+  *     `when(cond, A).when(c2, B).otherwise(C)` — one codegen'd CASE.
+  *   - `{% for x in arr %}…{% endfor %}` → `concat_ws("", transform(arr,
+  *     (x, i) => body))` — the loop runs inside the `transform` HOF, per
+  *     row, distributed; `loop.index`/`loop.index0` bind to the lambda
+  *     index. No driver-side expansion.
+  *   - `{% set name = expr %}` binds a name for the rest of the block.
+  *   - `{%- … -%}` / `{{- … -}}` trim adjacent whitespace (tera ws control).
+  *
+  * Conditions support `== != < <= > >=`, `and`/`or`/`not`, parentheses,
+  * string/number/bool literals and `x is [not] defined` (→ null check; a
+  * fixed relational schema has no absent fields, so null is the analogue).
+  *
+  * Filters compose tera-style: `{{ name | trim | upper }}`; arg-taking
+  * filters use tera call syntax: `{{ s | split(pat=",") }}`,
+  * `{{ s | default(value="x") }}`, `{{ s | replace(from="a", to="b") }}`,
+  * `{{ s | truncate(length=8) }}`, `{{ arr | join(sep="-") }}`. The
+  * `input.` / `output.` context prefixes of chewdata patterns resolve to
+  * the current row (steps are column transformations here, so
+  * input ≡ output ≡ row).
   */
 object Template {
 
-  private val Var = raw"\{\{\s*([^}]+?)\s*\}\}".r
-
-  /** Supported tera filters → Column transforms. */
+  /** Supported zero-arg tera filters → Column transforms. */
   val filters: Map[String, Column => Column] = Map(
     "upper" -> upper _,
     "lower" -> lower _,
@@ -38,45 +56,312 @@ object Template {
     "first" -> (c => element_at(split(c, ","), 1)),
     "last" -> (c => element_at(split(c, ","), -1)))
 
-  /** Column reference for a variable; dotted/pointer paths descend structs.
-    * `input.` / `output.` context prefixes map to the current row. */
-  private def ref(path: String): Column = {
-    val parts = path.split("[./]").filter(_.nonEmpty) match {
-      case Array("input" | "output", rest @ _*) if rest.nonEmpty => rest.toArray
-      case p => p
+  /** Arg-taking filters: (column, parsed k=v args) → Column. */
+  val argFilters: Map[String, (Column, Map[String, String]) => Column] = Map(
+    "split" -> ((c, a) => split(c, java.util.regex.Pattern.quote(a("pat")))),
+    "join" -> ((c, a) => array_join(c, a.getOrElse("sep", ""))),
+    "default" -> ((c, a) => coalesce(c, lit(a("value")))),
+    "replace" -> ((c, a) => regexp_replace(c,
+      java.util.regex.Pattern.quote(a("from")),
+      java.util.regex.Matcher.quoteReplacement(a("to")))),
+    "truncate" -> ((c, a) => substring(c, 1, a("length").toInt)))
+
+  // ---- AST ---------------------------------------------------------------
+
+  private sealed trait Node
+  private final case class TextN(s: String) extends Node
+  private final case class InterpN(body: String) extends Node
+  private final case class IfN(branches: Seq[(String, Seq[Node])],
+                               otherwise: Option[Seq[Node]]) extends Node
+  private final case class ForN(v: String, iter: String, body: Seq[Node]) extends Node
+  private final case class SetN(name: String, value: String) extends Node
+
+  // ---- tokenizer ---------------------------------------------------------
+
+  private val Tok = raw"\{\{[\s\S]*?\}\}|\{%[\s\S]*?%\}".r
+
+  /** Raw token stream: Left(text) | Right(tag-or-interp with braces). */
+  private def tokenize(template: String): Vector[Either[String, String]] = {
+    val out = Vector.newBuilder[Either[String, String]]
+    var last = 0
+    for (m <- Tok.findAllMatchIn(template)) {
+      if (m.start > last) out += Left(template.substring(last, m.start))
+      out += Right(m.matched)
+      last = m.end
     }
-    parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
+    if (last < template.length) out += Left(template.substring(last))
+    applyWsControl(out.result())
   }
 
-  /** Compile one `{{ ... }}` body: variable path + optional filter chain. */
-  private def compileExpr(body: String): Column = {
+  /** `{%-`/`{{-` trims the end of the preceding text; `-%}`/`-}}` trims the
+    * start of the following text (tera whitespace control). */
+  private def applyWsControl(toks: Vector[Either[String, String]]): Vector[Either[String, String]] = {
+    val arr = toks.toArray
+    arr.indices.foreach {
+      case i if arr(i).isRight =>
+        val t = arr(i).toOption.get
+        if ((t.startsWith("{%-") || t.startsWith("{{-")) && i > 0)
+          arr(i - 1) = arr(i - 1).left.map(_.replaceAll("\\s+$", ""))
+        if ((t.endsWith("-%}") || t.endsWith("-}}")) && i + 1 < arr.length)
+          arr(i + 1) = arr(i + 1).left.map(_.replaceAll("^\\s+", ""))
+      case _ =>
+    }
+    arr.toVector
+  }
+
+  /** Strip braces + ws-control dashes from a tag token → inner body. */
+  private def inner(tok: String): String =
+    tok.stripPrefix("{{").stripPrefix("{%").stripSuffix("}}").stripSuffix("%}")
+      .stripPrefix("-").stripSuffix("-").trim
+
+  // ---- parser ------------------------------------------------------------
+
+  private val ForTag = raw"for\s+(\w+)\s+in\s+(.+)".r
+  private val SetTag = raw"set\s+(\w+)\s*=\s*(.+)".r
+
+  private def parse(template: String): Seq[Node] = {
+    val toks = tokenize(template)
+    var pos = 0
+    // parses until one of `until` block-closers; returns (nodes, closer)
+    def block(until: Set[String]): (Seq[Node], String) = {
+      val nodes = Seq.newBuilder[Node]
+      while (pos < toks.length) {
+        toks(pos) match {
+          case Left(text) => nodes += TextN(text); pos += 1
+          case Right(tok) if tok.startsWith("{{") =>
+            nodes += InterpN(inner(tok)); pos += 1
+          case Right(tok) =>
+            val body = inner(tok)
+            val keyword = body.takeWhile(!_.isWhitespace)
+            if (until.contains(keyword)) { pos += 1; return (nodes.result(), body) }
+            keyword match {
+              case "if" =>
+                pos += 1
+                val branches = Seq.newBuilder[(String, Seq[Node])]
+                var cond = body.stripPrefix("if").trim
+                var closer = ""
+                var done = false
+                while (!done) {
+                  val (b, c) = block(Set("elif", "else", "endif"))
+                  branches += ((cond, b)); closer = c
+                  if (c.startsWith("elif")) cond = c.stripPrefix("elif").trim
+                  else done = true
+                }
+                val otherwise =
+                  if (closer == "else") { val (b, _) = block(Set("endif")); Some(b) }
+                  else None
+                nodes += IfN(branches.result(), otherwise)
+              case "for" =>
+                pos += 1
+                body match {
+                  case ForTag(v, iter) =>
+                    val (b, _) = block(Set("endfor"))
+                    nodes += ForN(v, iter.trim, b)
+                  case _ => throw new IllegalArgumentException(s"bad for tag: {% $body %}")
+                }
+              case "set" =>
+                pos += 1
+                body match {
+                  case SetTag(n, v) => nodes += SetN(n, v.trim)
+                  case _ => throw new IllegalArgumentException(s"bad set tag: {% $body %}")
+                }
+              case other => throw new IllegalArgumentException(
+                s"unsupported template tag: {% $other %} (supported: if/elif/else/endif, for/endfor, set)")
+            }
+        }
+      }
+      (nodes.result(), "")
+    }
+    val (nodes, closer) = block(Set.empty)
+    require(closer.isEmpty, s"unexpected {% $closer %}")
+    nodes
+  }
+
+  // ---- compilation -------------------------------------------------------
+
+  /** Column reference for a variable; dotted/pointer paths descend structs.
+    * `input.` / `output.` context prefixes map to the current row; loop
+    * variables and `{% set %}` names resolve from `env` first. */
+  private def ref(path: String, env: Map[String, Column]): Column = {
+    val norm = path.trim
+    env.get(norm).getOrElse {
+      val parts = norm.split("[./]").filter(_.nonEmpty) match {
+        case Array("input" | "output", rest @ _*) if rest.nonEmpty => rest.toArray
+        case p => p
+      }
+      parts.tail.foldLeft(env.getOrElse(parts.head, col(parts.head)))((c, f) => c.getField(f))
+    }
+  }
+
+  private val NumLit = raw"-?\d+(\.\d+)?".r
+  private val FilterCall = raw"(\w+)\s*(?:\((.*)\))?\s*".r
+
+  /** A bare operand: quoted string, number, bool, or variable path. */
+  private def operand(s: String, env: Map[String, Column]): Column = {
+    val t = s.trim
+    if ((t.startsWith("\"") && t.endsWith("\"") && t.length >= 2) ||
+        (t.startsWith("'") && t.endsWith("'") && t.length >= 2)) lit(t.substring(1, t.length - 1))
+    else if (t == "true") lit(true)
+    else if (t == "false") lit(false)
+    else if (NumLit.matches(t)) { if (t.contains('.')) lit(t.toDouble) else lit(t.toLong) }
+    else ref(t, env)
+  }
+
+  /** Parse `k="v", k2=3` filter args; commas inside quotes don't split
+    * (so `split(pat=",")` parses). */
+  private def parseArgs(s: String): Map[String, String] = {
+    val pairs = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') { cur += c; quote = c }
+      else if (c == ',') { pairs += cur.result(); cur.clear() }
+      else cur += c
+    }
+    if (cur.nonEmpty) pairs += cur.result()
+    pairs.result().iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2).map(_.trim)
+      val unq =
+        if ((v.startsWith("\"") && v.endsWith("\"")) || (v.startsWith("'") && v.endsWith("'")))
+          v.substring(1, v.length - 1)
+        else v
+      k -> unq
+    }.toMap
+  }
+
+  /** Compile one `{{ ... }}` body: operand + optional filter chain. */
+  private def compileExpr(body: String, env: Map[String, Column]): Column = {
     val parts = body.split("\\|").map(_.trim).filter(_.nonEmpty)
-    val base = ref(parts.head)
+    val base = operand(parts.head, env)
     parts.tail.foldLeft(base) { (c, f) =>
-      val name = f.takeWhile(ch => ch != '(').trim
-      filters.get(name) match {
-        case Some(fn) => fn(c)
-        case None => throw new IllegalArgumentException(
-          s"unsupported template filter: $name (supported: ${filters.keys.toSeq.sorted.mkString(", ")})")
+      f match {
+        case FilterCall(name, null) =>
+          filters.getOrElse(name, throw new IllegalArgumentException(
+            s"unsupported template filter: $name (supported: ${(filters.keys ++ argFilters.keys).toSeq.sorted.mkString(", ")})"))(c)
+        case FilterCall(name, args) =>
+          argFilters.getOrElse(name, throw new IllegalArgumentException(
+            s"filter $name takes no args or is unsupported"))(c, parseArgs(args))
+        case other => throw new IllegalArgumentException(s"bad filter syntax: $other")
       }
     }
   }
 
-  def render(template: String): Column = {
-    val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
-    var last = 0
-    for (m <- Var.findAllMatchIn(template)) {
-      if (m.start > last) pieces += lit(template.substring(last, m.start))
-      pieces += compileExpr(m.group(1)).cast("string")
-      last = m.end
+  /** Recursive-descent tera condition parser → boolean Column.
+    * grammar: or ← and (`or` and)*; and ← not (`and` not)*;
+    * not ← `not` not | `(` or `)` | cmp;
+    * cmp ← operand ((==|!=|<=|>=|<|>) operand | `is` [`not`] `defined`)? */
+  private class CondParser(s: String, env: Map[String, Column]) {
+    private var pos = 0
+    private def ws(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+    private def peekWord: String = {
+      ws(); val start = pos
+      var i = pos
+      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      s.substring(start, i)
     }
-    if (last < template.length) pieces += lit(template.substring(last))
-    if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+    private def eatWord(w: String): Boolean =
+      if (peekWord == w) { ws(); pos += w.length; true } else false
+
+    def parseOr(): Column = {
+      var c = parseAnd()
+      while (eatWord("or")) c = c || parseAnd()
+      c
+    }
+    private def parseAnd(): Column = {
+      var c = parseNot()
+      while (eatWord("and")) c = c && parseNot()
+      c
+    }
+    private def parseNot(): Column = {
+      if (eatWord("not")) !parseNot()
+      else {
+        ws()
+        if (pos < s.length && s.charAt(pos) == '(') {
+          pos += 1
+          val c = parseOr()
+          ws()
+          require(pos < s.length && s.charAt(pos) == ')', s"unbalanced paren in: $s")
+          pos += 1
+          c
+        } else parseCmp()
+      }
+    }
+    private def parseCmp(): Column = {
+      val left = parseOperand()
+      ws()
+      if (eatWord("is")) {
+        val neg = eatWord("not")
+        require(eatWord("defined") || eatWord("undefined"),
+          s"only `is [not] defined/undefined` tests are supported in: $s")
+        // tera `defined` ≈ non-null under a fixed schema
+        val base = left.isNotNull
+        if (neg) !base else base
+      } else if (pos + 1 < s.length && "==" == s.substring(pos, pos + 2)) { pos += 2; left === parseOperand() }
+      else if (pos + 1 < s.length && "!=" == s.substring(pos, pos + 2)) { pos += 2; left =!= parseOperand() }
+      else if (pos + 1 < s.length && "<=" == s.substring(pos, pos + 2)) { pos += 2; left <= parseOperand() }
+      else if (pos + 1 < s.length && ">=" == s.substring(pos, pos + 2)) { pos += 2; left >= parseOperand() }
+      else if (pos < s.length && s.charAt(pos) == '<') { pos += 1; left < parseOperand() }
+      else if (pos < s.length && s.charAt(pos) == '>') { pos += 1; left > parseOperand() }
+      else left // bare truthy column, e.g. {% if flag %}
+    }
+    private def parseOperand(): Column = {
+      ws()
+      val start = pos
+      if (pos < s.length && (s.charAt(pos) == '"' || s.charAt(pos) == '\'')) {
+        val q = s.charAt(pos); pos += 1
+        while (pos < s.length && s.charAt(pos) != q) pos += 1
+        require(pos < s.length, s"unterminated string in: $s")
+        pos += 1
+        lit(s.substring(start + 1, pos - 1))
+      } else {
+        while (pos < s.length && !s.charAt(pos).isWhitespace &&
+               !"()<>=!|".contains(s.charAt(pos))) pos += 1
+        operand(s.substring(start, pos), env)
+      }
+    }
   }
 
-  /** Variables referenced by a template (for dependency pruning). */
+  private def compileCond(cond: String, env: Map[String, Column]): Column =
+    new CondParser(cond, env).parseOr()
+
+  private def renderNodes(nodes: Seq[Node], env: Map[String, Column]): Column = {
+    var e = env
+    val pieces = nodes.flatMap {
+      case SetN(n, v) => e += (n -> compileExpr(v, e)); None
+      case TextN("") => None
+      case TextN(s) => Some(lit(s))
+      case InterpN(b) => Some(compileExpr(b, e).cast("string"))
+      case IfN(branches, otherwise) =>
+        val localEnv = e
+        val first = when(compileCond(branches.head._1, localEnv),
+          renderNodes(branches.head._2, localEnv))
+        val chained = branches.tail.foldLeft(first)((acc, br) =>
+          acc.when(compileCond(br._1, localEnv), renderNodes(br._2, localEnv)))
+        Some(chained.otherwise(otherwise.map(renderNodes(_, localEnv)).getOrElse(lit(""))))
+      case ForN(v, iterB, body) =>
+        val localEnv = e
+        val arr = compileExpr(iterB, localEnv)
+        // the loop body runs inside the `transform` HOF — per row, inside
+        // the executor, never a driver-side expansion
+        Some(concat_ws("", transform(arr, (x, i) =>
+          renderNodes(body, localEnv ++ Map(
+            v -> x, "loop.index0" -> i, "loop.index" -> (i + lit(1)))).cast("string"))))
+    }
+    if (pieces.isEmpty) lit("") else if (pieces.size == 1) pieces.head.cast("string")
+    else concat(pieces: _*)
+  }
+
+  def render(template: String): Column = renderNodes(parse(template), Map.empty)
+
+  private val Var = raw"\{\{-?\s*([^}]+?)\s*-?\}\}".r
+
+  /** Variables referenced by `{{ }}` interpolations (for dependency
+    * pruning); literals and control-flow internals are not included. */
   def variables(template: String): Seq[String] =
     Var.findAllMatchIn(template)
       .map(_.group(1).split("\\|").head.trim)
+      .filterNot(v => v.startsWith("\"") || v.startsWith("'") || NumLit.matches(v) ||
+        v == "true" || v == "false" || v.startsWith("loop."))
       .toSeq
 }

@@ -43,10 +43,12 @@ object Pipeline {
   final case class Rule(name: String, pattern: String, message: String)
 
   /** Compile a chewdata-style pattern to a Column:
-    * `{{ ... }}` templates render to string concat; anything else is a SQL
+    * `{{ ... }}` / `{% ... %}` tera templates render to Column expressions
+    * (interpolation, if/elif/else, for, set); anything else is a SQL
     * expression (the Spark-native analogue of tera's expression language). */
   def compilePattern(pattern: String): Column =
-    if (pattern.contains("{{")) Template.render(pattern) else expr(pattern)
+    if (pattern.contains("{{") || pattern.contains("{%")) Template.render(pattern)
+    else expr(pattern)
 
   final case class Parsed(steps: Seq[Step])
 

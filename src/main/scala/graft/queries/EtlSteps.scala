@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Faker, JsonFns, ObjectFns, StringFns}
+import graft.functions.{Faker, JsonFns, ObjectFns, StringFns, Template}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -164,8 +164,30 @@ object EtlSteps {
       |  CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 'high' ELSE 'low' END AS bucket
       |FROM events""".stripMargin
 
+  /** Tera control flow compiled to Columns (reference: src/updater/tera.rs —
+    * chewdata patterns are full tera, with `{% if %}`/`{% for %}`):
+    * the CASE chain comes from `{% if/elif/else %}`, the per-row loop from
+    * `{% for %}` over a split array — all plan-time compilation, zero
+    * interpreter in the row loop. */
+  def qTemplateControl(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      Template.render("{% if n_chars > 500 %}long{% elif n_chars > 100 %}medium" +
+        "{% else %}short{% endif %}:{{ lang | upper }}").as("size_class"),
+      Template.render("{% for t in text | split(pat=\" \") %}[{{ t | upper }}]{% endfor %}")
+        .as("spans"))
+
+  val qTemplateControlSql: String =
+    """SELECT doc_id,
+      |  (CASE WHEN n_chars > 500 THEN 'long' WHEN n_chars > 100 THEN 'medium'
+      |        ELSE 'short' END) || ':' || upper(lang) AS size_class,
+      |  array_to_string(list_transform(string_split(text, ' '),
+      |    t -> '[' || upper(t) || ']'), '') AS spans
+      |FROM documents""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_transform_actions" -> ((qTransformActions _, Some(qTransformActionsSql))),
+    "q_template_control"  -> ((qTemplateControl _, Some(qTemplateControlSql))),
     "q_validator"         -> ((qValidator _, Some(qValidatorSql))),
     "q_referential"       -> ((qReferential _, Some(qReferentialSql))),
     "q_generator"         -> ((qGenerator _, Some(qGeneratorSql))),

@@ -81,6 +81,51 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Template.render("{{ name | nope }}"))
   }
 
+  test("template control flow: if/elif/else compiles to a CASE chain") {
+    val df = spark.range(1).select(lit(250L).as("n"), lit("en").as("lang"),
+      lit(null).cast("string").as("maybe"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    assert(run("{% if n > 500 %}long{% elif n > 100 %}medium{% else %}short{% endif %}")
+      == "medium")
+    assert(run("{% if lang == \"en\" %}english{% else %}other{% endif %}") == "english")
+    assert(run("{% if lang != 'en' or n >= 200 %}yes{% endif %}") == "yes")
+    assert(run("{% if not (lang == 'fr') and n < 300 %}t{% else %}f{% endif %}") == "t")
+    assert(run("{% if lang is defined %}d{% endif %}") == "d")
+    // null ≈ not defined under a fixed schema (a truly absent column is a
+    // schema error at analysis, not a template condition)
+    assert(run("{% if maybe is not defined %}nd{% endif %}") == "nd")
+    // no else → empty string when no branch matches
+    assert(run("{% if n > 9000 %}x{% endif %}") == "")
+  }
+
+  test("template control flow: for loop over an array, loop.index, set") {
+    val df = spark.range(1).select(lit("a b c").as("s"), lit("Z").as("z"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    assert(run("{% for t in s | split(pat=\" \") %}[{{ t | upper }}]{% endfor %}")
+      == "[A][B][C]")
+    assert(run("{% for t in s | split(pat=\" \") %}{{ loop.index }}:{{ t }};{% endfor %}")
+      == "1:a;2:b;3:c;")
+    // nested if inside for, referencing the loop var
+    assert(run("{% for t in s | split(pat=\" \") %}{% if t == \"b\" %}!{% else %}{{ t }}{% endif %}{% endfor %}")
+      == "a!c")
+    assert(run("{% set u = z | lower %}{{ u }}{{ u }}") == "zz")
+    // whitespace control trims around tags
+    assert(run("  {%- if z == \"Z\" -%}   ok   {%- endif -%}  ") == "ok")
+  }
+
+  test("template arg filters: default, replace, truncate, join") {
+    val df = spark.range(1).select(lit("hello world").as("s"),
+      lit(null).cast("string").as("missing"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    assert(run("{{ missing | default(value=\"fallback\") }}") == "fallback")
+    assert(run("{{ s | replace(from=\"world\", to=\"there\") }}") == "hello there")
+    assert(run("{{ s | truncate(length=5) }}") == "hello")
+    assert(run("{{ s | split(pat=\" \") | join(sep=\"-\") }}") == "hello-world")
+  }
+
   test("validator split: ok/err streams partition the input") {
     val df = queries.EtlSteps.qValidator(spark, sf)
     val total = df.count()
