@@ -52,21 +52,29 @@ final case class BucketConnector(bucket: String, key: String,
     Documents.read(spark, docType, uri, opts)
   override def save(df: DataFrame, mode: SaveMode): Unit =
     Documents.write(df, docType, uri, opts, mode)
+  override def erase(spark: SparkSession): Unit = {
+    // the reference eraser works on any connector (src/step/eraser.rs);
+    // bucket erase = recursive delete of the key prefix through the same FS
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
 }
 
-/** Literal data carried in the config (reference: in_memory.rs). */
+/** Literal data carried in the config (reference: in_memory.rs — accepts any
+  * document type; also usable as a test sink: save buffers JSON rows). */
 final case class InMemoryConnector(data: String, docType: String = "json") extends Connector {
-  override def load(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    docType match {
-      case "json" | "jsonl" => spark.read.json(Seq(data).toDS())
-      case "csv" =>
-        val lines = data.linesIterator.toSeq
-        spark.read.option("header", value = true).option("inferSchema", value = true)
-          .csv(lines.toDS())
-      case other => throw new IllegalArgumentException(s"in_memory does not support $other")
-    }
+  /** Rows written through save(), as JSON lines (driver-side test sink —
+    * mirrors the reference's use of in_memory as an assertion buffer). */
+  val written: scala.collection.mutable.ArrayBuffer[String] =
+    scala.collection.mutable.ArrayBuffer.empty
+  override def load(spark: SparkSession): DataFrame =
+    Documents.readString(spark, docType, data)
+  override def save(df: DataFrame, mode: SaveMode): Unit = {
+    if (mode == SaveMode.Overwrite) written.clear()
+    written ++= df.toJSON.collect()
   }
+  override def erase(spark: SparkSession): Unit = written.clear()
 }
 
 /** stdin/stdout passthrough (reference: cli.rs). Driver-side by nature. */
@@ -104,6 +112,55 @@ final case class JdbcConnector(url: String, table: String,
       .save()
 }
 
+/** JWT compact-serialization signing, HMAC family (RFC 7515/7519 — public
+  * standards; reference: src/connector/authenticator/jwt.rs signs claims
+  * with `secret`/`base64secret` signing types, HS256 default). Asymmetric
+  * types (RSA/EC) would ride java.security.Signature the same way; only the
+  * HMAC family is wired since it covers the reference's default path. */
+object Jwt {
+  def sign(claimsJson: String, key: String, algorithm: String = "HS256",
+           base64Key: Boolean = false): String = {
+    val macAlg = algorithm match {
+      case "HS256" => "HmacSHA256"
+      case "HS384" => "HmacSHA384"
+      case "HS512" => "HmacSHA512"
+      case other => throw new IllegalArgumentException(
+        s"unsupported JWT algorithm: $other (supported: HS256/HS384/HS512)")
+    }
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+    val header = s"""{"alg":"$algorithm","typ":"JWT"}"""
+    val input = enc.encodeToString(header.getBytes("UTF-8")) + "." +
+      enc.encodeToString(claimsJson.getBytes("UTF-8"))
+    val keyBytes =
+      if (base64Key) java.util.Base64.getDecoder.decode(key) else key.getBytes("UTF-8")
+    val mac = javax.crypto.Mac.getInstance(macAlg)
+    mac.init(new javax.crypto.spec.SecretKeySpec(keyBytes, macAlg))
+    input + "." + enc.encodeToString(mac.doFinal(input.getBytes("UTF-8")))
+  }
+}
+
+object Http {
+  /** Transport: (url, headers) -> raw body. Injectable for tests; the
+    * default refuses — this environment is zero-egress. */
+  type Transport = (String, Map[String, String]) => String
+  val noTransport: Transport = (u, _) =>
+    throw new UnsupportedOperationException(s"HTTP transport unavailable (no egress): $u")
+}
+
+/** Pagination strategies (reference: src/connector/paginator/curl). */
+sealed trait HttpPaginator
+/** Parallel page-per-partition when `count` is known; sequential walk until
+  * an empty page otherwise (reference: paginator/curl/offset.rs —
+  * limit/skip/count). */
+final case class OffsetPaginator(limit: Int = 100, skip: Int = 0,
+                                 count: Option[Long] = None) extends HttpPaginator
+/** Next-token chain; the token is read from each response body at
+  * `entryPath` (json pointer) and substituted into the next request
+  * (reference: paginator/curl/cursor.rs — limit/entry_path). Inherently
+  * sequential → driver walk, distributed parse. */
+final case class CursorPaginator(limit: Int = 100,
+                                 entryPath: String = "/next") extends HttpPaginator
+
 object HttpConnector {
   /** Page fetcher: pageIndex -> raw page body. Injectable for tests; the
     * default refuses — this environment is zero-egress. */
@@ -116,8 +173,12 @@ object HttpConnector {
     "Authorization" -> ("Basic " + java.util.Base64.getEncoder
       .encodeToString(s"$user:$pass".getBytes("UTF-8")))
   def bearerAuth(token: String): (String, String) = "Authorization" -> s"Bearer $token"
-  /** Pre-signed JWT pass-through (signing requires a key service). */
+  /** Pre-signed JWT pass-through. */
   def jwtAuth(token: String): (String, String) = bearerAuth(token)
+  /** JWT signed from claims (reference: authenticator/jwt.rs HS* path). */
+  def jwtSignedAuth(claimsJson: String, key: String, algorithm: String = "HS256",
+                    base64Key: Boolean = false): (String, String) =
+    bearerAuth(Jwt.sign(claimsJson, key, algorithm, base64Key))
 }
 
 /** HTTP endpoint with offset pagination (reference: curl.rs +
@@ -170,6 +231,93 @@ final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
   }
 }
 
+/** Config-grade curl connector (reference: curl.rs — endpoint + path,
+  * headers, authenticator, offset/cursor paginator, all wired from the
+  * config node by `Connector.fromConfig`). The URL template honours
+  * `{{ paginator.limit }}` / `{{ paginator.skip }}` / `{{ paginator.next }}`
+  * mustache slots in `path` (chewdata-style); without slots the values are
+  * appended as query parameters. The HTTP call itself is the injectable
+  * `transport` — zero egress here — while pagination planning, parallelism
+  * and parsing are real:
+  *  - offset + known count → page-per-partition parallel fetch on executors
+  *  - offset + unknown count → sequential driver walk until an empty page
+  *  - cursor → sequential driver walk on the next-token chain
+  * and every body parses through distributed JSON inference. */
+final case class CurlConnector(endpoint: String, path: String = "",
+                               headers: Map[String, String] = Map.empty,
+                               paginator: HttpPaginator = OffsetPaginator(),
+                               transport: Http.Transport = Http.noTransport)
+    extends Connector {
+
+  /** Fill pagination slots: mustache substitution if present, else query
+    * params. Exposed for spec assertions. */
+  def urlFor(subst: Map[String, String]): String = {
+    val raw = endpoint + path
+    if (raw.contains("{{"))
+      subst.foldLeft(raw) { case (u, (k, v)) =>
+        u.replaceAll("\\{\\{\\s*paginator\\." + k + "\\s*\\}\\}",
+          java.util.regex.Matcher.quoteReplacement(v))
+      }
+    else {
+      val params = subst.map { case (k, v) => s"$k=$v" }.mkString("&")
+      if (params.isEmpty) raw
+      else raw + (if (raw.contains("?")) "&" else "?") + params
+    }
+  }
+
+  private def blankPage(body: String): Boolean = {
+    val t = body.trim
+    t.isEmpty || t == "[]" || t == "{}" || t == "null"
+  }
+
+  override def load(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val t = transport
+    val hs = headers
+    paginator match {
+      case OffsetPaginator(limit, skip, Some(count)) =>
+        val nPages = math.max(0L, (count - skip + limit - 1) / limit).toInt
+        // URLs planned on the driver (cheap strings), fetched one page per
+        // partition so page fetches run concurrently on executors
+        val urls = (0 until nPages).map(i =>
+          urlFor(Map("limit" -> limit.toString, "skip" -> (skip + i.toLong * limit).toString)))
+        val bodies = urls.toDS().repartition(math.min(math.max(nPages, 1), 64))
+          .map(u => t(u, hs))
+        spark.read.json(bodies)
+      case OffsetPaginator(limit, skip, None) =>
+        // unknown total: the page count is data-dependent, so the walk is
+        // sequential on the driver; parsing stays distributed
+        val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+        var s = skip.toLong
+        var done = false
+        while (!done) {
+          val body = t(urlFor(Map("limit" -> limit.toString, "skip" -> s.toString)), hs)
+          if (blankPage(body)) done = true
+          else { bodies += body; s += limit }
+        }
+        spark.read.json(bodies.toSeq.toDS())
+      case CursorPaginator(limit, entryPath) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cursor: Option[String] = None
+        var done = false
+        while (!done) {
+          val subst = Map("limit" -> limit.toString) ++ cursor.map("next" -> _)
+          val body = t(urlFor(subst), hs)
+          if (blankPage(body)) done = true
+          else {
+            bodies += body
+            val at = mapper.readTree(body).at(entryPath)
+            cursor = if (at.isMissingNode || at.isNull || at.asText().isEmpty) None
+                     else Some(at.asText())
+            done = cursor.isEmpty
+          }
+        }
+        spark.read.json(bodies.toSeq.toDS())
+    }
+  }
+}
+
 /** MongoDB connector (reference: mongodb.rs). Config-parse parity only:
   * execution rides the official MongoDB Spark connector jar, which is not
   * present in this environment — load/save fail fast with a clear message
@@ -184,9 +332,46 @@ final case class MongoConnector(uri: String, database: String, collection: Strin
 }
 
 object Connector {
-  /** Build from a chewdata-style connector config node. */
+  import com.fasterxml.jackson.databind.JsonNode
+
+  /** Parse a chewdata authenticator config node → auth header
+    * (reference: src/connector/authenticator/{basic,bearer,jwt}.rs). */
+  def authHeader(a: JsonNode): (String, String) = {
+    def s(f: String, d: String = ""): String = if (a.has(f)) a.get(f).asText() else d
+    s("type") match {
+      case "basic" => HttpConnector.basicAuth(
+        if (a.has("username")) s("username") else s("user"), s("password"))
+      case "bearer" => HttpConnector.bearerAuth(s("token"))
+      case "jwt" if a.has("token") => HttpConnector.jwtAuth(s("token"))
+      case "jwt" =>
+        val claims =
+          if (a.has("claims")) a.get("claims").toString
+          else if (a.has("payload")) a.get("payload").toString
+          else "{}"
+        HttpConnector.jwtSignedAuth(claims, s("key"),
+          s("algorithm", s("algo", "HS256")),
+          s("signing_type", s("signing", "secret")) == "base64secret")
+      case other => throw new IllegalArgumentException(
+        s"unknown authenticator type: $other (basic/bearer/jwt)")
+    }
+  }
+
+  /** Parse a paginator config node (reference: src/connector/paginator). */
+  def paginator(p: JsonNode): HttpPaginator = {
+    def int(f: String, d: Int): Int = if (p.has(f)) p.get(f).asInt() else d
+    if (p.has("type") && p.get("type").asText() == "cursor")
+      CursorPaginator(int("limit", 100),
+        if (p.has("entry_path")) p.get("entry_path").asText() else "/next")
+    else
+      OffsetPaginator(int("limit", 100), int("skip", 0),
+        if (p.has("count")) Some(p.get("count").asLong()) else None)
+  }
+
+  /** Build from a chewdata-style connector config node. `transport` is the
+    * injectable HTTP call for curl connectors (default: zero-egress). */
   def fromConfig(node: com.fasterxml.jackson.databind.JsonNode,
-                 docType: String, opts: DocOptions): Connector = {
+                 docType: String, opts: DocOptions,
+                 transport: Http.Transport = Http.noTransport): Connector = {
     def str(field: String, default: String = ""): String =
       if (node.has(field)) node.get(field).asText() else default
     str("type", "local") match {
@@ -200,8 +385,24 @@ object Connector {
       case "bucket" | "bucket_select" => BucketConnector(str("bucket"), str("key"), docType, opts)
       case "psql" | "jdbc"        => JdbcConnector(str("url"), str("table"),
         str("user"), str("password"))
-      case "curl"                 => HttpConnector(str("endpoint"),
-        if (node.has("pages")) node.get("pages").asInt() else 1)
+      case "curl" =>
+        val headers = Option(node.get("headers")).map { h =>
+          val b = Map.newBuilder[String, String]
+          h.properties().forEach(e => b += (e.getKey -> e.getValue.asText()))
+          b.result()
+        }.getOrElse(Map.empty[String, String])
+        val auth = Option(node.get("authenticator_type"))
+          .orElse(Option(node.get("authenticator")))
+          .orElse(Option(node.get("auth")))
+          .map(authHeader)
+        val pag = Option(node.get("paginator_type"))
+          .orElse(Option(node.get("paginator")))
+          .map(paginator)
+          // legacy shorthand: "pages": N ≡ offset paginator of N known pages
+          .getOrElse(if (node.has("pages"))
+            OffsetPaginator(limit = 1, skip = 0, count = Some(node.get("pages").asLong()))
+          else OffsetPaginator())
+        CurlConnector(str("endpoint"), str("path"), headers ++ auth, pag, transport)
       case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
         str("collection"))
       case other => throw new IllegalArgumentException(s"unknown connector type: $other")

@@ -42,6 +42,33 @@ object Documents {
     case other     => throw new IllegalArgumentException(s"unknown document type: $other")
   }
 
+  /** Parse a literal document string (in_memory / cli connectors —
+    * reference: in_memory.rs accepts any document type). json/jsonl/csv/
+    * yaml/toml parse straight from the string through the same per-partition
+    * machinery as the file path; xml (needs a file-based rowTag scan) stages
+    * the literal to a temp file and reuses the path reader. */
+  def readString(spark: SparkSession, docType: String, data: String,
+                 opts: DocOptions = DocOptions()): DataFrame = {
+    import spark.implicits._
+    docType match {
+      case "json" | "jsonl" => spark.read.json(Seq(data).toDS())
+      case "csv" =>
+        spark.read.option("header", opts.header).option("sep", opts.delimiter)
+          .option("quote", opts.quote).option("inferSchema", value = true)
+          .csv(data.linesIterator.toSeq.toDS())
+      case "text" => Seq(data).toDF("value")
+      case "yaml" => Yaml.parse(spark, Seq(data).toDS())
+      case "toml" => Toml.parse(spark, Seq(data).toDS())
+      case "xml" =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-mem")
+        val f = dir.resolve("data.xml")
+        java.nio.file.Files.writeString(f, data)
+        f.toFile.deleteOnExit(); dir.toFile.deleteOnExit()
+        read(spark, "xml", f.toString, opts)
+      case other => throw new IllegalArgumentException(s"in_memory does not support $other")
+    }
+  }
+
   def write(df: DataFrame, docType: String, path: String,
             opts: DocOptions = DocOptions(), mode: SaveMode = SaveMode.Overwrite,
             partitionBy: Seq[String] = Nil): Unit = {
@@ -60,7 +87,48 @@ object Documents {
       case "xml"  => w.format("xml").option("rowTag", opts.rowTag).save(path)
       case "yaml" => Yaml.write(df, path, mode)
       case "toml" => Toml.write(df, path, mode)
+      case "byte" | "binary" => Binary.write(df, path, mode)
       case other  => throw new IllegalArgumentException(s"unknown document type: $other")
+    }
+  }
+}
+
+/** Binary document write path (reference: src/document/byte.rs encodes the
+  * byte stream both ways; read side is Spark's binaryFile source). Each row
+  * writes one file under `path`, named from a `path`/`name` string column
+  * when present (basename only), else a task-unique counter. Writing runs
+  * inside foreachPartition — distributed, no driver collect. */
+object Binary {
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.hadoop.fs.Path
+    val binCol = df.schema.fields
+      .find(_.dataType == org.apache.spark.sql.types.BinaryType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"byte write needs a binary column; got ${df.schema.simpleString}")).name
+    val nameCol = df.schema.fields.map(_.name).find(n => n == "path" || n == "name")
+    val target = new Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (mode == SaveMode.Overwrite && fs.exists(target)) fs.delete(target, true)
+    fs.mkdirs(target)
+    val cols = nameCol.toSeq :+ binCol
+    df.select(cols.head, cols.tail: _*).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        // executor-side FS handle; default Hadoop conf resolves file:// and
+        // (with cluster-provided creds) s3a:// the same as the scan side
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val tfs = new Path(path).getFileSystem(conf)
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        var i = 0
+        it.foreach { r =>
+          val bytes = r.getAs[Array[Byte]](binCol)
+          val name =
+            if (nameCol.isDefined && !r.isNullAt(0))
+              new Path(r.getString(0)).getName
+            else f"part-$pid%05d-$i%06d.bin"
+          val out = tfs.create(new Path(path, name), true)
+          try out.write(bytes) finally out.close()
+          i += 1
+        }
     }
   }
 }
@@ -99,10 +167,8 @@ object Yaml {
 
   private def toJson(obj: Object, mapper: ObjectMapper): String = mapper.writeValueAsString(obj)
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val files: Dataset[String] =
-      spark.read.option("wholetext", value = true).text(path).as[String]
+  /** Parse a dataset of whole YAML documents (one string = one file). */
+  def parse(spark: SparkSession, files: Dataset[String]): DataFrame = {
     val jsonDs = files.mapPartitions { it =>
       val yaml = new org.yaml.snakeyaml.Yaml()
       val mapper = new ObjectMapper()
@@ -119,8 +185,13 @@ object Yaml {
         }
         buf
       }
-    }
+    }(org.apache.spark.sql.Encoders.STRING)
     spark.read.json(jsonDs)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    parse(spark, spark.read.option("wholetext", value = true).text(path).as[String])
   }
 
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
@@ -231,10 +302,13 @@ object Toml {
     else Seq.empty
   }
 
+  /** Parse a dataset of whole TOML documents (one string = one file). */
+  def parse(spark: SparkSession, files: Dataset[String]): DataFrame =
+    spark.read.json(files.flatMap(tomlToJsonRows)(org.apache.spark.sql.Encoders.STRING))
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = spark.read.option("wholetext", value = true).text(path).as[String]
-    spark.read.json(files.flatMap(tomlToJsonRows))
+    parse(spark, spark.read.option("wholetext", value = true).text(path).as[String])
   }
 
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
