@@ -77,9 +77,10 @@ object Similarity {
 
   /** Train coarse centroids with Lloyd iterations, all distributed:
     * assignment is a broadcast pass with the native cosine expression;
-    * the new centroid mean is computed by exploding (cell, dim, value)
-    * and averaging per (cell, dim) — linear in corpus size, one shuffle
-    * per iteration, centroids themselves never exceed k·dim doubles. */
+    * the new centroid mean is one VectorSum aggregate per cell — partial
+    * buffers (dim doubles) combine map-side, so each Lloyd iteration
+    * shuffles k·partitions buffers, not |corpus|·dim exploded rows;
+    * centroids themselves never exceed k·dim doubles. */
   def trainCentroids(corpus: DataFrame, k: Int = 16, iterations: Int = 3,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // iterative working set: cache the casted vectors once — every Lloyd
@@ -97,13 +98,10 @@ object Similarity {
         .groupBy(col("id")).agg(max(col("s")).as("s"))
         .select((-col("s.negc")).as("cell"), col("s.vv").as("v"))
       centroids = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e.getField("m")).as("c_vec"))
-        .select(col("cell").as("c_id"), col("c_vec"))
+        .agg(graft.plans.Native.vectorSum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell").as("c_id"),
+          transform(col("s"), x => x / col("n")).as("c_vec"))
     }
     val result = centroids.collect()  // materialize before releasing the cache
     vecs.unpersist(blocking = false)

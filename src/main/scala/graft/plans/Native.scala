@@ -18,6 +18,9 @@ object Native {
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
 
   def hamming(a: Column, b: Column): Column = toCol(HammingDist(toExpr(a), toExpr(b)))
+
+  /** Aggregate: element-wise sum of array<double> rows (map-side partial). */
+  def vectorSum(v: Column): Column = toCol(VectorSum(toExpr(v)).toAggregateExpression())
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -49,6 +52,9 @@ object GraftExtensions {
       (e: Seq[Expression]) => SimHash64(e(0))),
     ("graft_hamming", info("HammingDist", "hamming distance of two longs"),
       (e: Seq[Expression]) => HammingDist(e(0), e(1))),
+    // aggregate: the analyzer wraps bare AggregateFunctions on resolution
+    ("graft_vector_sum", info("VectorSum", "element-wise sum of double arrays"),
+      (e: Seq[Expression]) => VectorSum(e(0))),
     // tera-helper surface, callable from SQL and config patterns
     ("graft_slugify", info("StringFns", "lowercase-alnum slug"),
       colFn1(graft.functions.StringFns.slugify)),

@@ -60,4 +60,30 @@ class PlansSpec extends SparkSpec {
     val s = planString(df)
     assert(!s.contains("CartesianProduct"))
   }
+
+  test("vector_sum aggregate matches the exploded per-dim sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0)), ("a", Seq(0.5, 0.5, 0.5)),
+      ("b", Seq(10.0, 20.0, 30.0)), ("b", Seq(1.0, 1.0, 1.0)),
+      ("b", Seq(2.0, 2.0, 2.0))).toDF("g", "v")
+    val agg = df.groupBy($"g").agg(graft.plans.Native.vectorSum($"v").as("s"))
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+    assert(agg.toSeq == Seq("a" -> Seq(1.5, 2.5, 3.5), "b" -> Seq(13.0, 23.0, 33.0)))
+    // nulls skipped; all-null group -> null; ragged inputs zero-pad
+    val mixed = Seq(("a", Some(Seq(1.0, 1.0))), ("a", None), ("a", Some(Seq(2.0))),
+      ("z", None)).toDF("g", "v")
+    val rows = mixed.groupBy($"g").agg(graft.plans.Native.vectorSum($"v").as("s"))
+      .orderBy("g").collect()
+    assert(rows(0).getSeq[Double](1) == Seq(3.0, 1.0))
+    assert(rows(1).isNullAt(1))
+    // usable from SQL through the extension registration
+    graft.plans.GraftExtensions.register(spark)
+    mixed.createOrReplaceTempView("vs_t")
+    val viaSql = spark.sql("SELECT graft_vector_sum(v) AS s FROM vs_t WHERE g = 'a'")
+      .head().getSeq[Double](0)
+    assert(viaSql == Seq(3.0, 1.0))
+  }
 }
