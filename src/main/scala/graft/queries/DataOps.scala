@@ -391,8 +391,132 @@ object DataOps {
     """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---- training-batch construction & corpus reports ----------------------
+
+  /** Sequence packing for training batches: documents pack greedily into
+    * ~2048-token bins by running token count, SHARD-LOCAL so the packing is
+    * embarrassingly parallel — a single global pack order would serialize
+    * the whole corpus through one window partition; per-shard bins are what
+    * a 1000-executor pipeline does anyway (each shard ends with at most one
+    * under-full bin). The bin boundary is a power of two, so the double
+    * division is exact and the oracle hash-matches. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val maxTokens = 2048
+    val shards = 16
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("bigint"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens))
+      .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+  }
+
+  val qPackSequencesSql: String =
+    """SELECT doc_id, doc_id % 16 AS shard,
+      |  CAST(floor(coalesce(sum(len(string_split(text, ' '))) OVER (
+      |    PARTITION BY doc_id % 16 ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin,
+      |  len(string_split(text, ' ')) AS n_tokens
+      |FROM documents""".stripMargin
+
+  /** Top df-scaled term per document (tf-idf shape with a rational idf —
+    * score = nt·N/df keeps every arithmetic step IEEE-identical to the
+    * oracle, unlike ln()). Corpus stats aggregate once (two-phase groupBy,
+    * same skew-safe shape as q_doc_freq_score); the per-doc argmax is a
+    * doc_id-partitioned window — balanced keys, not corpus-skewed. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("nt"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("nt") * col("n_docs")).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("score"))
+  }
+
+  val qTfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS nt FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT doc_id, term AS top_term, score FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf.nt * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.nt * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+      |               tf.term) AS rnk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |WHERE rnk = 1""".stripMargin
+
+  /** Benchmark-contamination check: corpus documents sharing a word 5-gram
+    * with a "benchmark" subset (doc_id % 97 == 0 stands in for the eval
+    * set; self-hits included — a real decontamination run would subtract
+    * the set itself). The benchmark gram set is small → broadcast join; the
+    * corpus side explodes grams linearly and never shuffles before the
+    * join, so the shape survives a 100 TB corpus. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 5,
+          transform(sequence(lit(0), size(col("toks")) - 5),
+            i => array_join(slice(col("toks"), i + 1, lit(5)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val bench = grams(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+      .select(col("gram")).distinct()
+    grams(docs).join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  val qContaminationSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |  CASE WHEN len(t) >= 5
+      |       THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |       ELSE [] END) AS gram FROM toks),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(DISTINCT gram) AS n_shared
+      |FROM g JOIN b USING (gram) GROUP BY doc_id""".stripMargin
+
+  /** Per-source token statistics — the data-mixture report a training run
+    * starts from: doc counts, token totals, p50/p95 token lengths (exact
+    * linear-interpolation percentiles), mean tokens (integer-rational
+    * division, so the double is oracle-exact). One shuffle on source. */
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        expr("percentile(nt, 0.5)").as("p50_tokens"),
+        expr("percentile(nt, 0.95)").as("p95_tokens"),
+        (sum(col("nt")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"))
+
+  val qTokenStatsSql: String =
+    """WITH d AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents)
+      |SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+      |  quantile_cont(nt, 0.5) AS p50_tokens,
+      |  quantile_cont(nt, 0.95) AS p95_tokens,
+      |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+      |FROM d GROUP BY source""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
+    "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
+    "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
+    "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
+    "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
