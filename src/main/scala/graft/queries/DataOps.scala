@@ -304,6 +304,30 @@ object DataOps {
 
   // ---- streaming batch-equivalents --------------------------------------
 
+  /** Batch shape of the stream-stream join (EventStream.clickViewJoin):
+    * clicks paired with same-user views within the preceding hour. One
+    * shuffle on user_id; the range condition prunes in-partition. */
+  def qEventJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    clicks.join(views,
+        col("c_user") === col("v_user") && col("v_ts") <= col("c_ts") &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
+  val qEventJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND v.ts <= c.ts
+      |  AND v.ts >= c.ts - INTERVAL 1 HOUR""".stripMargin
+
   /** Hourly tumbling-window aggregate (batch shape of the streaming op). */
   def qEventWindow(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -536,6 +560,7 @@ object DataOps {
     "q_repetition"     -> ((qRepetition _, Some(qRepetitionSql))),
     "q_sample_hash"    -> ((qSampleHash _, Some(qSampleHashSql))),
     "q_top_terms"      -> ((qTopTerms _, Some(qTopTermsSql))),
+    "q_event_join"     -> ((qEventJoin _, Some(qEventJoinSql))),
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),

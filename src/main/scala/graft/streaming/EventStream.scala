@@ -63,6 +63,26 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream inner join: each click pairs with the views
+    * from the same user in the preceding hour. The time-range condition +
+    * watermarks bound both sides' join state, so state size is
+    * O(events-per-hour), not O(stream) — the shape that holds up on an
+    * unbounded 100 TB/day firehose. */
+  def clickViewJoin(events: DataFrame,
+                    watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    clicks.join(views,
+      expr("c_user = v_user AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
   /** Write a stream to parquet with checkpointing. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
     df.writeStream.outputMode(OutputMode.Append())

@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("watermarked stream-stream join pairs clicks with recent views") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    input.addData(
+      EventStream.Event(10, ts(0), 1, "view", 0.0, "{}"),
+      EventStream.Event(11, ts(20), 1, "click", 0.0, "{}"),  // pairs with 10
+      EventStream.Event(12, ts(5), 2, "view", 0.0, "{}"),
+      EventStream.Event(13, ts(30), 3, "click", 0.0, "{}"))  // no view for user 3
+    val q = EventStream.clickViewJoin(input.toDF())
+      .writeStream.format("memory").queryName("cvj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, click_id, view_id FROM cvj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq((1L, 11L, 10L)))
+    } finally q.stop()
+  }
+
   test("batch operators lift onto streams: validator rules + dedup") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
