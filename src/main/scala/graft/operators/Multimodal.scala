@@ -53,6 +53,21 @@ object Multimodal {
       checksum = java.lang.Integer.toHexString(h))
   }
 
+  /** Oracle-mirrorable stub: metadata derived from the byte length and an
+    * md5 checksum only, so the SAME plumbing (Dataset[MediaRecord] →
+    * mapPartitions decode → frame-sample explode) can be hash-checked
+    * end-to-end against a SQL oracle. A real codec swaps in without
+    * touching the plan. */
+  def lengthStubDecode(r: MediaRecord): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.content).map("%02x".format(_)).mkString
+    MediaFeatures(r.path, r.modality, r.length,
+      width = 16 + (r.length % 1024).toInt,
+      height = 16 + ((r.length / 1024) % 1024).toInt,
+      channels = if (r.modality == "audio") 2 else 3,
+      checksum = hex)
+  }
+
   /** Feature extraction over partitions: one codec instance per partition
     * (the real-codec pattern — init once, stream the batch through). */
   def extractFeatures(media: Dataset[MediaRecord],

@@ -415,6 +415,43 @@ object DataOps {
     """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Multimodal plumbing, oracle-checked end-to-end: documents' text bytes
+    * stand in for media payloads (this container has no codecs); the
+    * pipeline is the REAL shape — typed Dataset[MediaRecord] → per-partition
+    * decode (mapPartitions) → frame-sample explode → join — with a
+    * byte-length-derived stub codec the SQL oracle can mirror exactly. */
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Tables(spark, dir).documents.select(
+        concat(lit("mem://doc/"), col("doc_id")).as("path"),
+        lit("image").as("modality"),
+        lit("application/octet-stream").as("contentType"),
+        expr("octet_length(text)").cast("bigint").as("length"),
+        col("text").cast("binary").as("content"))
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media, Multimodal.lengthStubDecode).toDF()
+    val frames = Multimodal.sampleFrames(media.toDF(), everyNBytes = 256)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_frames"))
+    feats.join(frames, "path")
+      .select(col("path"), col("length"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        col("channels").cast("bigint").as("channels"),
+        col("checksum"), col("n_frames"))
+  }
+
+  val qMultimodalSql: String =
+    """WITH m AS (SELECT 'mem://doc/' || doc_id AS path,
+      |  octet_length(encode(text)) AS len, text FROM documents)
+      |SELECT path, CAST(len AS BIGINT) AS length,
+      |  CAST(16 + len % 1024 AS BIGINT) AS width,
+      |  CAST(16 + (len // 1024) % 1024 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  md5(text) AS checksum,
+      |  CAST(floor(greatest(len - 1, 0) / 256.0) AS BIGINT) + 1 AS n_frames
+      |FROM m""".stripMargin
+
   // ---- training-batch construction & corpus reports ----------------------
 
   /** Sequence packing for training batches: documents pack greedily into
@@ -541,6 +578,7 @@ object DataOps {
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
+    "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
