@@ -105,4 +105,48 @@ object Faker {
     lpad(pmod(xxhash64(seed * 3), lit(10000000000000L)).cast("string"), 13, "0")
   def password(seed: Column): Column =
     substring(base64(xxhash64(seed).cast("string").cast("binary")), 1, 12)
+
+  /** Name registry mirroring the reference's tera `fake_*` functions
+    * (src/updater/tera.rs:46-81), used by template function calls and the
+    * SQL-function registration. Every generator is seed-column-driven. */
+  val registry: Map[String, Column => Column] = Map(
+    "fake_first_name" -> firstName _,
+    "fake_last_name" -> lastName _,
+    "fake_title" -> title _,
+    "fake_word" -> word _,
+    "fake_words" -> (wordsN(_, 3)),
+    "fake_sentence" -> sentence _,
+    "fake_sentences" -> (sentences(_, 2)),
+    "fake_paragraph" -> paragraph _,
+    "fake_paragraphs" -> paragraph _,
+    "fake_job_seniority" -> jobSeniority _,
+    "fake_job_field" -> jobField _,
+    "fake_job_position" -> jobPosition _,
+    "fake_city" -> city _,
+    "fake_country_name" -> countryName _,
+    "fake_country_code" -> countryCode _,
+    "fake_street_name" -> streetName _,
+    "fake_state_name" -> stateName _,
+    "fake_state_code" -> stateCode _,
+    "fake_zipcode" -> zipcode _,
+    "fake_postcode" -> postcode _,
+    "fake_timezone" -> timezone _,
+    "fake_latitude" -> (latitude(_).cast("string")),
+    "fake_longitude" -> (longitude(_).cast("string")),
+    "fake_profession" -> profession _,
+    "fake_industry" -> industry _,
+    "fake_email" -> email _,
+    "fake_ipv4" -> ipv4 _,
+    "fake_ipv6" -> ipv6 _,
+    "fake_mac_address" -> macAddress _,
+    "fake_color_hex" -> colorHex _,
+    "fake_user_agent" -> userAgent _,
+    "fake_digit" -> (digit(_).cast("string")),
+    "fake_phone_number" -> phoneNumber _,
+    "fake_currency_name" -> currencyName _,
+    "fake_currency_code" -> currencyCode _,
+    "fake_currency_symbol" -> currencySymbol _,
+    "fake_credit_card" -> creditCard _,
+    "fake_barcode" -> barcode _,
+    "fake_password" -> password _)
 }

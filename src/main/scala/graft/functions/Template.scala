@@ -56,7 +56,9 @@ object Template {
     "first" -> (c => element_at(split(c, ","), 1)),
     "last" -> (c => element_at(split(c, ","), -1)))
 
-  /** Arg-taking filters: (column, parsed k=v args) → Column. */
+  /** Arg-taking filters: (column, parsed k=v args) → Column. The object
+    * filters mirror the reference's tera registrations
+    * (src/updater/tera.rs:28-43) and operate on map-typed columns. */
   val argFilters: Map[String, (Column, Map[String, String]) => Column] = Map(
     "split" -> ((c, a) => split(c, java.util.regex.Pattern.quote(a("pat")))),
     "join" -> ((c, a) => array_join(c, a.getOrElse("sep", ""))),
@@ -64,7 +66,37 @@ object Template {
     "replace" -> ((c, a) => regexp_replace(c,
       java.util.regex.Pattern.quote(a("from")),
       java.util.regex.Matcher.quoteReplacement(a("to")))),
-    "truncate" -> ((c, a) => substring(c, 1, a("length").toInt)))
+    "truncate" -> ((c, a) => substring(c, 1, a("length").toInt)),
+    "find" -> ((c, a) => StringFns.find(c, a("pattern"))),
+    "extract" -> ((c, a) => ObjectFns.extract(c, a("keys").split(",").map(_.trim).toSeq)),
+    "replace_key" -> ((c, a) => ObjectFns.replaceKey(c, a("from"), a("to"))),
+    "replace_value" -> ((c, a) => ObjectFns.replaceValue(c, lit(a("from")), lit(a("to")))),
+    "update" -> ((c, a) => ObjectFns.update(c, a("key"), lit(a("value")))),
+    "search" -> ((c, a) => ObjectFns.search(c, a("prefix"))))
+
+  /** Zero-arg object filters (map columns). */
+  private val objectFilters: Map[String, Column => Column] = Map(
+    "keys" -> ObjectFns.keys _,
+    "values" -> ObjectFns.values _)
+
+  /** Template function calls in `{{ ... }}` heads (reference registers
+    * uuid_v4/env/get_env and ~35 fake_* as tera FUNCTIONS). Fakers take
+    * `seed=<column>` — deterministic and partition-independent where the
+    * reference draws RNG per record. */
+  private def templateFunction(name: String, args: Map[String, String],
+                               env: Map[String, Column]): Column = name match {
+    case "uuid_v4" => StringFns.uuidV4()
+    case "now" => date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssxxx")
+    case "env" | "get_env" => StringFns.env(args("name"), args.getOrElse("default", ""))
+    case f if f.startsWith("fake_") =>
+      val seed = args.get("seed").map(v => operand(v, env)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$f requires seed=<column> (deterministic generators; the reference draws RNG per record)"))
+      Faker.registry.getOrElse(f, throw new IllegalArgumentException(
+        s"unknown faker: $f (supported: ${Faker.registry.keys.toSeq.sorted.mkString(", ")})"))(seed)
+    case other => throw new IllegalArgumentException(
+      s"unsupported template function: $other (uuid_v4, now, env/get_env, fake_*)")
+  }
 
   // ---- AST ---------------------------------------------------------------
 
@@ -196,7 +228,10 @@ object Template {
   private val NumLit = raw"-?\d+(\.\d+)?".r
   private val FilterCall = raw"(\w+)\s*(?:\((.*)\))?\s*".r
 
-  /** A bare operand: quoted string, number, bool, or variable path. */
+  private val FnCallPat = raw"(\w+)\s*\((.*)\)".r
+
+  /** A bare operand: quoted string, number, bool, function call, or
+    * variable path. */
   private def operand(s: String, env: Map[String, Column]): Column = {
     val t = s.trim
     if ((t.startsWith("\"") && t.endsWith("\"") && t.length >= 2) ||
@@ -204,7 +239,10 @@ object Template {
     else if (t == "true") lit(true)
     else if (t == "false") lit(false)
     else if (NumLit.matches(t)) { if (t.contains('.')) lit(t.toDouble) else lit(t.toLong) }
-    else ref(t, env)
+    else t match {
+      case FnCallPat(name, args) => templateFunction(name, parseArgs(args), env)
+      case _ => ref(t, env)
+    }
   }
 
   /** Parse `k="v", k2=3` filter args; commas inside quotes don't split
@@ -237,8 +275,9 @@ object Template {
     parts.tail.foldLeft(base) { (c, f) =>
       f match {
         case FilterCall(name, null) =>
-          filters.getOrElse(name, throw new IllegalArgumentException(
-            s"unsupported template filter: $name (supported: ${(filters.keys ++ argFilters.keys).toSeq.sorted.mkString(", ")})"))(c)
+          filters.get(name).orElse(objectFilters.get(name)).getOrElse(
+            throw new IllegalArgumentException(
+              s"unsupported template filter: $name (supported: ${(filters.keys ++ objectFilters.keys ++ argFilters.keys).toSeq.sorted.mkString(", ")})"))(c)
         case FilterCall(name, args) =>
           argFilters.getOrElse(name, throw new IllegalArgumentException(
             s"filter $name takes no args or is unsupported"))(c, parseArgs(args))

@@ -115,6 +115,38 @@ class FunctionsSpec extends SparkSpec {
     assert(run("  {%- if z == \"Z\" -%}   ok   {%- endif -%}  ") == "ok")
   }
 
+  test("template functions: uuid_v4, env, fakers with seed columns") {
+    val df = spark.range(2).select(col("id"))
+    def runAll(t: String): Seq[String] =
+      df.select(Template.render(t).as("v")).orderBy("v").collect().map(_.getString(0)).toSeq
+    // uuid_v4 renders per row, valid v4 shape
+    val uuids = runAll("{{ uuid_v4() }}")
+    assert(uuids.distinct.size == 2 &&
+      uuids.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    // env resolves at plan time with a default
+    assert(runAll("{{ env(name=\"GRAFT_NOT_SET\", default=\"dflt\") }}") == Seq("dflt", "dflt"))
+    // fakers are deterministic functions of the seed column
+    val df10 = spark.range(10).select(col("id"))
+    def runTen(t: String): Seq[String] =
+      df10.select(Template.render(t).as("v")).orderBy("v").collect().map(_.getString(0)).toSeq
+    val emails = runTen("{{ fake_email(seed=id) }}")
+    assert(emails.forall(_.endsWith("@example.com")) && emails.distinct.size >= 2)
+    assert(emails == runTen("{{ fake_email(seed=id) }}"))
+    intercept[IllegalArgumentException](Template.render("{{ fake_email() }}"))
+    intercept[IllegalArgumentException](Template.render("{{ fake_nope(seed=id) }}"))
+  }
+
+  test("template object filters operate on map columns") {
+    val df = spark.range(1).select(
+      map(lit("a"), lit("1"), lit("b"), lit("2")).as("m"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    assert(run("{{ m | keys | join(sep=\",\") }}") == "a,b")
+    assert(run("{{ m | values | join(sep=\",\") }}") == "1,2")
+    assert(run("{{ m | extract(keys=\"b\") | values | join(sep=\"\") }}") == "2")
+    assert(run("{{ m | replace_key(from=\"a\", to=\"z\") | keys | join(sep=\",\") }}") == "b,z")
+  }
+
   test("template arg filters: default, replace, truncate, join") {
     val df = spark.range(1).select(lit("hello world").as("s"),
       lit(null).cast("string").as("missing"))
