@@ -57,12 +57,15 @@ object Pipeline {
   private val jsonMapper = new ObjectMapper()
   private val yamlMapper = new ObjectMapper(new YAMLFactory())
 
-  def parse(config: String): Parsed = {
+  /** `transport` is the injectable HTTP call for curl connectors in the
+    * config (default refuses: zero egress). */
+  def parse(config: String,
+            transport: graft.sources.Http.Transport = graft.sources.Http.noTransport): Parsed = {
     val trimmed = hjsonLite(config.trim)
     val root =
       if (trimmed.startsWith("[") || trimmed.startsWith("{")) jsonMapper.readTree(trimmed)
       else yamlMapper.readTree(trimmed)
-    Parsed(root.elements().asScala.map(parseStep).toSeq)
+    Parsed(root.elements().asScala.map(parseStep(_, transport)).toSeq)
   }
 
   /** HJSON-lite normalization (the reference accepts hjson configs): strip
@@ -124,7 +127,8 @@ object Pipeline {
     sb.result()
   }
 
-  private def parseStep(node: JsonNode): Step = {
+  private def parseStep(node: JsonNode,
+                        transport: graft.sources.Http.Transport): Step = {
     def str(f: String, d: String = ""): String = if (node.has(f)) node.get(f).asText() else d
     val dataType = if (node.has("data_type")) node.get("data_type").asText()
       else if (node.has("data")) node.get("data").asText() else "ok"
@@ -143,7 +147,8 @@ object Pipeline {
       val doc = node.get("document")
       if (doc != null && doc.has("type")) doc.get("type").asText() else "json"
     }
-    def connector: Connector = Connector.fromConfig(node.get("connector"), docType, docOpts)
+    def connector: Connector =
+      Connector.fromConfig(node.get("connector"), docType, docOpts, transport)
 
     str("type") match {
       case "reader" | "read" | "r" => Reader(str("name", "reader"), connector, dataType)
@@ -291,4 +296,8 @@ object Pipeline {
   }
 
   def run(spark: SparkSession, config: String): Flow = run(spark, parse(config))
+
+  def run(spark: SparkSession, config: String,
+          transport: graft.sources.Http.Transport): Flow =
+    run(spark, parse(config, transport))
 }

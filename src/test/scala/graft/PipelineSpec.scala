@@ -297,6 +297,23 @@ class PipelineSpec extends SparkSpec {
     assert(conn.load(spark).count() == 6)
   }
 
+  test("pipeline e2e: curl reader config with auth + pagination + transform") {
+    // a full chewdata-style config whose source is an authenticated,
+    // paginated HTTP API — transport injected, everything else config-driven
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"curl","endpoint":"http://api.test",
+        |   "path":"/items",
+        |   "authenticator_type":{"type":"basic","username":"u","password":"p"},
+        |   "paginator_type":{"type":"offset","limit":2,"count":6}}},
+        | {"type":"transformer","actions":[{"field":"id2","pattern":"id * 2"}]}
+        |]""".stripMargin,
+      transport = PipelineSpec.loopbackTransport)
+    val rows = flow.ok.get.orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until 6L))
+    assert(rows.map(_.getAs[Long]("id2")).toSeq == (0L until 6L).map(_ * 2))
+  }
+
   test("jwt HS256 signing matches the RFC 7515 reference vector") {
     val token = sources.Jwt.sign(
       """{"sub":"1234567890","name":"John Doe","iat":1516239022}""",
