@@ -331,10 +331,17 @@ object Template {
       ws()
       if (eatWord("is")) {
         val neg = eatWord("not")
-        require(eatWord("defined") || eatWord("undefined"),
-          s"only `is [not] defined/undefined` tests are supported in: $s")
-        // tera `defined` ≈ non-null under a fixed schema
-        val base = left.isNotNull
+        // tera tests: defined/undefined (≈ null check under a fixed
+        // schema) and the string tests chewdata rules use
+        // (reference validator docs: `input.text is matching('...')`)
+        val base =
+          if (eatWord("defined") || eatWord("undefined")) left.isNotNull
+          else if (eatWord("matching")) left.rlike(parseParenString())
+          else if (eatWord("containing")) left.contains(parseParenString())
+          else if (eatWord("starting_with")) left.startsWith(parseParenString())
+          else if (eatWord("ending_with")) left.endsWith(parseParenString())
+          else throw new IllegalArgumentException(
+            s"unsupported `is` test in: $s (defined/undefined, matching, containing, starting_with, ending_with)")
         if (neg) !base else base
       } else if (pos + 1 < s.length && "==" == s.substring(pos, pos + 2)) { pos += 2; left === parseOperand() }
       else if (pos + 1 < s.length && "!=" == s.substring(pos, pos + 2)) { pos += 2; left =!= parseOperand() }
@@ -344,6 +351,24 @@ object Template {
       else if (pos < s.length && s.charAt(pos) == '>') { pos += 1; left > parseOperand() }
       else left // bare truthy column, e.g. {% if flag %}
     }
+    /** `('literal')` argument of a tera test. */
+    private def parseParenString(): String = {
+      ws()
+      require(pos < s.length && s.charAt(pos) == '(', s"expected ( in: $s")
+      pos += 1; ws()
+      require(pos < s.length && (s.charAt(pos) == '\'' || s.charAt(pos) == '"'),
+        s"expected quoted string in: $s")
+      val q = s.charAt(pos); pos += 1
+      val start = pos
+      while (pos < s.length && s.charAt(pos) != q) pos += 1
+      require(pos < s.length, s"unterminated string in: $s")
+      val v = s.substring(start, pos)
+      pos += 1; ws()
+      require(pos < s.length && s.charAt(pos) == ')', s"expected ) in: $s")
+      pos += 1
+      v
+    }
+
     private def parseOperand(): Column = {
       ws()
       val start = pos

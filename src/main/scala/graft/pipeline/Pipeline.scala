@@ -50,6 +50,17 @@ object Pipeline {
     if (pattern.contains("{{") || pattern.contains("{%")) Template.render(pattern)
     else expr(pattern)
 
+  /** Compile a validator-rule pattern to a BOOLEAN Column. chewdata rule
+    * patterns are tera templates that must render the string "true"/"false"
+    * (reference: src/step/validator.rs docs — `{%- if input.number == 10
+    * -%} true {%- else -%} false {%- endif -%}`); a rendered template is a
+    * string column, so coerce by trimmed equality. Plain SQL patterns
+    * (`n > 0`) compile to boolean directly. */
+  def compileBoolPattern(pattern: String): Column =
+    if (pattern.contains("{{") || pattern.contains("{%"))
+      trim(Template.render(pattern)) === "true"
+    else expr(pattern)
+
   final case class Parsed(steps: Seq[Step])
 
   // ---- config parsing ----------------------------------------------------
@@ -218,7 +229,7 @@ object Pipeline {
     * append messages into `_error`. Returns (ok, err) split. */
   def applyRules(df: DataFrame, rules: Seq[Rule], sep: String): (DataFrame, DataFrame) = {
     val err = nullif(concat_ws(sep,
-      rules.map(r => when(!compilePattern(r.pattern), lit(r.message))): _*), lit(""))
+      rules.map(r => when(!compileBoolPattern(r.pattern), lit(r.message))): _*), lit(""))
     val tagged = df.withColumn("_error", err)
     (tagged.filter(col("_error").isNull).drop("_error"),
      tagged.filter(col("_error").isNotNull))

@@ -297,6 +297,26 @@ class PipelineSpec extends SparkSpec {
     assert(conn.load(spark).count() == 6)
   }
 
+  test("validator accepts chewdata tera rule patterns (render-to-true/false)") {
+    // the reference's own documented rule shape: a template rendering the
+    // string "true"/"false", with ws-control tags and tera tests
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":
+        |   "[{\"number\":10,\"text\":\"say hello world now\"},{\"number\":3,\"text\":\"nope\"}]"}},
+        | {"type":"validator","rules":{
+        |   "number_rule":{"pattern":"{%- if input.number == 10 -%} true {%- else -%} false {%- endif -%}",
+        |                  "message":"number must be 10"},
+        |   "text_rule":{"pattern":"{%- if input.text is matching('.*hello world.*') -%} true {%- else -%} false {%- endif -%}",
+        |                "message":"text must greet"}}}
+        |]""".stripMargin)
+    val ok = flow.ok.get.collect()
+    val err = flow.err.get.collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("number") == 10L)
+    assert(err.length == 1 &&
+      err.head.getAs[String]("_error") == "number must be 10; text must greet")
+  }
+
   test("pipeline e2e: curl reader config with auth + pagination + transform") {
     // a full chewdata-style config whose source is an authenticated,
     // paginated HTTP API — transport injected, everything else config-driven
