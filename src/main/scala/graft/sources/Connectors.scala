@@ -243,10 +243,19 @@ final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
   *  - offset + unknown count → sequential driver walk until an empty page
   *  - cursor → sequential driver walk on the next-token chain
   * and every body parses through distributed JSON inference. */
+/** Total-count probe (reference: counter/curl/body.rs): one driver-side
+  * request whose response body carries the collection size at `entryPath`,
+  * upgrading an unknown-count offset paginator to the parallel
+  * page-per-partition path. (The reference's header counter reads a
+  * response header; the transport here is body-only, so that variant is
+  * out of scope.) */
+final case class BodyCounter(entryPath: String = "/count", path: Option[String] = None)
+
 final case class CurlConnector(endpoint: String, path: String = "",
                                headers: Map[String, String] = Map.empty,
                                paginator: HttpPaginator = OffsetPaginator(),
-                               transport: Http.Transport = Http.noTransport)
+                               transport: Http.Transport = Http.noTransport,
+                               counter: Option[BodyCounter] = None)
     extends Connector {
 
   /** Fill pagination slots: mustache substitution if present, else query
@@ -274,7 +283,17 @@ final case class CurlConnector(endpoint: String, path: String = "",
     import spark.implicits._
     val t = transport
     val hs = headers
-    paginator match {
+    // a configured counter turns an unknown total into a known one with a
+    // single probe call, unlocking parallel pagination
+    val effective = (paginator, counter) match {
+      case (op @ OffsetPaginator(_, _, None), Some(c)) =>
+        val url = c.path.map(endpoint + _).getOrElse(urlFor(Map.empty))
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(t(url, hs)).at(c.entryPath)
+        if (node.isMissingNode || node.isNull) op else op.copy(count = Some(node.asLong()))
+      case (p, _) => p
+    }
+    effective match {
       case OffsetPaginator(limit, skip, Some(count)) =>
         val nPages = math.max(0L, (count - skip + limit - 1) / limit).toInt
         // URLs planned on the driver (cheap strings), fetched one page per
@@ -402,7 +421,14 @@ object Connector {
           .getOrElse(if (node.has("pages"))
             OffsetPaginator(limit = 1, skip = 0, count = Some(node.get("pages").asLong()))
           else OffsetPaginator())
-        CurlConnector(str("endpoint"), str("path"), headers ++ auth, pag, transport)
+        val counter = Option(node.get("counter_type"))
+          .orElse(Option(node.get("counter")))
+          .map { c =>
+            BodyCounter(
+              if (c.has("entry_path")) c.get("entry_path").asText() else "/count",
+              if (c.has("path")) Some(c.get("path").asText()) else None)
+          }
+        CurlConnector(str("endpoint"), str("path"), headers ++ auth, pag, transport, counter)
       case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
         str("collection"))
       case other => throw new IllegalArgumentException(s"unknown connector type: $other")

@@ -334,6 +334,19 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id2")).toSeq == (0L until 6L).map(_ * 2))
   }
 
+  test("curl config: body counter probe unlocks parallel offset pagination") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfg = mapper.readTree(
+      """{"type":"curl","endpoint":"http://api.test","path":"/items",
+        |  "authenticator_type":{"type":"basic","username":"u","password":"p"},
+        |  "paginator_type":{"type":"offset","limit":2},
+        |  "counter_type":{"type":"body","entry_path":"/total","path":"/items/count"}}""".stripMargin)
+    val conn = sources.Connector.fromConfig(cfg, "json", Documents.DocOptions(),
+      transport = PipelineSpec.loopbackTransport)
+    val rows = conn.load(spark).orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until 6L))
+  }
+
   test("jwt HS256 signing matches the RFC 7515 reference vector") {
     val token = sources.Jwt.sign(
       """{"sub":"1234567890","name":"John Doe","iat":1516239022}""",
@@ -464,12 +477,15 @@ object PipelineSpec {
   val loopbackTransport: Http.Transport = (url, headers) => {
     require(headers.get("Authorization").contains("Basic dTpw"),
       s"unauthenticated call: $url")
+    if (url.contains("/items/count")) """{"total":6}"""
+    else {
     val q = url.dropWhile(_ != '?').drop(1).split("&").filter(_.nonEmpty)
       .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
     val limit = q("limit").toInt
     val skip = q("skip").toInt
     (skip until math.min(skip + limit, 6))
       .map(i => s"""{"id":$i}""").mkString("[", ",", "]")
+    }
   }
 
   /** Cursor-chained API: three pages linked by meta.next tokens. */
