@@ -229,6 +229,137 @@ object Relational2 {
       |  (SELECT sum(c_acctbal) * 0.05 FROM customer WHERE c_acctbal > 0)
       |ORDER BY nation_bal DESC, c_nationkey""".stripMargin
 
+  /** Q8-like: a nation's market share of STANDARD-part volume sold into
+    * EUROPE customers, per order year. Decimal volume sums (exact,
+    * order-independent) feed one double division at the end, so the share
+    * hash-matches the oracle bit-for-bit. Small sides (nation, region,
+    * supplier) broadcast; the two nation roles join under distinct aliases.
+    * No partsupp table in the dataset, so the min-cost-supplier family
+    * (Q2/Q20) is out of scope by data, not by design. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vol = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+    val cnation = t.nation.select(col("n_nationkey").as("cn_key"),
+      col("n_regionkey").as("cn_region"))
+    val snation = t.nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    t.lineitem
+      .join(t.part.filter(col("p_type") === "STANDARD"), col("l_partkey") === col("p_partkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+        col("cn_region") === col("r_regionkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(snation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(16,4)"))).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Sql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |  AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q13-like: customer order-count distribution (left join keeps
+    * zero-order customers; the double groupBy is two cheap shuffles). */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey, o_orderkey FROM orders
+      |    WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15-like: the top revenue supplier(s) of 1996Q1. Revenue sums in
+    * exact decimal, the max threshold rides a broadcast crossJoin (lazy,
+    * no plan-build job), and the decimal equality is exact — no
+    * double-tie ambiguity. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vol = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(vol).as("total_rev"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables(spark, dir).supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin
+
+  /** Q17-like: revenue impact of below-average-quantity small orders
+    * (per-part average via a second aggregation + join back — the same
+    * skew-safe two-phase shape as q_doc_freq_score; the avg is an
+    * integer-rational division, so the 0.8 threshold compares exactly). */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pl = t.lineitem
+      .join(t.part.filter(col("p_type") === "SMALL"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgs = pl.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"))
+    pl.join(avgs, "l_partkey")
+      .filter(col("l_quantity") < lit(0.8) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """WITH pl AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_type = 'SMALL'),
+      |a AS (SELECT l_partkey,
+      |    CAST(sum(l_quantity) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
+      |  FROM pl GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM pl JOIN a USING (l_partkey) WHERE l_quantity < 0.8 * avg_qty""".stripMargin
+
   /** Q16-like: distinct supplier reach per (brand, type-prefix) excluding a
     * brand pattern. */
   def q16SupplierReach(spark: SparkSession, dir: String): DataFrame = {
@@ -306,7 +437,11 @@ object Relational2 {
     "q_array_funcs"     -> ((qArrayFuncs _, Some(qArrayFuncsSql))),
     "q4_late_orders"    -> ((q4LateOrders _, Some(q4Sql))),
     "q7_nation_volume"  -> ((q7NationVolume _, Some(q7Sql))),
+    "q8_market_share"   -> ((q8MarketShare _, Some(q8Sql))),
     "q9_profit"         -> ((q9Profit _, Some(q9Sql))),
+    "q13_custdist"      -> ((q13CustDist _, Some(q13Sql))),
+    "q15_top_supplier"  -> ((q15TopSupplier _, Some(q15Sql))),
+    "q17_small_qty"     -> ((q17SmallQty _, Some(q17Sql))),
     "q10_returned"      -> ((q10Returned _, Some(q10Sql))),
     "q14_promo_share"   -> ((q14PromoShare _, Some(q14Sql))),
     "q18_large_orders"  -> ((q18LargeOrders _, Some(q18Sql))),
