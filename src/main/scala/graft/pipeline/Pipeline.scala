@@ -3,7 +3,7 @@ package graft.pipeline
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 import graft.functions.Template
-import graft.sources.{Connector, Documents}
+import graft.sources.{CliConnector, Connector, Documents}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -74,7 +74,14 @@ object Pipeline {
             transport: graft.sources.Http.Transport = graft.sources.Http.noTransport): Parsed = {
     val trimmed = hjsonLite(config.trim)
     val root =
-      if (trimmed.startsWith("[") || trimmed.startsWith("{")) jsonMapper.readTree(trimmed)
+      if (trimmed.startsWith("[") || trimmed.startsWith("{"))
+        // strict JSON first; full HJSON (unquoted keys/values, newline
+        // separators — what the reference's own example configs use) as the
+        // fallback, normalized to strict JSON by graft.pipeline.Hjson
+        try jsonMapper.readTree(trimmed)
+        catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
+          jsonMapper.readTree(Hjson.toJson(trimmed))
+        }
       else yamlMapper.readTree(trimmed)
     Parsed(root.elements().asScala.map(parseStep(_, transport)).toSeq)
   }
@@ -158,8 +165,12 @@ object Pipeline {
       val doc = node.get("document")
       if (doc != null && doc.has("type")) doc.get("type").asText() else "json"
     }
+    // reference default: a reader/writer without a connector talks to
+    // stdio (`{ "type": "writer" }` in the chewdata examples)
     def connector: Connector =
-      Connector.fromConfig(node.get("connector"), docType, docOpts, transport)
+      Option(node.get("connector"))
+        .map(Connector.fromConfig(_, docType, docOpts, transport))
+        .getOrElse(CliConnector(docType))
 
     str("type") match {
       case "reader" | "read" | "r" => Reader(str("name", "reader"), connector, dataType)

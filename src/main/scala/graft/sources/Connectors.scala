@@ -112,30 +112,58 @@ final case class JdbcConnector(url: String, table: String,
       .save()
 }
 
-/** JWT compact-serialization signing, HMAC family (RFC 7515/7519 — public
-  * standards; reference: src/connector/authenticator/jwt.rs signs claims
-  * with `secret`/`base64secret` signing types, HS256 default). Asymmetric
-  * types (RSA/EC) would ride java.security.Signature the same way; only the
-  * HMAC family is wired since it covers the reference's default path. */
+/** JWT compact-serialization signing (RFC 7515/7519 — public standards;
+  * reference: src/connector/authenticator/jwt.rs signs claims with
+  * signing types secret/base64secret/rsa_pem/rsa_components, HS256
+  * default). HMAC rides javax.crypto.Mac; RSA rides
+  * java.security.Signature with a PKCS#8 PEM key or RFC 7517 JWK
+  * components. EC signing types are not wired (no reference example
+  * exercises them). */
 object Jwt {
+
   def sign(claimsJson: String, key: String, algorithm: String = "HS256",
-           base64Key: Boolean = false): String = {
-    val macAlg = algorithm match {
-      case "HS256" => "HmacSHA256"
-      case "HS384" => "HmacSHA384"
-      case "HS512" => "HmacSHA512"
-      case other => throw new IllegalArgumentException(
-        s"unsupported JWT algorithm: $other (supported: HS256/HS384/HS512)")
-    }
+           signingType: String = "secret"): String = {
     val enc = java.util.Base64.getUrlEncoder.withoutPadding
     val header = s"""{"alg":"$algorithm","typ":"JWT"}"""
     val input = enc.encodeToString(header.getBytes("UTF-8")) + "." +
       enc.encodeToString(claimsJson.getBytes("UTF-8"))
-    val keyBytes =
-      if (base64Key) java.util.Base64.getDecoder.decode(key) else key.getBytes("UTF-8")
-    val mac = javax.crypto.Mac.getInstance(macAlg)
-    mac.init(new javax.crypto.spec.SecretKeySpec(keyBytes, macAlg))
-    input + "." + enc.encodeToString(mac.doFinal(input.getBytes("UTF-8")))
+    val sig = algorithm match {
+      case "HS256" | "HS384" | "HS512" =>
+        val macAlg = "HmacSHA" + algorithm.drop(2)
+        val keyBytes =
+          if (signingType == "base64secret") java.util.Base64.getDecoder.decode(key)
+          else key.getBytes("UTF-8")
+        val mac = javax.crypto.Mac.getInstance(macAlg)
+        mac.init(new javax.crypto.spec.SecretKeySpec(keyBytes, macAlg))
+        mac.doFinal(input.getBytes("UTF-8"))
+      case "RS256" | "RS384" | "RS512" =>
+        val s = java.security.Signature.getInstance("SHA" + algorithm.drop(2) + "withRSA")
+        s.initSign(rsaPrivateKey(key, signingType))
+        s.update(input.getBytes("UTF-8"))
+        s.sign()
+      case other => throw new IllegalArgumentException(
+        s"unsupported JWT algorithm: $other (supported: HS256/384/512, RS256/384/512)")
+    }
+    input + "." + enc.encodeToString(sig)
+  }
+
+  /** RSA private key from a PKCS#8 PEM (`rsa_pem`/`rsa_der`) or a JWK's
+    * n/d components (`rsa_components`, RFC 7517). */
+  private def rsaPrivateKey(key: String, signingType: String): java.security.PrivateKey = {
+    val kf = java.security.KeyFactory.getInstance("RSA")
+    signingType match {
+      case "rsa_pem" | "rsa_der" =>
+        val der = java.util.Base64.getMimeDecoder.decode(
+          key.replaceAll("-----[A-Z ]+-----", ""))
+        kf.generatePrivate(new java.security.spec.PKCS8EncodedKeySpec(der))
+      case "rsa_components" | "jwk" =>
+        val jwk = new com.fasterxml.jackson.databind.ObjectMapper().readTree(key)
+        def big(f: String): java.math.BigInteger =
+          new java.math.BigInteger(1, java.util.Base64.getUrlDecoder.decode(jwk.get(f).asText()))
+        kf.generatePrivate(new java.security.spec.RSAPrivateKeySpec(big("n"), big("d")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported RSA signing type: $other (rsa_pem/rsa_der/rsa_components)")
+    }
   }
 }
 
@@ -175,10 +203,10 @@ object HttpConnector {
   def bearerAuth(token: String): (String, String) = "Authorization" -> s"Bearer $token"
   /** Pre-signed JWT pass-through. */
   def jwtAuth(token: String): (String, String) = bearerAuth(token)
-  /** JWT signed from claims (reference: authenticator/jwt.rs HS* path). */
+  /** JWT signed from claims (reference: authenticator/jwt.rs). */
   def jwtSignedAuth(claimsJson: String, key: String, algorithm: String = "HS256",
-                    base64Key: Boolean = false): (String, String) =
-    bearerAuth(Jwt.sign(claimsJson, key, algorithm, base64Key))
+                    signingType: String = "secret"): (String, String) =
+    bearerAuth(Jwt.sign(claimsJson, key, algorithm, signingType))
 }
 
 /** HTTP endpoint with offset pagination (reference: curl.rs +
@@ -255,7 +283,8 @@ final case class CurlConnector(endpoint: String, path: String = "",
                                headers: Map[String, String] = Map.empty,
                                paginator: HttpPaginator = OffsetPaginator(),
                                transport: Http.Transport = Http.noTransport,
-                               counter: Option[BodyCounter] = None)
+                               counter: Option[BodyCounter] = None,
+                               auth: Option[() => (String, String)] = None)
     extends Connector {
 
   /** Fill pagination slots: mustache substitution if present, else query
@@ -282,7 +311,10 @@ final case class CurlConnector(endpoint: String, path: String = "",
   override def load(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val t = transport
-    val hs = headers
+    // auth evaluates at LOAD time, not config-parse time (the reference
+    // authenticates per request; key material may come from a refresh
+    // flow only reachable when the job runs)
+    val hs = headers ++ auth.map(_())
     // a configured counter turns an unknown total into a known one with a
     // single probe call, unlocking parallel pagination
     val effective = (paginator, counter) match {
@@ -367,9 +399,13 @@ object Connector {
           if (a.has("claims")) a.get("claims").toString
           else if (a.has("payload")) a.get("payload").toString
           else "{}"
-        HttpConnector.jwtSignedAuth(claims, s("key"),
-          s("algorithm", s("algo", "HS256")),
-          s("signing_type", s("signing", "secret")) == "base64secret")
+        val signing = s("signing_type", s("signing", "secret"))
+        // rsa_components keys travel as a JWK object (RFC 7517)
+        val key =
+          if (a.has("jwk") && signing.startsWith("rsa")) a.get("jwk").toString
+          else s("key")
+        HttpConnector.jwtSignedAuth(claims, key,
+          s("algorithm", s("algo", "HS256")), signing)
       case other => throw new IllegalArgumentException(
         s"unknown authenticator type: $other (basic/bearer/jwt)")
     }
@@ -413,7 +449,7 @@ object Connector {
         val auth = Option(node.get("authenticator_type"))
           .orElse(Option(node.get("authenticator")))
           .orElse(Option(node.get("auth")))
-          .map(authHeader)
+          .map(a => () => authHeader(a))
         val pag = Option(node.get("paginator_type"))
           .orElse(Option(node.get("paginator")))
           .map(paginator)
@@ -428,7 +464,7 @@ object Connector {
               if (c.has("entry_path")) c.get("entry_path").asText() else "/count",
               if (c.has("path")) Some(c.get("path").asText()) else None)
           }
-        CurlConnector(str("endpoint"), str("path"), headers ++ auth, pag, transport, counter)
+        CurlConnector(str("endpoint"), str("path"), headers, pag, transport, counter, auth)
       case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
         str("collection"))
       case other => throw new IllegalArgumentException(s"unknown connector type: $other")

@@ -63,6 +63,39 @@ class CompatSpec extends SparkSpec {
       == "Long val\nto test")
   }
 
+  test("every reference example config parses") {
+    // extract the raw r#"[...]"# config literals the reference's own
+    // examples feed to chewdata, and parse each with graft's pipeline
+    // compiler — the "a chewdata user can bring their configs" claim,
+    // checked against the reference's real configs (parse-level: the
+    // examples point at live endpoints/paths this environment lacks)
+    import scala.jdk.CollectionConverters._
+    val exampleDir = java.nio.file.Paths.get("/root/reference/examples")
+    val rsFiles = java.nio.file.Files.list(exampleDir).iterator().asScala
+      .filter(_.toString.endsWith(".rs")).toSeq.sortBy(_.toString)
+    assert(rsFiles.nonEmpty)
+    val ConfigBlock = raw"""(?s)r#"\s*(\[.*?\])\s*"#""".r
+    var parsed = 0
+    val failures = Seq.newBuilder[String]
+    rsFiles.foreach { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      ConfigBlock.findAllMatchIn(src).foreach { m =>
+        // the reference substitutes {{ ENV_VAR }} into the raw config text
+        // BEFORE parsing (src/main.rs: apply_with_prefix); an unquoted
+        // `"jwk": {{ JWK }}` is only parseable post-substitution, so stand
+        // in a literal for bare (unquoted) substitution slots
+        val cfg = m.group(1).replaceAll(":\\s*\\{\\{[^}]*\\}\\}", ": \"substituted\"")
+        try { pipeline.Pipeline.parse(cfg); parsed += 1 }
+        catch { case e: Throwable =>
+          failures += s"${f.getFileName}: ${e.getMessage.linesIterator.next()}"
+        }
+      }
+    }
+    val failed = failures.result()
+    assert(parsed >= 25, s"only $parsed configs extracted/parsed")
+    assert(failed.isEmpty, s"${failed.size} configs failed:\n${failed.mkString("\n")}")
+  }
+
   test("transform-mapping example shape: actions + referential mapping") {
     // mirrors examples/transform-mapping.rs: enrich each record through the
     // mapping referential, add a computed field, drop one, replace one
