@@ -61,6 +61,30 @@ class PlansSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("round-3 queries: no cartesian products; broadcast where expected") {
+    Seq(
+      queries.Relational2.q8MarketShare(spark, sf),
+      queries.Relational2.q13CustDist(spark, sf),
+      queries.Relational2.q15TopSupplier(spark, sf),
+      queries.Relational2.q17SmallQty(spark, sf),
+      queries.DataOps.qContamination(spark, sf),
+      queries.DataOps.qTfidf(spark, sf),
+      queries.DataOps.qPackSequences(spark, sf),
+      queries.DataOps.qDocFreqScore(spark, sf)).foreach { df =>
+      assert(!planString(df).contains("CartesianProduct"))
+    }
+    // the contamination benchmark gram set broadcasts (corpus side stays put)
+    assert(planString(queries.DataOps.qContamination(spark, sf))
+      .contains("BroadcastHashJoin"))
+    // doc-freq is two-phase agg + join, NOT a window over the skewed term key
+    val dfs = planString(queries.DataOps.qDocFreqScore(spark, sf))
+    assert(!dfs.contains("Window"))
+    // pack-sequences windows are shard-partitioned, never a global window
+    val packPlan = queries.DataOps.qPackSequences(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(packPlan.contains("windowspecdefinition(shard"))
+  }
+
   test("vector_sum aggregate matches the exploded per-dim sum") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
