@@ -128,11 +128,12 @@ object Hjson {
 
     private def parseUnquoted(sb: StringBuilder): Unit = {
       val start = pos
-      while (pos < s.length && s.charAt(pos) != '\n' &&
+      // lenient vs the strict spec (which runs to newline, commas and all):
+      // ',' '}' ']' terminate, so `a: b, c: d` and `[1, 2]` parse the way
+      // config authors mean them; quote values that contain those chars
+      while (pos < s.length && s.charAt(pos) != '\n' && s.charAt(pos) != ',' &&
              s.charAt(pos) != '}' && s.charAt(pos) != ']') pos += 1
-      var raw = s.substring(start, pos).trim
-      // lenient: end-of-line comma after an unquoted value is a separator
-      if (raw.endsWith(",")) raw = raw.dropRight(1).trim
+      val raw = s.substring(start, pos).trim
       require(raw.nonEmpty, s"empty value at offset $start")
       if (raw == "true" || raw == "false" || raw == "null" || NumPat.matches(raw)) sb ++= raw
       else appendJsonString(sb, raw)

@@ -155,6 +155,35 @@ class PipelineSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("no egress")))
   }
 
+  test("hjson normalizer: unquoted keys/values, newline separators, multiline") {
+    import graft.pipeline.Hjson
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // unquoted keys and values, newline-separated members, trailing comma
+    val n1 = mapper.readTree(Hjson.toJson(
+      """[{
+        |  type: reader
+        |  name: r1
+        |  "count": 3,
+        |  enabled: true
+        |  ratio: 1.5
+        |}]""".stripMargin))
+    val o1 = n1.get(0)
+    assert(o1.get("type").asText() == "reader" && o1.get("name").asText() == "r1")
+    assert(o1.get("count").asInt() == 3 && o1.get("enabled").asBoolean())
+    assert(o1.get("ratio").asDouble() == 1.5)
+    // missing comma between quoted members (the reference's example style)
+    val n2 = mapper.readTree(Hjson.toJson(
+      "{\n  \"field\": \"/\"\n  \"pattern\": \"{{ x }}\"\n}"))
+    assert(n2.get("field").asText() == "/" && n2.get("pattern").asText() == "{{ x }}")
+    // multiline string + single quotes
+    val n3 = mapper.readTree(Hjson.toJson("{ a: 'x y', b: '''\nline1\nline2\n''' }"))
+    assert(n3.get("a").asText() == "x y")
+    assert(n3.get("b").asText() == "line1\nline2")
+    // empty containers and nesting
+    assert(Hjson.toJson("[]") == "[]")
+    assert(Hjson.toJson("{ a: { b: [1, 2] } }") == """{"a":{"b":[1,2]}}""")
+  }
+
   test("hjson-lite config: comments and trailing commas accepted") {
     val flow = Pipeline.run(spark,
       """[
