@@ -25,7 +25,8 @@ import scala.jdk.CollectionConverters._
 object Pipeline {
 
   sealed trait Step { def dataType: String }
-  final case class Reader(name: String, connector: Connector, dataType: String) extends Step
+  final case class Reader(name: String, connector: Connector, dataType: String,
+                          stream: Boolean = false) extends Step
   final case class Writer(connector: Connector, dataType: String) extends Step
   final case class Transformer(actions: Seq[Action], dataType: String) extends Step
   final case class Validator(rules: Seq[Rule], errorSeparator: String, dataType: String) extends Step
@@ -173,7 +174,9 @@ object Pipeline {
         .getOrElse(CliConnector(docType))
 
     str("type") match {
-      case "reader" | "read" | "r" => Reader(str("name", "reader"), connector, dataType)
+      case "reader" | "read" | "r" =>
+        Reader(str("name", "reader"), connector, dataType,
+          stream = node.has("stream") && node.get("stream").asBoolean())
       case "writer" | "write" | "w" => Writer(connector, dataType)
       case "transformer" | "transform" | "t" =>
         val actions = Option(node.get("actions")).map(_.elements().asScala.map { a =>
@@ -253,7 +256,8 @@ object Pipeline {
     try graft.plans.GraftExtensions.register(spark) catch { case _: Throwable => () }
     parsed.steps.foldLeft(Flow(None, None)) { (flow, step) =>
       step match {
-        case Reader(_, conn, dt)  => flow.updated(dt, conn.load(spark))
+        case Reader(_, conn, dt, stream) =>
+          flow.updated(dt, if (stream) conn.loadStream(spark) else conn.load(spark))
         case Generator(n, dt)     => flow.updated(dt, spark.range(n).toDF("id"))
         case Eraser(conn, _)      => conn.erase(spark); flow
         case Transformer(actions, dt) =>
@@ -311,7 +315,9 @@ object Pipeline {
             flow.updated(dt, out)
           }.getOrElse(flow)
         case Writer(conn, dt) =>
-          flow(dt).foreach(df => conn.save(df))
+          // a streaming flow (reader had "stream": true) writes through the
+          // streaming sink; the SAME config otherwise runs batch
+          flow(dt).foreach(df => if (df.isStreaming) conn.saveStream(df) else conn.save(df))
           flow
       }
     }

@@ -25,6 +25,14 @@ sealed trait Connector {
   /** Eraser-step support: remove the target's contents. */
   def erase(spark: SparkSession): Unit =
     throw new UnsupportedOperationException(s"$this cannot be erased")
+  /** Structured-Streaming source (`"stream": true` on a reader step). */
+  def loadStream(spark: SparkSession): DataFrame =
+    throw new UnsupportedOperationException(s"$this cannot be read as a stream")
+  /** Structured-Streaming sink: drains all available input (AvailableNow),
+    * so a streaming config behaves like a batch run that happens to go
+    * through the streaming engine — rerun it to pick up new files. */
+  def saveStream(df: DataFrame): Unit =
+    throw new UnsupportedOperationException(s"$this cannot be written as a stream")
 }
 
 /** Local filesystem (or any Hadoop-FS URI incl. s3a://) + document format.
@@ -40,6 +48,39 @@ final case class LocalConnector(path: String, docType: String = "json",
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** File stream over the same path: the schema comes from one static pass
+    * (a streaming source needs it up front), then readStream watches the
+    * directory. New files appearing later are picked up by reruns (or a
+    * long-running trigger if the caller starts one). */
+  override def loadStream(spark: SparkSession): DataFrame = {
+    val schema = Documents.read(spark, docType, path, opts).schema
+    val r = spark.readStream.schema(schema)
+    docType match {
+      case "parquet" => r.parquet(path)
+      case "json" | "jsonl" => r.json(path)
+      case "csv" => r.option("header", opts.header).option("sep", opts.delimiter).csv(path)
+      case "text" => spark.readStream.text(path)
+      case other => throw new UnsupportedOperationException(
+        s"streaming reader not supported for document type $other")
+    }
+  }
+
+  override def saveStream(df: DataFrame): Unit = {
+    val fmt = docType match {
+      case "parquet" | "orc" | "csv" | "text" => docType
+      case "json" | "jsonl" => "json"
+      case other => throw new UnsupportedOperationException(
+        s"streaming writer not supported for document type $other")
+    }
+    df.writeStream
+      .format(fmt)
+      .option("path", path)
+      .option("checkpointLocation", path.stripSuffix("/") + "_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
   }
 }
 
