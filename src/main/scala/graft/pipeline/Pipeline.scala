@@ -160,7 +160,8 @@ object Pipeline {
         header = !doc.has("header") || doc.get("header").asBoolean(true),
         quote = if (doc.has("quote")) doc.get("quote").asText() else "\"",
         rowTag = if (doc.has("row_tag")) doc.get("row_tag").asText() else "row",
-        multiLine = doc.has("multi_line") && doc.get("multi_line").asBoolean())
+        multiLine = doc.has("multi_line") && doc.get("multi_line").asBoolean(),
+        entryPath = if (doc.has("entry_path")) doc.get("entry_path").asText() else "")
     }
     def docType: String = {
       val doc = node.get("document")

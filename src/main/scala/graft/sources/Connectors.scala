@@ -104,13 +104,14 @@ final case class BucketConnector(bucket: String, key: String,
 
 /** Literal data carried in the config (reference: in_memory.rs — accepts any
   * document type; also usable as a test sink: save buffers JSON rows). */
-final case class InMemoryConnector(data: String, docType: String = "json") extends Connector {
+final case class InMemoryConnector(data: String, docType: String = "json",
+                                   opts: DocOptions = DocOptions()) extends Connector {
   /** Rows written through save(), as JSON lines (driver-side test sink —
     * mirrors the reference's use of in_memory as an assertion buffer). */
   val written: scala.collection.mutable.ArrayBuffer[String] =
     scala.collection.mutable.ArrayBuffer.empty
   override def load(spark: SparkSession): DataFrame =
-    Documents.readString(spark, docType, data)
+    Documents.readString(spark, docType, data, opts)
   override def save(df: DataFrame, mode: SaveMode): Unit = {
     if (mode == SaveMode.Overwrite) written.clear()
     written ++= df.toJSON.collect()
@@ -476,7 +477,7 @@ object Connector {
           .map(n => scala.jdk.CollectionConverters.IteratorHasAsScala(n.elements()).asScala.map(_.asText()).toSeq)
           .getOrElse(Nil)
         LocalConnector(str("path"), docType, opts, parts)
-      case "mem" | "in_memory"    => InMemoryConnector(str("data"), docType)
+      case "mem" | "in_memory"    => InMemoryConnector(str("data"), docType, opts)
       case "cli" | "io"           => CliConnector(docType)
       case "bucket" | "bucket_select" => BucketConnector(str("bucket"), str("key"), docType, opts)
       case "psql" | "jdbc"        => JdbcConnector(str("url"), str("table"),

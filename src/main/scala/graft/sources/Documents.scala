@@ -20,14 +20,47 @@ object Documents {
       rowTag: String = "row",       // xml
       attributePrefix: String = "_", // xml attribute field prefix
       multiLine: Boolean = false,   // json array files / csv quoted newlines
-      wholetext: Boolean = false)   // text: one row per file
+      wholetext: Boolean = false,   // text: one row per file
+      entryPath: String = "")       // json pointer into each document (RFC 6901)
+
+  /** Descend a json-pointer into each record (reference: document/json.rs
+    * `entry_path` — the API-envelope case `{"data": [...]}`). Field
+    * segments descend structs, numeric segments index arrays; an array at
+    * the pointer explodes into rows, a struct spreads into columns, a
+    * scalar lands in a `value` column. Root-array indexing (`/0` on an
+    * array document) is not expressible here: Spark's JSON reader already
+    * explodes the root array into rows. */
+  private def applyEntryPath(df: DataFrame, pointer: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val parts = pointer.split("/").filter(_.nonEmpty)
+    if (parts.isEmpty) df
+    else {
+      val c = parts.foldLeft(struct(df.columns.map(col): _*)) { (acc, p) =>
+        if (p.forall(_.isDigit)) acc.getItem(p.toInt) else acc.getField(p)
+      }
+      val tmp = df.select(c.as("__entry"))
+      tmp.schema.head.dataType match {
+        case _: ArrayType =>
+          val ex = tmp.select(explode(col("__entry")).as("__e"))
+          ex.schema.head.dataType match {
+            case _: StructType => ex.select(col("__e.*"))
+            case _ => ex.withColumnRenamed("__e", "value")
+          }
+        case _: StructType => tmp.select(col("__entry.*"))
+        case _ => tmp.withColumnRenamed("__entry", "value")
+      }
+    }
+  }
+
+  private def withEntryPath(df: DataFrame, opts: DocOptions): DataFrame =
+    if (opts.entryPath.nonEmpty) applyEntryPath(df, opts.entryPath) else df
 
   def read(spark: SparkSession, docType: String, path: String,
            opts: DocOptions = DocOptions()): DataFrame = docType match {
     case "parquet" => spark.read.parquet(path)
     case "orc"     => spark.read.orc(path)
-    case "json"    => spark.read.option("multiLine", value = true).json(path)
-    case "jsonl"   => spark.read.json(path)
+    case "json"    => withEntryPath(spark.read.option("multiLine", value = true).json(path), opts)
+    case "jsonl"   => withEntryPath(spark.read.json(path), opts)
     case "csv"     => spark.read
       .option("header", opts.header).option("sep", opts.delimiter)
       .option("quote", opts.quote).option("inferSchema", value = true)
@@ -51,7 +84,7 @@ object Documents {
                  opts: DocOptions = DocOptions()): DataFrame = {
     import spark.implicits._
     docType match {
-      case "json" | "jsonl" => spark.read.json(Seq(data).toDS())
+      case "json" | "jsonl" => withEntryPath(spark.read.json(Seq(data).toDS()), opts)
       case "csv" =>
         spark.read.option("header", opts.header).option("sep", opts.delimiter)
           .option("quote", opts.quote).option("inferSchema", value = true)

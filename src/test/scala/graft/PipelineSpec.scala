@@ -418,6 +418,28 @@ class PipelineSpec extends SparkSpec {
     assert(verify(sources.Jwt.sign(claims, jwk, "RS256", "rsa_components")))
   }
 
+  test("json entry_path unwraps API envelopes") {
+    // reference: document/json.rs entry_path — target a field inside each
+    // document; the common curl-API envelope {"data": [...]}
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader",
+        |  "connector":{"type":"mem","data":
+        |    "{\"meta\":{\"n\":2},\"data\":[{\"id\":1,\"v\":\"a\"},{\"id\":2,\"v\":\"b\"}]}"},
+        |  "document":{"type":"json","entry_path":"/data"}}
+        |]""".stripMargin)
+    val rows = flow.ok.get.orderBy("id").collect()
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // struct pointer spreads into columns; scalar pointer lands in `value`
+    val m = InMemoryConnector("""{"meta":{"n":2},"data":[]}""", "json",
+      Documents.DocOptions(entryPath = "/meta"))
+    assert(m.load(spark).head().getAs[Long]("n") == 2L)
+    val s = InMemoryConnector("""{"meta":{"n":7},"data":[]}""", "json",
+      Documents.DocOptions(entryPath = "/meta/n"))
+    assert(s.load(spark).select("value").head().getLong(0) == 7L)
+  }
+
   test("in_memory accepts every document type literal") {
     def mem(data: String, dt: String) = InMemoryConnector(data, dt).load(spark)
     assert(mem("""[{"a":1},{"a":2}]""", "json").count() == 2)
