@@ -175,19 +175,24 @@ object Template {
                 var done = false
                 while (!done) {
                   val (b, c) = block(Set("elif", "else", "endif"))
+                  require(c.nonEmpty, "missing {% endif %}")
                   branches += ((cond, b)); closer = c
                   if (c.startsWith("elif")) cond = c.stripPrefix("elif").trim
                   else done = true
                 }
                 val otherwise =
-                  if (closer == "else") { val (b, _) = block(Set("endif")); Some(b) }
-                  else None
+                  if (closer == "else") {
+                    val (b, c) = block(Set("endif"))
+                    require(c.nonEmpty, "missing {% endif %}")
+                    Some(b)
+                  } else None
                 nodes += IfN(branches.result(), otherwise)
               case "for" =>
                 pos += 1
                 body match {
                   case ForTag(v, iter) =>
-                    val (b, _) = block(Set("endfor"))
+                    val (b, c) = block(Set("endfor"))
+                    require(c.nonEmpty, "missing {% endfor %}")
                     nodes += ForN(v, iter.trim, b)
                   case _ => throw new IllegalArgumentException(s"bad for tag: {% $body %}")
                 }

@@ -301,6 +301,14 @@ final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
   }
 }
 
+/** Total-count probe (reference: counter/curl/body.rs): one driver-side
+  * request whose response body carries the collection size at `entryPath`,
+  * upgrading an unknown-count offset paginator to the parallel
+  * page-per-partition path. (The reference's header counter reads a
+  * response header; the transport here is body-only, so that variant is
+  * out of scope.) */
+final case class BodyCounter(entryPath: String = "/count", path: Option[String] = None)
+
 /** Config-grade curl connector (reference: curl.rs — endpoint + path,
   * headers, authenticator, offset/cursor paginator, all wired from the
   * config node by `Connector.fromConfig`). The URL template honours
@@ -313,14 +321,6 @@ final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
   *  - offset + unknown count → sequential driver walk until an empty page
   *  - cursor → sequential driver walk on the next-token chain
   * and every body parses through distributed JSON inference. */
-/** Total-count probe (reference: counter/curl/body.rs): one driver-side
-  * request whose response body carries the collection size at `entryPath`,
-  * upgrading an unknown-count offset paginator to the parallel
-  * page-per-partition path. (The reference's header counter reads a
-  * response header; the transport here is body-only, so that variant is
-  * out of scope.) */
-final case class BodyCounter(entryPath: String = "/count", path: Option[String] = None)
-
 final case class CurlConnector(endpoint: String, path: String = "",
                                headers: Map[String, String] = Map.empty,
                                paginator: HttpPaginator = OffsetPaginator(),
