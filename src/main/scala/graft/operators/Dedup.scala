@@ -101,31 +101,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Representative assignment: min-id label propagation over the dup graph
-    * (fixed sweeps approximate connected components; each sweep is one
-    * aggregate + join, no driver iteration over rows). */
-  def representatives(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+  /** Representative assignment: min-id label propagation over the dup
+    * graph to true connected components. Each sweep does one edge
+    * propagation (labels flow one hop) PLUS one pointer-doubling pass
+    * (rep ← label(rep)), so reach grows geometrically — a duplicate chain
+    * of length 2^k resolves in ~k sweeps, not 2^k. Sweeps run until no
+    * label changes (one driver-side count per sweep, O(log diameter) of
+    * them), capped by maxIterations as a runaway guard. No driver
+    * iteration over rows — labels stay distributed throughout. */
+  def representatives(pairs: DataFrame, maxIterations: Int = 12): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the edge list feeds every propagation sweep — persist it or each
     // lazy iteration re-runs the whole upstream pair-discovery pipeline
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), first(col("a"))).as("rep"))
-    for (_ <- 1 until iterations) {
-      labels = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("id2"))
-        .agg(min(col("rep")).as("rep2"))
-        .withColumnRenamed("id2", "id").withColumnRenamed("rep2", "rep")
-        .join(labels.withColumnRenamed("rep", "repOld"), Seq("id"), "outer")
-        .select(col("id"), least(coalesce(col("rep"), col("repOld")),
-          coalesce(col("repOld"), col("rep"))).as("rep"))
+      .persist(MEMORY_AND_DISK)
+    labels.count()
+    var converged = false
+    var i = 1
+    while (!converged && i < maxIterations) {
+      // hop: take the min label among neighbours
+      val viaEdges = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id")).agg(min(col("rep")).as("rep"))
+      val hopped = labels.withColumnRenamed("rep", "repOld")
+        .join(viaEdges.withColumnRenamed("rep", "repNew"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("repOld"), coalesce(col("repNew"), col("repOld"))).as("rep"))
+      // double: follow the label's own label (path-halving)
+      val reps = hopped.select(col("id").as("rid"), col("rep").as("rrep"))
+      val next = hopped.join(reps, hopped("rep") === reps("rid"), "left")
+        .select(hopped("id"), least(hopped("rep"),
+          coalesce(col("rrep"), hopped("rep"))).as("rep"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") =!= col("prev")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      i += 1
     }
-    // materialize the (tiny) label table so the edge cache can release
-    val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
     edges.unpersist(blocking = false)
-    out
+    labels
   }
 
   // ---- simhash -----------------------------------------------------------

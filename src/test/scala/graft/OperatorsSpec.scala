@@ -119,8 +119,23 @@ class OperatorsSpec extends SparkSpec {
 
   test("representatives propagate min id over dup chains") {
     val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("a", "b")
-    val reps = Dedup.representatives(pairs, iterations = 3).collect()
+    val reps = Dedup.representatives(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps(3L) == 1L && reps(2L) == 1L && reps(11L) == 10L)
+  }
+
+  test("representatives resolve long chains and rings to one component") {
+    // a 9-node path (1-2-…-9): one-hop-per-sweep propagation with a fixed
+    // sweep count would split this; pointer doubling converges it
+    val chain = (1L until 9L).map(i => (i + 1, i)).toDF("a", "b")
+    val reps = Dedup.representatives(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(i => reps(i) == 1L), s"chain labels: $reps")
+    // a ring plus a separate component keep distinct representatives
+    val ring = Seq((20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L)).toDF("a", "b")
+    val r2 = Dedup.representatives(ring).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(20L, 21L, 22L).forall(i => r2(i) == 20L))
+    assert(r2(30L) == 30L && r2(31L) == 30L)
   }
 }
