@@ -116,30 +116,34 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(MEMORY_AND_DISK)
+    // labels₀ stays lazy: it is two cheap aggregations over the cached edge
+    // list, and the first sweep's materialization doubles as the first
+    // convergence check — one action per sweep, none upfront
     var labels = edges.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), first(col("a"))).as("rep"))
-      .persist(MEMORY_AND_DISK)
-    labels.count()
+    var cached: DataFrame = null // the persisted handle backing `labels`
     var converged = false
     var i = 1
     while (!converged && i < maxIterations) {
-      // hop: take the min label among neighbours
+      // hop: take the min label among neighbours (prev label rides along so
+      // the convergence check below is a scan of the cached result, not a
+      // second join job)
       val viaEdges = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min(col("rep")).as("rep"))
-      val hopped = labels.withColumnRenamed("rep", "repOld")
+      val hopped = labels.withColumnRenamed("rep", "prev")
         .join(viaEdges.withColumnRenamed("rep", "repNew"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("repOld"), coalesce(col("repNew"), col("repOld"))).as("rep"))
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("repNew"), col("prev"))).as("rep"))
       // double: follow the label's own label (path-halving)
       val reps = hopped.select(col("id").as("rid"), col("rep").as("rrep"))
       val next = hopped.join(reps, hopped("rep") === reps("rid"), "left")
-        .select(hopped("id"), least(hopped("rep"),
+        .select(hopped("id"), hopped("prev"), least(hopped("rep"),
           coalesce(col("rrep"), hopped("rep"))).as("rep"))
         .persist(MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .filter(col("rep") =!= col("prev")).limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val changed = next.filter(col("rep") =!= col("prev")).limit(1).count()
+      if (cached != null) cached.unpersist(blocking = false)
+      cached = next
+      labels = next.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1
     }
