@@ -63,6 +63,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("hjson normalizer is the identity on strict compact JSON") {
+    // random nested JSON: whatever Jackson serializes, Hjson re-emits
+    // byte-identically (quoted strings/numbers/bools pass through; only
+    // relaxed syntax gets rewritten)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rnd = new scala.util.Random(42)
+    def randValue(depth: Int): Object = rnd.nextInt(if (depth > 2) 4 else 6) match {
+      case 0 => java.lang.Long.valueOf(rnd.nextLong() % 100000)
+      case 1 => java.lang.Double.valueOf(math.round(rnd.nextDouble() * 1e6) / 1e3)
+      case 2 => java.lang.Boolean.valueOf(rnd.nextBoolean())
+      case 3 =>
+        val chars = "abc XYZ_09.:/{}#,\"\\\n\t-"
+        (0 until rnd.nextInt(12)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      case 4 =>
+        val m = new java.util.LinkedHashMap[String, Object]()
+        (0 until rnd.nextInt(4)).foreach(i => m.put(s"k$i", randValue(depth + 1)))
+        m
+      case _ =>
+        val l = new java.util.ArrayList[Object]()
+        (0 until rnd.nextInt(4)).foreach(_ => l.add(randValue(depth + 1)))
+        l
+    }
+    (1 to 200).foreach { _ =>
+      val root: Object = if (rnd.nextBoolean()) {
+        val m = new java.util.LinkedHashMap[String, Object]()
+        (0 until rnd.nextInt(5)).foreach(i => m.put(s"k$i", randValue(0)))
+        m
+      } else {
+        val l = new java.util.ArrayList[Object]()
+        (0 until rnd.nextInt(5)).foreach(_ => l.add(randValue(0)))
+        l
+      }
+      val json = mapper.writeValueAsString(root)
+      assert(graft.pipeline.Hjson.toJson(json) == json, s"not identity on: $json")
+    }
+  }
+
   test("minhash signature similarity tracks set jaccard") {
     val df = Seq(("p q r s t u v w x y", "p q r s t u v w x y", "aa bb cc dd ee ff gg hh ii jj"))
       .toDF("a", "b", "c")
