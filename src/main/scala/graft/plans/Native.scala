@@ -66,16 +66,12 @@ object GraftExtensions {
       colFn1(graft.operators.TextAnalysis.qualityScore)),
     ("graft_fingerprint", info("TextAnalysis", "sorted-token md5 fingerprint"),
       colFn1(graft.operators.TextAnalysis.fingerprintSorted)),
-    ("graft_fake_first_name", info("Faker", "deterministic first name from a seed"),
-      colFn1(graft.functions.Faker.firstName)),
-    ("graft_fake_last_name", info("Faker", "deterministic last name from a seed"),
-      colFn1(graft.functions.Faker.lastName)),
-    ("graft_fake_email", info("Faker", "deterministic email from a seed"),
-      colFn1(graft.functions.Faker.email)),
-    ("graft_fake_city", info("Faker", "deterministic city from a seed"),
-      colFn1(graft.functions.Faker.city)),
-    ("graft_fake_country_code", info("Faker", "deterministic country code from a seed"),
-      colFn1(graft.functions.Faker.countryCode)))
+  ) ++
+    // the full faker registry (reference: tera.rs:46-81 registers ~35
+    // fake_* functions) — graft_fake_*(seed) each, seed-deterministic
+    graft.functions.Faker.registry.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ("graft_" + name, info("Faker", s"deterministic $name from a seed"), colFn1(fn))
+    }
 
   /** Imperative registration for sessions built without the extension. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

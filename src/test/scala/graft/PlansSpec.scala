@@ -85,6 +85,24 @@ class PlansSpec extends SparkSpec {
     assert(packPlan.contains("windowspecdefinition(shard"))
   }
 
+  test("full faker registry is SQL-callable") {
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    spark.range(3).createOrReplaceTempView("fk_t")
+    val row = spark.sql(
+      """SELECT graft_fake_timezone(id) AS tz, graft_fake_ipv4(id) AS ip,
+        |  graft_fake_credit_card(id) AS cc, graft_fake_words(id) AS ws
+        |FROM fk_t WHERE id = 1""".stripMargin).head()
+    assert(graft.functions.Faker.timezones.contains(row.getString(0)))
+    assert(row.getString(1).split("\\.").length == 4)
+    assert(row.getString(2).length == 16 && row.getString(2).forall(_.isDigit))
+    assert(row.getString(3).split(" ").length == 3)
+    // every registry entry resolves
+    graft.functions.Faker.registry.keys.foreach { n =>
+      spark.sql(s"SELECT graft_$n(id) FROM fk_t LIMIT 1").collect()
+    }
+  }
+
   test("vector_sum aggregate matches the exploded per-dim sum") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
