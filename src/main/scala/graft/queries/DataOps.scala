@@ -115,6 +115,51 @@ object DataOps {
       |       greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3 AS score
       |FROM documents""".stripMargin
 
+  /** Gopher-style document filter rules (Rae et al. 2021, public paper —
+    * the standard pretraining quality gate): word-count bounds, mean word
+    * length bounds, minimum stopword presence, symbol-to-word ratio. Pure
+    * Column expressions in one codegen span; integer counts and rational
+    * divisions keep the oracle bit-exact. Thresholds follow the paper
+    * (50..100k words, mean length 3..10, ≥2 of 8 stopwords, <0.1
+    * hash/ellipsis per word). */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    val nWords = size(toks).cast("bigint")
+    val meanWl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+      nWords.cast("double")
+    val stopHits = stop8.map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val symbols = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("bigint")
+    val symbolRatio = symbols.cast("double") / nWords.cast("double")
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      stopHits.as("stop_hits"),
+      symbolRatio.as("symbol_ratio"),
+      (nWords.between(50L, 100000L) && meanWl.between(3.0, 10.0) &&
+        stopHits >= 2L && symbolRatio < 0.1).as("gopher_pass"))
+  }
+
+  val qGopherRulesSql: String = {
+    val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val hits = stop8.map(w =>
+      s"(CASE WHEN list_contains(string_split(lower(text), ' '), '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text,
+       |  len(string_split(lower(text), ' ')) AS n_words,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+       |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_wl,
+       |  CAST($hits AS BIGINT) AS stop_hits,
+       |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) /
+       |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS symbol_ratio
+       |FROM documents)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, stop_hits, symbol_ratio,
+       |  (n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3.0 AND 10.0
+       |   AND stop_hits >= 2 AND symbol_ratio < 0.1) AS gopher_pass
+       |FROM d""".stripMargin
+  }
+
   /** Stopword-profile language ID, oracle-checked: the same hit-count
     * argmax with fixed precedence is expressed in SQL. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
@@ -587,6 +632,7 @@ object DataOps {
     "q_dedup_simhash"  -> ((qDedupSimhash _, None)),
     "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
     "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
+    "q_gopher_rules"   -> ((qGopherRules _, Some(qGopherRulesSql))),
     "q_lang_id"        -> ((qLangId _, Some(qLangIdSql))),
     "q_fingerprint"    -> ((qFingerprint _, Some(qFingerprintSql))),
     "q_ann_topk"       -> ((qAnnTopk _, Some(qAnnTopkSql))),
