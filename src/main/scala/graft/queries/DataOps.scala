@@ -497,6 +497,46 @@ object DataOps {
       |  CAST(floor(greatest(len - 1, 0) / 256.0) AS BIGINT) + 1 AS n_frames
       |FROM m""".stripMargin
 
+  /** Deterministic mixture resampling: downsample every source to the
+    * smallest source's size (uniform target mix — the data-mixture
+    * rebalancing step of a training pipeline). Per-source keep
+    * probabilities come from one tiny aggregate (broadcast back); the
+    * keep decision is a pure content-hash threshold — reproducible across
+    * runs/partitions/cluster sizes, no RNG state. The threshold compares
+    * as zero-padded hex strings so both engines evaluate the identical
+    * integer floor. */
+  /** The resampling filter itself, reusable on any (source, id) frame:
+    * returns the kept rows (plus the per-source total as `n_s`). */
+  def mixtureResample(d: DataFrame, sourceCol: String, idCol: String): DataFrame = {
+    val counts = d.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min(col("n_s")).as("min_n"))
+    val p = col("min_n").cast("double") / col("n_s").cast("double")
+    // p < 1 ⇒ floor(p·2^32) fits in 8 hex chars; p == 1 (the smallest
+    // source) keeps everything and is special-cased — its 9-char threshold
+    // would otherwise truncate/compare wrong
+    val thresholdHex = lower(lpad(hex(floor(p * 4294967296.0).cast("bigint")), 8, "0"))
+    val u8 = substring(
+      md5(concat(col(sourceCol), lit("-"), col(idCol)).cast("binary")), 1, 8)
+    d.join(broadcast(counts), sourceCol).crossJoin(broadcast(minN))
+      .filter(col("n_s") === col("min_n") || u8 < thresholdHex)
+  }
+
+  def qMixtureResample(spark: SparkSession, dir: String): DataFrame =
+    mixtureResample(Tables(spark, dir).documents, "source", "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_s")).as("n_total"))
+
+  val qMixtureResampleSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+      |m AS (SELECT min(n_s) AS min_n FROM c),
+      |k AS (SELECT d.source, d.doc_id, c.n_s FROM documents d
+      |      JOIN c USING (source) CROSS JOIN m
+      |      WHERE n_s = min_n OR substr(md5(d.source || '-' || d.doc_id), 1, 8) <
+      |        printf('%08x', CAST(floor(CAST(min_n AS DOUBLE) / CAST(n_s AS DOUBLE)
+      |          * 4294967296.0) AS BIGINT)))
+      |SELECT source, count(*) AS n_kept, CAST(any_value(n_s) AS BIGINT) AS n_total
+      |FROM k GROUP BY source""".stripMargin
+
   // ---- training-batch construction & corpus reports ----------------------
 
   /** Sequence packing for training batches: documents pack greedily into
@@ -624,6 +664,7 @@ object DataOps {
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
+    "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),

@@ -117,6 +117,28 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+
+  test("mixture resampling equalizes skewed sources deterministically") {
+    val rows = (1L to 100L).map(i => ("big", i)) ++
+      (101L to 150L).map(i => ("mid", i)) ++
+      (151L to 160L).map(i => ("tiny", i))
+    val df = rows.toDF("source", "doc_id")
+    val kept = queries.DataOps.mixtureResample(df, "source", "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest source keeps everything; larger ones downsample toward
+    // its size (hash-threshold sampling is approximate, so allow spread)
+    assert(kept("tiny") == 10L)
+    assert(kept.getOrElse("big", 0L) >= 3L && kept("big") <= 20L, s"big: $kept")
+    assert(kept.getOrElse("mid", 0L) >= 3L && kept("mid") <= 20L, s"mid: $kept")
+    // deterministic: same input -> identical sample
+    val again = queries.DataOps.mixtureResample(df, "source", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val first = queries.DataOps.mixtureResample(df, "source", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == first)
+  }
+
   test("representatives propagate min id over dup chains") {
     val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("a", "b")
     val reps = Dedup.representatives(pairs).collect()
