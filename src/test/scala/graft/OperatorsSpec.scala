@@ -75,9 +75,15 @@ class OperatorsSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 2)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val out = Similarity.ivfTopK(emb, q, k = 5, nCentroids = 4, nprobe = 2)
-    val byQ = out.collect().groupBy(_.getAs[Long]("q_id"))
+    val rows = out.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
     assert(byQ.keySet == Set(0L, 1L))
     assert(byQ.values.forall(_.length == 5))
+    // self-recall: an in-corpus query lands in its own cell, so rank 1 is
+    // the query vector itself (cos 1.0) — the minimum quality bar any
+    // IVF index must clear
+    assert(rows.filter(_.getAs[Int]("rnk") == 1)
+      .forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("vec_id")))
   }
 
   test("lang id picks stopword-matching language") {
