@@ -117,6 +117,16 @@ final case class InMemoryConnector(data: String, docType: String = "json",
     written ++= df.toJSON.collect()
   }
   override def erase(spark: SparkSession): Unit = written.clear()
+  /** Streaming sink via foreachBatch: each micro-batch appends to the
+    * buffer (drains all available input, then returns). */
+  override def saveStream(df: DataFrame): Unit =
+    df.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => save(batch, SaveMode.Append))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mem-ckpt").toString)
+      .start()
+      .awaitTermination()
 }
 
 /** stdin/stdout passthrough (reference: cli.rs). Driver-side by nature. */

@@ -91,6 +91,19 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 20L), (2L, -6L), (3L, 14L)))
   }
 
+
+  test("in_memory streaming sink buffers micro-batches via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    input.addData(
+      EventStream.Event(1, ts(0), 1, "click", 1.0, "{}"),
+      EventStream.Event(2, ts(1), 2, "view", 2.0, "{}"))
+    val sink = graft.sources.InMemoryConnector("[]", "json")
+    sink.saveStream(input.toDF().select(col("event_id"), col("event_type")))
+    assert(sink.written.size == 2)
+    assert(sink.written.exists(_.contains("\"event_type\":\"click\"")))
+  }
+
   test("batch operators lift onto streams: validator rules + dedup") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
