@@ -161,7 +161,11 @@ object Pipeline {
         quote = if (doc.has("quote")) doc.get("quote").asText() else "\"",
         rowTag = if (doc.has("row_tag")) doc.get("row_tag").asText() else "row",
         multiLine = doc.has("multi_line") && doc.get("multi_line").asBoolean(),
-        entryPath = if (doc.has("entry_path")) doc.get("entry_path").asText() else "")
+        entryPath = if (doc.has("entry_path")) doc.get("entry_path").asText() else "",
+        maxRecordsPerFile =
+          if (doc.has("max_records_per_file")) doc.get("max_records_per_file").asLong() else 0L,
+        sortBy = Option(doc.get("sort_by"))
+          .map(n => n.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
     }
     def docType: String = {
       val doc = node.get("document")

@@ -21,7 +21,9 @@ object Documents {
       attributePrefix: String = "_", // xml attribute field prefix
       multiLine: Boolean = false,   // json array files / csv quoted newlines
       wholetext: Boolean = false,   // text: one row per file
-      entryPath: String = "")       // json pointer into each document (RFC 6901)
+      entryPath: String = "",       // json pointer into each document (RFC 6901)
+      maxRecordsPerFile: Long = 0,  // writer: cap rows per output file (0 = off)
+      sortBy: Seq[String] = Nil)    // writer: sortWithinPartitions before write
 
   /** Descend a json-pointer into each record (reference: document/json.rs
     * `entry_path` — the API-envelope case `{"data": [...]}`). Field
@@ -105,8 +107,17 @@ object Documents {
   def write(df: DataFrame, docType: String, path: String,
             opts: DocOptions = DocOptions(), mode: SaveMode = SaveMode.Overwrite,
             partitionBy: Seq[String] = Nil): Unit = {
+    // 100 TB writer hygiene: sortWithinPartitions improves parquet
+    // run-length/dictionary encoding (no shuffle — local sort only);
+    // maxRecordsPerFile caps output file size so downstream scans split
+    val sorted =
+      if (opts.sortBy.nonEmpty)
+        df.sortWithinPartitions(opts.sortBy.map(col): _*)
+      else df
     def w = {
-      val base = df.write.mode(mode)
+      var base = sorted.write.mode(mode)
+      if (opts.maxRecordsPerFile > 0)
+        base = base.option("maxRecordsPerFile", opts.maxRecordsPerFile)
       if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base
     }
     docType match {

@@ -418,6 +418,25 @@ class PipelineSpec extends SparkSpec {
     assert(verify(sources.Jwt.sign(claims, jwk, "RS256", "rsa_components")))
   }
 
+  test("writer honors max_records_per_file and sort_by") {
+    val dir = tmp("wopt") + "/out"
+    Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":
+         |   "[{\\"k\\":3},{\\"k\\":1},{\\"k\\":2},{\\"k\\":5},{\\"k\\":4},{\\"k\\":0}]"}},
+         | {"type":"writer","connector":{"type":"local","path":"$dir"},
+         |  "document":{"type":"parquet","max_records_per_file":2,"sort_by":["k"]}}
+         |]""".stripMargin)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 3, s"expected >=3 capped files, got ${parts.length}")
+    // each file is internally sorted (local sort, no shuffle)
+    parts.foreach { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath).collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"file not sorted: $ks")
+    }
+    assert(spark.read.parquet(dir).count() == 6)
+  }
+
   test("json entry_path unwraps API envelopes") {
     // reference: document/json.rs entry_path — target a field inside each
     // document; the common curl-API envelope {"data": [...]}
