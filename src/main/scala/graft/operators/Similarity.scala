@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * bucketing for near-dup pairs, and an IVF-style cluster-pruned path for
   * scale.
   *
-  * Vectors stay as array<double> columns; dot products are sequential
-  * `aggregate` folds (deterministic order — required for oracle parity).
-  * TODO(perf): swap the fold for the codegen CosineSimilarity expression.
+  * Vectors stay as array<double> columns; the cosine hot loop is the
+  * codegen'd native expression (plans.CosineSim); the HOF `dot`/`norm`
+  * helpers remain for composing one-off vector math outside hot paths.
   */
 object Similarity {
 
