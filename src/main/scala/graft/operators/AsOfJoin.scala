@@ -36,7 +36,7 @@ object AsOfJoin {
     // right rows carry only the asof columns; left columns become null there
     val rAligned = left.columns.filter(_ != key)
       .foldLeft(rTagged)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(lAligned.columns.map(col): _*)
+      .select(lAligned.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))

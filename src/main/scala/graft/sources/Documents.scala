@@ -37,7 +37,7 @@ object Documents {
     val parts = pointer.split("/").filter(_.nonEmpty)
     if (parts.isEmpty) df
     else {
-      val c = parts.foldLeft(struct(df.columns.map(col): _*)) { (acc, p) =>
+      val c = parts.foldLeft(struct(df.columns.toIndexedSeq.map(col): _*)) { (acc, p) =>
         if (p.forall(_.isDigit)) acc.getItem(p.toInt) else acc.getField(p)
       }
       val tmp = df.select(c.as("__entry"))
@@ -129,9 +129,9 @@ object Documents {
         .option("quote", opts.quote).csv(path)
       case "text" => w.text(path)
       case "xml"  => w.format("xml").option("rowTag", opts.rowTag).save(path)
-      case "yaml" => Yaml.write(df, path, mode)
-      case "toml" => Toml.write(df, path, mode)
-      case "byte" | "binary" => Binary.write(df, path, mode)
+      case "yaml" => Yaml.write(sorted, path, mode)
+      case "toml" => Toml.write(sorted, path, mode)
+      case "byte" | "binary" => Binary.write(sorted, path, mode)
       case other  => throw new IllegalArgumentException(s"unknown document type: $other")
     }
   }
