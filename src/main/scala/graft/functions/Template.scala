@@ -340,7 +340,8 @@ object Template {
         // schema) and the string tests chewdata rules use
         // (reference validator docs: `input.text is matching('...')`)
         val base =
-          if (eatWord("defined") || eatWord("undefined")) left.isNotNull
+          if (eatWord("defined")) left.isNotNull
+          else if (eatWord("undefined")) left.isNull
           else if (eatWord("matching")) left.rlike(parseParenString())
           else if (eatWord("containing")) left.contains(parseParenString())
           else if (eatWord("starting_with")) left.startsWith(parseParenString())

@@ -28,10 +28,27 @@ object Similarity {
     * order matches the DuckDB oracle's sequential loops. */
   def cosine(a: Column, b: Column): Column = graft.plans.Native.cosineSim(a, b)
 
+  /** Two-phase per-query ranking of a scored (qId, id, cos) frame: the
+    * bounded-heap TopKByScore aggregate trims to k per (query × map
+    * partition) BEFORE its one shuffle, so only k-sized buffers move —
+    * never the scored corpus. A `row_number` window here would funnel
+    * every scored row into |queries| sort tasks: a scale-killer.
+    * Ids travel as longs through the heap; integral id columns round-trip
+    * via cast. Rank is the explode position over the best-first array. */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       qIdCol: String, idCol: String): DataFrame = {
+    val idType = scored.schema(idCol).dataType
+    scored.groupBy(col(qIdCol))
+      .agg(graft.plans.Native.topKByScore(col("cos"), col(idCol).cast("long"), k).as("__tk"))
+      .select(col(qIdCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col(qIdCol), col("__e.id").cast(idType).as(idCol),
+        col("__e.cos").as("cos"), (col("__pos") + 1).as("rnk"))
+  }
+
   /** Exact top-k per query: broadcast the (small) query set against the
-    * corpus; the corpus is scanned once, ranking is a per-query window.
-    * At 100 TB the corpus side never shuffles — only k·|corpus| partial
-    * rows reach the TakeOrdered-style window. */
+    * corpus; the corpus is scanned once and ranked two-phase. At 100 TB
+    * the corpus side never shuffles — only k pairs per (query ×
+    * partition) reach the final merge. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
@@ -39,8 +56,7 @@ object Similarity {
       .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .join(broadcast(queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__q"))))
       .select(col(qIdCol), col(idCol), cosine(col("__v"), col("__q")).as("cos"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    rankTopK(scored, k, qIdCol, idCol)
   }
 
   /** Random-hyperplane LSH sign bits, packed into a long — native
@@ -139,7 +155,6 @@ object Similarity {
       .select(col(qIdCol), col("__q"), col("c_id").as("cell"))
     val scored = corpusCells.join(broadcast(queryCells), "cell")
       .select(col(qIdCol), col(idCol), cosine(col("__v"), col("__q")).as("cos"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    rankTopK(scored, k, qIdCol, idCol)
   }
 }

@@ -21,6 +21,11 @@ object Native {
 
   /** Aggregate: element-wise sum of array<double> rows (map-side partial). */
   def vectorSum(v: Column): Column = toCol(VectorSum(toExpr(v)).toAggregateExpression())
+
+  /** Aggregate: best-k (score, id) pairs by (score DESC, id ASC) as a
+    * bounded heap — partial buffers trim to k map-side. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    toCol(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.plans.GraftExtensions`

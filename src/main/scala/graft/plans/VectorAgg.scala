@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -71,4 +71,91 @@ case class VectorSum(child: Expression,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): VectorSum =
     copy(child = newChild)
+}
+
+/** Bounded top-k by score: keeps the best `k` (score, id) pairs ordered by
+  * (score DESC, id ASC), as a k-entry heap per aggregation buffer.
+  *
+  * Replaces the `row_number() OVER (PARTITION BY query)` ranking: the
+  * window funnels every scored row into |queries| sort partitions — a
+  * single-task bottleneck at 100 TB. Here partial buffers trim to k
+  * map-side, so the one shuffle carries k pairs per (group × partition)
+  * instead of the whole scored corpus, and no global sort ever happens.
+  *
+  * Ids are longs (callers cast integral id columns on the way in/out);
+  * null scores/ids are skipped. Evaluates to array<struct<id,cos>> sorted
+  * best-first, so `posexplode` position + 1 is the rank.
+  */
+case class TopKByScore(left: Expression, right: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+    with BinaryLike[Expression] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  private def score: Expression = left
+  private def id: Expression = right
+
+  // dequeue yields the WORST kept pair: lowest score, then highest id
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.by { case (s, i) => (-s, i) }
+
+  override def prettyName: String = "graft_top_k"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Double, Long)] =
+    scala.collection.mutable.PriorityQueue.empty(worstFirst)
+
+  private def push(buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+                   s: Double, i: Long): Unit = {
+    if (buf.size < k) buf.enqueue((s, i))
+    else if (worstFirst.lt((s, i), buf.head)) { buf.dequeue(); buf.enqueue((s, i)) }
+  }
+
+  override def update(buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+                      input: InternalRow): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      push(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: scala.collection.mutable.PriorityQueue[(Double, Long)],
+                     b2: scala.collection.mutable.PriorityQueue[(Double, Long)]): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    b2.foreach { case (s, i) => push(b1, s, i) }
+    b1
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any =
+    if (buf.isEmpty) null
+    else new GenericArrayData(buf.toArray.sorted(worstFirst).map { case (s, i) =>
+      new GenericInternalRow(Array[Any](i, s))
+    })
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    (0 until bytes.length / 16).foreach { _ =>
+      val s = bb.getDouble(); val i = bb.getLong()
+      push(buf, s, i)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopKByScore =
+    copy(left = newLeft, right = newRight)
 }

@@ -637,7 +637,9 @@ object DataOps {
 
   /** Per-source token statistics — the data-mixture report a training run
     * starts from: doc counts, token totals, p50/p95 token lengths (exact
-    * linear-interpolation percentiles), mean tokens (integer-rational
+    * linear-interpolation percentiles, rounded 4dp on both engines — the
+    * interpolation `lo + frac*(hi-lo)` is not ulp-stable across engines),
+    * mean tokens (integer-rational
     * division, so the double is oracle-exact). One shuffle on source. */
   def qTokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -645,15 +647,15 @@ object DataOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nt")).as("n_tokens"),
-        expr("percentile(nt, 0.5)").as("p50_tokens"),
-        expr("percentile(nt, 0.95)").as("p95_tokens"),
+        round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(nt, 0.95)"), 4).as("p95_tokens"),
         (sum(col("nt")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"))
 
   val qTokenStatsSql: String =
     """WITH d AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents)
       |SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
-      |  quantile_cont(nt, 0.5) AS p50_tokens,
-      |  quantile_cont(nt, 0.95) AS p95_tokens,
+      |  round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+      |  round(quantile_cont(nt, 0.95), 4) AS p95_tokens,
       |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
       |FROM d GROUP BY source""".stripMargin
 

@@ -232,8 +232,10 @@ object Relational2 {
   /** Q8-like: a nation's market share of STANDARD-part volume sold into
     * EUROPE customers, per order year. Decimal volume sums (exact,
     * order-independent) feed one double division at the end, so the share
-    * hash-matches the oracle bit-for-bit. Small sides (nation, region,
-    * supplier) broadcast; the two nation roles join under distinct aliases.
+    * hash-matches the oracle bit-for-bit. Truly-fixed sides (nation,
+    * region) pin as broadcasts; supplier GROWS with SF, so its join is
+    * left to AQE (the q5 rule — broadcast only what stays small at 100
+    * TB). The two nation roles join under distinct aliases.
     * No partsupp table in the dataset, so the min-cost-supplier family
     * (Q2/Q20) is out of scope by data, not by design. */
   def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
@@ -251,7 +253,7 @@ object Relational2 {
       .join(broadcast(cnation), col("c_nationkey") === col("cn_key"))
       .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
         col("cn_region") === col("r_regionkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(snation), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg((sum(when(col("supp_nation") === "NATION_3", vol)
@@ -317,7 +319,7 @@ object Relational2 {
       .agg(sum(vol).as("total_rev"))
     rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
       .filter(col("total_rev") === col("max_rev"))
-      .join(broadcast(Tables(spark, dir).supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir).supplier, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))
   }

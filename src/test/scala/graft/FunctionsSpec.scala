@@ -95,6 +95,13 @@ class FunctionsSpec extends SparkSpec {
     // null ≈ not defined under a fixed schema (a truly absent column is a
     // schema error at analysis, not a template condition)
     assert(run("{% if maybe is not defined %}nd{% endif %}") == "nd")
+    // `undefined` is the negation of `defined` (tera semantics) — it was
+    // once compiled to the SAME column as `defined`, silently inverting
+    // every config that used it; keep all four combinations pinned
+    assert(run("{% if maybe is undefined %}u{% else %}x{% endif %}") == "u")
+    assert(run("{% if lang is undefined %}u{% else %}x{% endif %}") == "x")
+    assert(run("{% if lang is not undefined %}nu{% endif %}") == "nu")
+    assert(run("{% if maybe is not undefined %}y{% else %}n{% endif %}") == "n")
     // no else → empty string when no branch matches
     assert(run("{% if n > 9000 %}x{% endif %}") == "")
   }

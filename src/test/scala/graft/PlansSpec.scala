@@ -48,11 +48,26 @@ class PlansSpec extends SparkSpec {
   test("ann brute top-k: corpus side never shuffles before scoring") {
     val df = queries.DataOps.qAnnTopk(spark, sf)
     val plan = executed(df)
-    // one shuffle for the per-query window, nothing repartitioning the corpus scan
+    // one shuffle for the k-sized heap buffers, nothing repartitioning the corpus scan
     val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.size <= 1, s"expected at most the window shuffle, got ${shuffles.size}")
+    assert(shuffles.size <= 1, s"expected at most the top-k merge shuffle, got ${shuffles.size}")
     assert(planString(df).contains("BroadcastNestedLoopJoin") ||
       planString(df).contains("BroadcastHashJoin"))
+  }
+
+  test("ann ranking is the two-phase bounded-heap aggregate, not a window") {
+    // the pre-trim stage must exist (partial top-k before the shuffle) and
+    // the full-corpus per-query window must NOT be back
+    Seq(queries.DataOps.qAnnTopk(spark, sf), queries.DataOps.qAnnIvf(spark, sf)).foreach { df =>
+      val s = planString(df)
+      assert(s.contains("graft_top_k"), s"bounded top-k aggregate missing:\n$s")
+      assert(s.contains("partial_graft_top_k"),
+        "map-side partial top-k (pre-trim) stage missing")
+    }
+    // brute path has no window at all; IVF keeps only the tiny nprobe
+    // window on the QUERY side (a handful of rows), never on the corpus
+    assert(!planString(queries.DataOps.qAnnTopk(spark, sf)).contains("row_number"),
+      "per-query row_number window is back — scale-killer")
   }
 
   test("minhash candidates: no cross join anywhere in the plan") {
