@@ -140,7 +140,13 @@ object Dedup {
         .select(hopped("id"), hopped("prev"), least(hopped("rep"),
           coalesce(col("rrep"), hopped("rep"))).as("rep"))
         .persist(MEMORY_AND_DISK)
-      val changed = next.filter(col("rep") =!= col("prev")).limit(1).count()
+      // materialize the WHOLE sweep into the cache before releasing its
+      // predecessor — a limit(1) probe here short-circuits, leaving the
+      // persist partial so deep graphs recompute lineage quadratically;
+      // the full-scan aggregate doubles as the convergence signal
+      val changed = next
+        .agg(count(when(col("rep") =!= col("prev"), lit(1))).as("c"))
+        .head().getLong(0)
       if (cached != null) cached.unpersist(blocking = false)
       cached = next
       labels = next.select(col("id"), col("rep"))

@@ -540,25 +540,34 @@ object DataOps {
   // ---- training-batch construction & corpus reports ----------------------
 
   /** Sequence packing for training batches: documents pack greedily into
-    * ~2048-token bins by running token count, SHARD-LOCAL so the packing is
-    * embarrassingly parallel — a single global pack order would serialize
-    * the whole corpus through one window partition; per-shard bins are what
-    * a 1000-executor pipeline does anyway (each shard ends with at most one
-    * under-full bin). The bin boundary is a power of two, so the double
-    * division is exact and the oracle hash-matches. */
-  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val maxTokens = 2048
-    val shards = 16
-    val d = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("n_tokens"))
-      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("bigint"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    * ~`maxTokens`-token bins by running token count, SHARD-LOCAL so the
+    * packing is embarrassingly parallel — a single global pack order would
+    * serialize the whole corpus through one window partition; per-shard
+    * bins are what a 1000-executor pipeline does anyway (each shard ends
+    * with at most one under-full bin). `shards` defaults to the session's
+    * shuffle parallelism so the packing scales with the cluster, not a
+    * constant. The bin boundary should be a power of two so the double
+    * division is exact against an oracle. */
+  def packSequences(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", maxTokens: Int = 2048,
+                    shards: Int = 0): DataFrame = {
+    val nShards =
+      if (shards > 0) shards
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val d = docs
+      .select(col(idCol),
+        TextAnalysis.tokenCountWs(col(textCol)).cast("bigint").as("n_tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("bigint"))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     d.withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens))
-      .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+      .select(col(idCol), col("shard"), col("bin"), col("n_tokens"))
   }
+
+  /** Gate pins shards = 16 so the oracle SQL stays literal. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables(spark, dir).documents, shards = 16)
 
   val qPackSequencesSql: String =
     """SELECT doc_id, doc_id % 16 AS shard,

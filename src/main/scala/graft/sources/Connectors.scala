@@ -55,16 +55,23 @@ final case class LocalConnector(path: String, docType: String = "json",
     * directory. New files appearing later are picked up by reruns (or a
     * long-running trigger if the caller starts one). */
   override def loadStream(spark: SparkSession): DataFrame = {
-    val schema = Documents.read(spark, docType, path, opts).schema
+    // Schema comes from a RAW static pass — BEFORE entry_path reshaping —
+    // because the stream parses the same raw files; the pointer then
+    // applies to the streamed frame itself (plain column ops, stream-safe).
+    // The json branch mirrors the batch reader's always-on multiLine: an
+    // array-of-objects file must parse to rows here too, not null columns.
+    val schema = Documents.read(spark, docType, path, opts.copy(entryPath = "")).schema
     val r = spark.readStream.schema(schema)
-    docType match {
+    val raw = docType match {
       case "parquet" => r.parquet(path)
-      case "json" | "jsonl" => r.json(path)
+      case "json" => r.option("multiLine", value = true).json(path)
+      case "jsonl" => r.json(path)
       case "csv" => r.option("header", opts.header).option("sep", opts.delimiter).csv(path)
       case "text" => spark.readStream.text(path)
       case other => throw new UnsupportedOperationException(
         s"streaming reader not supported for document type $other")
     }
+    Documents.withEntryPath(raw, opts)
   }
 
   override def saveStream(df: DataFrame): Unit = {

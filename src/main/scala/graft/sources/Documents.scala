@@ -54,7 +54,9 @@ object Documents {
     }
   }
 
-  private def withEntryPath(df: DataFrame, opts: DocOptions): DataFrame =
+  /** Also applied to streaming frames (Connectors.loadStream): the pointer
+    * descent is plain column ops, so it reshapes a stream the same way. */
+  private[sources] def withEntryPath(df: DataFrame, opts: DocOptions): DataFrame =
     if (opts.entryPath.nonEmpty) applyEntryPath(df, opts.entryPath) else df
 
   def read(spark: SparkSession, docType: String, path: String,

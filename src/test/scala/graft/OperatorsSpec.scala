@@ -166,4 +166,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(i => r2(i) == 20L))
     assert(r2(30L) == 30L && r2(31L) == 30L)
   }
+
+  test("sequence packing scales its shard count and respects bin capacity") {
+    val docs = Tables(spark, sf).documents
+    val packed = queries.DataOps.packSequences(docs, shards = 64)
+    assert(packed.select(col("shard")).distinct().count() == 64)
+    // within every (shard, bin), the bin's running total stays below
+    // capacity + one document (greedy packing invariant)
+    val over = packed.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"))
+      .filter(col("tot") - col("mx") >= 2048)
+    assert(over.count() == 0)
+    // default shard count follows the session's shuffle parallelism
+    val auto = queries.DataOps.packSequences(docs)
+    val expected = spark.sessionState.conf.numShufflePartitions.toLong
+    assert(auto.select(col("shard")).distinct().count() ==
+      math.min(expected, docs.count()))
+  }
 }

@@ -92,6 +92,29 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("json-array file with entry_path parses under stream:true like batch") {
+    // regression: loadStream used to infer the schema from the batch read
+    // (multiLine + entry_path applied) but stream raw jsonl — an array
+    // envelope silently became all-null columns instead of rows
+    val dir = java.nio.file.Files.createTempDirectory("streamarr").toString
+    val in = dir + "/in"
+    val out = dir + "/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(in + "/envelope.json"),
+      """{"meta": {"page": 1}, "data": [{"id": 1, "v": 5}, {"id": 2, "v": 6}]}""")
+    graft.pipeline.Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","stream":true,
+         |  "connector":{"type":"local","path":"$in"},
+         |  "document":{"type":"json","entry_path":"/data"}},
+         | {"type":"writer","connector":{"type":"local","path":"$out"},
+         |  "document":{"type":"parquet"}}
+         |]""".stripMargin)
+    val rows = spark.read.parquet(out).orderBy("id").collect()
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"))).toSeq ==
+      Seq((1L, 5L), (2L, 6L)))
+  }
+
   test("in_memory streaming sink buffers micro-batches via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
