@@ -227,11 +227,76 @@ object Jwt {
 }
 
 object Http {
-  /** Transport: (url, headers) -> raw body. Injectable for tests; the
-    * default refuses — this environment is zero-egress. */
+  /** One HTTP exchange: body plus response headers (what header-based
+    * counters read — reference: src/connector/counter/curl/header.rs). */
+  final case class Response(body: String, headers: Map[String, String] = Map.empty)
+
+  /** Body-only transport: (url, request headers) -> body. Injectable for
+    * tests; the default refuses — this environment is zero-egress. */
   type Transport = (String, Map[String, String]) => String
+
+  /** Full transport: (url, request headers) -> Response. Body-only
+    * transports lift via [[full]]; only callers that need response
+    * headers (header counter) must provide one. */
+  type FullTransport = (String, Map[String, String]) => Response
+  def full(t: Transport): FullTransport = (u, h) => Response(t(u, h))
+
   val noTransport: Transport = (u, _) =>
     throw new UnsupportedOperationException(s"HTTP transport unavailable (no egress): $u")
+}
+
+/** File-based HTTP response cache (reference: curl.rs:46,145 —
+  * `is_cached` flag, OS-temp `cache/http` storage). Keyed by
+  * sha256(url + canonical request headers); stores body AND response
+  * headers so a cached probe still answers a header counter. The cache is
+  * per-node (each executor caches its own fetches), matching the
+  * reference's process-local cache — at 100 TB the win is re-runs and
+  * retried tasks skipping the network, not cross-node sharing. */
+object HttpCache {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def dir: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft", "http-cache")
+
+  private def keyFor(url: String, headers: Map[String, String]): String = {
+    val canonical = url + "\n" +
+      headers.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Read-through wrapper: hit -> cached Response, zero transport calls;
+    * miss -> fetch, then write atomically (temp file + move) so a
+    * concurrent task never reads a half-written entry. */
+  def cached(t: Http.FullTransport): Http.FullTransport = (url, headers) => {
+    val f = dir.resolve(keyFor(url, headers))
+    if (java.nio.file.Files.exists(f)) {
+      val node = mapper.readTree(java.nio.file.Files.readString(f))
+      val hs = Map.newBuilder[String, String]
+      node.get("headers").properties().forEach(e => hs += (e.getKey -> e.getValue.asText()))
+      Http.Response(node.get("body").asText(), hs.result())
+    } else {
+      val r = t(url, headers)
+      java.nio.file.Files.createDirectories(dir)
+      val entry = mapper.createObjectNode()
+      val hdrs = entry.putObject("headers")
+      r.headers.foreach { case (k, v) => hdrs.put(k, v) }
+      entry.put("body", r.body)
+      val tmp = java.nio.file.Files.createTempFile(dir, "w", ".tmp")
+      java.nio.file.Files.writeString(tmp, entry.toString)
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      r
+    }
+  }
+
+  /** Drop every cached entry (spec isolation / forced refresh). */
+  def clear(): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      val s = java.nio.file.Files.list(dir)
+      try s.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
 }
 
 /** Pagination strategies (reference: src/connector/paginator/curl). */
@@ -318,13 +383,19 @@ final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
   }
 }
 
-/** Total-count probe (reference: counter/curl/body.rs): one driver-side
-  * request whose response body carries the collection size at `entryPath`,
-  * upgrading an unknown-count offset paginator to the parallel
-  * page-per-partition path. (The reference's header counter reads a
-  * response header; the transport here is body-only, so that variant is
-  * out of scope.) */
-final case class BodyCounter(entryPath: String = "/count", path: Option[String] = None)
+/** Total-count probes (reference: src/connector/counter/curl): one
+  * driver-side request that learns the collection size, upgrading an
+  * unknown-count offset paginator to the parallel page-per-partition
+  * path. `path`, when set, overrides the connector path for the probe. */
+sealed trait HttpCounter { def path: Option[String] }
+/** Size read from the response body at a json pointer
+  * (reference: counter/curl/body.rs — entry_path). */
+final case class BodyCounter(entryPath: String = "/count",
+                             path: Option[String] = None) extends HttpCounter
+/** Size read from a response header, `X-Total-Count` by convention
+  * (reference: counter/curl/header.rs — name/path). */
+final case class HeaderCounter(name: String = "X-Total-Count",
+                               path: Option[String] = None) extends HttpCounter
 
 /** Config-grade curl connector (reference: curl.rs — endpoint + path,
   * headers, authenticator, offset/cursor paginator, all wired from the
@@ -342,9 +413,19 @@ final case class CurlConnector(endpoint: String, path: String = "",
                                headers: Map[String, String] = Map.empty,
                                paginator: HttpPaginator = OffsetPaginator(),
                                transport: Http.Transport = Http.noTransport,
-                               counter: Option[BodyCounter] = None,
-                               auth: Option[() => (String, String)] = None)
+                               counter: Option[HttpCounter] = None,
+                               auth: Option[() => (String, String)] = None,
+                               fullTransport: Option[Http.FullTransport] = None,
+                               isCached: Boolean = false)
     extends Connector {
+
+  /** The effective exchange: a full transport if provided (needed by
+    * header counters), else the body-only transport lifted; wrapped in
+    * the file cache when `is_cached` is on (reference: curl.rs:46). */
+  private def exchange: Http.FullTransport = {
+    val base = fullTransport.getOrElse(Http.full(transport))
+    if (isCached) HttpCache.cached(base) else base
+  }
 
   /** Fill pagination slots: mustache substitution if present, else query
     * params. Exposed for spec assertions. */
@@ -367,9 +448,21 @@ final case class CurlConnector(endpoint: String, path: String = "",
     t.isEmpty || t == "[]" || t == "{}" || t == "null"
   }
 
+  /** Parse driver-collected page bodies; no pages -> a schemaless empty
+    * frame instead of json inference's "Unable to infer schema" crash.
+    * Bodies re-partition across the cluster so parsing is distributed
+    * even though the fetch walk buffered them on the driver. */
+  private def parsePages(spark: SparkSession, bodies: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val nonBlank = bodies.filterNot(blankPage)
+    if (nonBlank.isEmpty) spark.emptyDataFrame
+    else spark.read.json(spark.createDataset(
+      spark.sparkContext.parallelize(nonBlank)))
+  }
+
   override def load(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val t = transport
+    val ex = exchange
     // auth evaluates at LOAD time, not config-parse time (the reference
     // authenticates per request; key material may come from a refresh
     // flow only reachable when the job runs)
@@ -379,21 +472,39 @@ final case class CurlConnector(endpoint: String, path: String = "",
     val effective = (paginator, counter) match {
       case (op @ OffsetPaginator(_, _, None), Some(c)) =>
         val url = c.path.map(endpoint + _).getOrElse(urlFor(Map.empty))
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(t(url, hs)).at(c.entryPath)
-        if (node.isMissingNode || node.isNull) op else op.copy(count = Some(node.asLong()))
+        val resp = ex(url, hs)
+        val probed: Option[Long] = c match {
+          case BodyCounter(_, _) if resp.body.trim.isEmpty => None
+          case BodyCounter(entryPath, _) =>
+            val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(resp.body).at(entryPath)
+            if (node.isMissingNode || node.isNull) None else Some(node.asLong())
+          case HeaderCounter(name, _) =>
+            resp.headers.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(name) => v.trim.toLong
+            }
+        }
+        probed.map(n => op.copy(count = Some(n))).getOrElse(op)
       case (p, _) => p
     }
     effective match {
       case OffsetPaginator(limit, skip, Some(count)) =>
         val nPages = math.max(0L, (count - skip + limit - 1) / limit).toInt
-        // URLs planned on the driver (cheap strings), fetched one page per
-        // partition so page fetches run concurrently on executors
-        val urls = (0 until nPages).map(i =>
-          urlFor(Map("limit" -> limit.toString, "skip" -> (skip + i.toLong * limit).toString)))
-        val bodies = urls.toDS().repartition(math.min(math.max(nPages, 1), 64))
-          .map(u => t(u, hs))
-        spark.read.json(bodies)
+        if (nPages == 0) spark.emptyDataFrame
+        else {
+          // URLs planned on the driver (cheap strings), fetched one page per
+          // partition so page fetches run concurrently on executors; bodies
+          // then buffer on the driver (same profile as the sequential
+          // walks) so downstream actions re-parse memory instead of
+          // re-fetching pages — json inference alone would otherwise fetch
+          // every page twice
+          val urls = (0 until nPages).map(i =>
+            urlFor(Map("limit" -> limit.toString, "skip" -> (skip + i.toLong * limit).toString)))
+          val bodies = urls.toDS().repartition(math.min(nPages, 64))
+            .map(u => ex(u, hs).body)
+            .collect()
+          parsePages(spark, bodies.toSeq)
+        }
       case OffsetPaginator(limit, skip, None) =>
         // unknown total: the page count is data-dependent, so the walk is
         // sequential on the driver; parsing stays distributed
@@ -401,11 +512,11 @@ final case class CurlConnector(endpoint: String, path: String = "",
         var s = skip.toLong
         var done = false
         while (!done) {
-          val body = t(urlFor(Map("limit" -> limit.toString, "skip" -> s.toString)), hs)
+          val body = ex(urlFor(Map("limit" -> limit.toString, "skip" -> s.toString)), hs).body
           if (blankPage(body)) done = true
           else { bodies += body; s += limit }
         }
-        spark.read.json(bodies.toSeq.toDS())
+        parsePages(spark, bodies.toSeq)
       case CursorPaginator(limit, entryPath) =>
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -413,7 +524,7 @@ final case class CurlConnector(endpoint: String, path: String = "",
         var done = false
         while (!done) {
           val subst = Map("limit" -> limit.toString) ++ cursor.map("next" -> _)
-          val body = t(urlFor(subst), hs)
+          val body = ex(urlFor(subst), hs).body
           if (blankPage(body)) done = true
           else {
             bodies += body
@@ -423,7 +534,7 @@ final case class CurlConnector(endpoint: String, path: String = "",
             done = cursor.isEmpty
           }
         }
-        spark.read.json(bodies.toSeq.toDS())
+        parsePages(spark, bodies.toSeq)
     }
   }
 }
@@ -519,11 +630,19 @@ object Connector {
         val counter = Option(node.get("counter_type"))
           .orElse(Option(node.get("counter")))
           .map { c =>
-            BodyCounter(
-              if (c.has("entry_path")) c.get("entry_path").asText() else "/count",
-              if (c.has("path")) Some(c.get("path").asText()) else None)
+            val cpath = if (c.has("path")) Some(c.get("path").asText()) else None
+            if (c.has("type") && c.get("type").asText() == "header")
+              HeaderCounter(
+                if (c.has("name")) c.get("name").asText() else "X-Total-Count", cpath)
+            else
+              BodyCounter(
+                if (c.has("entry_path")) c.get("entry_path").asText() else "/count", cpath)
           }
-        CurlConnector(str("endpoint"), str("path"), headers, pag, transport, counter, auth)
+        // reference: curl.rs:181 — `is_cached`, aliases `cache`/`cache_enabled`
+        val isCached = Seq("is_cached", "cache", "cache_enabled")
+          .exists(f => node.has(f) && node.get(f).asBoolean())
+        CurlConnector(str("endpoint"), str("path"), headers, pag, transport, counter,
+          auth, isCached = isCached)
       case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
         str("collection"))
       case other => throw new IllegalArgumentException(s"unknown connector type: $other")

@@ -376,6 +376,69 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until 6L))
   }
 
+  test("curl config: header counter (X-Total-Count) unlocks parallel offset pagination") {
+    // reference: src/connector/counter/curl/header.rs — the probe request's
+    // RESPONSE header carries the collection size
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfg = mapper.readTree(
+      """{"type":"curl","endpoint":"http://api.test","path":"/items",
+        |  "authenticator_type":{"type":"basic","username":"u","password":"p"},
+        |  "paginator_type":{"type":"offset","limit":2},
+        |  "counter_type":{"type":"header","name":"X-Total-Count","path":"/items/count"}}""".stripMargin)
+    val parsed = sources.Connector.fromConfig(cfg, "json", Documents.DocOptions())
+      .asInstanceOf[CurlConnector]
+    assert(parsed.counter.contains(sources.HeaderCounter("X-Total-Count", Some("/items/count"))))
+    val conn = parsed.copy(fullTransport = Some(PipelineSpec.headerCountingTransport))
+    val rows = conn.load(spark).orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until 6L))
+    // the counter name match is case-insensitive (HTTP header semantics)
+    val lower = conn.copy(counter =
+      Some(sources.HeaderCounter("x-total-count", Some("/items/count"))))
+    assert(lower.load(spark).count() == 6)
+  }
+
+  test("curl cache: second load serves every page with zero transport calls") {
+    // reference: curl.rs:46,145 — `is_cached` keeps responses in an OS-temp
+    // http cache keyed by the request
+    sources.HttpCache.clear()
+    PipelineSpec.fetchCount.set(0)
+    val conn = CurlConnector("http://api.test", "/items",
+      paginator = OffsetPaginator(limit = 2, count = Some(6L)),
+      transport = PipelineSpec.countingTransport,
+      isCached = true)
+    assert(conn.load(spark).count() == 6)
+    val callsAfterFirst = PipelineSpec.fetchCount.get()
+    assert(callsAfterFirst == 3, s"expected 3 page fetches, got $callsAfterFirst")
+    assert(conn.load(spark).count() == 6)
+    assert(PipelineSpec.fetchCount.get() == callsAfterFirst,
+      "second load must be served entirely from the cache")
+    // the cache also preserves response headers for counter probes
+    sources.HttpCache.clear()
+    val uncached = conn.copy(isCached = false)
+    assert(uncached.load(spark).count() == 6)
+    assert(PipelineSpec.fetchCount.get() > callsAfterFirst, "uncached load must re-fetch")
+  }
+
+  test("curl empty responses load as empty frames, not inference crashes") {
+    // unknown-count walk whose FIRST page is already blank
+    val empty = CurlConnector("http://api.test", "/void",
+      paginator = OffsetPaginator(limit = 10),
+      transport = (_, _) => "[]")
+    assert(empty.load(spark).isEmpty)
+    // a counter probe that finds nothing leaves the walk sequential but
+    // still yields an empty frame on a blank body
+    val probed = CurlConnector("http://api.test", "/void",
+      paginator = OffsetPaginator(limit = 10),
+      transport = (_, _) => "",
+      counter = Some(sources.BodyCounter("/total")))
+    assert(probed.load(spark).isEmpty)
+    // known count whose pages all come back blank (server lied)
+    val liar = CurlConnector("http://api.test", "/void",
+      paginator = OffsetPaginator(limit = 2, count = Some(4L)),
+      transport = (_, _) => "{}")
+    assert(liar.load(spark).isEmpty)
+  }
+
   test("jwt HS256 signing matches the RFC 7515 reference vector") {
     val token = sources.Jwt.sign(
       """{"sub":"1234567890","name":"John Doe","iat":1516239022}""",
@@ -581,6 +644,29 @@ object PipelineSpec {
     (skip until math.min(skip + limit, 6))
       .map(i => s"""{"id":$i}""").mkString("[", ",", "]")
     }
+  }
+
+  /** Header-counter API: the count path answers with an X-Total-Count
+    * response header (and an empty body); item pages reuse the offset
+    * logic. */
+  val headerCountingTransport: Http.FullTransport = (url, headers) => {
+    require(headers.get("Authorization").contains("Basic dTpw"),
+      s"unauthenticated call: $url")
+    if (url.contains("/items/count"))
+      Http.Response("", Map("X-Total-Count" -> "6", "Content-Type" -> "application/json"))
+    else Http.Response(loopbackTransport(url, headers))
+  }
+
+  /** Counts every transport invocation (cache spec) — no auth, 6 items. */
+  val fetchCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  val countingTransport: Http.Transport = (url, _) => {
+    fetchCount.incrementAndGet()
+    val q = url.dropWhile(_ != '?').drop(1).split("&").filter(_.nonEmpty)
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    val limit = q("limit").toInt
+    val skip = q("skip").toInt
+    (skip until math.min(skip + limit, 6))
+      .map(i => s"""{"id":$i}""").mkString("[", ",", "]")
   }
 
   /** Cursor-chained API: three pages linked by meta.next tokens. */
