@@ -61,6 +61,29 @@ object SourcesQ {
     """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 
+  /** ORC encode → decode roundtrip, then aggregate — same shape as the
+    * CSV gate; proves the ORC encoder/decoder end-to-end (no inference
+    * recast needed: ORC carries exact types). */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_orc")
+    Pipeline.run(spark,
+      s"""[
+         | {"type": "reader",
+         |  "connector": {"type": "local", "path": "$dir/customer.parquet"},
+         |  "document": {"type": "parquet"}},
+         | {"type": "writer",
+         |  "connector": {"type": "local", "path": "$out/customer_orc"},
+         |  "document": {"type": "orc"}}
+         |]""".stripMargin)
+    graft.sources.Documents.read(spark, "orc", s"$out/customer_orc")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  val qOrcRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
   /** JSON-lines encode → decode roundtrip, then aggregate. */
   def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = tempDir("graft_json")
@@ -79,6 +102,7 @@ object SourcesQ {
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pipeline_e2e"  -> ((qPipelineE2e _, Some(qPipelineE2eSql))),
     "q_csv_roundtrip" -> ((qCsvRoundtrip _, Some(qCsvRoundtripSql))),
+    "q_orc_roundtrip" -> ((qOrcRoundtrip _, Some(qOrcRoundtripSql))),
     "q_json_roundtrip" -> ((qJsonRoundtrip _, Some(qJsonRoundtripSql))),
   )
 }

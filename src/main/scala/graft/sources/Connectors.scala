@@ -152,11 +152,15 @@ final case class JdbcConnector(url: String, table: String,
                                user: String = "", password: String = "",
                                partitionColumn: Option[String] = None,
                                lowerBound: Long = 0, upperBound: Long = 0,
-                               numPartitions: Int = 8) extends Connector {
-  override def load(spark: SparkSession): DataFrame = {
-    var r = spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table)
+                               numPartitions: Int = 8,
+                               driver: String = "") extends Connector {
+  private def base(r: org.apache.spark.sql.DataFrameReader) = {
+    val w = r.option("url", url).option("dbtable", table)
       .option("user", user).option("password", password)
+    if (driver.nonEmpty) w.option("driver", driver) else w
+  }
+  override def load(spark: SparkSession): DataFrame = {
+    var r = base(spark.read.format("jdbc"))
     partitionColumn.foreach { c =>
       r = r.option("partitionColumn", c)
         .option("lowerBound", lowerBound).option("upperBound", upperBound)
@@ -164,11 +168,13 @@ final case class JdbcConnector(url: String, table: String,
     }
     r.load()
   }
-  override def save(df: DataFrame, mode: SaveMode): Unit =
-    df.write.format("jdbc").mode(mode)
+  override def save(df: DataFrame, mode: SaveMode): Unit = {
+    var w = df.write.format("jdbc").mode(mode)
       .option("url", url).option("dbtable", table)
       .option("user", user).option("password", password)
-      .save()
+    if (driver.nonEmpty) w = w.option("driver", driver)
+    w.save()
+  }
 }
 
 /** JWT compact-serialization signing (RFC 7515/7519 — public standards;
@@ -608,8 +614,13 @@ object Connector {
       case "mem" | "in_memory"    => InMemoryConnector(str("data"), docType, opts)
       case "cli" | "io"           => CliConnector(docType)
       case "bucket" | "bucket_select" => BucketConnector(str("bucket"), str("key"), docType, opts)
-      case "psql" | "jdbc"        => JdbcConnector(str("url"), str("table"),
-        str("user"), str("password"))
+      case "psql" | "jdbc"        =>
+        def lng(f: String): Long = if (node.has(f)) node.get(f).asLong() else 0L
+        JdbcConnector(str("url"), str("table"), str("user"), str("password"),
+          if (node.has("partition_column")) Some(node.get("partition_column").asText()) else None,
+          lng("lower_bound"), lng("upper_bound"),
+          if (node.has("num_partitions")) node.get("num_partitions").asInt() else 8,
+          str("driver"))
       case "curl" =>
         val headers = Option(node.get("headers")).map { h =>
           val b = Map.newBuilder[String, String]

@@ -376,6 +376,37 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until 6L))
   }
 
+  test("jdbc connector executes against an embedded database incl. partitioned read") {
+    // Derby ships on the Spark classpath, so the FULL JDBC path — dialect,
+    // write DDL, partitioned scan — runs without egress; a live psql swaps
+    // only the url/driver
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = JdbcConnector(url, "people")
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 7).as("grp"), concat(lit("name_"), col("id")).as("name"))
+    conn.save(df, org.apache.spark.sql.SaveMode.Overwrite)
+    assert(conn.load(spark).count() == 100)
+    // partitioned read fans the scan out over id stride ranges
+    val part = conn.copy(partitionColumn = Some("id"),
+      lowerBound = 0, upperBound = 100, numPartitions = 4)
+    val pdf = part.load(spark)
+    assert(pdf.rdd.getNumPartitions == 4)
+    assert(pdf.agg(sum(col("id"))).head().getLong(0) == 4950L)
+    // config-driven: the chewdata-style psql node wires the same read
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfg = mapper.readTree(
+      s"""{"type":"psql","url":"$url","table":"people",
+         |  "partition_column":"id","upper_bound":100,"num_partitions":4}""".stripMargin)
+    val fromCfg = sources.Connector.fromConfig(cfg, "json", Documents.DocOptions())
+      .asInstanceOf[JdbcConnector]
+    assert(fromCfg.partitionColumn.contains("id") && fromCfg.numPartitions == 4)
+    assert(fromCfg.load(spark).count() == 100)
+    // append mode accumulates (the reference writer's default update path)
+    conn.save(df.limit(10), org.apache.spark.sql.SaveMode.Append)
+    assert(conn.load(spark).count() == 110)
+  }
+
   test("curl config: header counter (X-Total-Count) unlocks parallel offset pagination") {
     // reference: src/connector/counter/curl/header.rs — the probe request's
     // RESPONSE header carries the collection size
