@@ -160,6 +160,13 @@ object Pipeline {
         header = !doc.has("header") || doc.get("header").asBoolean(true),
         quote = if (doc.has("quote")) doc.get("quote").asText() else "\"",
         rowTag = if (doc.has("row_tag")) doc.get("row_tag").asText() else "row",
+        // chewdata xml conventions (reference: src/document/xml.rs:98-99 —
+        // attribute_key '@', text_key '$'; the json text field is
+        // "<text_key>text", per src/helper/xml2json.rs:164)
+        attributePrefix =
+          if (doc.has("attribute_key")) doc.get("attribute_key").asText() else "@",
+        valueTag =
+          (if (doc.has("text_key")) doc.get("text_key").asText() else "$") + "text",
         multiLine = doc.has("multi_line") && doc.get("multi_line").asBoolean(),
         entryPath = if (doc.has("entry_path")) doc.get("entry_path").asText() else "",
         maxRecordsPerFile =

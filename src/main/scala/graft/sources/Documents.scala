@@ -19,6 +19,7 @@ object Documents {
       quote: String = "\"",
       rowTag: String = "row",       // xml
       attributePrefix: String = "_", // xml attribute field prefix
+      valueTag: String = "_VALUE",  // xml text-content field name
       multiLine: Boolean = false,   // json array files / csv quoted newlines
       wholetext: Boolean = false,   // text: one row per file
       entryPath: String = "",       // json pointer into each document (RFC 6901)
@@ -72,7 +73,8 @@ object Documents {
       .csv(path)
     case "text"    => spark.read.option("wholetext", opts.wholetext).text(path)
     case "xml"     => spark.read.format("xml").option("rowTag", opts.rowTag)
-      .option("attributePrefix", opts.attributePrefix).load(path)
+      .option("attributePrefix", opts.attributePrefix)
+      .option("valueTag", opts.valueTag).load(path)
     case "yaml"    => Yaml.read(spark, path)
     case "toml"    => Toml.read(spark, path)
     case "byte" | "binary" => spark.read.format("binaryFile").load(path)
@@ -130,7 +132,9 @@ object Documents {
         .option("header", opts.header).option("sep", opts.delimiter)
         .option("quote", opts.quote).csv(path)
       case "text" => w.text(path)
-      case "xml"  => w.format("xml").option("rowTag", opts.rowTag).save(path)
+      case "xml"  => w.format("xml").option("rowTag", opts.rowTag)
+        .option("attributePrefix", opts.attributePrefix)
+        .option("valueTag", opts.valueTag).save(path)
       case "yaml" => Yaml.write(sorted, path, mode)
       case "toml" => Toml.write(sorted, path, mode)
       case "byte" | "binary" => Binary.write(sorted, path, mode)
@@ -157,12 +161,15 @@ object Binary {
     if (mode == SaveMode.Overwrite && fs.exists(target)) fs.delete(target, true)
     fs.mkdirs(target)
     val cols = nameCol.toSeq :+ binCol
+    // ship the SESSION Hadoop conf to executors — a bare `new
+    // Configuration()` there would drop session-scoped settings (s3a
+    // endpoints/creds, fs tuning) that the scan side resolves with
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val confB = df.sparkSession.sparkContext.broadcast(serConf)
     df.select(cols.head, cols.tail: _*).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-        // executor-side FS handle; default Hadoop conf resolves file:// and
-        // (with cluster-provided creds) s3a:// the same as the scan side
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val tfs = new Path(path).getFileSystem(conf)
+        val tfs = new Path(path).getFileSystem(confB.value.value)
         val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
         var i = 0
         it.foreach { r =>
@@ -171,7 +178,15 @@ object Binary {
             if (nameCol.isDefined && !r.isNullAt(0))
               new Path(r.getString(0)).getName
             else f"part-$pid%05d-$i%06d.bin"
-          val out = tfs.create(new Path(path, name), true)
+          // overwrite=false: two rows sharing a basename are a data error
+          // that must surface, not a silent last-writer-wins
+          val out =
+            try tfs.create(new Path(path, name), false)
+            catch {
+              case e: java.io.IOException => throw new java.io.IOException(
+                s"byte write collision: $name already exists under $path " +
+                  "(duplicate basenames in the name column?)", e)
+            }
           try out.write(bytes) finally out.close()
           i += 1
         }

@@ -376,6 +376,34 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until 6L))
   }
 
+  test("config xml maps attributes and text with chewdata's @/$text conventions") {
+    // reference: src/document/xml.rs:98-99 (attribute_key '@', text_key
+    // '$') + src/helper/xml2json.rs:164 — a chewdata config reading
+    // attribute-styled xml sees `@attr` fields and `$text` content
+    val dir = tmp("xmlattr")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir + "/in.xml"),
+      """<root><item id="1" label="a">hello</item>
+        |<item id="2" label="b">world</item></root>""".stripMargin)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$dir/in.xml"},
+         |  "document":{"type":"xml","row_tag":"item"}}
+         |]""".stripMargin)
+    val df = flow.ok.get
+    assert(df.columns.sorted.toSeq == Seq("$text", "@id", "@label"))
+    val rows = df.orderBy(col("@id")).collect()
+    assert(rows.map(r => (r.getAs[Long]("@id"), r.getAs[String]("@label"),
+      r.getAs[String]("$text"))).toSeq == Seq((1L, "a", "hello"), (2L, "b", "world")))
+    // an explicit attribute_key/text_key override wins (same config keys
+    // as the reference)
+    val custom = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$dir/in.xml"},
+         |  "document":{"type":"xml","row_tag":"item","attribute_key":"_","text_key":"_"}}
+         |]""".stripMargin)
+    assert(custom.ok.get.columns.sorted.toSeq == Seq("_id", "_label", "_text"))
+  }
+
   test("jdbc connector executes against an embedded database incl. partitioned read") {
     // Derby ships on the Spark classpath, so the FULL JDBC path — dialect,
     // write DDL, partitioned scan — runs without egress; a live psql swaps
