@@ -103,8 +103,20 @@ object Similarity {
     // iteration (and the caller's final assignment) re-reads them
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids = vecs.orderBy(col("id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("c_id"), col("v").as("c_vec"))
+    // seed selection: TakeOrdered collects exactly k rows (a per-partition
+    // heap, never a global sort), and the c_id numbering happens on the
+    // driver — k rows — so no window, partitioned or otherwise, exists here
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c_vec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val seeds = vecs.orderBy(col("id")).limit(k).select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getSeq[Double](0))
+      }
+    var centroids = corpus.sparkSession.createDataFrame(
+      corpus.sparkSession.sparkContext.parallelize(seeds.toSeq, 1), seedSchema)
     for (_ <- 0 until iterations) {
       // argmax via max(struct) — partial-aggregates map-side, no window
       // sort-shuffle; ties take the smallest c_id

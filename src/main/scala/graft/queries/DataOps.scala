@@ -668,7 +668,91 @@ object DataOps {
       |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
       |FROM d GROUP BY source""".stripMargin
 
+  /** Deterministic stratified train/val/test split: the assignment hashes
+    * (source, doc_id) content — no RNG state, stable under re-runs,
+    * repartition and backfill, and every executor agrees without
+    * coordination. Thresholds are md5-hex prefixes (the q_mixture_resample
+    * parity trick): train < 0x80%, val < 0x90%, else test. One shuffle for
+    * the report aggregate; the assignment itself is map-only. */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(col("source"), lit("-"), col("doc_id"))), 1, 8)
+    Tables(spark, dir).documents
+      .select(col("source"),
+        when(h < "cccccccc", "train").when(h < "e6666666", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qSplitAssignSql: String =
+    """WITH a AS (SELECT source,
+      |  CASE WHEN substr(md5(source || '-' || doc_id), 1, 8) < 'cccccccc' THEN 'train'
+      |       WHEN substr(md5(source || '-' || doc_id), 1, 8) < 'e6666666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT source, split, count(*) AS n FROM a GROUP BY 1, 2""".stripMargin
+
+  /** Overlapping-window document chunking (context-window preparation):
+    * each doc yields chunks of ≤512 tokens starting every 384 (128-token
+    * overlap). Chunk starts are a generated sequence exploded per row —
+    * map-side only, no shuffle, parallel by input partition; boundary
+    * arithmetic is integer so the oracle matches bit-for-bit. */
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val maxTokens = 512L
+    val stride = 384L
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), greatest(col("n_tokens") - 1, lit(0L)),
+          lit(stride))).as("start_tok"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("start_tok") / stride).cast("bigint").as("chunk_id"), col("start_tok"),
+        least(lit(maxTokens), col("n_tokens") - col("start_tok")).as("chunk_len"))
+  }
+
+  val qChunkDocsSql: String =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  unnest(range(0, greatest(n_tokens, 1), 384)) AS start_tok FROM d)
+      |SELECT doc_id, n_tokens, start_tok // 384 AS chunk_id, start_tok,
+      |  least(512, n_tokens - start_tok) AS chunk_len
+      |FROM c""".stripMargin
+
+  /** Symmetric int8 embedding quantization report: per-vector scale =
+    * max|x|/127, elementwise floor(x/scale) clamped to [-127,127].
+    * Map-only (no shuffle); the scale stages as a column ref between
+    * selects so the HOF lambdas don't recompute the array max per
+    * element. Integer sums keep the oracle exact. */
+  def qQuantizeEmb(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+    val withScale = e.select(col("vec_id"), col("v"),
+      (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("scale"))
+    withScale.select(col("vec_id"), col("scale"),
+      aggregate(col("v"), lit(0L), (s, x) =>
+        s + greatest(lit(-127L), least(lit(127L),
+          floor(x / col("scale")).cast("long")))).as("sum_q"),
+      aggregate(col("v"), lit(0L), (s, x) =>
+        s + when(abs(floor(x / col("scale"))) > 127, lit(1L))
+          .otherwise(lit(0L))).as("n_clipped"))
+  }
+
+  val qQuantizeEmbSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(list_transform(v, x ->
+      |    greatest(-127, least(127, CAST(floor(x / scale) AS BIGINT))))) AS BIGINT) AS sum_q,
+      |  CAST(list_sum(list_transform(v, x ->
+      |    CASE WHEN abs(floor(x / scale)) > 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped
+      |FROM s""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_split_assign"   -> ((qSplitAssign _, Some(qSplitAssignSql))),
+    "q_chunk_docs"     -> ((qChunkDocs _, Some(qChunkDocsSql))),
+    "q_quantize_emb"   -> ((qQuantizeEmb _, Some(qQuantizeEmbSql))),
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),

@@ -100,6 +100,20 @@ class PlansSpec extends SparkSpec {
     assert(packPlan.contains("windowspecdefinition(shard"))
   }
 
+  test("no gate query plans an unpartitioned window (single-task funnel)") {
+    // an empty window partitionSpec funnels the whole input through ONE
+    // task — the canonical 100 TB scale-killer; every gate plan is checked
+    // so one can't sneak in behind a refactor
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => name
+      }
+    }.distinct
+    assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
+
   test("full faker registry is SQL-callable") {
     graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
