@@ -274,9 +274,79 @@ object Template {
   }
 
   /** Compile one `{{ ... }}` body: operand + optional filter chain. */
+  /** Arithmetic in interpolation heads: `{{ a * b.c + 2 }}` — chewdata
+    * transformer patterns do arithmetic inline (reference:
+    * examples/transform-mapping.rs builds my_new_field from a product).
+    * Operators + - * / % with parens and precedence; operands delegate to
+    * `operand`, so paths, literals, filters-free function calls keep
+    * working. A bare operand (no top-level operator) compiles exactly as
+    * before. NB: tera identifiers cannot contain '-', so `a-b` is a
+    * subtraction here too. */
+  private def arith(s: String, env: Map[String, Column]): Column = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")") && wrapsWhole(t))
+      return arith(t.substring(1, t.length - 1), env)
+    topLevelOp(t) match {
+      case Some((l, op, r)) =>
+        val lc = arith(l, env); val rc = arith(r, env)
+        op match {
+          case '+' => lc + rc
+          case '-' => lc - rc
+          case '*' => lc * rc
+          case '/' => lc / rc
+          case '%' => lc % rc
+        }
+      case None => operand(t, env)
+    }
+  }
+
+  /** Do the outer parens enclose the whole string? */
+  private def wrapsWhole(t: String): Boolean = {
+    var depth = 0; var quote: Char = 0
+    for (i <- 0 until t.length) {
+      val c = t.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '"' | '\'' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0 && i < t.length - 1) return false
+        case _ =>
+      }
+    }
+    depth == 0
+  }
+
+  /** Split at the LAST lowest-precedence top-level operator (left-assoc):
+    * prefer +/- over * / %; None when the string is a single operand. */
+  private def topLevelOp(t: String): Option[(String, Char, String)] = {
+    var depth = 0; var quote: Char = 0
+    var addPos = -1; var mulPos = -1
+    for (i <- 0 until t.length) {
+      val c = t.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '"' | '\'' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '+' | '-' if depth == 0 =>
+          // binary only: something operand-like must precede (else it is a
+          // sign, as in `-1` or `2 * -3`)
+          val prev = t.substring(0, i).trim
+          if (prev.nonEmpty && !"+-*/%(=,".contains(prev.last)) addPos = i
+        case '*' | '/' | '%' if depth == 0 =>
+          val prev = t.substring(0, i).trim
+          if (prev.nonEmpty && !"+-*/%(=,".contains(prev.last)) mulPos = i
+        case _ =>
+      }
+    }
+    val pos = if (addPos >= 0) addPos else mulPos
+    if (pos < 0) None
+    else Some((t.substring(0, pos), t.charAt(pos), t.substring(pos + 1)))
+  }
+
   private def compileExpr(body: String, env: Map[String, Column]): Column = {
     val parts = body.split("\\|").map(_.trim).filter(_.nonEmpty)
-    val base = operand(parts.head, env)
+    val base = arith(parts.head, env)
     parts.tail.foldLeft(base) { (c, f) =>
       f match {
         case FilterCall(name, null) =>
@@ -331,8 +401,33 @@ object Template {
         } else parseCmp()
       }
     }
+    // arithmetic inside conditions (`{% if n * 2 > 10 %}`): sum over
+    // product over operand, left-associative with precedence
+    private def parseSum(): Column = {
+      var c = parseProd()
+      ws()
+      while (pos < s.length && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) {
+        val op = s.charAt(pos); pos += 1
+        val r = parseProd()
+        c = if (op == '+') c + r else c - r
+        ws()
+      }
+      c
+    }
+    private def parseProd(): Column = {
+      var c = parseOperand()
+      ws()
+      while (pos < s.length && "*/%".contains(s.charAt(pos))) {
+        val op = s.charAt(pos); pos += 1
+        val r = parseOperand()
+        c = op match { case '*' => c * r; case '/' => c / r; case _ => c % r }
+        ws()
+      }
+      c
+    }
+
     private def parseCmp(): Column = {
-      val left = parseOperand()
+      val left = parseSum()
       ws()
       if (eatWord("is")) {
         val neg = eatWord("not")
@@ -349,12 +444,12 @@ object Template {
           else throw new IllegalArgumentException(
             s"unsupported `is` test in: $s (defined/undefined, matching, containing, starting_with, ending_with)")
         if (neg) !base else base
-      } else if (pos + 1 < s.length && "==" == s.substring(pos, pos + 2)) { pos += 2; left === parseOperand() }
-      else if (pos + 1 < s.length && "!=" == s.substring(pos, pos + 2)) { pos += 2; left =!= parseOperand() }
-      else if (pos + 1 < s.length && "<=" == s.substring(pos, pos + 2)) { pos += 2; left <= parseOperand() }
-      else if (pos + 1 < s.length && ">=" == s.substring(pos, pos + 2)) { pos += 2; left >= parseOperand() }
-      else if (pos < s.length && s.charAt(pos) == '<') { pos += 1; left < parseOperand() }
-      else if (pos < s.length && s.charAt(pos) == '>') { pos += 1; left > parseOperand() }
+      } else if (pos + 1 < s.length && "==" == s.substring(pos, pos + 2)) { pos += 2; left === parseSum() }
+      else if (pos + 1 < s.length && "!=" == s.substring(pos, pos + 2)) { pos += 2; left =!= parseSum() }
+      else if (pos + 1 < s.length && "<=" == s.substring(pos, pos + 2)) { pos += 2; left <= parseSum() }
+      else if (pos + 1 < s.length && ">=" == s.substring(pos, pos + 2)) { pos += 2; left >= parseSum() }
+      else if (pos < s.length && s.charAt(pos) == '<') { pos += 1; left < parseSum() }
+      else if (pos < s.length && s.charAt(pos) == '>') { pos += 1; left > parseSum() }
       else left // bare truthy column, e.g. {% if flag %}
     }
     /** `('literal')` argument of a tera test. */
@@ -385,8 +480,12 @@ object Template {
         pos += 1
         lit(s.substring(start + 1, pos - 1))
       } else {
+        // a leading sign sticks to a numeric literal ("-1"); arithmetic
+        // operators otherwise end the token so `n*2` parses unspaced
+        if (pos < s.length && s.charAt(pos) == '-' && pos + 1 < s.length &&
+            (s.charAt(pos + 1).isDigit || s.charAt(pos + 1) == '.')) pos += 1
         while (pos < s.length && !s.charAt(pos).isWhitespace &&
-               !"()<>=!|".contains(s.charAt(pos))) pos += 1
+               !"()<>=!|+-*/%".contains(s.charAt(pos))) pos += 1
         operand(s.substring(start, pos), env)
       }
     }
@@ -423,6 +522,13 @@ object Template {
   }
 
   def render(template: String): Column = renderNodes(parse(template), Map.empty)
+
+  /** Render with pre-bound names — how referential datasets reach
+    * patterns: the pipeline collects each (small) referential and binds
+    * `alias.i.field` → lit(value), so `{{ m.2.code }}` folds to a plan
+    * constant (the template analogue of a broadcast join). */
+  def render(template: String, env: Map[String, Column]): Column =
+    renderNodes(parse(template), env)
 
   private val Var = raw"\{\{-?\s*([^}]+?)\s*-?\}\}".r
 

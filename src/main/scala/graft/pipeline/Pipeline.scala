@@ -28,8 +28,10 @@ object Pipeline {
   final case class Reader(name: String, connector: Connector, dataType: String,
                           stream: Boolean = false) extends Step
   final case class Writer(connector: Connector, dataType: String) extends Step
-  final case class Transformer(actions: Seq[Action], dataType: String) extends Step
-  final case class Validator(rules: Seq[Rule], errorSeparator: String, dataType: String) extends Step
+  final case class Transformer(actions: Seq[Action], dataType: String,
+                               referentials: Seq[(String, Connector)] = Nil) extends Step
+  final case class Validator(rules: Seq[Rule], errorSeparator: String, dataType: String,
+                             referentials: Seq[(String, Connector)] = Nil) extends Step
   final case class Referential(name: String, connector: Connector,
                                leftOn: String, rightOn: String, dataType: String) extends Step
   final case class Generator(count: Long, dataType: String) extends Step
@@ -47,8 +49,10 @@ object Pipeline {
     * `{{ ... }}` / `{% ... %}` tera templates render to Column expressions
     * (interpolation, if/elif/else, for, set); anything else is a SQL
     * expression (the Spark-native analogue of tera's expression language). */
-  def compilePattern(pattern: String): Column =
-    if (pattern.contains("{{") || pattern.contains("{%")) Template.render(pattern)
+  def compilePattern(pattern: String): Column = compilePattern(pattern, Map.empty)
+
+  def compilePattern(pattern: String, env: Map[String, Column]): Column =
+    if (pattern.contains("{{") || pattern.contains("{%")) Template.render(pattern, env)
     else expr(pattern)
 
   /** Compile a validator-rule pattern to a BOOLEAN Column. chewdata rule
@@ -57,9 +61,11 @@ object Pipeline {
     * -%} true {%- else -%} false {%- endif -%}`); a rendered template is a
     * string column, so coerce by trimmed equality. Plain SQL patterns
     * (`n > 0`) compile to boolean directly. */
-  def compileBoolPattern(pattern: String): Column =
+  def compileBoolPattern(pattern: String): Column = compileBoolPattern(pattern, Map.empty)
+
+  def compileBoolPattern(pattern: String, env: Map[String, Column]): Column =
     if (pattern.contains("{{") || pattern.contains("{%"))
-      trim(Template.render(pattern)) === "true"
+      trim(Template.render(pattern, env)) === "true"
     else expr(pattern)
 
   final case class Parsed(steps: Seq[Step])
@@ -152,8 +158,9 @@ object Pipeline {
     val dataType = if (node.has("data_type")) node.get("data_type").asText()
       else if (node.has("data")) node.get("data").asText() else "ok"
 
-    def docOpts: Documents.DocOptions = {
-      val doc = node.get("document")
+    def docOpts: Documents.DocOptions = docOptsOf(node)
+    def docOptsOf(n: JsonNode): Documents.DocOptions = {
+      val doc = n.get("document")
       if (doc == null) Documents.DocOptions()
       else Documents.DocOptions(
         delimiter = if (doc.has("delimiter")) doc.get("delimiter").asText() else ",",
@@ -185,6 +192,21 @@ object Pipeline {
         .map(Connector.fromConfig(_, docType, docOpts, transport))
         .getOrElse(CliConnector(docType))
 
+    // transformer/validator-embedded referentials (reference:
+    // src/step/transformer.rs:105 — `referentials`, alias `refs`: a map
+    // alias → Reader whose rows become template context)
+    def referentials: Seq[(String, Connector)] =
+      Option(node.get("referentials")).orElse(Option(node.get("refs"))).map { r =>
+        r.properties().asScala.map { e =>
+          val rn = e.getValue
+          val dt = if (rn.has("document") && rn.get("document").has("type"))
+            rn.get("document").get("type").asText() else "json"
+          e.getKey -> Option(rn.get("connector"))
+            .map(Connector.fromConfig(_, dt, docOptsOf(rn), transport))
+            .getOrElse(CliConnector(dt))
+        }.toSeq
+      }.getOrElse(Nil)
+
     str("type") match {
       case "reader" | "read" | "r" =>
         Reader(str("name", "reader"), connector, dataType,
@@ -197,7 +219,7 @@ object Pipeline {
             pattern = Option(a.get("pattern")).map(_.asText()),
             actionType = if (a.has("type")) a.get("type").asText() else "merge")
         }.toSeq).getOrElse(Seq.empty)
-        Transformer(actions, dataType)
+        Transformer(actions, dataType, referentials)
       case "validator" | "validate" | "v" =>
         val rules = Option(node.get("rules")).map(_.properties().asScala.map { e =>
           Rule(e.getKey,
@@ -205,7 +227,11 @@ object Pipeline {
             message = if (e.getValue.has("message")) e.getValue.get("message").asText()
               else s"rule ${e.getKey} failed")
         }.toSeq).getOrElse(Seq.empty)
-        Validator(rules, if (node.has("error_separator")) node.get("error_separator").asText() else "; ", dataType)
+        val sep =
+          if (node.has("error_separator")) node.get("error_separator").asText()
+          else if (node.has("separator")) node.get("separator").asText()
+          else "; "
+        Validator(rules, sep, dataType, referentials)
       case "referential" | "ref" =>
         Referential(str("name", "ref"), connector, str("left_on"), str("right_on"), dataType)
       case "generator" | "g" =>
@@ -236,15 +262,54 @@ object Pipeline {
       if (dataType == "err") copy(err = Some(df)) else copy(ok = Some(df))
   }
 
+  /** Materialize referential datasets into a template env: each alias's
+    * rows bind as `alias.i.field` → lit(value) — plan-time constants, the
+    * template analogue of a broadcast join (reference exposes referentials
+    * as indexable context: `{{ mapping.2.number }}`,
+    * examples/transform-mapping.rs). The bare alias binds to the dataset's
+    * JSON. Referentials are lookup tables by design; the row cap keeps a
+    * mis-declared fact table from being collected to the driver. */
+  def referentialEnv(spark: SparkSession, refs: Seq[(String, Connector)],
+                     maxRows: Int = 10000): Map[String, Column] =
+    refs.flatMap { case (alias, conn) =>
+      val df = conn.load(spark)
+      val rows = df.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"referential '$alias' exceeds $maxRows rows — use a referential step (broadcast join) for large mappings")
+      val fields = df.schema.fields
+      val cells = rows.iterator.zipWithIndex.flatMap { case (r, i) =>
+        fields.iterator.zipWithIndex.map { case (f, j) =>
+          val v: Column =
+            if (r.isNullAt(j)) lit(null)
+            else r.get(j) match {
+              case x @ (_: String | _: java.lang.Boolean | _: java.lang.Long |
+                        _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte |
+                        _: java.lang.Double | _: java.lang.Float |
+                        _: java.math.BigDecimal | _: java.sql.Timestamp |
+                        _: java.sql.Date) => lit(x)
+              case other => lit(other.toString) // nested values degrade to text
+            }
+          s"$alias.$i.${f.name}" -> v
+        }
+      }
+      val asJson = alias -> lit(
+        df.limit(maxRows).toJSON.collect().mkString("[", ",", "]"))
+      cells.toSeq :+ asJson
+    }.toMap
+
   /** Apply transformer actions: merge = add/overwrite column, replace =
     * overwrite, remove = drop. Field "/" with no pattern is identity. */
   def applyActions(df: DataFrame, actions: Seq[Action]): DataFrame =
+    applyActions(df, actions, Map.empty)
+
+  def applyActions(df: DataFrame, actions: Seq[Action],
+                   env: Map[String, Column]): DataFrame =
     actions.foldLeft(df) { (d, a) =>
       (a.actionType, a.field) match {
         case ("remove", f)       => d.drop(fieldName(f))
         case (_, "/")            => d // identity: output := input
         case (_, f)              =>
-          val c = a.pattern.map(compilePattern).getOrElse(lit(null))
+          val c = a.pattern.map(compilePattern(_, env)).getOrElse(lit(null))
           d.withColumn(fieldName(f), c)
       }
     }
@@ -253,9 +318,13 @@ object Pipeline {
 
   /** Apply validator rules: each rule's SQL pattern must hold; failures
     * append messages into `_error`. Returns (ok, err) split. */
-  def applyRules(df: DataFrame, rules: Seq[Rule], sep: String): (DataFrame, DataFrame) = {
+  def applyRules(df: DataFrame, rules: Seq[Rule], sep: String): (DataFrame, DataFrame) =
+    applyRules(df, rules, sep, Map.empty)
+
+  def applyRules(df: DataFrame, rules: Seq[Rule], sep: String,
+                 env: Map[String, Column]): (DataFrame, DataFrame) = {
     val err = nullif(concat_ws(sep,
-      rules.map(r => when(!compileBoolPattern(r.pattern), lit(r.message))): _*), lit(""))
+      rules.map(r => when(!compileBoolPattern(r.pattern, env), lit(r.message))): _*), lit(""))
     val tagged = df.withColumn("_error", err)
     (tagged.filter(col("_error").isNull).drop("_error"),
      tagged.filter(col("_error").isNotNull))
@@ -272,11 +341,13 @@ object Pipeline {
           flow.updated(dt, if (stream) conn.loadStream(spark) else conn.load(spark))
         case Generator(n, dt)     => flow.updated(dt, spark.range(n).toDF("id"))
         case Eraser(conn, _)      => conn.erase(spark); flow
-        case Transformer(actions, dt) =>
-          flow(dt).map(df => flow.updated(dt, applyActions(df, actions))).getOrElse(flow)
-        case Validator(rules, sep, dt) =>
+        case Transformer(actions, dt, refs) =>
+          flow(dt).map(df =>
+            flow.updated(dt, applyActions(df, actions, referentialEnv(spark, refs)))
+          ).getOrElse(flow)
+        case Validator(rules, sep, dt, refs) =>
           flow(dt).map { df =>
-            val (ok, err) = applyRules(df, rules, sep)
+            val (ok, err) = applyRules(df, rules, sep, referentialEnv(spark, refs))
             Flow(Some(ok), Some(err))
           }.getOrElse(flow)
         case Referential(name, conn, leftOn, rightOn, dt) =>

@@ -106,6 +106,21 @@ class FunctionsSpec extends SparkSpec {
     assert(run("{% if n > 9000 %}x{% endif %}") == "")
   }
 
+  test("template arithmetic in interpolation heads and condition operands") {
+    // reference transformer patterns do arithmetic inline
+    // (examples/transform-mapping.rs: input.number * output.number * ...)
+    val df = spark.range(1).select(lit(6L).as("n"), lit(7L).as("m"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    assert(run("{{ n * m }}") == "42")
+    assert(run("{{ n + m * 2 }}") == "20")   // precedence
+    assert(run("{{ (n + m) * 2 }}") == "26") // parens group
+    assert(run("{{ n*2 }}") == "12")         // unspaced operator
+    assert(run("{{ n - -1 }}") == "7")       // negative literal operand
+    assert(run("{% if n * m >= 42 %}y{% else %}x{% endif %}") == "y")
+    assert(run("{% if n + 1 == m %}eq{% endif %}") == "eq")
+  }
+
   test("template control flow: for loop over an array, loop.index, set") {
     val df = spark.range(1).select(lit("a b c").as("s"), lit("Z").as("z"))
     def run(t: String): String =

@@ -326,6 +326,37 @@ class PipelineSpec extends SparkSpec {
     assert(conn.load(spark).count() == 6)
   }
 
+  test("transformer-embedded referentials bind as template context (transform-mapping shape)") {
+    // reference: src/step/transformer.rs:105 + examples/transform-mapping.rs
+    // — `referentials` rows are indexable in patterns (mapping.2.number);
+    // here they fold to plan-time literals, the broadcast-join analogue
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":"[{\"number\":3},{\"number\":4}]"}},
+        | {"type":"transformer",
+        |  "referentials":{"local_mapping":{"connector":{"type":"mem",
+        |    "data":"[{\"number\":10},{\"number\":20},{\"number\":30}]"}}},
+        |  "actions":[
+        |    {"field":"my_new_field","pattern":"{{ input.number * local_mapping.2.number }}"},
+        |    {"field":"mapping_json","pattern":"{{ local_mapping }}"}]}
+        |]""".stripMargin)
+    val rows = flow.ok.get.orderBy("number").collect()
+    assert(rows.map(_.getAs[String]("my_new_field")).toSeq == Seq("90", "120"))
+    assert(rows.head.getAs[String]("mapping_json").contains("\"number\":10"))
+    // validator rules see the same context (refs alias accepted too)
+    val v = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":"[{\"number\":10},{\"number\":99}]"}},
+        | {"type":"validator",
+        |  "refs":{"bounds":{"connector":{"type":"mem","data":"[{\"max\":50}]"}}},
+        |  "rules":{"in_range":{
+        |    "pattern":"{%- if input.number <= bounds.0.max -%} true {%- else -%} false {%- endif -%}",
+        |    "message":"too big"}}}
+        |]""".stripMargin)
+    assert(v.ok.get.collect().map(_.getAs[Long]("number")).toSeq == Seq(10L))
+    assert(v.err.get.head().getAs[String]("_error") == "too big")
+  }
+
   test("validator accepts chewdata tera rule patterns (render-to-true/false)") {
     // the reference's own documented rule shape: a template rendering the
     // string "true"/"false", with ws-control tags and tera tests
