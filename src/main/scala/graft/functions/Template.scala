@@ -54,7 +54,17 @@ object Template {
     "sha256" -> StringFns.checksumSha256 _,
     "json_encode" -> (c => to_json(struct(c))),
     "first" -> (c => element_at(split(c, ","), 1)),
-    "last" -> (c => element_at(split(c, ","), -1)))
+    "last" -> (c => element_at(split(c, ","), -1)),
+    // tera built-ins chewdata configs lean on (tera stdlib — public API)
+    "abs" -> abs _,
+    "int" -> (c => c.cast("bigint")),
+    "float" -> (c => c.cast("double")),
+    "reverse" -> (c => reverse(c)),
+    "trim_start" -> (c => ltrim(c)),
+    "trim_end" -> (c => rtrim(c)),
+    "wordcount" -> (c => size(split(trim(c), "\\s+")).cast("string")),
+    "striptags" -> (c => regexp_replace(c, "<[^>]*>", "")),
+    "urlencode" -> (c => url_encode(c)))
 
   /** Arg-taking filters: (column, parsed k=v args) → Column. The object
     * filters mirror the reference's tera registrations
@@ -67,6 +77,22 @@ object Template {
       java.util.regex.Pattern.quote(a("from")),
       java.util.regex.Matcher.quoteReplacement(a("to")))),
     "truncate" -> ((c, a) => substring(c, 1, a("length").toInt)),
+    // tera `round(method=..., precision=N)`: common/ceil/floor
+    "round" -> ((c, a) => {
+      val p = a.getOrElse("precision", "0").toInt
+      a.getOrElse("method", "common") match {
+        case "ceil"  => ceil(c * math.pow(10, p)) / math.pow(10, p)
+        case "floor" => floor(c * math.pow(10, p)) / math.pow(10, p)
+        case _       => round(c, p)
+      }
+    }),
+    // tera `date(format=...)` with the common chrono specifiers
+    "date" -> ((c, a) => {
+      val fmt = a.getOrElse("format", "%Y-%m-%d")
+        .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+        .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+      date_format(c.cast("timestamp"), fmt)
+    }),
     "find" -> ((c, a) => StringFns.find(c, a("pattern"))),
     "extract" -> ((c, a) => ObjectFns.extract(c, a("keys").split(",").map(_.trim).toSeq)),
     "replace_key" -> ((c, a) => ObjectFns.replaceKey(c, a("from"), a("to"))),

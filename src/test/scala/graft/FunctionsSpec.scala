@@ -106,6 +106,22 @@ class FunctionsSpec extends SparkSpec {
     assert(run("{% if n > 9000 %}x{% endif %}") == "")
   }
 
+  test("tera stdlib filters: round/abs/int/float/date/wordcount/striptags") {
+    val df = spark.range(1).select(lit(-2.718).as("x"), lit("  <b>two words</b> ").as("h"),
+      lit("2024-03-05 07:09:11").as("ts"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    assert(run("{{ x | abs }}") == "2.718")
+    assert(run("{{ x | abs | round(precision=1) }}") == "2.7")
+    assert(run("{{ x | abs | round(method='ceil', precision=1) }}") == "2.8")
+    assert(run("{{ x | abs | round(method='floor') }}") == "2.0")
+    assert(run("{{ x | int }}") == "-2")
+    assert(run("{{ h | striptags | trim }}") == "two words")
+    assert(run("{{ h | striptags | wordcount }}") == "2")
+    assert(run("{{ ts | date(format='%Y/%m/%d %H:%M') }}") == "2024/03/05 07:09")
+    assert(run("{{ h | trim | trim_end }}") == "<b>two words</b>")
+  }
+
   test("template arithmetic in interpolation heads and condition operands") {
     // reference transformer patterns do arithmetic inline
     // (examples/transform-mapping.rs: input.number * output.number * ...)
