@@ -372,8 +372,17 @@ object Template {
 
   private def compileExpr(body: String, env: Map[String, Column]): Column = {
     val parts = body.split("\\|").map(_.trim).filter(_.nonEmpty)
-    val base = arith(parts.head, env)
-    parts.tail.foldLeft(base) { (c, f) =>
+    // `{{ input | json_encode() }}` — the reference's whole-record JSON
+    // idiom (transformer docs): when the pipeline bound the row struct
+    // (`__row__input`/`__row__output`), encode THE ROW, not a wrapped
+    // single field
+    val head = parts.head.trim
+    val (base, chain) =
+      if (env.contains("__row__" + head) &&
+          parts.tail.headOption.exists(_.startsWith("json_encode")))
+        (to_json(env("__row__" + head)), parts.tail.tail)
+      else (arith(parts.head, env), parts.tail)
+    chain.foldLeft(base) { (c, f) =>
       f match {
         case FilterCall(name, null) =>
           filters.get(name).orElse(objectFilters.get(name)).getOrElse(

@@ -309,7 +309,14 @@ object Pipeline {
         case ("remove", f)       => d.drop(fieldName(f))
         case (_, "/")            => d // identity: output := input
         case (_, f)              =>
-          val c = a.pattern.map(compilePattern(_, env)).getOrElse(lit(null))
+          // whole-row bindings for `{{ input | json_encode() }}`-style
+          // patterns: input = the step's source row, output = the row as
+          // built so far (actions are cumulative)
+          val inputCols = df.columns.filter(d.columns.contains).toIndexedSeq
+          val rowEnv = env +
+            ("__row__input" -> struct(inputCols.map(col): _*)) +
+            ("__row__output" -> struct(d.columns.toIndexedSeq.map(col): _*))
+          val c = a.pattern.map(compilePattern(_, rowEnv)).getOrElse(lit(null))
           d.withColumn(fieldName(f), c)
       }
     }

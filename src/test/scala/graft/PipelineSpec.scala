@@ -357,6 +357,22 @@ class PipelineSpec extends SparkSpec {
     assert(v.err.get.head().getAs[String]("_error") == "too big")
   }
 
+  test("whole-record json_encode: {{ input | json_encode() }} emits the row") {
+    // reference transformer docs: the identity/debug idiom serializes the
+    // full input record, not a wrapped single field
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":"[{\"a\":1,\"b\":\"x\"}]"}},
+        | {"type":"transformer","actions":[
+        |   {"field":"snapshot","pattern":"{{ input | json_encode() }}"},
+        |   {"field":"both","pattern":"{{ output | json_encode() }}"}]}
+        |]""".stripMargin)
+    val r = flow.ok.get.head()
+    assert(r.getAs[String]("snapshot") == """{"a":1,"b":"x"}""")
+    // output sees the columns built so far (snapshot included)
+    assert(r.getAs[String]("both").contains("\"snapshot\""))
+  }
+
   test("validator accepts chewdata tera rule patterns (render-to-true/false)") {
     // the reference's own documented rule shape: a template rendering the
     // string "true"/"false", with ws-control tags and tera tests
