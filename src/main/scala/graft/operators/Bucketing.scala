@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Bucketed storage for co-located joins and aggregations (the 100 TB
+  * lever the brief calls out: "repartition()/bucketing for co-located
+  * joins").
+  *
+  * A bucketed write pays ONE shuffle at write time; every later join or
+  * aggregation on the bucket key then reads co-located buckets and skips
+  * its exchange entirely — on a fact table joined daily against another
+  * bucketed table, that converts a per-query multi-TB shuffle into a
+  * one-time layout cost. Matching bucket counts on both sides are
+  * required for the join-side elision (Spark pairs bucket i with
+  * bucket i).
+  *
+  * Spark persists bucket metadata in the session catalog, so bucketed
+  * frames are written as tables (`saveAsTable`), not bare paths —
+  * that is where `spark.read.table` recovers the bucket spec from.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (optionally sorted) table. Sorting within
+    * buckets additionally lets sort-merge joins skip their sort. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String], sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    var w = df.write.mode(mode)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  /** Read a bucketed table back with its bucket spec intact. */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.read.table(table)
+}

@@ -114,6 +114,37 @@ class PlansSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
+  test("bucketed tables: co-located join and agg run with zero shuffles") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    operators.Bucketing.writeBucketed(
+      t.orders.select(col("o_orderkey"), col("o_totalprice")),
+      "b_orders", buckets = 8, keys = Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+    operators.Bucketing.writeBucketed(
+      t.lineitem.select(col("l_orderkey"), col("l_quantity")),
+      "b_lineitem", buckets = 8, keys = Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
+    val bo = operators.Bucketing.readBucketed(spark, "b_orders")
+    val bl = operators.Bucketing.readBucketed(spark, "b_lineitem")
+    // force the join path that would normally shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bl.join(bo, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      val plan = executed(joined)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"bucketed join+agg must be exchange-free, found ${shuffles.size}:\n$plan")
+      // and it computes the same thing as the unbucketed plan
+      val expected = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity"))).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("full faker registry is SQL-callable") {
     graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
