@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * per-partition over the binary payloads.
   *
   * The Spark-side plumbing — schema, ingestion via binaryFile, partition
-  * sizing, batch-shaped processing — is real; the codec itself is an
-  * injectable function and the default is a DETERMINISTIC STUB (this
-  * container has no image/audio libraries). Swap `decode` for a real codec
-  * (e.g. javacv) without touching the plan shape.
+  * sizing, batch-shaped processing — is real. For IMAGES the codec is
+  * real too: `imageIoDecode`/`resizeImages` ride the JDK's built-in
+  * javax.imageio + AWT (PNG/JPEG/BMP/GIF, headless-safe, zero external
+  * deps). Audio/video decode stays an injectable function with a
+  * DETERMINISTIC STUB default (no such codecs in this container); swap
+  * in a real codec (e.g. javacv) without touching the plan shape.
   */
 object Multimodal {
 
@@ -66,6 +68,52 @@ object Multimodal {
       height = 16 + ((r.length / 1024) % 1024).toInt,
       channels = if (r.modality == "audio") 2 else 3,
       checksum = hex)
+  }
+
+  /** REAL image decode via the JDK's built-in ImageIO (javax.imageio is
+    * part of Java 17's java.desktop — PNG/JPEG/BMP/GIF/WBMP decode with
+    * no external libraries, headless-safe). Width/height/channels come
+    * from the actual pixel raster; use for the `image` modality and keep
+    * the stubs for modalities whose codecs genuinely aren't present
+    * (audio/video). */
+  def imageIoDecode(r: MediaRecord): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+    require(img != null, s"undecodable image payload: ${r.path}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    MediaFeatures(r.path, r.modality, r.length,
+      width = img.getWidth, height = img.getHeight,
+      channels = img.getColorModel.getNumComponents,
+      checksum = md.digest(r.content).map("%02x".format(_)).mkString)
+  }
+
+  /** Resize one image payload to (w, h), re-encoded as PNG — JDK-only
+    * (AWT Graphics2D, headless-safe). */
+  def resizeImageBytes(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(src != null, "undecodable image payload")
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Distributed image resize: per-partition over the binary payloads, the
+    * same shuffle-free shape as feature extraction. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val resized = resizeImageBytes(r.content, w, h)
+        r.copy(contentType = "image/png", length = resized.length, content = resized)
+      }
+    }
   }
 
   /** Feature extraction over partitions: one codec instance per partition

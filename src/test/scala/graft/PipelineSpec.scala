@@ -732,6 +732,29 @@ class PipelineSpec extends SparkSpec {
     val again = operators.Multimodal.extractFeatures(media).collect()
     assert(feats.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
   }
+
+  test("multimodal: REAL image decode + distributed resize via JDK ImageIO") {
+    import operators.Multimodal
+    // author real PNGs in memory — no external libs anywhere in this path
+    val dir = tmp("imgs")
+    Seq(("a.png", 20, 12), ("b.png", 33, 7)).foreach { case (name, w, h) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$dir/$name"))
+    }
+    val media = Multimodal.readBinary(spark, s"$dir/*.png", "image", "image/png")
+    val feats = Multimodal.extractFeatures(media, Multimodal.imageIoDecode)
+      .collect().map(f => new java.io.File(f.path.stripPrefix("file:")).getName ->
+        ((f.width, f.height, f.channels))).toMap
+    assert(feats("a.png") == ((20, 12, 3)))
+    assert(feats("b.png") == ((33, 7, 3)))
+    // distributed resize re-encodes to the target raster
+    val resized = Multimodal.resizeImages(media, 8, 8)
+    val rf = Multimodal.extractFeatures(resized, Multimodal.imageIoDecode).collect()
+    assert(rf.length == 2 && rf.forall(f => f.width == 8 && f.height == 8))
+  }
 }
 
 /** Serializable loopback transports for the curl-config e2e specs (defined
