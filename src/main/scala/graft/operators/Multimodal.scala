@@ -116,6 +116,43 @@ object Multimodal {
     }
   }
 
+  final case class AudioFeatures(
+      path: String, length: Long,
+      sampleRate: Float, channels: Int, frames: Long,
+      durationSec: Double, rmsEnergy: Double)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU ship
+    * with Java 17 — no external libraries). Emits format metadata plus a
+    * first-feature (RMS energy over PCM samples) as the
+    * feature-extraction example. */
+  def audioDecode(r: MediaRecord): AudioFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.content))
+    try {
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      // PCM 16-bit little/big-endian RMS; other encodings report -1
+      val rms =
+        if (fmt.getSampleSizeInBits == 16 && bytes.length >= 2) {
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sum = 0.0; var n = 0
+          while (bb.remaining() >= 2) { val s = bb.getShort / 32768.0; sum += s * s; n += 1 }
+          math.sqrt(sum / n)
+        } else -1.0
+      AudioFeatures(r.path, r.length, fmt.getSampleRate, fmt.getChannels,
+        frames, frames.toDouble / fmt.getSampleRate, rms)
+    } finally in.close()
+  }
+
+  /** Distributed audio feature extraction — same per-partition shape. */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(audioDecode))
+  }
+
   /** Feature extraction over partitions: one codec instance per partition
     * (the real-codec pattern — init once, stream the batch through). */
   def extractFeatures(media: Dataset[MediaRecord],

@@ -84,6 +84,35 @@ object SourcesQ {
     """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 
+  /** Shared roundtrip shape for the hand-rolled document codecs
+    * (yaml/toml) and spark-native xml: write two customer columns through
+    * the encoder, read back through the decoder, aggregate. The money sum
+    * rides exact decimal (order-independent, bit-parity with the oracle)
+    * rather than a rounded double. */
+  private def docRoundtrip(spark: SparkSession, dir: String,
+                           docType: String): DataFrame = {
+    val out = tempDir(s"graft_$docType")
+    graft.sources.Documents.write(
+      Tables(spark, dir).customer.select(col("c_mktsegment"), col("c_acctbal")),
+      docType, s"$out/customer_$docType")
+    graft.sources.Documents.read(spark, docType, s"$out/customer_$docType")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_bal"))
+  }
+
+  private val docRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  def qYamlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    docRoundtrip(spark, dir, "yaml")
+  def qTomlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    docRoundtrip(spark, dir, "toml")
+  def qXmlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    docRoundtrip(spark, dir, "xml")
+
   /** JSON-lines encode → decode roundtrip, then aggregate. */
   def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = tempDir("graft_json")
@@ -103,6 +132,9 @@ object SourcesQ {
     "q_pipeline_e2e"  -> ((qPipelineE2e _, Some(qPipelineE2eSql))),
     "q_csv_roundtrip" -> ((qCsvRoundtrip _, Some(qCsvRoundtripSql))),
     "q_orc_roundtrip" -> ((qOrcRoundtrip _, Some(qOrcRoundtripSql))),
+    "q_yaml_roundtrip" -> ((qYamlRoundtrip _, Some(docRoundtripSql))),
+    "q_toml_roundtrip" -> ((qTomlRoundtrip _, Some(docRoundtripSql))),
+    "q_xml_roundtrip" -> ((qXmlRoundtrip _, Some(docRoundtripSql))),
     "q_json_roundtrip" -> ((qJsonRoundtrip _, Some(qJsonRoundtripSql))),
   )
 }

@@ -755,6 +755,30 @@ class PipelineSpec extends SparkSpec {
     val rf = Multimodal.extractFeatures(resized, Multimodal.imageIoDecode).collect()
     assert(rf.length == 2 && rf.forall(f => f.width == 8 && f.height == 8))
   }
+
+  test("multimodal: REAL audio decode (WAV) via javax.sound.sampled") {
+    import operators.Multimodal
+    // author a 440 Hz sine WAV in memory — JDK-only end to end
+    val dir = tmp("wavs")
+    val rate = 8000f; val seconds = 0.5
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / rate) * 16384).toShort)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, new java.io.File(s"$dir/tone.wav"))
+    val media = Multimodal.readBinary(spark, s"$dir/*.wav", "audio", "audio/wav")
+    val f = Multimodal.extractAudioFeatures(media).head()
+    assert(f.sampleRate == 8000f && f.channels == 1 && f.frames == n.toLong)
+    assert(math.abs(f.durationSec - 0.5) < 1e-9)
+    // RMS of a 0.5-amplitude sine ≈ 0.5/sqrt(2)
+    assert(math.abs(f.rmsEnergy - 0.5 / math.sqrt(2)) < 0.01)
+  }
 }
 
 /** Serializable loopback transports for the curl-config e2e specs (defined
