@@ -250,6 +250,12 @@ object Template {
     env.get(norm).getOrElse {
       val parts = norm.split("[./]").filter(_.nonEmpty) match {
         case Array("input" | "output", rest @ _*) if rest.nonEmpty => rest.toArray
+        // `context.steps.<step>.<field>` (reference transformer context):
+        // steps here are whole-frame column transforms, so a record's
+        // value "at step X" is the column itself unless a later action
+        // overwrote it — the same input ≡ output approximation documented
+        // above
+        case Array("context", "steps", _, rest @ _*) if rest.nonEmpty => rest.toArray
         case p => p
       }
       parts.tail.foldLeft(env.getOrElse(parts.head, col(parts.head)))((c, f) => c.getField(f))

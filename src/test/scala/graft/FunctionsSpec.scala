@@ -135,6 +135,9 @@ class FunctionsSpec extends SparkSpec {
     assert(run("{{ n - -1 }}") == "7")       // negative literal operand
     assert(run("{% if n * m >= 42 %}y{% else %}x{% endif %}") == "y")
     assert(run("{% if n + 1 == m %}eq{% endif %}") == "eq")
+    // reference transformer context path (examples/transform-mapping.rs):
+    // context.steps.<name>.<field> resolves to the record's column
+    assert(run("{{ n * context.steps.reader.m }}") == "42")
   }
 
   test("template control flow: for loop over an array, loop.index, set") {
