@@ -113,4 +113,28 @@ class PropertiesSpec extends SparkSpec {
     assert(r.getInt(0) == 64)   // identical input → identical 64 minima
     assert(r.getInt(1) < 8)     // disjoint shingles → near-zero agreement
   }
+
+  test("bounded top-k aggregate equals the sort-based ranking on random data") {
+    // TopKByScore (heap, map-side partial trim) must agree exactly — ties
+    // included — with the naive row_number ranking it replaced. Duplicate
+    // scores are planted deliberately to exercise the (score DESC, id ASC)
+    // tie order across partition merges.
+    val k = 5
+    val rows = Seq.tabulate(400) { i =>
+      (i % 7L, math.floor(rnd.nextDouble() * 20) / 20, rnd.nextLong().abs % 1000)
+    }
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val agg = df.groupBy($"g")
+      .agg(graft.plans.Native.topKByScore($"score", $"id", k).as("tk"))
+      .select($"g", posexplode($"tk").as(Seq("pos", "e")))
+      .select($"g", ($"pos" + 1).as("rnk"), $"e.id".as("id"), $"e.cos".as("score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(t => (t._3, t._2))
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.take(k)
+        .map { case ((id, s), i) => (g, i + 1, id, s) }
+    }.toSet
+    assert(agg == expected, s"heap top-k diverged from sort top-k")
+  }
 }
