@@ -545,17 +545,65 @@ final case class CurlConnector(endpoint: String, path: String = "",
   }
 }
 
-/** MongoDB connector (reference: mongodb.rs). Config-parse parity only:
-  * execution rides the official MongoDB Spark connector jar, which is not
-  * present in this environment — load/save fail fast with a clear message
-  * rather than a classpath error. */
-final case class MongoConnector(uri: String, database: String, collection: String)
+object MongoConnector {
+  /** Minimal driver-shaped client surface (reference: mongodb.rs wraps the
+    * official Rust driver). Injectable so pagination planning, distributed
+    * parse, batched insert and erase are real and spec-tested without a
+    * server; a production adapter wraps mongo-java-driver (or the Spark
+    * connector) behind the same four calls. Documents travel as extended
+    * JSON strings — the same wire shape the reference's serde layer sees. */
+  trait Client extends Serializable {
+    def count(database: String, collection: String, filterJson: String): Long
+    def find(database: String, collection: String, filterJson: String,
+             skip: Long, limit: Int): Seq[String]
+    def insert(database: String, collection: String, docsJson: Seq[String]): Unit
+    def drop(database: String, collection: String): Unit
+  }
+}
+
+/** MongoDB connector (reference: mongodb.rs — endpoint/db/collection,
+  * `filter` find query, offset pagination, update/erase). With a client
+  * the whole execution path runs: a count probe plans page-per-partition
+  * parallel finds (the curl known-count shape), bodies parse with
+  * distributed JSON inference, saves insert in per-partition batches.
+  * Without a client (this container has no driver jar and no egress) the
+  * operations fail fast with a clear message instead of a classpath
+  * error. */
+final case class MongoConnector(uri: String, database: String, collection: String,
+                                filter: String = "{}", batchSize: Int = 1000,
+                                client: Option[MongoConnector.Client] = None)
     extends Connector {
   private def unavailable = new UnsupportedOperationException(
-    "MongoDB support requires the mongo-spark-connector jar on the classpath " +
+    "MongoDB support requires a client (mongo driver jar) on the classpath " +
       s"(would read $database.$collection from $uri)")
-  override def load(spark: SparkSession): DataFrame = throw unavailable
-  override def save(df: DataFrame, mode: SaveMode): Unit = throw unavailable
+
+  override def load(spark: SparkSession): DataFrame = client match {
+    case None => throw unavailable
+    case Some(c) =>
+      import spark.implicits._
+      val total = c.count(database, collection, filter)
+      val nPages = math.max(0L, (total + batchSize - 1) / batchSize).toInt
+      if (nPages == 0) spark.emptyDataFrame
+      else {
+        val (db, coll, f, bs) = (database, collection, filter, batchSize)
+        val docs = spark.range(nPages).repartition(math.min(nPages, 64))
+          .mapPartitions(_.flatMap(p => c.find(db, coll, f, p * bs.toLong, bs)))
+        spark.read.json(docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+  }
+
+  override def save(df: DataFrame, mode: SaveMode): Unit = client match {
+    case None => throw unavailable
+    case Some(c) =>
+      if (mode == SaveMode.Overwrite) c.drop(database, collection)
+      val (db, coll, bs) = (database, collection, batchSize)
+      df.toJSON.foreachPartition { (it: Iterator[String]) =>
+        it.grouped(bs).foreach(batch => c.insert(db, coll, batch.toSeq))
+      }
+  }
+
+  override def erase(spark: SparkSession): Unit =
+    client.getOrElse(throw unavailable).drop(database, collection)
 }
 
 object Connector {
@@ -655,7 +703,9 @@ object Connector {
         CurlConnector(str("endpoint"), str("path"), headers, pag, transport, counter,
           auth, isCached = isCached)
       case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
-        str("collection"))
+        str("collection"),
+        if (node.has("filter")) node.get("filter").toString else "{}",
+        if (node.has("batch_size")) node.get("batch_size").asInt() else 1000)
       case other => throw new IllegalArgumentException(s"unknown connector type: $other")
     }
   }

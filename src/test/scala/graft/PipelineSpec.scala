@@ -482,6 +482,37 @@ class PipelineSpec extends SparkSpec {
     assert(conn.load(spark).count() == 110)
   }
 
+  test("mongodb connector executes save/load/erase over an injectable client") {
+    // reference: src/connector/mongodb.rs — with a client the whole path
+    // runs: batched insert, count-probe page planning, parallel finds,
+    // distributed JSON parse, drop; a real driver adapter swaps in behind
+    // the same four calls
+    PipelineSpec.FakeMongo.reset()
+    val conn = sources.MongoConnector("mongodb://test", "db1", "people",
+      batchSize = 3, client = Some(PipelineSpec.FakeMongo))
+    import spark.implicits._
+    conn.save(Seq((1L, "ada"), (2L, "bob"), (3L, "cyd"), (4L, "dee"), (5L, "eve"))
+      .toDF("id", "name"), org.apache.spark.sql.SaveMode.Overwrite)
+    assert(PipelineSpec.FakeMongo.count("db1", "people", "{}") == 5)
+    val back = conn.load(spark)
+    assert(back.count() == 5)
+    assert(back.rdd.getNumPartitions == 2) // ceil(5/3) pages in parallel
+    assert(back.orderBy("id").collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("ada", "bob", "cyd", "dee", "eve"))
+    conn.erase(spark)
+    assert(PipelineSpec.FakeMongo.count("db1", "people", "{}") == 0)
+    // config-parse keeps working and carries filter/batch_size
+    val cfg = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      """{"type":"mongodb","endpoint":"mongodb://h","database":"d","collection":"c",
+        |  "filter":{"kind":"x"},"batch_size":7}""".stripMargin)
+    val parsed = sources.Connector.fromConfig(cfg, "json", Documents.DocOptions())
+      .asInstanceOf[sources.MongoConnector]
+    assert(parsed.filter == """{"kind":"x"}""" && parsed.batchSize == 7)
+    // without a client the operations fail fast with a clear message
+    val err = intercept[UnsupportedOperationException](parsed.load(spark))
+    assert(err.getMessage.contains("client"))
+  }
+
   test("curl config: header counter (X-Total-Count) unlocks parallel offset pagination") {
     // reference: src/connector/counter/curl/header.rs — the probe request's
     // RESPONSE header carries the collection size
@@ -820,6 +851,28 @@ object PipelineSpec {
     val skip = q("skip").toInt
     (skip until math.min(skip + limit, 6))
       .map(i => s"""{"id":$i}""").mkString("[", ",", "]")
+  }
+
+  /** In-memory Mongo-shaped store (thread-safe: executor tasks insert and
+    * find concurrently in local mode). */
+  object FakeMongo extends sources.MongoConnector.Client {
+    private val store = new java.util.concurrent.ConcurrentHashMap[String, java.util.List[String]]()
+    private def key(db: String, coll: String) = s"$db.$coll"
+    def reset(): Unit = store.clear()
+    override def count(db: String, coll: String, filterJson: String): Long =
+      Option(store.get(key(db, coll))).map(_.size.toLong).getOrElse(0L)
+    override def find(db: String, coll: String, filterJson: String,
+                      skip: Long, limit: Int): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      Option(store.get(key(db, coll))).map(_.asScala.toSeq).getOrElse(Nil)
+        .sorted.slice(skip.toInt, skip.toInt + limit)
+    }
+    override def insert(db: String, coll: String, docsJson: Seq[String]): Unit = {
+      val l = store.computeIfAbsent(key(db, coll),
+        _ => java.util.Collections.synchronizedList(new java.util.ArrayList[String]()))
+      docsJson.foreach(l.add)
+    }
+    override def drop(db: String, coll: String): Unit = { store.remove(key(db, coll)); () }
   }
 
   /** Cursor-chained API: three pages linked by meta.next tokens. */
