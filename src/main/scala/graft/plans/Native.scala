@@ -98,4 +98,5 @@ object NativeSets {
     toCol(JaccardSortedLongs(toExpr(a), toExpr(b)))
   def hyperplaneLsh(vec: Column, planes: Int = 16): Column =
     toCol(HyperplaneLsh(toExpr(vec), planes))
+  def int8QuantStats(vec: Column): Column = toCol(Int8QuantStats(toExpr(vec)))
 }

@@ -341,3 +341,45 @@ case class DigestHex(child: Expression, algorithm: String)
 
   override protected def withNewChildInternal(c: Expression): DigestHex = copy(child = c)
 }
+
+/** Symmetric int8 quantization report over one vector: scale = max|x|/127,
+  * per element q = floor(x/scale) clamped to [-127,127]. One tight loop per
+  * row (an HOF transform+aggregate here would interpret the lambda per
+  * ELEMENT — the measured ~100x hot-path penalty). Arithmetic is the same
+  * IEEE op sequence as the DuckDB oracle, so the gate hash-matches. */
+case class Int8QuantStats(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("sum_q", LongType, nullable = false),
+    StructField("n_clipped", LongType, nullable = false)))
+  override def prettyName: String = "graft_int8_quant"
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    val scale = mx / 127.0
+    var sumQ = 0L
+    var clipped = 0L
+    i = 0
+    while (i < n) {
+      val q = math.floor(v.getDouble(i) / scale).toLong
+      if (math.abs(q) > 127) clipped += 1
+      sumQ += math.max(-127L, math.min(127L, q))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, sumQ, clipped))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Int8QuantStats = copy(child = c)
+}

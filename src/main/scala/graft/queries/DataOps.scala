@@ -721,22 +721,17 @@ object DataOps {
 
   /** Symmetric int8 embedding quantization report: per-vector scale =
     * max|x|/127, elementwise floor(x/scale) clamped to [-127,127].
-    * Map-only (no shuffle); the scale stages as a column ref between
-    * selects so the HOF lambdas don't recompute the array max per
-    * element. Integer sums keep the oracle exact. */
-  def qQuantizeEmb(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), graft.operators.Similarity.asDouble(col("embedding")).as("v"))
-    val withScale = e.select(col("vec_id"), col("v"),
-      (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("scale"))
-    withScale.select(col("vec_id"), col("scale"),
-      aggregate(col("v"), lit(0L), (s, x) =>
-        s + greatest(lit(-127L), least(lit(127L),
-          floor(x / col("scale")).cast("long")))).as("sum_q"),
-      aggregate(col("v"), lit(0L), (s, x) =>
-        s + when(abs(floor(x / col("scale"))) > 127, lit(1L))
-          .otherwise(lit(0L))).as("n_clipped"))
-  }
+    * Map-only (no shuffle); the whole per-vector computation is ONE
+    * native tight loop (plans.Int8QuantStats) — an HOF
+    * transform+aggregate would interpret its lambda per element.
+    * Integer sums keep the oracle exact. */
+  def qQuantizeEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        graft.plans.NativeSets.int8QuantStats(
+          graft.operators.Similarity.asDouble(col("embedding"))).as("qs"))
+      .select(col("vec_id"), col("qs.scale").as("scale"),
+        col("qs.sum_q").as("sum_q"), col("qs.n_clipped").as("n_clipped"))
 
   val qQuantizeEmbSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
