@@ -62,7 +62,8 @@ object Template {
     "reverse" -> (c => reverse(c)),
     "trim_start" -> (c => ltrim(c)),
     "trim_end" -> (c => rtrim(c)),
-    "wordcount" -> (c => size(split(trim(c), "\\s+")).cast("string")),
+    "wordcount" -> (c => when(trim(c) === "", lit(0))
+      .otherwise(size(split(trim(c), "\\s+"))).cast("string")),
     "striptags" -> (c => regexp_replace(c, "<[^>]*>", "")),
     "urlencode" -> (c => url_encode(c)))
 
@@ -86,11 +87,16 @@ object Template {
         case _       => round(c, p)
       }
     }),
-    // tera `date(format=...)` with the common chrono specifiers
+    // tera `date(format=...)` with the common chrono specifiers;
+    // an untranslated specifier fails at COMPILE time, not as a cryptic
+    // pattern-letter error mid-job
     "date" -> ((c, a) => {
       val fmt = a.getOrElse("format", "%Y-%m-%d")
         .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
         .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+      require(!fmt.contains("%"),
+        s"unsupported date specifier in '${a.getOrElse("format", "")}' " +
+          "(supported: %Y %m %d %H %M %S)")
       date_format(c.cast("timestamp"), fmt)
     }),
     "find" -> ((c, a) => StringFns.find(c, a("pattern"))),
@@ -312,8 +318,9 @@ object Template {
     * Operators + - * / % with parens and precedence; operands delegate to
     * `operand`, so paths, literals, filters-free function calls keep
     * working. A bare operand (no top-level operator) compiles exactly as
-    * before. NB: tera identifiers cannot contain '-', so `a-b` is a
-    * subtraction here too. */
+    * before. NB: tera identifiers cannot contain '-' or '/', so `a-b`
+    * is a subtraction and `a/b` a division here too (exactly tera's
+    * reading); pointer-style paths inside templates must use dots. */
   private def arith(s: String, env: Map[String, Column]): Column = {
     val t = s.trim
     if (t.startsWith("(") && t.endsWith(")") && wrapsWhole(t))

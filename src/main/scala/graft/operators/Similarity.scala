@@ -38,6 +38,11 @@ object Similarity {
   private def rankTopK(scored: DataFrame, k: Int,
                        qIdCol: String, idCol: String): DataFrame = {
     val idType = scored.schema(idCol).dataType
+    // ids travel as longs through the heap buffers; a non-integral id
+    // would cast to null and be skipped SILENTLY — fail loudly instead
+    require(Seq("byte", "short", "int", "bigint").contains(idType.simpleString),
+      s"top-k ranking needs an integral id column; $idCol is ${idType.simpleString} " +
+        "(hash or zipWithIndex non-numeric ids before ranking)")
     scored.groupBy(col(qIdCol))
       .agg(graft.plans.Native.topKByScore(col("cos"), col(idCol).cast("long"), k).as("__tk"))
       .select(col(qIdCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))

@@ -370,12 +370,16 @@ case class Int8QuantStats(child: Expression)
     val scale = mx / 127.0
     var sumQ = 0L
     var clipped = 0L
-    i = 0
-    while (i < n) {
-      val q = math.floor(v.getDouble(i) / scale).toLong
-      if (math.abs(q) > 127) clipped += 1
-      sumQ += math.max(-127L, math.min(127L, q))
-      i += 1
+    // an all-zero vector has scale 0; quantize to all-zero explicitly
+    // (0/0 would be NaN, whose long cast differs between engines)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val q = math.floor(v.getDouble(i) / scale).toLong
+        if (math.abs(q) > 127) clipped += 1
+        sumQ += math.max(-127L, math.min(127L, q))
+        i += 1
+      }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](scale, sumQ, clipped))

@@ -738,10 +738,14 @@ object DataOps {
       |s AS (SELECT vec_id, v,
       |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
       |SELECT vec_id, scale,
-      |  CAST(list_sum(list_transform(v, x ->
-      |    greatest(-127, least(127, CAST(floor(x / scale) AS BIGINT))))) AS BIGINT) AS sum_q,
-      |  CAST(list_sum(list_transform(v, x ->
-      |    CASE WHEN abs(floor(x / scale)) > 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped
+      |  CASE WHEN scale = 0 THEN 0 ELSE
+      |    CAST(list_sum(list_transform(v, x ->
+      |      greatest(-127, least(127, CAST(floor(x / scale) AS BIGINT))))) AS BIGINT)
+      |  END AS sum_q,
+      |  CASE WHEN scale = 0 THEN 0 ELSE
+      |    CAST(list_sum(list_transform(v, x ->
+      |      CASE WHEN abs(floor(x / scale)) > 127 THEN 1 ELSE 0 END)) AS BIGINT)
+      |  END AS n_clipped
       |FROM s""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(

@@ -486,9 +486,11 @@ final case class CurlConnector(endpoint: String, path: String = "",
               .readTree(resp.body).at(entryPath)
             if (node.isMissingNode || node.isNull) None else Some(node.asLong())
           case HeaderCounter(name, _) =>
+            // a missing/garbage header degrades to the sequential walk,
+            // matching the BodyCounter fallback
             resp.headers.collectFirst {
-              case (k, v) if k.equalsIgnoreCase(name) => v.trim.toLong
-            }
+              case (k, v) if k.equalsIgnoreCase(name) => v.trim
+            }.flatMap(v => scala.util.Try(v.toLong).toOption)
         }
         probed.map(n => op.copy(count = Some(n))).getOrElse(op)
       case (p, _) => p
@@ -498,18 +500,21 @@ final case class CurlConnector(endpoint: String, path: String = "",
         val nPages = math.max(0L, (count - skip + limit - 1) / limit).toInt
         if (nPages == 0) spark.emptyDataFrame
         else {
-          // URLs planned on the driver (cheap strings), fetched one page per
-          // partition so page fetches run concurrently on executors; bodies
-          // then buffer on the driver (same profile as the sequential
-          // walks) so downstream actions re-parse memory instead of
-          // re-fetching pages — json inference alone would otherwise fetch
-          // every page twice
+          // URLs planned on the driver (cheap strings), fetched one page
+          // per partition so page fetches run concurrently on executors;
+          // the bodies STAY distributed (a collect() here would bottleneck
+          // the driver at 100k-page collections) and persist so json
+          // inference + downstream actions re-parse the cache instead of
+          // re-fetching every page. The cached blocks are LRU-evictable
+          // and die with the session.
           val urls = (0 until nPages).map(i =>
             urlFor(Map("limit" -> limit.toString, "skip" -> (skip + i.toLong * limit).toString)))
           val bodies = urls.toDS().repartition(math.min(nPages, 64))
             .map(u => ex(u, hs).body)
-            .collect()
-          parsePages(spark, bodies.toSeq)
+            .filter(b => !blankPage(b))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (bodies.isEmpty) { bodies.unpersist(blocking = false); spark.emptyDataFrame }
+          else spark.read.json(bodies)
         }
       case OffsetPaginator(limit, skip, None) =>
         // unknown total: the page count is data-dependent, so the walk is
@@ -588,6 +593,9 @@ final case class MongoConnector(uri: String, database: String, collection: Strin
         val (db, coll, f, bs) = (database, collection, filter, batchSize)
         val docs = spark.range(nPages).repartition(math.min(nPages, 64))
           .mapPartitions(_.flatMap(p => c.find(db, coll, f, p * bs.toLong, bs)))
+        // persisted so json inference + downstream actions re-parse the
+        // cache instead of re-querying every page; blocks are
+        // LRU-evictable and die with the session
         spark.read.json(docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
   }

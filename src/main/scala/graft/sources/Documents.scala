@@ -161,6 +161,21 @@ object Binary {
     if (mode == SaveMode.Overwrite && fs.exists(target)) fs.delete(target, true)
     fs.mkdirs(target)
     val cols = nameCol.toSeq :+ binCol
+    // duplicate basenames are a data error that must surface BEFORE any
+    // bytes land (validated up front so the per-file write can stay
+    // overwrite=true — task retries and speculative duplicates regenerate
+    // the same deterministic names and must be idempotent, so a
+    // create-exclusive guard at write time cannot distinguish a data
+    // error from a routine re-attempt)
+    nameCol.foreach { nc =>
+      val dup = df.select(col(nc))
+        .filter(col(nc).isNotNull)
+        .select(element_at(split(col(nc), "/"), -1).as("__base"))
+        .groupBy(col("__base")).count().filter(col("count") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"byte write collision: basename '${dup.head.getString(0)}' appears more than once in column $nc")
+    }
     // ship the SESSION Hadoop conf to executors — a bare `new
     // Configuration()` there would drop session-scoped settings (s3a
     // endpoints/creds, fs tuning) that the scan side resolves with
@@ -178,15 +193,7 @@ object Binary {
             if (nameCol.isDefined && !r.isNullAt(0))
               new Path(r.getString(0)).getName
             else f"part-$pid%05d-$i%06d.bin"
-          // overwrite=false: two rows sharing a basename are a data error
-          // that must surface, not a silent last-writer-wins
-          val out =
-            try tfs.create(new Path(path, name), false)
-            catch {
-              case e: java.io.IOException => throw new java.io.IOException(
-                s"byte write collision: $name already exists under $path " +
-                  "(duplicate basenames in the name column?)", e)
-            }
+          val out = tfs.create(new Path(path, name), true)
           try out.write(bytes) finally out.close()
           i += 1
         }
