@@ -689,6 +689,23 @@ class PipelineSpec extends SparkSpec {
       r.getAs[Array[Byte]]("content")).toMap
     assert(byName("blob-a.bin").toSeq == payload.toSeq)
     assert(byName("blob-b.bin").toSeq == Seq[Byte](9, 9))
+    // duplicate basenames surface BEFORE any bytes land (and the write
+    // itself stays overwrite=true, so task retries are idempotent)
+    val dup = Seq(("x/same.bin", payload), ("y/same.bin", payload)).toDF("name", "content")
+    val err = intercept[IllegalArgumentException](
+      Documents.write(dup, "byte", tmp("bindup") + "/data"))
+    assert(err.getMessage.contains("same.bin"))
+  }
+
+  test("header counter degrades to the sequential walk on a garbage value") {
+    val garbage: Http.FullTransport = (url, _) =>
+      if (url.contains("/count")) Http.Response("", Map("X-Total-Count" -> "unknown"))
+      else Http.Response(PipelineSpec.countingTransport(url, Map.empty))
+    val conn = CurlConnector("http://api.test", "/items",
+      paginator = OffsetPaginator(limit = 2),
+      counter = Some(sources.HeaderCounter(path = Some("/count"))),
+      fullTransport = Some(garbage))
+    assert(conn.load(spark).count() == 6) // sequential walk still succeeds
   }
 
   test("cursor paginator walks the token chain and stops at the end") {
