@@ -422,7 +422,9 @@ final case class CurlConnector(endpoint: String, path: String = "",
                                counter: Option[HttpCounter] = None,
                                auth: Option[() => (String, String)] = None,
                                fullTransport: Option[Http.FullTransport] = None,
-                               isCached: Boolean = false)
+                               isCached: Boolean = false,
+                               docType: String = "json",
+                               opts: DocOptions = DocOptions())
     extends Connector {
 
   /** The effective exchange: a full transport if provided (needed by
@@ -454,16 +456,25 @@ final case class CurlConnector(endpoint: String, path: String = "",
     t.isEmpty || t == "[]" || t == "{}" || t == "null"
   }
 
-  /** Parse driver-collected page bodies; no pages -> a schemaless empty
-    * frame instead of json inference's "Unable to infer schema" crash.
-    * Bodies re-partition across the cluster so parsing is distributed
-    * even though the fetch walk buffered them on the driver. */
+  /** Parse driver-collected page bodies per the configured DOCUMENT type
+    * (reference: curl.rs delegates body decode to the document layer, so
+    * a csv- or xml-speaking API works too). json/jsonl parse distributed
+    * with entry_path envelope unwrap; other document types go through
+    * Documents.readString per page (pages are bounded — the walk already
+    * buffered them). No pages -> a schemaless empty frame instead of
+    * json inference's "Unable to infer schema" crash. */
   private def parsePages(spark: SparkSession, bodies: Seq[String]): DataFrame = {
     import spark.implicits._
     val nonBlank = bodies.filterNot(blankPage)
     if (nonBlank.isEmpty) spark.emptyDataFrame
-    else spark.read.json(spark.createDataset(
-      spark.sparkContext.parallelize(nonBlank)))
+    else docType match {
+      case "json" | "jsonl" | "" =>
+        Documents.withEntryPath(spark.read.json(spark.createDataset(
+          spark.sparkContext.parallelize(nonBlank))), opts)
+      case other =>
+        nonBlank.map(b => Documents.readString(spark, other, b, opts))
+          .reduce(_.unionByName(_))
+    }
   }
 
   override def load(spark: SparkSession): DataFrame = {
@@ -509,12 +520,19 @@ final case class CurlConnector(endpoint: String, path: String = "",
           // and die with the session.
           val urls = (0 until nPages).map(i =>
             urlFor(Map("limit" -> limit.toString, "skip" -> (skip + i.toLong * limit).toString)))
-          val bodies = urls.toDS().repartition(math.min(nPages, 64))
+          val fetched = urls.toDS().repartition(math.min(nPages, 64))
             .map(u => ex(u, hs).body)
-            .filter(b => !blankPage(b))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if (bodies.isEmpty) { bodies.unpersist(blocking = false); spark.emptyDataFrame }
-          else spark.read.json(bodies)
+          docType match {
+            case "json" | "jsonl" | "" =>
+              val bodies = fetched.filter(b => !blankPage(b))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              if (bodies.isEmpty) { bodies.unpersist(blocking = false); spark.emptyDataFrame }
+              else Documents.withEntryPath(spark.read.json(bodies), opts)
+            case _ =>
+              // non-json documents decode through the per-page document
+              // layer; the fetch still ran in parallel on executors
+              parsePages(spark, fetched.collect().toSeq)
+          }
         }
       case OffsetPaginator(limit, skip, None) =>
         // unknown total: the page count is data-dependent, so the walk is
@@ -709,7 +727,7 @@ object Connector {
         val isCached = Seq("is_cached", "cache", "cache_enabled")
           .exists(f => node.has(f) && node.get(f).asBoolean())
         CurlConnector(str("endpoint"), str("path"), headers, pag, transport, counter,
-          auth, isCached = isCached)
+          auth, isCached = isCached, docType = docType, opts = opts)
       case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
         str("collection"),
         if (node.has("filter")) node.get("filter").toString else "{}",

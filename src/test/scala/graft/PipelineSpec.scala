@@ -697,6 +697,31 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("same.bin"))
   }
 
+  test("curl respects the document config: entry_path envelopes and csv bodies") {
+    // reference: curl.rs delegates body decode to the document layer —
+    // an API answering {"data": [...]} envelopes or CSV text must parse
+    // through the same document options as files do
+    val envelopeApi: Http.Transport = (url, _) => {
+      val skip = url.split("skip=")(1).split("&")(0).toInt
+      s"""{"meta":{"skip":$skip},"data":[{"id":${skip * 10}},{"id":${skip * 10 + 1}}]}"""
+    }
+    val env = CurlConnector("http://api.test", "/items",
+      paginator = OffsetPaginator(limit = 1, count = Some(2L)),
+      transport = envelopeApi,
+      docType = "json", opts = Documents.DocOptions(entryPath = "/data"))
+    assert(env.load(spark).orderBy("id").collect().map(_.getAs[Long]("id")).toSeq ==
+      Seq(0L, 1L, 10L, 11L))
+    val csvApi: Http.Transport = (url, _) =>
+      if (url.contains("skip=0")) "id;name\n1;ada\n2;bob" else ""
+    val csv = CurlConnector("http://api.test", "/report",
+      paginator = OffsetPaginator(limit = 10),
+      transport = csvApi,
+      docType = "csv", opts = Documents.DocOptions(delimiter = ";"))
+    val rows = csv.load(spark).orderBy("id").collect()
+    assert(rows.map(r => (r.getAs[Int]("id"), r.getAs[String]("name"))).toSeq ==
+      Seq((1, "ada"), (2, "bob")))
+  }
+
   test("header counter degrades to the sequential walk on a garbage value") {
     val garbage: Http.FullTransport = (url, _) =>
       if (url.contains("/count")) Http.Response("", Map("X-Total-Count" -> "unknown"))
