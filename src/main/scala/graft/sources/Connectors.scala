@@ -247,6 +247,12 @@ object Http {
   type FullTransport = (String, Map[String, String]) => Response
   def full(t: Transport): FullTransport = (u, h) => Response(t(u, h))
 
+  /** Write transport: (url, request headers, request body) -> response
+    * body (reference: curl.rs send — POST/PUT/PATCH per method config). */
+  type WriteTransport = (String, Map[String, String], String) => String
+  val noWriteTransport: WriteTransport = (u, _, _) =>
+    throw new UnsupportedOperationException(s"HTTP write transport unavailable (no egress): $u")
+
   val noTransport: Transport = (u, _) =>
     throw new UnsupportedOperationException(s"HTTP transport unavailable (no egress): $u")
 }
@@ -424,8 +430,28 @@ final case class CurlConnector(endpoint: String, path: String = "",
                                fullTransport: Option[Http.FullTransport] = None,
                                isCached: Boolean = false,
                                docType: String = "json",
-                               opts: DocOptions = DocOptions())
+                               opts: DocOptions = DocOptions(),
+                               writeTransport: Http.WriteTransport = Http.noWriteTransport,
+                               writeBatchSize: Int = 1000)
     extends Connector {
+
+  /** Write the frame to the endpoint (reference: curl.rs send): rows
+    * serialize as JSON arrays of up to `writeBatchSize` records and POST
+    * per partition — sends run concurrently on executors, nothing funnels
+    * through the driver. Auth evaluates once on the driver (same policy
+    * as load) and the headers broadcast with the closure. */
+  override def save(df: org.apache.spark.sql.DataFrame, mode: SaveMode): Unit = {
+    val wt = writeTransport
+    val hs = headers ++ auth.map(_())
+    val url = urlFor(Map.empty)
+    val bs = writeBatchSize
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      it.grouped(bs).foreach { batch =>
+        wt(url, hs, batch.mkString("[", ",", "]"))
+        ()
+      }
+    }
+  }
 
   /** The effective exchange: a full transport if provided (needed by
     * header counters), else the body-only transport lifted; wrapped in

@@ -722,6 +722,26 @@ class PipelineSpec extends SparkSpec {
       Seq((1, "ada"), (2, "bob")))
   }
 
+  test("curl write: rows POST in per-partition batches with auth headers") {
+    PipelineSpec.posted.clear()
+    import spark.implicits._
+    val conn = CurlConnector("http://api.test", "/ingest",
+      headers = Map("X-Trace" -> "t1"),
+      auth = Some(() => HttpConnector.bearerAuth("tok")),
+      writeTransport = PipelineSpec.captureWrites,
+      writeBatchSize = 2)
+    conn.save(spark.range(5).select(col("id")).coalesce(1),
+      org.apache.spark.sql.SaveMode.Append)
+    import scala.jdk.CollectionConverters._
+    val batches = PipelineSpec.posted.asScala.toSeq
+    assert(batches.size == 3) // 5 rows at batch size 2 → 2+2+1
+    assert(batches.forall(_._1 == "http://api.test/ingest"))
+    assert(batches.forall(_._2("Authorization") == "Bearer tok"))
+    val ids = batches.flatMap(b => """"id":(\d+)""".r
+      .findAllMatchIn(b._3).map(_.group(1).toLong)).sorted
+    assert(ids == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("header counter degrades to the sequential walk on a garbage value") {
     val garbage: Http.FullTransport = (url, _) =>
       if (url.contains("/count")) Http.Response("", Map("X-Total-Count" -> "unknown"))
@@ -893,6 +913,13 @@ object PipelineSpec {
     val skip = q("skip").toInt
     (skip until math.min(skip + limit, 6))
       .map(i => s"""{"id":$i}""").mkString("[", ",", "]")
+  }
+
+  /** Captures curl write batches (url, headers, body) across executor
+    * tasks. */
+  val posted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], String)]()
+  val captureWrites: Http.WriteTransport = (url, headers, body) => {
+    posted.add((url, headers, body)); "{}"
   }
 
   /** In-memory Mongo-shaped store (thread-safe: executor tasks insert and
