@@ -644,6 +644,35 @@ object DataOps {
       |SELECT doc_id, count(DISTINCT gram) AS n_shared
       |FROM g JOIN b USING (gram) GROUP BY doc_id""".stripMargin
 
+  /** Repeated long n-grams across the corpus — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): word 8-grams occurring in more than one document.
+    * The gram explode is map-side and linear; the count is a two-phase
+    * groupBy on the gram key (partial aggregates combine map-side), so at
+    * 100 TB the shuffle carries (gram, partial-count) pairs, never
+    * documents. countDistinct(doc_id) rides Spark's standard two-shuffle
+    * distinct-agg expansion — balanced keys, no window. */
+  def qRepeatedGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 8,
+          transform(sequence(lit(0), size(col("toks")) - 8),
+            i => array_join(slice(col("toks"), i + 1, lit(8)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") > 1)
+
+  val qRepeatedGramsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |  CASE WHEN len(t) >= 8
+      |       THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+      |       ELSE [] END) AS gram FROM toks)
+      |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
+
   /** Per-source token statistics — the data-mixture report a training run
     * starts from: doc counts, token totals, p50/p95 token lengths (exact
     * linear-interpolation percentiles, rounded 4dp on both engines — the
@@ -756,6 +785,7 @@ object DataOps {
     "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
+    "q_repeated_grams" -> ((qRepeatedGrams _, Some(qRepeatedGramsSql))),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
