@@ -41,6 +41,12 @@ object Pipeline {
                              threshold: Double, dataType: String) extends Step
   final case class ScrubStep(columns: Seq[String], dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
+  final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
+                             valFrac: Double, dataType: String) extends Step
+  final case class ChunkStep(idCol: String, textCol: String, maxTokens: Long,
+                             stride: Long, dataType: String) extends Step
+  final case class PackStep(idCol: String, textCol: String, maxTokens: Int,
+                            shards: Int, dataType: String) extends Step
 
   final case class Action(field: String, pattern: Option[String], actionType: String)
   final case class Rule(name: String, pattern: String, message: String)
@@ -249,6 +255,18 @@ object Pipeline {
       case "sample" => SampleStep(
         fraction = if (node.has("fraction")) node.get("fraction").asDouble() else 0.1,
         keyCol = str("key", "id"), dataType)
+      case "split" =>
+        val keys = Option(node.get("by"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("id"))
+        SplitStep(keys,
+          if (node.has("train")) node.get("train").asDouble() else 0.8,
+          if (node.has("val")) node.get("val").asDouble() else 0.1, dataType)
+      case "chunk" => ChunkStep(str("id", "id"), str("field", "text"),
+        if (node.has("max_tokens")) node.get("max_tokens").asLong() else 512L,
+        if (node.has("stride")) node.get("stride").asLong() else 384L, dataType)
+      case "pack" => PackStep(str("id", "id"), str("field", "text"),
+        if (node.has("max_tokens")) node.get("max_tokens").asInt() else 2048,
+        if (node.has("shards")) node.get("shards").asInt() else 0, dataType)
       case other => throw new IllegalArgumentException(s"unknown step type: $other")
     }
   }
@@ -404,6 +422,15 @@ object Pipeline {
               }
             flow.updated(dt, out)
           }.getOrElse(flow)
+        case SplitStep(keys, train, valF, dt) =>
+          flow(dt).map(df => flow.updated(dt,
+            graft.queries.DataOps.splitAssign(df, keys, train, valF))).getOrElse(flow)
+        case ChunkStep(id, field, maxTok, stride, dt) =>
+          flow(dt).map(df => flow.updated(dt,
+            graft.queries.DataOps.chunkDocs(df, id, field, maxTok, stride))).getOrElse(flow)
+        case PackStep(id, field, maxTok, shards, dt) =>
+          flow(dt).map(df => flow.updated(dt,
+            graft.queries.DataOps.packSequences(df, id, field, maxTok, shards))).getOrElse(flow)
         case Writer(conn, dt) =>
           // a streaming flow (reader had "stream": true) writes through the
           // streaming sink; the SAME config otherwise runs batch

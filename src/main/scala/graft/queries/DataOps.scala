@@ -703,15 +703,23 @@ object DataOps {
     * coordination. Thresholds are md5-hex prefixes (the q_mixture_resample
     * parity trick): train < 0x80%, val < 0x90%, else test. One shuffle for
     * the report aggregate; the assignment itself is map-only. */
-  def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val h = substring(md5(concat(col("source"), lit("-"), col("doc_id"))), 1, 8)
-    Tables(spark, dir).documents
-      .select(col("source"),
-        when(h < "cccccccc", "train").when(h < "e6666666", "val")
-          .otherwise("test").as("split"))
+  /** Deterministic split assignment, reusable over any key columns:
+    * md5-hex prefix thresholds, stable under re-runs/repartition/backfill,
+    * no executor coordination. */
+  def splitAssign(df: DataFrame, keyCols: Seq[String],
+                  trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val h = substring(md5(concat_ws("-", keyCols.map(col): _*)), 1, 8)
+    def hex(f: Double) = f"${math.floor(f * 4294967296.0).toLong}%08x"
+    df.withColumn("split",
+      when(h < hex(trainFrac), "train")
+        .when(h < hex(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables(spark, dir).documents, Seq("source", "doc_id"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n"))
-  }
 
   val qSplitAssignSql: String =
     """WITH a AS (SELECT source,
@@ -722,23 +730,26 @@ object DataOps {
       |SELECT source, split, count(*) AS n FROM a GROUP BY 1, 2""".stripMargin
 
   /** Overlapping-window document chunking (context-window preparation):
-    * each doc yields chunks of ≤512 tokens starting every 384 (128-token
-    * overlap). Chunk starts are a generated sequence exploded per row —
-    * map-side only, no shuffle, parallel by input partition; boundary
-    * arithmetic is integer so the oracle matches bit-for-bit. */
-  def qChunkDocs(spark: SparkSession, dir: String): DataFrame = {
-    val maxTokens = 512L
-    val stride = 384L
-    Tables(spark, dir).documents
-      .select(col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
+    * each doc yields chunks of ≤`maxTokens` tokens starting every
+    * `stride` (maxTokens - stride overlap). Chunk starts are a generated
+    * sequence exploded per row — map-side only, no shuffle, parallel by
+    * input partition; boundary arithmetic is integer so an oracle can
+    * match bit-for-bit. */
+  def chunkDocs(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", maxTokens: Long = 512L,
+                stride: Long = 384L): DataFrame =
+    docs
+      .select(col(idCol),
+        TextAnalysis.tokenCountWs(col(textCol)).cast("bigint").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
         explode(sequence(lit(0L), greatest(col("n_tokens") - 1, lit(0L)),
           lit(stride))).as("start_tok"))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col(idCol), col("n_tokens"),
         (col("start_tok") / stride).cast("bigint").as("chunk_id"), col("start_tok"),
         least(lit(maxTokens), col("n_tokens") - col("start_tok")).as("chunk_len"))
-  }
+
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables(spark, dir).documents)
 
   val qChunkDocsSql: String =
     """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),

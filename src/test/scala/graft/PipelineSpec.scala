@@ -357,6 +357,43 @@ class PipelineSpec extends SparkSpec {
     assert(v.err.get.head().getAs[String]("_error") == "too big")
   }
 
+  test("training ops as config steps: split, chunk, pack") {
+    // graft extension steps expose the training-data operators through the
+    // same config dialect as the chewdata steps
+    val dir = "/root/testdata/sf0.001"
+    val split = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$dir/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"split","by":["source","doc_id"],"train":0.8,"val":0.1}
+         |]""".stripMargin).ok.get
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val"))
+    // chunk: every doc covered, 128-token overlap means start stride 384
+    val chunk = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$dir/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"chunk","id":"doc_id","field":"text","max_tokens":64,"stride":48}
+         |]""".stripMargin).ok.get
+    assert(chunk.filter(col("chunk_len") > 64).count() == 0)
+    assert(chunk.select("doc_id").distinct().count() == 500)
+    // pack: bins respect capacity at the configured shard count
+    val pack = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$dir/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"pack","id":"doc_id","field":"text","max_tokens":1024,"shards":8}
+         |]""".stripMargin).ok.get
+    assert(pack.select("shard").distinct().count() == 8)
+    val over = pack.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+      .filter(col("tot") - col("mx") >= 1024)
+    assert(over.count() == 0)
+  }
+
   test("whole-record json_encode: {{ input | json_encode() }} emits the row") {
     // reference transformer docs: the identity/debug idiom serializes the
     // full input record, not a wrapped single field
