@@ -60,6 +60,14 @@ object GraftExtensions {
     // aggregate: the analyzer wraps bare AggregateFunctions on resolution
     ("graft_vector_sum", info("VectorSum", "element-wise sum of double arrays"),
       (e: Seq[Expression]) => VectorSum(e(0))),
+    ("graft_top_k", info("TopKByScore", "best-k (score,id) pairs, (score DESC, id ASC)"),
+      (e: Seq[Expression]) => TopKByScore(e(0), e(1), e(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_top_k needs a literal int k, got $other")
+      })),
+    ("graft_int8_quant", info("Int8QuantStats", "symmetric int8 quantization stats of a double array"),
+      (e: Seq[Expression]) => Int8QuantStats(e(0))),
     // tera-helper surface, callable from SQL and config patterns
     ("graft_slugify", info("StringFns", "lowercase-alnum slug"),
       colFn1(graft.functions.StringFns.slugify)),

@@ -188,4 +188,19 @@ class PlansSpec extends SparkSpec {
       .head().getSeq[Double](0)
     assert(viaSql == Seq(3.0, 1.0))
   }
+
+  test("top-k and int8-quant are SQL-callable") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    Seq(("a", 0.9, 1L), ("a", 0.5, 2L), ("a", 0.7, 3L), ("b", 0.1, 9L))
+      .toDF("g", "s", "id").createOrReplaceTempView("tk_t")
+    val tk = spark.sql(
+      "SELECT g, graft_top_k(s, id, 2) AS tk FROM tk_t GROUP BY g ORDER BY g").collect()
+    assert(tk(0).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0)) == Seq(1L, 3L))
+    assert(tk(1).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0)) == Seq(9L))
+    val qs = spark.sql(
+      "SELECT graft_int8_quant(array(1.0D, -0.5D, 0.25D)) AS q").head().getStruct(0)
+    assert(qs.getDouble(0) == 1.0 / 127.0)
+    assert(qs.getLong(1) == 127L - 64L + 31L)  // 127 + floor(-63.5) + floor(31.75)
+  }
 }
