@@ -115,6 +115,31 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 5L), (2L, 6L)))
   }
 
+  test("training steps lift onto config streams: split + chunk") {
+    // split (hash map) and chunk (sequence explode) are stateless column
+    // transforms, so the same config runs batch or stream unchanged
+    val dir = java.nio.file.Files.createTempDirectory("streamtrain").toString
+    val in = dir + "/in"
+    val out = dir + "/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(in + "/docs.jsonl"),
+      """{"doc_id":1,"text":"a b c d e f g h i j"}
+{"doc_id":2,"text":"k l m"}""")
+    graft.pipeline.Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","stream":true,
+         |  "connector":{"type":"local","path":"$in"},"document":{"type":"jsonl"}},
+         | {"type":"chunk","id":"doc_id","field":"text","max_tokens":4,"stride":3},
+         | {"type":"writer","connector":{"type":"local","path":"$out"},
+         |  "document":{"type":"parquet"}}
+         |]""".stripMargin)
+    val rows = spark.read.parquet(out)
+    // doc 1: 10 tokens -> starts 0,3,6,9; doc 2: 3 tokens -> start 0
+    assert(rows.count() == 5)
+    assert(rows.filter(col("doc_id") === 1 && col("start_tok") === 9)
+      .head().getAs[Long]("chunk_len") == 1L)
+  }
+
   test("in_memory streaming sink buffers micro-batches via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
