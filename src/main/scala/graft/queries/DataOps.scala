@@ -674,28 +674,66 @@ object DataOps {
       |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
 
   /** Per-source token statistics — the data-mixture report a training run
-    * starts from: doc counts, token totals, p50/p95 token lengths (exact
-    * linear-interpolation percentiles, rounded 4dp on both engines — the
-    * interpolation `lo + frac*(hi-lo)` is not ulp-stable across engines),
-    * mean tokens (integer-rational
-    * division, so the double is oracle-exact). One shuffle on source. */
-  def qTokenStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    * starts from: doc counts, token totals, p50/p95 token lengths, mean
+    * tokens. The percentiles are linear-interpolated order statistics
+    * computed with INTEGER arithmetic over a per-source token-count
+    * histogram: position p*(n-1) is carried as an exact rational (halves
+    * for p50, twentieths for p95), the bracketing values come from
+    * cumulative histogram ranks, and the only float op is one final
+    * division of exact integers — a single IEEE op, so the doubles match
+    * any oracle engine bit-for-bit. (Engine-native percentile aggregates
+    * proved non-portable: interpolation internals differ across DuckDB
+    * versions even after 4dp rounding.) Scale shape: the raw scan partial-
+    * aggregates into a (source, nt) histogram — bounded by distinct doc
+    * lengths, not corpus size — and the rank window runs over that compact
+    * histogram only. */
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
       .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("nt"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("nt")).as("n_tokens"),
-        round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
-        round(expr("percentile(nt, 0.95)"), 4).as("p95_tokens"),
-        (sum(col("nt")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"))
+    val hist = d.groupBy(col("source"), col("nt")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("nt")
+    // value nt covers 0-based sorted ranks [lo, hi)
+    val cum = hist.withColumn("hi", sum(col("c")).over(w)).withColumn("lo", col("hi") - col("c"))
+    val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val j = cum.join(totals, "source")
+      .withColumn("i50", expr("(n_docs - 1) div 2"))
+      .withColumn("r50", expr("(n_docs - 1) % 2"))
+      .withColumn("i95", expr("(19 * (n_docs - 1)) div 20"))
+      .withColumn("r95", expr("(19 * (n_docs - 1)) % 20"))
+      .withColumn("i95hi", col("i95") + when(col("r95") > 0, 1).otherwise(0))
+    def at(i: org.apache.spark.sql.Column) = max(when(i >= col("lo") && i < col("hi"), col("nt")))
+    j.groupBy(col("source"), col("n_docs"), col("n_tokens"), col("r50"), col("r95"))
+      .agg(at(col("i50")).as("v50lo"), at(col("i50") + col("r50")).as("v50hi"),
+        at(col("i95")).as("v95lo"), at(col("i95hi")).as("v95hi"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        ((col("v50lo") * (lit(2) - col("r50")) + col("v50hi") * col("r50")).cast("double") / lit(2.0)).as("p50_tokens"),
+        ((col("v95lo") * (lit(20) - col("r95")) + col("v95hi") * col("r95")).cast("double") / lit(20.0)).as("p95_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avg_tokens"))
+  }
 
   val qTokenStatsSql: String =
-    """WITH d AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents)
-      |SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
-      |  round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
-      |  round(quantile_cont(nt, 0.95), 4) AS p95_tokens,
-      |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
-      |FROM d GROUP BY source""".stripMargin
+    """WITH d AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents),
+      |h AS (SELECT source, nt, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (SELECT source, nt,
+      |        sum(c) OVER (PARTITION BY source ORDER BY nt) AS hi,
+      |        sum(c) OVER (PARTITION BY source ORDER BY nt) - c AS lo FROM h),
+      |t AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens FROM d GROUP BY 1),
+      |j AS (SELECT cum.*, t.n_docs, t.n_tokens,
+      |        (t.n_docs - 1) // 2 AS i50, (t.n_docs - 1) % 2 AS r50,
+      |        (19 * (t.n_docs - 1)) // 20 AS i95, (19 * (t.n_docs - 1)) % 20 AS r95,
+      |        (19 * (t.n_docs - 1)) // 20 + (CASE WHEN (19 * (t.n_docs - 1)) % 20 > 0 THEN 1 ELSE 0 END) AS i95hi
+      |      FROM cum JOIN t USING (source)),
+      |p AS (SELECT source, n_docs, n_tokens, r50, r95,
+      |        max(CASE WHEN i50 >= lo AND i50 < hi THEN nt END) AS v50lo,
+      |        max(CASE WHEN i50 + r50 >= lo AND i50 + r50 < hi THEN nt END) AS v50hi,
+      |        max(CASE WHEN i95 >= lo AND i95 < hi THEN nt END) AS v95lo,
+      |        max(CASE WHEN i95hi >= lo AND i95hi < hi THEN nt END) AS v95hi
+      |      FROM j GROUP BY 1, 2, 3, 4, 5)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(v50lo * (2 - r50) + v50hi * r50 AS DOUBLE) / 2.0 AS p50_tokens,
+      |  CAST(v95lo * (20 - r95) + v95hi * r95 AS DOUBLE) / 20.0 AS p95_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_tokens
+      |FROM p""".stripMargin
 
   /** Deterministic stratified train/val/test split: the assignment hashes
     * (source, doc_id) content — no RNG state, stable under re-runs,

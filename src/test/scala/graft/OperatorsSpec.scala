@@ -188,6 +188,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r2(30L) == 30L && r2(31L) == 30L)
   }
 
+  test("token-stats histogram percentiles equal Spark's native percentile") {
+    // qTokenStats computes p50/p95 via integer order statistics over a
+    // (source, nt) histogram; Spark's own percentile() is an independent
+    // implementation of the same lo + frac*(hi-lo) definition.
+    val got = queries.DataOps.qTokenStats(spark, sf)
+      .select(col("source"), col("p50_tokens"), col("p95_tokens"), col("avg_tokens"))
+    val want = Tables(spark, sf).documents
+      .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("nt"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(nt, 0.5)").as("e50"), expr("percentile(nt, 0.95)").as("e95"),
+        avg(col("nt")).as("eavg"))
+    val j = got.join(want, "source").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p50_tokens") - r.getAs[Double]("e50")) < 1e-9, r)
+      assert(math.abs(r.getAs[Double]("p95_tokens") - r.getAs[Double]("e95")) < 1e-9, r)
+      assert(math.abs(r.getAs[Double]("avg_tokens") - r.getAs[Double]("eavg")) < 1e-9, r)
+    }
+  }
+
   test("sequence packing scales its shard count and respects bin capacity") {
     val docs = Tables(spark, sf).documents
     val packed = queries.DataOps.packSequences(docs, shards = 64)
