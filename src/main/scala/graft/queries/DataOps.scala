@@ -618,18 +618,21 @@ object DataOps {
     * the set itself). The benchmark gram set is small → broadcast join; the
     * corpus side explodes grams linearly and never shuffles before the
     * join, so the shape survives a 100 TB corpus. */
+  /** Exploded lowercase word n-grams: (doc_id, gram). Map-only — the
+    * explode runs inside the scan stage, no shuffle. */
+  private[queries] def wordGrams(d: DataFrame, n: Int): DataFrame = d
+    .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    .select(col("doc_id"), explode(
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    def grams(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), explode(
-        when(size(col("toks")) >= 5,
-          transform(sequence(lit(0), size(col("toks")) - 5),
-            i => array_join(slice(col("toks"), i + 1, lit(5)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-    val bench = grams(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    val bench = wordGrams(docs.filter(pmod(col("doc_id"), lit(97)) === 0), 5)
       .select(col("gram")).distinct()
-    grams(docs).join(broadcast(bench), "gram")
+    wordGrams(docs, 5).join(broadcast(bench), "gram")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
@@ -643,6 +646,74 @@ object DataOps {
       |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
       |SELECT doc_id, count(DISTINCT gram) AS n_shared
       |FROM g JOIN b USING (gram) GROUP BY doc_id""".stripMargin
+
+  /** Bloom-prefiltered contamination — same answer as [[qContamination]],
+    * shaped for the benchmark set that does NOT fit in an executor
+    * broadcast. The benchmark grams aggregate into Spark's native
+    * BloomFilterAggregate (the runtime-filter sketch: xxhash64 keys,
+    * ~11 bits/item at 3% fpp — a 100M-gram suite is ~140 MB instead of a
+    * multi-GB exact set); the corpus gram stream is prefiltered by
+    * BloomFilterMightContain inside the scan stage, and only the
+    * survivors (true hits + ~3% false positives) reach an exact
+    * shuffle join that removes the false positives. Output is therefore
+    * bit-identical to the exact query and shares its oracle. The bloom
+    * build is one eager job (its bytes embed in the plan as a literal) —
+    * the same contract as DataFrameStatFunctions.bloomFilter. */
+  def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables(spark, dir).documents
+    val bench = wordGrams(docs.filter(pmod(col("doc_id"), lit(97)) === 0), 5)
+      .select(col("gram")).distinct()
+    val bloomAgg = new BloomFilterAggregate(
+      Bridge.toCatalyst(xxhash64(col("gram"))), 1L << 20)
+    val bloom = bench.select(Bridge.column(bloomAgg.toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal(bloom), Bridge.toCatalyst(xxhash64(col("gram")))))
+    wordGrams(docs, 5).filter(might)
+      .join(bench, "gram") // no broadcast hint: exact verify is a keyed shuffle join
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** Corpus bigram language-model score — the cheap statistical fluency
+    * filter a training pipeline runs where a neural LM is too expensive:
+    * documents whose word bigrams are mostly corpus-frequent read as
+    * fluent text; gibberish and boilerplate skew rare. Two-phase shape:
+    * (1) bigram document frequencies via a partial-aggregated groupBy on
+    * the gram key (shuffle carries (gram, count) pairs, never documents);
+    * (2) the corpus gram stream joins the frequency table on the same key
+    * (AQE picks the strategy; at 100 TB both sides are gram-partitioned)
+    * and aggregates per doc. Outputs are exact integers plus one IEEE
+    * division, so the oracle matches bit-for-bit. */
+  def qLmBigram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = wordGrams(Tables(spark, dir).documents, 2)
+    val common = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("gram"), lit(1).as("is_common"))
+    grams.join(common, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("is_common")).as("n_common"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_common"),
+        (col("n_common").cast("double") / col("n_bigrams").cast("double")).as("common_frac"))
+  }
+
+  val qLmBigramSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |  CASE WHEN len(t) >= 2
+      |       THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+      |       ELSE [] END) AS gram FROM toks),
+      |c AS (SELECT gram, 1 AS is_common
+      |      FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+      |      WHERE df >= 3)
+      |SELECT doc_id, count(*) AS n_bigrams, count(is_common) AS n_common,
+      |  CAST(count(is_common) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS common_frac
+      |FROM g LEFT JOIN c USING (gram) GROUP BY doc_id""".stripMargin
 
   /** Repeated long n-grams across the corpus — the exact-substring dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -834,6 +905,8 @@ object DataOps {
     "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
+    "q_contamination_bloom" -> ((qContaminationBloom _, Some(qContaminationSql))),
+    "q_lm_bigram"      -> ((qLmBigram _, Some(qLmBigramSql))),
     "q_repeated_grams" -> ((qRepeatedGrams _, Some(qRepeatedGramsSql))),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),

@@ -309,12 +309,16 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
 
+  // Quarter fractions only: position p*(n-1) and interpolation weight are
+  // exact binary fractions, so any R-7 interpolating engine produces the
+  // same bits — immune to quantile-internal ulp drift across oracle
+  // versions (the failure mode q_token_stats hit with p=0.95).
   val qPercentileSql: String =
     """SELECT l_returnflag,
       |  quantile_cont(l_quantity, 0.5) AS med_qty,
-      |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+      |  quantile_cont(l_extendedprice, 0.75) AS p75_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** name → (query fn, oracle sql) */

@@ -83,6 +83,16 @@ object EventStream {
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
   }
 
+  /** Watermark-bounded streaming dedup: duplicate event_ids arriving
+    * within the watermark horizon collapse to the first occurrence, and
+    * dedup state older than the horizon is evicted. State is therefore
+    * bounded by the horizon's event volume, not the stream's history —
+    * the only exact-dedup contract that holds on an unbounded firehose
+    * (dropDuplicates without a watermark grows state forever). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Write a stream to parquet with checkpointing. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
     df.writeStream.outputMode(OutputMode.Append())

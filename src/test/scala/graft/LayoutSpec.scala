@@ -38,6 +38,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("range-clustered layout: files cover disjoint key ranges for skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("rangeclus").toString + "/data"
+    val df = spark.range(10000).select(
+      (col("id") * 2654435761L % 10000).as("k"), col("id").as("v"))
+    graft.operators.Bucketing.writeRangeClustered(df, dir, Seq("k"), partitions = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 8)
+    // per-file key ranges must be pairwise disjoint — that is exactly the
+    // property parquet min/max stats need to prune selective scans
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ =>
+    }
+    // and a selective filter still returns exact results over the layout
+    assert(spark.read.parquet(dir).filter(col("k") < 100).count() ==
+      df.filter(col("k") < 100).count())
+  }
+
   test("partition pruning reaches the scan for partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/data"
     spark.range(100)

@@ -70,6 +70,16 @@ class PlansSpec extends SparkSpec {
       "per-query row_number window is back — scale-killer")
   }
 
+  test("bloom contamination: scan-side might_contain prefilter, exact result") {
+    val exact = queries.DataOps.qContamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = queries.DataOps.qContaminationBloom(spark, sf)
+    // the bloom probe must sit in the plan (prefilter before the join)...
+    assert(planString(bloomed).contains("might_contain"))
+    // ...and the verify join must make the result bit-identical to exact
+    assert(bloomed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+  }
+
   test("minhash candidates: no cross join anywhere in the plan") {
     val df = operators.Dedup.minhashCandidates(Tables(spark, sf).documents, "doc_id", "text")
     val s = planString(df)

@@ -66,6 +66,28 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("dedup within watermark drops duplicate ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("wmdedup").outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts(0), 1, "view", 1.0, "{}"),
+        EventStream.Event(2, ts(1), 1, "view", 2.0, "{}"),
+        EventStream.Event(1, ts(2), 1, "view", 9.0, "{}")) // dup in-batch
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(2, ts(3), 1, "view", 9.0, "{}"), // dup across batches
+        EventStream.Event(3, ts(4), 1, "view", 3.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, value FROM wmdedup").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      // one row per id, each the FIRST occurrence's payload
+      assert(rows == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+
   test("config-driven streaming pipeline: stream reader -> transform -> parquet sink") {
     val dir = java.nio.file.Files.createTempDirectory("streamcfg").toString
     val in = dir + "/in"
