@@ -17,7 +17,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-loop filter (driver never sets it): comma-separated gate names.
+    // Skipped gates' stale outputs are deleted so a reused outDir can't
+    // re-verify parquet from an earlier full run as if it were current.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { keep =>
+      SparkEntry.queries.keysIterator.filterNot(keep).foreach { n =>
+        val d = Paths.get(outDir, n)
+        if (Files.exists(d)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        }
+      }
+    }
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

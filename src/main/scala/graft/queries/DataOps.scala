@@ -254,6 +254,19 @@ object DataOps {
         queriesDf(spark, dir), k = 10)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk").cast("bigint").as("rnk"))
 
+  /** IVF with every cell probed (nprobe = nCentroids) degenerates to the
+    * exact answer: each corpus vector lives in exactly one cell and every
+    * cell is scanned, so every (query, vector) pair is scored once with
+    * the same cosine expression as brute force. The gate therefore runs
+    * the full IVF machinery — Lloyd training, cell assignment, probe,
+    * bounded-heap ranking — against q_ann_topk's DuckDB oracle, making
+    * IVF's deterministic path oracle-checked (the pruned nprobe<k path
+    * keeps its rows-only gate + spec-pinned recall floors vs brute). */
+  def qAnnIvfExact(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables(spark, dir).embeddings,
+        queriesDf(spark, dir), k = 10, nCentroids = 8, nprobe = 8)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk").cast("bigint").as("rnk"))
+
   /** PII scrubbing over a deterministically PII-enriched text (the corpus
     * itself is synthetic word soup, so the fixture plants the PII). */
   def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
@@ -654,28 +667,44 @@ object DataOps {
     * ~11 bits/item at 3% fpp — a 100M-gram suite is ~140 MB instead of a
     * multi-GB exact set); the corpus gram stream is prefiltered by
     * BloomFilterMightContain inside the scan stage, and only the
-    * survivors (true hits + ~3% false positives) reach an exact
+    * survivors (true hits + ~fpp false positives) reach an exact
     * shuffle join that removes the false positives. Output is therefore
     * bit-identical to the exact query and shares its oracle. The bloom
     * build is one eager job (its bytes embed in the plan as a literal) —
-    * the same contract as DataFrameStatFunctions.bloomFilter. */
-  def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    * the same contract as DataFrameStatFunctions.bloomFilter. The
+    * distinct benchmark-gram frame is persisted so that job and the
+    * exact verify join compute the gram explode + distinct ONCE (it
+    * stays cached for the caller's action; small by the operator's own
+    * premise — eval-suite grams, not corpus grams).
+    *
+    * Sizing: `expectedGrams`/`fpp` set the sketch size (bits =
+    * -n·ln(fpp)/ln²2). NOTE Spark silently clamps both to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M)
+    * and `.maxNumBits` (default 67108864 = 8 MB) — for a truly huge
+    * suite raise those confs, or the sketch saturates and the prefilter
+    * degrades to a pass-through (still exact, just no pruning). */
+  def contaminationBloom(docs: DataFrame, benchDocs: DataFrame, n: Int = 5,
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
-    val docs = Tables(spark, dir).documents
-    val bench = wordGrams(docs.filter(pmod(col("doc_id"), lit(97)) === 0), 5)
-      .select(col("gram")).distinct()
+    val bench = wordGrams(benchDocs, n).select(col("gram")).distinct().persist()
+    val numBits = math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val bloomAgg = new BloomFilterAggregate(
-      Bridge.toCatalyst(xxhash64(col("gram"))), 1L << 20)
+      Bridge.toCatalyst(xxhash64(col("gram"))), Literal(expectedGrams), Literal(numBits))
     val bloom = bench.select(Bridge.column(bloomAgg.toAggregateExpression()))
-      .head().getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0) // materializes the bench cache
     val might = Bridge.column(BloomFilterMightContain(
       Literal(bloom), Bridge.toCatalyst(xxhash64(col("gram")))))
-    wordGrams(docs, 5).filter(might)
+    wordGrams(docs, n).filter(might)
       .join(bench, "gram") // no broadcast hint: exact verify is a keyed shuffle join
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    contaminationBloom(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
   }
 
   /** Corpus bigram language-model score — the cheap statistical fluency
@@ -745,28 +774,36 @@ object DataOps {
       |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1""".stripMargin
 
   /** Per-source token statistics — the data-mixture report a training run
-    * starts from: doc counts, token totals, p50/p95 token lengths, mean
-    * tokens. The percentiles are linear-interpolated order statistics
-    * computed with INTEGER arithmetic over a per-source token-count
-    * histogram: position p*(n-1) is carried as an exact rational (halves
-    * for p50, twentieths for p95), the bracketing values come from
-    * cumulative histogram ranks, and the only float op is one final
-    * division of exact integers — a single IEEE op, so the doubles match
-    * any oracle engine bit-for-bit. (Engine-native percentile aggregates
-    * proved non-portable: interpolation internals differ across DuckDB
-    * versions even after 4dp rounding.) Scale shape: the raw scan partial-
-    * aggregates into a (source, nt) histogram — bounded by distinct doc
-    * lengths, not corpus size — and the rank window runs over that compact
-    * histogram only. */
-  def qTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    * starts from: doc counts, token totals, p50/p95 token lengths. The
+    * percentiles are linear-interpolated order statistics computed with
+    * INTEGER arithmetic over a per-source token-count histogram: position
+    * p*(n-1) is carried as an exact rational (halves for p50, twentieths
+    * for p95), the bracketing values come from cumulative histogram ranks,
+    * and the result is reported as the exact integer NUMERATOR of that
+    * rational (p50_x2 = 2*p50, p95_x20 = 20*p95, both BIGINT) — no
+    * floating-point op anywhere, so no engine's float or formatting
+    * internals can perturb the value. (Engine-native percentile aggregates
+    * proved non-portable across DuckDB versions, and even a single final
+    * IEEE division left an unexplained cross-engine hash gap.) Scale
+    * shape: ONE raw scan partial-aggregates into a (source, nt) histogram
+    * — bounded by distinct doc lengths, not corpus size — and both the
+    * rank window and the per-source totals run over that compact histogram
+    * only (totals via an unbounded window: n_docs = sum(c),
+    * n_tokens = sum(nt*c)). */
+  private def tokenStatsCore(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
       .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("nt"))
     val hist = d.groupBy(col("source"), col("nt")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("nt")
-    // value nt covers 0-based sorted ranks [lo, hi)
-    val cum = hist.withColumn("hi", sum(col("c")).over(w)).withColumn("lo", col("hi") - col("c"))
-    val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-    val j = cum.join(totals, "source")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    // value nt covers 0-based sorted ranks [lo, hi); totals fold into the
+    // same histogram pass so the plan keeps a single FileScan
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("n_docs", sum(col("c")).over(wAll))
+      .withColumn("n_tokens", sum(col("nt") * col("c")).over(wAll))
+    val j = cum
       .withColumn("i50", expr("(n_docs - 1) div 2"))
       .withColumn("r50", expr("(n_docs - 1) % 2"))
       .withColumn("i95", expr("(19 * (n_docs - 1)) div 20"))
@@ -777,33 +814,44 @@ object DataOps {
       .agg(at(col("i50")).as("v50lo"), at(col("i50") + col("r50")).as("v50hi"),
         at(col("i95")).as("v95lo"), at(col("i95hi")).as("v95hi"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        ((col("v50lo") * (lit(2) - col("r50")) + col("v50hi") * col("r50")).cast("double") / lit(2.0)).as("p50_tokens"),
-        ((col("v95lo") * (lit(20) - col("r95")) + col("v95hi") * col("r95")).cast("double") / lit(20.0)).as("p95_tokens"),
-        (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avg_tokens"))
+        (col("v50lo") * (lit(2L) - col("r50")) + col("v50hi") * col("r50")).cast("bigint").as("p50_x2"),
+        (col("v95lo") * (lit(20L) - col("r95")) + col("v95hi") * col("r95")).cast("bigint").as("p95_x20"))
   }
+
+  /** The all-integer gate flavor: source, n_docs, n_tokens, p50_x2, p95_x20. */
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenStatsCore(spark, dir)
+
+  /** User-facing report with conventional double-valued percentiles and the
+    * mean; derived from the integer numerators by one division each. */
+  def tokenStatsReport(spark: SparkSession, dir: String): DataFrame =
+    tokenStatsCore(spark, dir).select(col("source"), col("n_docs"), col("n_tokens"),
+      (col("p50_x2").cast("double") / lit(2.0)).as("p50_tokens"),
+      (col("p95_x20").cast("double") / lit(20.0)).as("p95_tokens"),
+      (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avg_tokens"))
 
   val qTokenStatsSql: String =
     """WITH d AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents),
       |h AS (SELECT source, nt, count(*) AS c FROM d GROUP BY 1, 2),
       |cum AS (SELECT source, nt,
       |        sum(c) OVER (PARTITION BY source ORDER BY nt) AS hi,
-      |        sum(c) OVER (PARTITION BY source ORDER BY nt) - c AS lo FROM h),
-      |t AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens FROM d GROUP BY 1),
-      |j AS (SELECT cum.*, t.n_docs, t.n_tokens,
-      |        (t.n_docs - 1) // 2 AS i50, (t.n_docs - 1) % 2 AS r50,
-      |        (19 * (t.n_docs - 1)) // 20 AS i95, (19 * (t.n_docs - 1)) % 20 AS r95,
-      |        (19 * (t.n_docs - 1)) // 20 + (CASE WHEN (19 * (t.n_docs - 1)) % 20 > 0 THEN 1 ELSE 0 END) AS i95hi
-      |      FROM cum JOIN t USING (source)),
+      |        sum(c) OVER (PARTITION BY source ORDER BY nt) - c AS lo,
+      |        sum(c) OVER (PARTITION BY source) AS n_docs,
+      |        sum(nt * c) OVER (PARTITION BY source) AS n_tokens FROM h),
+      |j AS (SELECT cum.*,
+      |        (n_docs - 1) // 2 AS i50, (n_docs - 1) % 2 AS r50,
+      |        (19 * (n_docs - 1)) // 20 AS i95, (19 * (n_docs - 1)) % 20 AS r95,
+      |        (19 * (n_docs - 1)) // 20 + (CASE WHEN (19 * (n_docs - 1)) % 20 > 0 THEN 1 ELSE 0 END) AS i95hi
+      |      FROM cum),
       |p AS (SELECT source, n_docs, n_tokens, r50, r95,
       |        max(CASE WHEN i50 >= lo AND i50 < hi THEN nt END) AS v50lo,
       |        max(CASE WHEN i50 + r50 >= lo AND i50 + r50 < hi THEN nt END) AS v50hi,
       |        max(CASE WHEN i95 >= lo AND i95 < hi THEN nt END) AS v95lo,
       |        max(CASE WHEN i95hi >= lo AND i95hi < hi THEN nt END) AS v95hi
       |      FROM j GROUP BY 1, 2, 3, 4, 5)
-      |SELECT source, n_docs, n_tokens,
-      |  CAST(v50lo * (2 - r50) + v50hi * r50 AS DOUBLE) / 2.0 AS p50_tokens,
-      |  CAST(v95lo * (20 - r95) + v95hi * r95 AS DOUBLE) / 20.0 AS p95_tokens,
-      |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_tokens
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(v50lo * (2 - r50) + v50hi * r50 AS BIGINT) AS p50_x2,
+      |  CAST(v95lo * (20 - r95) + v95hi * r95 AS BIGINT) AS p95_x20
       |FROM p""".stripMargin
 
   /** Deterministic stratified train/val/test split: the assignment hashes
@@ -926,6 +974,7 @@ object DataOps {
     "q_emb_neardup"    -> ((qEmbNeardup _, Some(qEmbNeardupSql))),
     "q_emb_neardup_lsh" -> ((qEmbNeardupLsh _, None)),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
+    "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
     "q_doc_freq_score" -> ((qDocFreqScore _, Some(qDocFreqScoreSql))),
     "q_pii_scrub"      -> ((qPiiScrub _, Some(qPiiScrubSql))),
     "q_repetition"     -> ((qRepetition _, Some(qRepetitionSql))),

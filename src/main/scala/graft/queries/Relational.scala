@@ -303,23 +303,68 @@ object Relational {
       |  FROM customer) WHERE rn = 1""".stripMargin
 
   /** Exact percentiles (linear interpolation — same definition as the
-    * oracle's quantile_cont). */
-  def qPercentile(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .groupBy(col("l_returnflag"))
+    * oracle's quantile_cont), plus a non-binary fraction (p95) carried as
+    * an exact integer numerator via order statistics over a value
+    * histogram (l_quantity is integral in the data), the technique from
+    * qTokenStats: p95_qty_x20 = 20 * p95, BIGINT, no float op anywhere. */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val native = li.groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
         expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+    val p95 = intOrderStatNumerator(
+      li.select(col("l_returnflag"), col("l_quantity").cast("bigint").as("v")),
+      "l_returnflag", 19, 20).withColumnRenamed("px", "p95_qty_x20")
+    native.join(p95, "l_returnflag")
+  }
 
-  // Quarter fractions only: position p*(n-1) and interpolation weight are
-  // exact binary fractions, so any R-7 interpolating engine produces the
-  // same bits — immune to quantile-internal ulp drift across oracle
-  // versions (the failure mode q_token_stats hit with p=0.95).
+  /** Exact (num/den)-quantile numerator per key over df(key, v: bigint):
+    * returns (key, px) where px = den * quantile_cont(v, num/den), BIGINT.
+    * Histogram order statistics — the shuffle carries (key, v, count), the
+    * windows run over distinct values only. */
+  private def intOrderStatNumerator(df: DataFrame, key: String, num: Int, den: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy("v")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val cum = df.groupBy(col(key), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("i", expr(s"($num * (n - 1)) div $den"))
+      .withColumn("r", expr(s"($num * (n - 1)) % $den"))
+      .withColumn("ihi", col("i") + when(col("r") > 0, 1).otherwise(0))
+    cum.groupBy(col(key), col("r"))
+      .agg(max(when(col("i") >= col("lo") && col("i") < col("hi"), col("v"))).as("vlo"),
+        max(when(col("ihi") >= col("lo") && col("ihi") < col("hi"), col("v"))).as("vhi"))
+      .select(col(key),
+        (col("vlo") * (lit(den.toLong) - col("r")) + col("vhi") * col("r")).cast("bigint").as("px"))
+  }
+
+  // med/p75 stay native doubles: quarter-fraction position and weight are
+  // exact in IEEE (one formula-dependent rounding remains, which the
+  // driver has confirmed green since r5). p95 — the fraction that broke
+  // q_token_stats — is all-integer, immune to any engine float internals.
   val qPercentileSql: String =
-    """SELECT l_returnflag,
-      |  quantile_cont(l_quantity, 0.5) AS med_qty,
-      |  quantile_cont(l_extendedprice, 0.75) AS p75_price
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    """WITH d AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+      |h AS (SELECT l_returnflag, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (SELECT l_returnflag, v,
+      |        sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS hi,
+      |        sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) - c AS lo,
+      |        sum(c) OVER (PARTITION BY l_returnflag) AS n FROM h),
+      |j AS (SELECT cum.*, (19 * (n - 1)) // 20 AS i, (19 * (n - 1)) % 20 AS r,
+      |        (19 * (n - 1)) // 20 + (CASE WHEN (19 * (n - 1)) % 20 > 0 THEN 1 ELSE 0 END) AS ihi
+      |      FROM cum),
+      |p AS (SELECT l_returnflag, r,
+      |        max(CASE WHEN i >= lo AND i < hi THEN v END) AS vlo,
+      |        max(CASE WHEN ihi >= lo AND ihi < hi THEN v END) AS vhi
+      |      FROM j GROUP BY 1, 2),
+      |q AS (SELECT l_returnflag,
+      |        quantile_cont(l_quantity, 0.5) AS med_qty,
+      |        quantile_cont(l_extendedprice, 0.75) AS p75_price
+      |      FROM lineitem GROUP BY 1)
+      |SELECT q.l_returnflag, q.med_qty, q.p75_price,
+      |  CAST(p.vlo * (20 - p.r) + p.vhi * p.r AS BIGINT) AS p95_qty_x20
+      |FROM q JOIN p USING (l_returnflag)""".stripMargin
 
   /** name → (query fn, oracle sql) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(

@@ -189,10 +189,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("token-stats histogram percentiles equal Spark's native percentile") {
-    // qTokenStats computes p50/p95 via integer order statistics over a
+    // tokenStatsReport derives p50/p95 from integer order statistics over a
     // (source, nt) histogram; Spark's own percentile() is an independent
     // implementation of the same lo + frac*(hi-lo) definition.
-    val got = queries.DataOps.qTokenStats(spark, sf)
+    val got = queries.DataOps.tokenStatsReport(spark, sf)
       .select(col("source"), col("p50_tokens"), col("p95_tokens"), col("avg_tokens"))
     val want = Tables(spark, sf).documents
       .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("nt"))

@@ -70,12 +70,22 @@ class PlansSpec extends SparkSpec {
       "per-query row_number window is back — scale-killer")
   }
 
+  test("token stats: one FileScan — totals fold into the histogram pass") {
+    val s = planString(queries.DataOps.qTokenStats(spark, sf))
+    val scans = "FileScan|BatchScan".r.findAllIn(s).size
+    assert(scans == 1, s"expected a single documents scan, got $scans:\n$s")
+  }
+
   test("bloom contamination: scan-side might_contain prefilter, exact result") {
     val exact = queries.DataOps.qContamination(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bloomed = queries.DataOps.qContaminationBloom(spark, sf)
     // the bloom probe must sit in the plan (prefilter before the join)...
-    assert(planString(bloomed).contains("might_contain"))
+    val s = planString(bloomed)
+    assert(s.contains("might_contain"))
+    // ...the verify join must read the PERSISTED bench grams (the explode
+    // + distinct ran once, during the bloom build), not recompute them...
+    assert(s.contains("InMemoryTableScan"), s"verify join should hit the bench cache:\n$s")
     // ...and the verify join must make the result bit-identical to exact
     assert(bloomed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
   }
