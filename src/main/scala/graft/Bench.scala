@@ -30,10 +30,36 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision record for humans / the repo history.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The harness that consumes stdout keeps only the last ~2000 characters,
+    // and ~80 of those go to sbt's own "[success]" epilogue. A full 85+-query
+    // map at double precision is ~2.6 KB, so the line must be budgeted: emit
+    // the slowest queries individually (those are the ones that matter for a
+    // perf read) and aggregate the rest, keeping the line under 1800 bytes.
+    def fmt(v: Double): String = f"$v%.3f"
+    val header =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val sortedDesc = results.sortBy(-_._2)
+    val budget = 1800 - header.length - s"""},"other_n":88,"other_sec":999.999,"sf":"$sfDir"}""".length
+    var used = 0
+    val kept = sortedDesc.takeWhile { case (k, v) =>
+      val cost = k.length + fmt(v).length + 4 // quotes, colon, comma
+      if (used + cost <= budget) { used += cost; true } else false
+    }
+    val rest = sortedDesc.drop(kept.length)
+    val keptQs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+    val otherPart =
+      if (rest.isEmpty) ""
+      else s""","other_n":${rest.length},"other_sec":${fmt(rest.map(_._2).sum)}"""
+    println(header + keptQs + "}" + otherPart + s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }
