@@ -17,17 +17,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-loop filter (driver never sets it): comma-separated gate names.
-    // Skipped gates' stale outputs are deleted so a reused outDir can't
-    // re-verify parquet from an earlier full run as if it were current.
+    // Any outDir subdirectory this run won't rewrite — a skipped gate, or a
+    // directory left by a since-renamed/removed gate — is deleted, so a
+    // reused outDir can't re-verify parquet from an earlier run as current.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    only.foreach { keep =>
-      SparkEntry.queries.keysIterator.filterNot(keep).foreach { n =>
-        val d = Paths.get(outDir, n)
-        if (Files.exists(d)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val willWrite = only.getOrElse(SparkEntry.queries.keySet)
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    Using.resource(Files.list(Paths.get(outDir))) { entries =>
+      entries.iterator().asScala.toSeq
+        .filter(d => Files.isDirectory(d) && !willWrite(d.getFileName.toString))
+        .foreach { d =>
+          Using.resource(Files.walk(d)) {
+            _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
         }
-      }
     }
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -633,7 +633,7 @@ object DataOps {
     * join, so the shape survives a 100 TB corpus. */
   /** Exploded lowercase word n-grams: (doc_id, gram). Map-only — the
     * explode runs inside the scan stage, no shuffle. */
-  private[queries] def wordGrams(d: DataFrame, n: Int): DataFrame = d
+  private[graft] def wordGrams(d: DataFrame, n: Int): DataFrame = d
     .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
     .select(col("doc_id"), explode(
       when(size(col("toks")) >= n,
@@ -673,9 +673,13 @@ object DataOps {
     * build is one eager job (its bytes embed in the plan as a literal) —
     * the same contract as DataFrameStatFunctions.bloomFilter. The
     * distinct benchmark-gram frame is persisted so that job and the
-    * exact verify join compute the gram explode + distinct ONCE (it
-    * stays cached for the caller's action; small by the operator's own
-    * premise — eval-suite grams, not corpus grams).
+    * exact verify join compute the gram explode + distinct ONCE (small
+    * by the operator's own premise — eval-suite grams, not corpus
+    * grams); a one-shot QueryExecutionListener unpersists it after the
+    * first caller action that consumes the returned frame, so repeated
+    * calls in a long-lived session don't accumulate pinned caches. If
+    * the caller never runs an action, the cache is released when the
+    * frame becomes unreachable (ContextCleaner).
     *
     * Sizing: `expectedGrams`/`fpp` set the sketch size (bits =
     * -n·ln(fpp)/ln²2). NOTE Spark silently clamps both to
@@ -696,10 +700,29 @@ object DataOps {
       .head().getAs[Array[Byte]](0) // materializes the bench cache
     val might = Bridge.column(BloomFilterMightContain(
       Literal(bloom), Bridge.toCatalyst(xxhash64(col("gram")))))
-    wordGrams(docs, n).filter(might)
+    val result = wordGrams(docs, n).filter(might)
       .join(bench, "gram") // no broadcast hint: exact verify is a keyed shuffle join
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
+    // Release the bench cache after the first action that consumes THIS
+    // result (matching on the result's own analyzed subtree, not bench's,
+    // so a late-dispatched event from the bloom-build head() above can't
+    // trigger an early unpersist).
+    val session = docs.sparkSession
+    val resultPlan = result.queryExecution.analyzed
+    val release = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def hit(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(resultPlan))) {
+          bench.unpersist()
+          session.listenerManager.unregister(this)
+        }
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = hit(qe)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = hit(qe)
+    }
+    session.listenerManager.register(release)
+    result
   }
 
   def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {

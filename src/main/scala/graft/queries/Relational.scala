@@ -309,6 +309,10 @@ object Relational {
     * qTokenStats: p95_qty_x20 = 20 * p95, BIGINT, no float op anywhere. */
   def qPercentile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
+    // Two scans by choice: med/p75 in one native aggregate pass, p95 via the
+    // histogram pass. Folding med into the histogram would not reduce scan
+    // count (p75 is over l_extendedprice, which is non-integral and needs
+    // the native aggregate anyway) — it would only trade a join for a join.
     val native = li.groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
@@ -322,11 +326,18 @@ object Relational {
   /** Exact (num/den)-quantile numerator per key over df(key, v: bigint):
     * returns (key, px) where px = den * quantile_cont(v, num/den), BIGINT.
     * Histogram order statistics — the shuffle carries (key, v, count), the
-    * windows run over distinct values only. */
+    * windows run over distinct values only.
+    *
+    * Precondition: v must already BE integral — callers cast a column that
+    * holds whole numbers (l_quantity, token counts); a fractional input
+    * would be silently truncated by that cast and diverge from the oracle.
+    * Nulls are dropped here to match quantile_cont, which skips them —
+    * unfiltered they would sort below every value and shift every rank. */
   private def intOrderStatNumerator(df: DataFrame, key: String, num: Int, den: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy("v")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(key)
-    val cum = df.groupBy(col(key), col("v")).agg(count(lit(1)).as("c"))
+    val cum = df.filter(col("v").isNotNull)
+      .groupBy(col(key), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("hi", sum(col("c")).over(w))
       .withColumn("lo", col("hi") - col("c"))
       .withColumn("n", sum(col("c")).over(wAll))

@@ -90,6 +90,23 @@ class PlansSpec extends SparkSpec {
     assert(bloomed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
   }
 
+  test("bloom contamination: bench-gram cache released after the first action") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables(spark, sf).documents
+    val benchDocs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val out = queries.DataOps.contaminationBloom(docs, benchDocs)
+    // an equivalent plan resolves to the same cache entry (sameResult match)
+    val bench = queries.DataOps.wordGrams(benchDocs, 5).select(col("gram")).distinct()
+    assert(bench.storageLevel.useMemory,
+      "bench grams should be cached between the bloom build and the verify join")
+    out.count()
+    // the release listener dispatches asynchronously on the listener bus
+    val deadline = System.currentTimeMillis() + 15000
+    while (bench.storageLevel.useMemory && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(!bench.storageLevel.useMemory, "bench cache not released after the action")
+  }
+
   test("minhash candidates: no cross join anywhere in the plan") {
     val df = operators.Dedup.minhashCandidates(Tables(spark, sf).documents, "doc_id", "text")
     val s = planString(df)
