@@ -633,7 +633,7 @@ object DataOps {
     * join, so the shape survives a 100 TB corpus. */
   /** Exploded lowercase word n-grams: (doc_id, gram). Map-only — the
     * explode runs inside the scan stage, no shuffle. */
-  private[graft] def wordGrams(d: DataFrame, n: Int): DataFrame = d
+  private[queries] def wordGrams(d: DataFrame, n: Int): DataFrame = d
     .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
     .select(col("doc_id"), explode(
       when(size(col("toks")) >= n,
@@ -671,15 +671,15 @@ object DataOps {
     * shuffle join that removes the false positives. Output is therefore
     * bit-identical to the exact query and shares its oracle. The bloom
     * build is one eager job (its bytes embed in the plan as a literal) —
-    * the same contract as DataFrameStatFunctions.bloomFilter. The
-    * distinct benchmark-gram frame is persisted so that job and the
-    * exact verify join compute the gram explode + distinct ONCE (small
-    * by the operator's own premise — eval-suite grams, not corpus
-    * grams); a one-shot QueryExecutionListener unpersists it after the
-    * first caller action that consumes the returned frame, so repeated
-    * calls in a long-lived session don't accumulate pinned caches. If
-    * the caller never runs an action, the cache is released when the
-    * frame becomes unreachable (ContextCleaner).
+    * the same contract as DataFrameStatFunctions.bloomFilter. It runs
+    * over the RAW benchmark gram stream — bloom insertion is idempotent,
+    * so the build needs no distinct and therefore no shuffle and no
+    * cache. (An earlier revision persisted the distinct gram frame
+    * instead; wall-time was the same at sf0.1 — the extra eager job is
+    * the fixed cost, not the gram recompute — and the cache pinned
+    * executor memory until explicitly released. This shape keeps the
+    * expensive distinct shuffle to exactly one, lazily, inside the
+    * verify-join job, with nothing pinned.)
     *
     * Sizing: `expectedGrams`/`fpp` set the sketch size (bits =
     * -n·ln(fpp)/ln²2). NOTE Spark silently clamps both to
@@ -692,37 +692,22 @@ object DataOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
-    val bench = wordGrams(benchDocs, n).select(col("gram")).distinct().persist()
+    val benchGrams = wordGrams(benchDocs, n)
     val numBits = math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val bloomAgg = new BloomFilterAggregate(
       Bridge.toCatalyst(xxhash64(col("gram"))), Literal(expectedGrams), Literal(numBits))
-    val bloom = bench.select(Bridge.column(bloomAgg.toAggregateExpression()))
-      .head().getAs[Array[Byte]](0) // materializes the bench cache
+    // The sketch builds over the RAW gram stream: bloom insertion is
+    // idempotent, so skipping the distinct keeps the build map-side-only
+    // (partial sketches merge in the final agg — no row shuffle at all).
+    val bloom = benchGrams.select(Bridge.column(bloomAgg.toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val bench = benchGrams.select(col("gram")).distinct()
     val might = Bridge.column(BloomFilterMightContain(
       Literal(bloom), Bridge.toCatalyst(xxhash64(col("gram")))))
-    val result = wordGrams(docs, n).filter(might)
+    wordGrams(docs, n).filter(might)
       .join(bench, "gram") // no broadcast hint: exact verify is a keyed shuffle join
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
-    // Release the bench cache after the first action that consumes THIS
-    // result (matching on the result's own analyzed subtree, not bench's,
-    // so a late-dispatched event from the bloom-build head() above can't
-    // trigger an early unpersist).
-    val session = docs.sparkSession
-    val resultPlan = result.queryExecution.analyzed
-    val release = new org.apache.spark.sql.util.QueryExecutionListener {
-      private def hit(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(resultPlan))) {
-          bench.unpersist()
-          session.listenerManager.unregister(this)
-        }
-      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = hit(qe)
-      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = hit(qe)
-    }
-    session.listenerManager.register(release)
-    result
   }
 
   def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
