@@ -47,6 +47,13 @@ object Pipeline {
                              stride: Long, dataType: String) extends Step
   final case class PackStep(idCol: String, textCol: String, maxTokens: Int,
                             shards: Int, dataType: String) extends Step
+  /** Storage-layout sink: "bucket" writes a bucketed (optionally
+    * sorted) table for co-located joins; "range" writes range-clustered
+    * parquet for min/max data skipping. These are the 100 TB layout
+    * levers, reachable from the config dialect so a chewdata-style
+    * pipeline can request them without touching the Scala API. */
+  final case class LayoutStep(mode: String, target: String, keyCols: Seq[String],
+                              sortCols: Seq[String], n: Int, dataType: String) extends Step
 
   final case class Action(field: String, pattern: Option[String], actionType: String)
   final case class Rule(name: String, pattern: String, message: String)
@@ -267,6 +274,20 @@ object Pipeline {
       case "pack" => PackStep(str("id", "id"), str("field", "text"),
         if (node.has("max_tokens")) node.get("max_tokens").asInt() else 2048,
         if (node.has("shards")) node.get("shards").asInt() else 0, dataType)
+      case "layout" =>
+        val keys = Option(node.get("by"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        val sorts = Option(node.get("sort_by"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        val mode = str("mode", "bucket")
+        val target =
+          if (node.has("table")) node.get("table").asText()
+          else if (node.has("path")) node.get("path").asText()
+          else throw new IllegalArgumentException("layout step needs \"table\" (bucket) or \"path\" (range)")
+        LayoutStep(mode, target, keys, sorts,
+          if (node.has("buckets")) node.get("buckets").asInt()
+          else if (node.has("partitions")) node.get("partitions").asInt() else 0,
+          dataType)
       case other => throw new IllegalArgumentException(s"unknown step type: $other")
     }
   }
@@ -431,6 +452,22 @@ object Pipeline {
         case PackStep(id, field, maxTok, shards, dt) =>
           flow(dt).map(df => flow.updated(dt,
             graft.queries.DataOps.packSequences(df, id, field, maxTok, shards))).getOrElse(flow)
+        case LayoutStep(mode, target, keys, sorts, n, dt) =>
+          flow(dt).foreach { df =>
+            mode match {
+              case "bucket" =>
+                require(n > 0, "layout mode=bucket needs \"buckets\" > 0")
+                graft.operators.Bucketing.writeBucketed(df, target, n, keys, sorts)
+              case "range" =>
+                val parts = if (n > 0) n
+                  else df.sparkSession.sessionState.conf.numShufflePartitions
+                graft.operators.Bucketing.writeRangeClustered(df, target,
+                  if (keys.nonEmpty) keys else sorts, parts)
+              case other =>
+                throw new IllegalArgumentException(s"unknown layout mode: $other")
+            }
+          }
+          flow
         case Writer(conn, dt) =>
           // a streaming flow (reader had "stream": true) writes through the
           // streaming sink; the SAME config otherwise runs batch

@@ -257,6 +257,46 @@ class PipelineSpec extends SparkSpec {
     assert(again == n)
   }
 
+  test("layout step: config-driven bucketed table and range-clustered parquet") {
+    import org.apache.spark.sql.functions.col
+    val rangeDir = java.nio.file.Files.createTempDirectory("layout_range").toString
+    try {
+      Pipeline.run(spark,
+        s"""[
+           | {"type":"reader",
+           |  "connector":{"type":"local","path":"/root/testdata/sf0.001/orders.parquet"},
+           |  "document":{"type":"parquet"}},
+           | {"type":"layout","mode":"bucket","table":"cfg_b_orders",
+           |  "buckets":4,"by":["o_orderkey"],"sort_by":["o_orderkey"]},
+           | {"type":"layout","mode":"range","path":"$rangeDir/orders",
+           |  "by":["o_orderdate"],"partitions":4}
+           |]""".stripMargin)
+      // bucket metadata survived the catalog roundtrip
+      val cat = spark.sql("DESCRIBE EXTENDED cfg_b_orders").collect()
+        .map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      assert(cat.contains("Num Buckets") && cat.contains("4"), cat)
+      assert(cat.contains("o_orderkey"), cat)
+      assert(spark.read.table("cfg_b_orders").count() ==
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count())
+      // range files cover pairwise-disjoint o_orderdate ranges
+      val files = new java.io.File(s"$rangeDir/orders").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      assert(files.size > 1, s"expected multiple range files, got $files")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min(col("o_orderdate")),
+               org.apache.spark.sql.functions.max(col("o_orderdate"))).head()
+        (r.get(0).toString, r.get(1).toString)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping ranges: $ranges")
+        case _ =>
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cfg_b_orders")
+    }
+  }
+
   test("fingerprint dedup step drops reordered duplicates") {
     val flow = Pipeline.run(spark,
       """[
