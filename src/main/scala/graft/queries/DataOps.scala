@@ -439,6 +439,34 @@ object DataOps {
       |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM g GROUP BY user_id""".stripMargin
 
+  /** Batch shape of [[graft.streaming.EventStream.dedupWithinWatermark]]:
+    * first occurrence (earliest ts, tie-broken by event_id — integer
+    * microseconds so ordering is exact) wins per dedup key. On a bounded
+    * input replayed in event-time order the streaming operator produces
+    * exactly this set (StreamingSpec pins that equivalence); this gate
+    * pins the batch semantics against the DuckDB oracle. event_ids are
+    * unique in the data, so the key is (user_id, event_type) — every key
+    * with >1 event actually exercises the dedup. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("us").as("first_us"))
+  }
+
+  val qStreamDedupSql: String =
+    """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_us
+      |FROM (SELECT user_id, event_type, event_id, ts,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY epoch_us(ts), event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
   /** As-of join: each purchase event picks up the user's most recent view
     * at-or-before it. Oracle: DuckDB's native ASOF JOIN. */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -992,5 +1020,6 @@ object DataOps {
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
+    "q_stream_dedup"   -> ((qStreamDedup _, Some(qStreamDedupSql))),
   )
 }

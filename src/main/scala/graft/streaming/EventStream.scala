@@ -89,9 +89,10 @@ object EventStream {
     * bounded by the horizon's event volume, not the stream's history —
     * the only exact-dedup contract that holds on an unbounded firehose
     * (dropDuplicates without a watermark grows state forever). */
-  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours",
+                           keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Write a stream to parquet with checkpointing. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): StreamingQuery =

@@ -88,6 +88,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup equals the batch first-occurrence shape on ordered replay") {
+    // Replay the real events table through the streaming operator in
+    // event-time order; on bounded, ordered input the watermark-bounded
+    // dedup must produce exactly the rows the batch gate (q_stream_dedup)
+    // computes with row_number over (ts, event_id).
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val ordered = Tables(spark, sfDir).events
+      .orderBy(col("ts"), col("event_id"))
+      .as[EventStream.Event].collect().toSeq
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupWithinWatermark(
+        input.toDF(), keys = Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("eqdedup").outputMode("append").start()
+    try {
+      input.addData(ordered)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, event_type, event_id FROM eqdedup")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = queries.DataOps.qStreamDedup(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streaming dedup diverged from batch shape: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("config-driven streaming pipeline: stream reader -> transform -> parquet sink") {
     val dir = java.nio.file.Files.createTempDirectory("streamcfg").toString
     val in = dir + "/in"
