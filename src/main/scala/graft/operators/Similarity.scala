@@ -143,6 +143,42 @@ object Similarity {
       centroids.schema)
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    * embedding clustering. Every vector is assigned to its nearest
+    * centroid (one broadcast argmax pass — max(struct) partial-aggregates
+    * map-side, no window); within each cell, a vector is dropped when an
+    * EARLIER vector (smaller id) in the same cell has cosine >= tau to it
+    * — the deterministic keep-first policy, no connected components
+    * needed. The within-cell pairwise join is the SemDeDup contract: the
+    * clustering bounds the quadratic term to cell sizes (at 100 TB you
+    * pick k so cells stay joinable — |corpus|²/k pair candidates instead
+    * of |corpus|²), and the pair join is a keyed shuffle on `cell`, never
+    * a cartesian. The two pair-join branches shuffle the SAME cell
+    * assignment on the same key, which Spark's ReuseExchange collapses
+    * into one exchange.
+    *
+    * `centroids` is (c_id: int, c_vec: array<double>) — pass
+    * [[trainCentroids]] output for k-means cells, or any deterministic
+    * frame (the gate uses the first k embeddings, which a SQL oracle can
+    * replicate). Output is float-free: (idCol, cell) of the KEPT rows. */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(centroids)
+    val cells = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(cents)
+      .select(col("id"), struct(cosine(col("v"), col("c_vec")).as("d"),
+        (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
+      .groupBy(col("id")).agg(max(col("s")).as("s"))
+      .select(col("id"), col("s.vv").as("v"), (-col("s.negc")).as("cell"))
+    val a = cells.select(col("cell"), col("id").as("a"), col("v").as("va"))
+    val b = cells.select(col("cell"), col("id").as("b"), col("v").as("vb"))
+    val dropped = b.join(a, "cell")
+      .filter(col("a") < col("b") && cosine(col("va"), col("vb")) >= tau)
+      .select(col("b")).distinct()
+    cells.join(dropped, cells("id") === dropped("b"), "left_anti")
+      .select(col("id").as(idCol), col("cell").cast("bigint").as("cell"))
+  }
+
   /** IVF-style ANN with trained coarse centroids: every corpus vector is
     * assigned to its nearest centroid (one broadcast pass), queries probe
     * the `nprobe` nearest cells only. The scan-side win at scale: the

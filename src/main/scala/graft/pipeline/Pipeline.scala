@@ -417,6 +417,14 @@ object Pipeline {
                 df.join(reps, df(id) === col("__rep_id"), "left")
                   .filter(col("__rep").isNull || col("__rep") === df(id))
                   .drop("__rep_id", "__rep")
+              case "semdedup" =>
+                // `field` names the embedding column; threshold is tau
+                val cents = graft.operators.Similarity.trainCentroids(
+                  df, k = 16, iterations = 2, idCol = id, vecCol = text)
+                val kept = graft.operators.Similarity.semDedup(
+                    df, cents, threshold, idCol = id, vecCol = text)
+                  .select(col(id).as("__keep_id"))
+                df.join(kept, df(id) === col("__keep_id"), "left_semi")
               case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
             }
             flow.updated(dt, deduped)

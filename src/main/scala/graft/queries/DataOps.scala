@@ -243,6 +243,38 @@ object DataOps {
       |WHERE list_dot_product(a.v, b.v) /
       |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin
 
+  /** SemDeDup over the embeddings table: cells from the first-8
+    * embeddings as fixed centroids (deterministic AND SQL-expressible,
+    * so the oracle replicates the assignment exactly), keep-first policy
+    * at tau = 0.3. Output is float-free — (vec_id, cell) of kept rows —
+    * and the cosine values that decide assignment and drops are the same
+    * IEEE shapes on both sides (native CosineSim vs list_dot_product). */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    Similarity.semDedup(e, cents, tau = 0.3)
+  }
+
+  val qSemDedupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |scored AS (SELECT e.vec_id, e.v, c.c_id,
+      |    list_dot_product(e.v, c.cv) /
+      |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS d
+      |  FROM e CROSS JOIN c),
+      |assigned AS (SELECT vec_id, v, cell FROM (
+      |  SELECT vec_id, v, c_id AS cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |drops AS (SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+      |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assigned
+      |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+
   /** LSH-bucketed near-dup (approximate) — rows-only gate. */
   def qEmbNeardupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables(spark, dir).embeddings, threshold = 0.3)
@@ -1009,6 +1041,7 @@ object DataOps {
     "q_ann_topk"       -> ((qAnnTopk _, Some(qAnnTopkSql))),
     "q_emb_neardup"    -> ((qEmbNeardup _, Some(qEmbNeardupSql))),
     "q_emb_neardup_lsh" -> ((qEmbNeardupLsh _, None)),
+    "q_semdedup"       -> ((qSemDedup _, Some(qSemDedupSql))),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
     "q_doc_freq_score" -> ((qDocFreqScore _, Some(qDocFreqScoreSql))),

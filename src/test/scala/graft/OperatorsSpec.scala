@@ -70,6 +70,36 @@ class OperatorsSpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("semdedup with trained centroids: keep-first policy holds, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sf).embeddings
+    val cents = Similarity.trainCentroids(emb, k = 4, iterations = 2)
+      .withColumnRenamed("c_id", "c_id").select(col("c_id"), col("c_vec"))
+    val kept1 = Similarity.semDedup(emb, cents, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept2 = Similarity.semDedup(emb, cents, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept1 == kept2, "semdedup must be deterministic")
+    val total = emb.count()
+    assert(kept1.size > 0 && kept1.size < total,
+      s"expected a strict subset kept, got ${kept1.size}/$total")
+    // invariant of keep-first: no two KEPT vectors in the same cell are
+    // tau-similar (the later one would have been dropped)
+    val vecs = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    for ((_, members) <- kept1.groupBy(_._2)) {
+      val ids = members.map(_._1).toSeq.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.size)
+        assert(cos(vecs(ids(i)), vecs(ids(j))) < 0.3 + 1e-9,
+          s"kept pair (${ids(i)}, ${ids(j)}) is tau-similar — should have deduped")
+    }
+  }
+
   test("ivf top-k returns k ranked rows per query") {
     val emb = Tables(spark, sf).embeddings
     val q = emb.filter(col("vec_id") < 2)

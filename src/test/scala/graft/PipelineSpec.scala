@@ -297,6 +297,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semdedup step drops embedding near-duplicates from config") {
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader",
+         |  "connector":{"type":"local","path":"/root/testdata/sf0.001/embeddings.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"dedup","method":"semdedup","id":"vec_id","field":"embedding",
+         |  "threshold":0.3}
+         |]""".stripMargin)
+    val out = flow.ok.get
+    val n = out.count()
+    val total = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(n > 0 && n < total, s"expected a strict subset kept, got $n/$total")
+    assert(out.columns.contains("embedding")) // full rows survive, not just ids
+  }
+
   test("fingerprint dedup step drops reordered duplicates") {
     val flow = Pipeline.run(spark,
       """[

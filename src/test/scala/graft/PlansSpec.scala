@@ -95,6 +95,21 @@ class PlansSpec extends SparkSpec {
     assert(bloomed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
   }
 
+  test("semdedup: keyed cell join, no cartesian, no corpus window") {
+    val df = queries.DataOps.qSemDedup(spark, sf)
+    val s = planString(df)
+    // centroid fan-out is a broadcast nested loop over k rows (fine);
+    // the PAIR join must be keyed on cell, never all-pairs
+    assert(!s.contains("CartesianProduct"), s)
+    // assignment is an argmax aggregate, not a per-vector ranking window
+    assert(!s.contains("row_number"), s"corpus-side window crept in:\n$s")
+    // both pair-join branches shuffle the same cell assignment: Spark must
+    // compute it once and reuse the exchange/stage, not run it twice
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage") ||
+      s.contains("TableCacheQueryStage"),
+      s"cell-assignment subplan should be reused across the self-join:\n$s")
+  }
+
   test("minhash candidates: no cross join anywhere in the plan") {
     val df = operators.Dedup.minhashCandidates(Tables(spark, sf).documents, "doc_id", "text")
     val s = planString(df)
