@@ -160,9 +160,18 @@ object Similarity {
     * `centroids` is (c_id: int, c_vec: array<double>) — pass
     * [[trainCentroids]] output for k-means cells, or any deterministic
     * frame (the gate uses the first k embeddings, which a SQL oracle can
-    * replicate). Output is float-free: (idCol, cell) of the KEPT rows. */
+    * replicate). Output is float-free: (idCol, cell) of the KEPT rows.
+    *
+    * `maxCell` is the skew guard (same class as [[Dedup.minhashCandidates]]'
+    * maxBucket): only the `maxCell` smallest-id members of a cell act as
+    * DROPPERS (anchors); every member stays a drop candidate. When no cell
+    * exceeds the cap this is exactly the keep-first policy; beyond it the
+    * pair-join candidate count is hard-bounded at |corpus| × maxCell instead
+    * of Σ cellSize² — a degenerate centroid set (near-duplicate centroids, a
+    * collapsed embedding space) can no longer make one hot cell quadratic. */
   def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxCell: Int = 4096): DataFrame = {
     val cents = broadcast(centroids)
     val cells = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .join(cents)
@@ -170,9 +179,16 @@ object Similarity {
         (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
       .groupBy(col("id")).agg(max(col("s")).as("s"))
       .select(col("id"), col("s.vv").as("v"), (-col("s.negc")).as("cell"))
-    val a = cells.select(col("cell"), col("id").as("a"), col("v").as("va"))
+    // anchor ids: capped sorted prefix per cell (ids only — the vectors are
+    // fetched back by an equi-join so the aggregation buffer never holds a
+    // cell's worth of embeddings)
+    val anchorIds = cells.groupBy(col("cell"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxCell).as("ids"))
+      .select(explode(col("ids")).as("a"))
+    val anchors = cells.select(col("cell"), col("id").as("a"), col("v").as("va"))
+      .join(anchorIds, "a")
     val b = cells.select(col("cell"), col("id").as("b"), col("v").as("vb"))
-    val dropped = b.join(a, "cell")
+    val dropped = b.join(anchors, "cell")
       .filter(col("a") < col("b") && cosine(col("va"), col("vb")) >= tau)
       .select(col("b")).distinct()
     cells.join(dropped, cells("id") === dropped("b"), "left_anti")

@@ -100,6 +100,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semdedup cell cap bounds the pair join on a degenerate one-cell corpus") {
+    // every vector points the same way → one cell of size n: without the
+    // cap the within-cell join is n² on a single hot key; with maxCell=8
+    // the anchor side is 8 rows, so pair candidates are bounded at 8n.
+    val n = 400
+    val one = spark.range(n).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(0.0), lit(0.0)).as("embedding"))
+    val cent = Seq((0, Seq(1.0, 0.0, 0.0))).toDF("c_id", "c_vec")
+    val kept = Similarity.semDedup(one, cent, tau = 0.9, maxCell = 8)
+      .collect().map(_.getLong(0)).toSeq
+    // id 0 is the first anchor and drops everything else (cos = 1)
+    assert(kept == Seq(0L), s"one-direction corpus must keep only id 0, got $kept")
+
+    // cap semantics: beyond-cap members cannot DROP (only anchors do) but
+    // stay drop candidates themselves. ids 0..9 ~ e1; id 20 and 50 ~ e2.
+    // With maxCell=10 the anchors are ids 0..9, so 20 can no longer drop 50.
+    val e1 = Seq(1.0, 0.0); val e2 = Seq(0.0, 1.0)
+    val rows = (0L until 10L).map(i => (i, e1)) ++ Seq((20L, e2), (50L, e2))
+    val df = rows.toDF("vec_id", "embedding")
+    val c = Seq((0, Seq(math.sqrt(0.5), math.sqrt(0.5)))).toDF("c_id", "c_vec")
+    def keptIds(cap: Int): Set[Long] =
+      Similarity.semDedup(df, c, tau = 0.5, maxCell = cap)
+        .collect().map(_.getLong(0)).toSet
+    assert(keptIds(1000) == Set(0L, 20L),
+      "uncapped keep-first: 20 drops 50, 0 drops 1..9")
+    assert(keptIds(10) == Set(0L, 20L, 50L),
+      "capped: 50 survives because its only earlier similar member (20) is beyond the anchor cap")
+  }
+
   test("ivf top-k returns k ranked rows per query") {
     val emb = Tables(spark, sf).embeddings
     val q = emb.filter(col("vec_id") < 2)
