@@ -173,11 +173,22 @@ object Dedup {
     * hamming ≤ 3 of a 64-bit simhash shares at least one of 4 bands), then
     * verify true hamming ≤ maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame =
+    simhashPairsFromSig(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")),
+      maxHamming, maxBucket, bandBits = 16)
+
+  /** Banded blocking + hamming verify over a PRECOMPUTED signature column
+    * (`(id, sim)` frame). 4 bands of `bandBits` each; by pigeonhole any
+    * pair within hamming ≤ 3 shares an intact band, so for maxHamming ≤ 3
+    * the blocking is COMPLETE (modulo the maxBucket skew cap) — the
+    * property the oracle-checked portable-signature gate leans on. */
+  def simhashPairsFromSig(withSim: DataFrame, maxHamming: Int,
+                          maxBucket: Int = 64, bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(slice(sort_array(collect_list(struct(col("id"), col("sim")))), 1, maxBucket).as("ms"))

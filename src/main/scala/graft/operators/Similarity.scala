@@ -76,10 +76,38 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       planes: Int = 16, bandBits: Int = 8,
                       maxBucket: Int = 128): DataFrame = {
-    val bands = planes / bandBits
-    val mask = (1L << bandBits) - 1
     val sig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("sig", lshBits(col("v"), planes))
+    bandedCosinePairs(sig, threshold, planes / bandBits, bandBits, maxBucket)
+  }
+
+  /** LSH near-dup pairs with CALLER-SUPPLIED hyperplanes (`planesDf` is
+    * `(p_id: int 0..nPlanes-1, p_vec: array<double>)`). Same banding /
+    * capping / verify machinery as [[lshNearDupPairs]]; the sign bits come
+    * from one broadcast cosine pass against the given planes instead of the
+    * SplitMix64-derived ones. With data-derived planes (e.g. the first N
+    * corpus vectors) every stage is SQL-expressible, which is what lets the
+    * q_emb_neardup_lsh_fixed gate equality-check the whole pipeline. */
+  def lshNearDupPairsFixedPlanes(df: DataFrame, planesDf: DataFrame,
+                                 nPlanes: Int, threshold: Double,
+                                 idCol: String = "vec_id", vecCol: String = "embedding",
+                                 bandBits: Int = 8, maxBucket: Int = 128): DataFrame = {
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // bit j set iff cos(v, plane_j) > 0; 2^p_id is exact in double to 2^52
+    val contrib = when(cosine(col("v"), col("p_vec")) > 0,
+      pow(lit(2.0), col("p_id")).cast("long")).otherwise(lit(0L))
+    val sigs = base.join(broadcast(planesDf))
+      .groupBy(col("id")).agg(sum(contrib).as("sig"))
+    bandedCosinePairs(base.join(sigs, "id"), threshold,
+      nPlanes / bandBits, bandBits, maxBucket)
+  }
+
+  /** Shared LSH tail: band a packed signature, cap buckets (skew guard),
+    * emit in-bucket pairs, verify exact cosine ≥ threshold. */
+  private def bandedCosinePairs(sig: DataFrame, threshold: Double,
+                                bands: Int, bandBits: Int,
+                                maxBucket: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = sig.select(col("id"), col("v"),
       posexplode(array((0 until bands).map(bi =>
         shiftrightunsigned(col("sig"), bi * bandBits).bitwiseAND(lit(mask))): _*))

@@ -54,15 +54,45 @@ object DataOps {
       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |      CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.7""".stripMargin
 
-  /** MinHash+LSH verified pairs — approximate discovery, rows-only gate. */
+  /** MinHash+LSH verified pairs. Oracle-checked as a FULL-RECALL property:
+    * the DuckDB oracle computes the exhaustive 3-shingle Jaccard pair set at
+    * the same threshold, so the gate asserts the LSH path (16 bands × 4
+    * rows, bucket cap 64) finds EVERY true pair on this corpus and that the
+    * verified Jaccard values are bit-identical to the exact set math. A
+    * drift in the hash family, banding, capping, or verify join shows up as
+    * a row or hash mismatch — this was a rows-only gate through r8. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables(spark, dir).documents, "doc_id", "text",
         threshold = 0.5, shingleN = 3)
       .orderBy(col("a"), col("b"))
 
+  /** Exhaustive 3-shingle Jaccard pairs at the minhash gate's threshold —
+    * shared CTE prefix for the q_dedup_minhash / q_dedup_corpus oracles.
+    * MATERIALIZED: `pj` feeds a recursive closure in the corpus oracle and
+    * DuckDB would otherwise inline the O(n²) intersect scan per reference. */
+  private val exactPairCte: String =
+    """t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |s AS MATERIALIZED (SELECT doc_id,
+      |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |                    i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+      |      FROM t),
+      |ij AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b,
+      |        len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) + len(b.sh) AS su
+      |       FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      |pj AS MATERIALIZED (SELECT a, b, CAST(i AS DOUBLE) / CAST(su - i AS DOUBLE) AS jaccard
+      |       FROM ij WHERE CAST(i AS DOUBLE) / CAST(su - i AS DOUBLE) >= 0.5)""".stripMargin
+
+  val qDedupMinhashSql: String =
+    s"WITH $exactPairCte\nSELECT a, b, jaccard FROM pj ORDER BY a, b"
+
   /** End-to-end near-dup removal: LSH pairs → min-id label propagation →
-    * corpus minus non-representative members. Rows-only (hash-family
-    * dependent), deterministic. */
+    * corpus minus non-representative members. Oracle-checked end to end:
+    * the DuckDB oracle rebuilds the exact pair set (full recall holds, see
+    * [[qDedupMinhash]]) and resolves connected components independently via
+    * a recursive-CTE transitive closure, so the distributed pointer-doubling
+    * propagation in [[Dedup.representatives]] is gated against a from-first-
+    * principles reimplementation — rows-only through r8. */
   def qDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
@@ -73,11 +103,80 @@ object DataOps {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs — rows-only gate. */
+  val qDedupCorpusSql: String =
+    s"""WITH RECURSIVE $exactPairCte,
+       |edges AS (SELECT a, b FROM pj UNION SELECT b AS a, a AS b FROM pj),
+       |reach(id, r) AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT rc.id, e.b AS r FROM reach rc JOIN edges e ON rc.r = e.a),
+       |rep AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id)
+       |SELECT d.doc_id FROM documents d LEFT JOIN rep ON d.doc_id = rep.id
+       |WHERE rep.id IS NULL OR rep.rep = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs — rows-only gate (xxhash64 token hashes have
+    * no DuckDB equivalent; the construction + blocking machinery is
+    * oracle-checked by [[qDedupSimhashExact]] instead). */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir).documents, "doc_id", "text",
         maxHamming = 8)
       .orderBy(col("a"), col("b"))
+
+  /** SimHash with a PORTABLE signature, fully oracle-checked (the
+    * q_ann_ivf_exact pattern): per-token 60-bit values come from md5 hex —
+    * which DuckDB computes bit-identically — instead of xxhash64, votes and
+    * banding are otherwise the real simhash shape, and maxHamming = 3 over
+    * 4×15-bit bands makes the blocking COMPLETE by pigeonhole. The DuckDB
+    * oracle recomputes every signature from scratch and takes the exhaustive
+    * O(n²) hamming join, so banding, bucket capping, pair generation, and
+    * the verify filter are all equality-gated. */
+  def qDedupSimhashExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tk"))
+    // 60-bit token value: 15 hex chars of md5 (fits signed 64-bit exactly)
+    val v = tok.select(col("doc_id"),
+      conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("long").as("v"))
+    val votes = v.groupBy(col("doc_id")).agg(
+      (0 until 60).map(b =>
+        sum(when(shiftright(col("v"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$b")).head,
+      (1 until 60).map(b =>
+        sum(when(shiftright(col("v"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$b")): _*)
+    val sig = votes.select(col("doc_id").as("id"),
+      (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sim"))
+    Dedup.simhashPairsFromSig(sig, maxHamming = 3, maxBucket = 4096, bandBits = 15)
+      .select(col("a"), col("b"), col("dist").cast("bigint").as("dist"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val qDedupSimhashExactSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    val sums = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+    val sigExpr = (0 until 60).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tk
+       |  FROM documents),
+       |hx AS (SELECT doc_id, substring(md5(tk), 1, 15) AS h FROM tok),
+       |vals AS (SELECT doc_id, $hexVal AS v FROM hx),
+       |votes AS (SELECT doc_id,
+       |    $sums
+       |  FROM vals GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sim FROM votes)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS dist
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |ORDER BY a, b""".stripMargin
+  }
 
   // ---- text analysis -----------------------------------------------------
 
@@ -275,10 +374,54 @@ object DataOps {
       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assigned
       |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
 
-  /** LSH-bucketed near-dup (approximate) — rows-only gate. */
+  /** LSH-bucketed near-dup (approximate) — rows-only gate (SplitMix64
+    * planes have no DuckDB equivalent; the banding/capping/verify pipeline
+    * is oracle-checked by [[qEmbNeardupLshFixed]] instead). */
   def qEmbNeardupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables(spark, dir).embeddings, threshold = 0.3)
       .orderBy(col("a"), col("b"))
+
+  /** LSH near-dup with DATA-DERIVED hyperplanes (the first 16 embeddings),
+    * fully oracle-checked: the DuckDB oracle recomputes the sign bits, the
+    * 2×8-bit banding, the sorted bucket cap (row_number ≤ 128), the
+    * in-bucket pair set, and the exact-cosine verify — so the entire LSH
+    * pipeline except plane generation is equality-gated (q_ann_ivf_exact
+    * pattern; this was a rows-only family through r8). */
+  def qEmbNeardupLshFixed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val planes = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("p_id"),
+        Similarity.asDouble(col("embedding")).as("p_vec"))
+    Similarity.lshNearDupPairsFixedPlanes(e, planes, nPlanes = 16, threshold = 0.3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val qEmbNeardupLshFixedSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT vec_id AS p_id, CAST(embedding AS DOUBLE[]) AS pv
+      |      FROM embeddings WHERE vec_id < 16),
+      |bits AS (SELECT e.id, p.p_id,
+      |    CASE WHEN list_dot_product(e.v, p.pv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) > 0
+      |    THEN CAST(power(2, p.p_id) AS BIGINT) ELSE 0 END AS c
+      |  FROM e CROSS JOIN p),
+      |sig AS (SELECT id, SUM(c) AS sig FROM bits GROUP BY id),
+      |m AS (SELECT 0 AS band, sig & 255 AS bucket, id FROM sig
+      |      UNION ALL
+      |      SELECT 1 AS band, (sig >> 8) & 255 AS bucket, id FROM sig),
+      |r AS (SELECT band, bucket, id,
+      |        row_number() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+      |      FROM m),
+      |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+      |  FROM r x JOIN r y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+      |  WHERE x.rn <= 128 AND y.rn <= 128)
+      |SELECT c.a, c.b,
+      |  list_dot_product(ea.v, eb.v) /
+      |  (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+      |FROM cand c JOIN e ea ON c.a = ea.id JOIN e eb ON c.b = eb.id
+      |WHERE list_dot_product(ea.v, eb.v) /
+      |  (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3
+      |ORDER BY a, b""".stripMargin
 
   /** IVF cluster-pruned ANN — approximate, rows-only gate. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
@@ -1030,9 +1173,10 @@ object DataOps {
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
-    "q_dedup_minhash"  -> ((qDedupMinhash _, None)),
-    "q_dedup_corpus"   -> ((qDedupCorpus _, None)),
+    "q_dedup_minhash"  -> ((qDedupMinhash _, Some(qDedupMinhashSql))),
+    "q_dedup_corpus"   -> ((qDedupCorpus _, Some(qDedupCorpusSql))),
     "q_dedup_simhash"  -> ((qDedupSimhash _, None)),
+    "q_dedup_simhash_exact" -> ((qDedupSimhashExact _, Some(qDedupSimhashExactSql))),
     "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
     "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
     "q_gopher_rules"   -> ((qGopherRules _, Some(qGopherRulesSql))),
@@ -1041,6 +1185,7 @@ object DataOps {
     "q_ann_topk"       -> ((qAnnTopk _, Some(qAnnTopkSql))),
     "q_emb_neardup"    -> ((qEmbNeardup _, Some(qEmbNeardupSql))),
     "q_emb_neardup_lsh" -> ((qEmbNeardupLsh _, None)),
+    "q_emb_neardup_lsh_fixed" -> ((qEmbNeardupLshFixed _, Some(qEmbNeardupLshFixedSql))),
     "q_semdedup"       -> ((qSemDedup _, Some(qSemDedupSql))),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
