@@ -143,7 +143,10 @@ final case class CliConnector(docType: String = "json") extends Connector {
     InMemoryConnector(content, docType).load(spark)
   }
   override def save(df: DataFrame, mode: SaveMode): Unit =
-    df.toJSON.collect().foreach(println)
+    // stdout is driver-side by nature, but the frame need not be:
+    // toLocalIterator streams one partition at a time, so driver memory is
+    // bounded by a partition, not the dataset (collect() pinned it all)
+    df.toJSON.toLocalIterator().forEachRemaining(println(_))
 }
 
 /** Relational DB via Spark JDBC (reference: psql.rs). `partitionColumn` +
@@ -362,6 +365,37 @@ final case class HttpConnector(endpoint: String, pages: Int = 1,
   }
 }
 
+/** Spill surface for sequential page walks: pages go to one temp file each
+  * AS FETCHED, so driver memory holds a single page at a time no matter how
+  * long the walk is (a 100k-page cursor chain used to pin every body in an
+  * ArrayBuffer). Files are session-temp (deleteOnExit). */
+private[sources] object PageSpill {
+  def newDir(): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-curl-pages")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  def write(dir: java.nio.file.Path, i: Int, body: String): Unit = {
+    val f = dir.resolve(f"page-$i%08d.body")
+    java.nio.file.Files.write(f,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+  }
+
+  def readPage(dir: java.nio.file.Path, i: Int): String =
+    new String(
+      java.nio.file.Files.readAllBytes(dir.resolve(f"page-$i%08d.body")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Distributed json parse of a spill dir: one wholetext row per page. */
+  def readJson(spark: SparkSession, dir: java.nio.file.Path): DataFrame = {
+    import spark.implicits._
+    spark.read.json(
+      spark.read.option("wholetext", "true").text(dir.toString).as[String])
+  }
+}
+
 object CursorHttpConnector {
   /** Cursor fetch: (cursorOrNull) -> (body, nextCursorOrNull). */
   type CursorFetch = Option[String] => (String, Option[String])
@@ -379,19 +413,20 @@ final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
                                          "HTTP transport unavailable (no egress)"))
     extends Connector {
   override def load(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    // sequential by protocol, bounded by memory: each body spills to a
+    // temp file as fetched; the json parse reads the files distributed
+    val dir = PageSpill.newDir()
     var cursor: Option[String] = None
     var pages = 0
     var done = false
     while (!done && pages < maxPages) {
       val (body, next) = fetch(cursor)
-      bodies += body
+      PageSpill.write(dir, pages, body)
       cursor = next
       pages += 1
       done = next.isEmpty
     }
-    spark.read.json(bodies.toSeq.toDS())
+    if (pages == 0) spark.emptyDataFrame else PageSpill.readJson(spark, dir)
   }
 }
 
@@ -503,6 +538,24 @@ final case class CurlConnector(endpoint: String, path: String = "",
     }
   }
 
+  /** Parse spilled page files. json/jsonl stays fully distributed: wholetext
+    * gives one row per page file and inference reads from the files, so the
+    * bodies never re-assemble on the driver. Other document types decode
+    * through Documents.readString one page at a time — bounded at a single
+    * body in driver memory (the plan union stays distributed). */
+  private def parseSpilled(spark: SparkSession, dir: java.nio.file.Path,
+                           n: Int): DataFrame = {
+    if (n == 0) spark.emptyDataFrame
+    else docType match {
+      case "json" | "jsonl" | "" =>
+        Documents.withEntryPath(PageSpill.readJson(spark, dir), opts)
+      case other =>
+        (0 until n).map(i =>
+          Documents.readString(spark, other, PageSpill.readPage(dir, i), opts))
+          .reduce(_.unionByName(_))
+    }
+  }
+
   override def load(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val ex = exchange
@@ -562,19 +615,24 @@ final case class CurlConnector(endpoint: String, path: String = "",
         }
       case OffsetPaginator(limit, skip, None) =>
         // unknown total: the page count is data-dependent, so the walk is
-        // sequential on the driver; parsing stays distributed
-        val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+        // sequential on the driver; each body spills to disk as fetched
+        // (driver holds ONE page) and parsing reads the files distributed
+        val dir = PageSpill.newDir()
+        var n = 0
         var s = skip.toLong
         var done = false
         while (!done) {
           val body = ex(urlFor(Map("limit" -> limit.toString, "skip" -> s.toString)), hs).body
           if (blankPage(body)) done = true
-          else { bodies += body; s += limit }
+          else { PageSpill.write(dir, n, body); n += 1; s += limit }
         }
-        parsePages(spark, bodies.toSeq)
+        parseSpilled(spark, dir, n)
       case CursorPaginator(limit, entryPath) =>
+        // cursor chains are inherently sequential (each page names the
+        // next); memory is NOT — bodies spill as fetched, same as above
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+        val dir = PageSpill.newDir()
+        var n = 0
         var cursor: Option[String] = None
         var done = false
         while (!done) {
@@ -582,14 +640,14 @@ final case class CurlConnector(endpoint: String, path: String = "",
           val body = ex(urlFor(subst), hs).body
           if (blankPage(body)) done = true
           else {
-            bodies += body
+            PageSpill.write(dir, n, body); n += 1
             val at = mapper.readTree(body).at(entryPath)
             cursor = if (at.isMissingNode || at.isNull || at.asText().isEmpty) None
                      else Some(at.asText())
             done = cursor.isEmpty
           }
         }
-        parsePages(spark, bodies.toSeq)
+        parseSpilled(spark, dir, n)
     }
   }
 }

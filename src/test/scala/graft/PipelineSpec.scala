@@ -857,6 +857,36 @@ class PipelineSpec extends SparkSpec {
     assert(vs == Seq(1L, 2L, 3L))
   }
 
+  test("long cursor walk spills pages to disk — driver holds one page at a time") {
+    // 400 pages × 2 rows: enough that an in-driver ArrayBuffer of bodies
+    // would be the design bug (a real walk can be 100k pages); the contract
+    // is every page body lands in a temp file BEFORE parsing starts, and
+    // the parse reads those files distributed.
+    val nPages = 400
+    def tmpDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().filter(_.getName.startsWith("graft-curl-pages"))
+        .map(_.getName).toSet
+    }
+    val before = tmpDirs()
+    val conn = CursorHttpConnector("http://example/api", maxPages = 100000,
+      fetch = cur => {
+        val i = cur.map(_.toInt).getOrElse(0)
+        val body = s"""[{"v":${i * 2}},{"v":${i * 2 + 1}}]"""
+        (body, if (i + 1 < nPages) Some((i + 1).toString) else None)
+      })
+    val df = conn.load(spark)
+    assert(df.count() == nPages * 2L)
+    assert(df.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) ==
+      (0L until nPages * 2L).sum)
+    val spillDirs = (tmpDirs() -- before).toSeq
+    assert(spillDirs.nonEmpty, "cursor walk must spill page bodies to a temp dir")
+    val files = spillDirs.flatMap(d =>
+      new java.io.File(System.getProperty("java.io.tmpdir"), d).listFiles())
+    assert(files.length == nPages,
+      s"expected $nPages spilled page files, found ${files.length}")
+  }
+
   test("metrics listener aggregates task counters") {
     val l = graft.pipeline.QueryMetricsListener.attach(spark)
     spark.range(1000).selectExpr("sum(id)").collect()
