@@ -38,7 +38,8 @@ object Pipeline {
   final case class Eraser(connector: Connector, dataType: String) extends Step
   /** graft extension steps: the training-data operators as config steps. */
   final case class DedupStep(method: String, idCol: String, textCol: String,
-                             threshold: Double, dataType: String) extends Step
+                             threshold: Double, dataType: String,
+                             centroidsPath: String = "") extends Step
   final case class ScrubStep(columns: Seq[String], dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
@@ -254,7 +255,8 @@ object Pipeline {
         method = str("method", "exact"),
         idCol = str("id", "id"), textCol = str("field", "text"),
         threshold = if (node.has("threshold")) node.get("threshold").asDouble() else 0.7,
-        dataType)
+        dataType,
+        centroidsPath = str("centroids", ""))
       case "scrub" =>
         val cols = Option(node.get("fields"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("text"))
@@ -403,7 +405,7 @@ object Pipeline {
             flow.updated(dt, df.join(broadcast(renamed),
               df(leftOn) === renamed(s"${name}_$rightOn"), "left"))
           }.getOrElse(flow)
-        case DedupStep(method, id, text, threshold, dt) =>
+        case DedupStep(method, id, text, threshold, dt, centroidsPath) =>
           flow(dt).map { df =>
             val deduped = method match {
               case "exact" => graft.operators.Dedup.exact(df, id, col(text))
@@ -418,9 +420,27 @@ object Pipeline {
                   .filter(col("__rep").isNull || col("__rep") === df(id))
                   .drop("__rep_id", "__rep")
               case "semdedup" =>
-                // `field` names the embedding column; threshold is tau
-                val cents = graft.operators.Similarity.trainCentroids(
-                  df, k = 16, iterations = 2, idCol = id, vecCol = text)
+                // `field` names the embedding column; threshold is tau.
+                // `centroids` (optional) is a parquet path: when present and
+                // non-empty the trained model loads from it, and a training
+                // pass runs ONCE and persists there — reruns of the same
+                // config skip the two Lloyd collects entirely (the standard
+                // persist-the-model pattern; delete the path to retrain).
+                val cents =
+                  if (centroidsPath.isEmpty)
+                    graft.operators.Similarity.trainCentroids(
+                      df, k = 16, iterations = 2, idCol = id, vecCol = text)
+                  else {
+                    val p = new org.apache.hadoop.fs.Path(centroidsPath)
+                    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    if (fs.exists(p)) spark.read.parquet(centroidsPath)
+                    else {
+                      val trained = graft.operators.Similarity.trainCentroids(
+                        df, k = 16, iterations = 2, idCol = id, vecCol = text)
+                      trained.write.parquet(centroidsPath)
+                      spark.read.parquet(centroidsPath)
+                    }
+                  }
                 val kept = graft.operators.Similarity.semDedup(
                     df, cents, threshold, idCol = id, vecCol = text)
                   .select(col(id).as("__keep_id"))

@@ -836,7 +836,7 @@ object DataOps {
     * join, so the shape survives a 100 TB corpus. */
   /** Exploded lowercase word n-grams: (doc_id, gram). Map-only — the
     * explode runs inside the scan stage, no shuffle. */
-  private[queries] def wordGrams(d: DataFrame, n: Int): DataFrame = d
+  private[graft] def wordGrams(d: DataFrame, n: Int): DataFrame = d
     .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
     .select(col("doc_id"), explode(
       when(size(col("toks")) >= n,
@@ -892,6 +892,19 @@ object DataOps {
     * degrades to a pass-through (still exact, just no pruning). */
   def contaminationBloom(docs: DataFrame, benchDocs: DataFrame, n: Int = 5,
       expectedGrams: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
+    val bench = wordGrams(benchDocs, n).select(col("gram")).distinct()
+    bloomPrefilteredGrams(docs, benchDocs, n, expectedGrams, fpp)
+      .join(bench, "gram") // no broadcast hint: exact verify is a keyed shuffle join
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** The bloom prefilter stage of [[contaminationBloom]], factored out so
+    * specs can observe the prefilter's SELECTIVITY directly — in particular
+    * that a conf-clamped (saturated) sketch degrades to a pass-through while
+    * the verify join keeps the result exact. */
+  private[graft] def bloomPrefilteredGrams(docs: DataFrame, benchDocs: DataFrame,
+      n: Int, expectedGrams: Long, fpp: Double): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
@@ -904,13 +917,9 @@ object DataOps {
     // (partial sketches merge in the final agg — no row shuffle at all).
     val bloom = benchGrams.select(Bridge.column(bloomAgg.toAggregateExpression()))
       .head().getAs[Array[Byte]](0)
-    val bench = benchGrams.select(col("gram")).distinct()
     val might = Bridge.column(BloomFilterMightContain(
       Literal(bloom), Bridge.toCatalyst(xxhash64(col("gram")))))
     wordGrams(docs, n).filter(might)
-      .join(bench, "gram") // no broadcast hint: exact verify is a keyed shuffle join
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
   def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {

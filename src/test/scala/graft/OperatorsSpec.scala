@@ -203,6 +203,53 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join spreads a hot key: max-task shuffle read drops ~1/S") {
+    // one key holds 90% of the big side; with broadcast and AQE off (the
+    // scenario salting exists for), the unsalted shuffle join funnels that
+    // key into ONE reduce task. Task metrics must show the salted plan's
+    // hottest task reading a fraction of the unsalted plan's.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 100000L
+    val big = spark.range(n).select(
+      when(col("id") % 10 === 0, col("id")).otherwise(lit(0L)).as("k"),
+      col("id").as("u"))
+    val small = spark.range(n / 10).select((col("id") * 10).as("k"), lit("d").as("label"))
+    def maxTaskShuffleRead(df: => org.apache.spark.sql.DataFrame): Long = {
+      val max = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            max.getAndAccumulate(e.taskMetrics.shuffleReadMetrics.recordsRead, math.max)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { df.count(); Thread.sleep(700) } // let the listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      max.get()
+    }
+    // 64 reduce partitions so 16 salt values rarely collide into the same
+    // task (the shared test session runs shuffle.partitions=4, which would
+    // re-funnel several salts into one reducer and mask the spread)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "64")
+    val orig = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val unsalted = maxTaskShuffleRead(big.join(small, "k"))
+      val salted = maxTaskShuffleRead(
+        Skew.saltedJoin(big, small, "k", salts = 16, uniqueCol = "u"))
+      // hot key is 90k rows: unsalted hottest task reads all of them; the
+      // salt spreads them over 16 tasks — require at least a 4× reduction
+      assert(unsalted >= (n * 8) / 10,
+        s"fixture broken: hottest unsalted task read $unsalted of $n")
+      assert(salted * 4 <= unsalted,
+        s"salted hottest task read $salted vs unsalted $unsalted — salt didn't spread")
+    } finally orig.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
 
   test("mixture resampling equalizes skewed sources deterministically") {
     val rows = (1L to 100L).map(i => ("big", i)) ++

@@ -313,6 +313,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.columns.contains("embedding")) // full rows survive, not just ids
   }
 
+  test("semdedup centroids path: one training pass, reruns load the persisted model") {
+    val centDir = tmp("semdedup-cents") + "/model"
+    val config =
+      s"""[
+         | {"type":"reader",
+         |  "connector":{"type":"local","path":"/root/testdata/sf0.001/embeddings.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"dedup","method":"semdedup","id":"vec_id","field":"embedding",
+         |  "threshold":0.3,"centroids":"$centDir"}
+         |]""".stripMargin
+    val first = Pipeline.run(spark, config).ok.get.select("vec_id").as[Long].collect().toSet
+    assert(new java.io.File(centDir).exists(), "first run must persist the trained centroids")
+    // overwrite the persisted model with ONE degenerate centroid: if the
+    // rerun retrained instead of loading, 16 fresh cells would reappear and
+    // the kept set would match the first run — a single cell with tau=0.3
+    // dedups far more aggressively, so the outputs must differ
+    val dim = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("size(embedding)").head().getInt(0)
+    spark.createDataFrame(Seq((0, Seq.fill(dim)(1.0)))).toDF("c_id", "c_vec")
+      .write.mode("overwrite").parquet(centDir)
+    val second = Pipeline.run(spark, config).ok.get.select("vec_id").as[Long].collect().toSet
+    assert(second != first,
+      "rerun must LOAD the (now hand-replaced) centroids, not retrain its own")
+    assert(second.subsetOf(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id").as[Long].collect().toSet))
+  }
+
   test("fingerprint dedup step drops reordered duplicates") {
     val flow = Pipeline.run(spark,
       """[

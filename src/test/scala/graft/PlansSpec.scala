@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Plan-shape guards: the properties that make these queries survive a
   * 100× scale-up, asserted against the actual physical plans so a
@@ -93,6 +94,40 @@ class PlansSpec extends SparkSpec {
       "bloom contamination should not pin a bench cache")
     // ...and the verify join must make the result bit-identical to exact
     assert(bloomed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+  }
+
+  test("bloom clamp: saturated sketch degrades to pass-through, result stays exact") {
+    // Spark silently clamps the sketch to runtime.bloomFilter.maxNumBits
+    // (documented at DataOps.contaminationBloom); the contract is the
+    // degrade is GRACEFUL: a saturated sketch stops pruning but the verify
+    // join keeps the answer exact. Restore the conf whatever happens.
+    val key = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val orig = spark.conf.getOption(key)
+    val docs = Tables(spark, sf).documents
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val exact = queries.DataOps.qContamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(key, "64") // 64 bits for ~2^20 expected grams: saturated
+      val clamped = queries.DataOps.qContaminationBloom(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(clamped == exact, "a clamped sketch must stay EXACT (just unpruned)")
+      val passSaturated = queries.DataOps
+        .bloomPrefilteredGrams(docs, bench, 5, 1L << 20, 0.03).count()
+      spark.conf.set(key, (1L << 26).toString) // default size: pruning resumes
+      val passSized = queries.DataOps
+        .bloomPrefilteredGrams(docs, bench, 5, 1L << 20, 0.03).count()
+      val allGrams = queries.DataOps.wordGrams(docs, 5).count()
+      assert(passSaturated == allGrams,
+        s"64-bit sketch should pass every gram ($passSaturated of $allGrams)")
+      assert(passSized * 2 < passSaturated,
+        s"sized sketch should prune: $passSized vs saturated $passSaturated")
+    } finally {
+      orig match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   test("semdedup: keyed cell join, no cartesian, no corpus window") {
