@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-trend diagnostic (NOT part of the driver contract — a tool that
+  * answers "would this plan survive a 100× scale-up" with measurements
+  * instead of reasoning).
+  *
+  * Two experiments:
+  *   1. every gate query timed at sf0.001 / sf0.01 / sf0.1 → per-query
+  *      log-log slope over the last decade (small-SF points sit on Spark's
+  *      fixed per-job overhead, so the 0.01→0.1 segment is the signal);
+  *   2. the documents-only operator subset re-timed on a synthetic 10×
+  *      corpus (50k docs) built from sf0.1 by replication with per-replica
+  *      HASH-SCRAMBLED token order — per-doc token/length statistics
+  *      survive, but replicas are NOT near-duplicates of each other, so
+  *      dedup pair structure scales the way a fresh corpus would instead
+  *      of exploding quadratically on planted 10× exact copies.
+  *
+  * Writes BENCH_SCALE.json: {sf_times, slope_tail, x10: {t1, t10, ratio}}.
+  * A ratio ≤ ~12 on 10× data reads as at-most-linear (fixed overhead keeps
+  * honest linear queries well under 10); anything above needs a written
+  * justification in SURVEY §4.
+  */
+object ScaleBench {
+
+  /** Queries whose only input is the documents table (eligible for the
+    * synthetic 10× corpus, which scales documents alone). */
+  val docOnly: Seq[String] = Seq(
+    "q_dedup_exact", "q_ngram_jaccard", "q_dedup_minhash", "q_dedup_corpus",
+    "q_dedup_simhash", "q_dedup_simhash_exact", "q_text_tokens",
+    "q_text_quality", "q_gopher_rules", "q_lang_id", "q_fingerprint",
+    "q_pii_scrub", "q_repetition", "q_sample_hash", "q_top_terms", "q_tfidf",
+    "q_contamination", "q_contamination_bloom", "q_lm_bigram",
+    "q_repeated_grams", "q_token_stats", "q_doc_freq_score", "q_chunk_docs",
+    "q_pack_sequences", "q_multimodal", "q_mixture_resample", "q_split_assign")
+
+  /** Replicate sf documents `copies`× with fresh ids and a BIJECTIVE
+    * per-replica token remap (every token gets a replica suffix): within a
+    * replica the token-to-token bijection preserves the corpus's pairwise
+    * similarity structure EXACTLY (shingle Jaccard is permutation-free set
+    * math), across replicas no token is shared, so near-dup pairs scale
+    * linearly with the corpus — the way fresh data would. (A first attempt
+    * SORTED each doc's tokens by a per-replica hash; that imposes a global
+    * canonical token order, aligning shingles across any two docs that
+    * share vocabulary — verified pairs exploded 3078× on 10× data. A
+    * scale fixture must not manufacture its own quadratic blowup.) */
+  def buildScaledDocs(spark: SparkSession, srcDir: String, outPath: String,
+                      copies: Int): Long = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val idStride = 10000000L
+    val replicas = (0 until copies).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * idStride)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$i")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    val scaled = replicas.reduce(_.unionByName(_))
+    scaled.repartition(32).write.mode("overwrite").parquet(s"$outPath/documents.parquet")
+    spark.read.parquet(s"$outPath/documents.parquet").count()
+  }
+
+  private def bestOf(runs: Int)(body: => Unit): Double =
+    (0 until runs).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () } // JVM warmup
+
+    val sfs = Seq("0.001", "0.01", "0.1")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val sfTimes: Map[String, Map[String, Double]] = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      name -> sfs.map { sf =>
+        val t = try bestOf(runs)(fn(spark, s"/root/testdata/sf$sf").count())
+                catch { case _: Throwable => -1.0 }
+        sf -> t
+      }.toMap
+    }.toMap
+
+    // synthetic 10× corpus from sf0.1 (50k docs)
+    val scaleDir = "target/scale10x"
+    val nScaled = buildScaledDocs(spark, "/root/testdata/sf0.1", scaleDir, copies = 10)
+    System.err.println(s"scaled corpus: $nScaled docs at $scaleDir")
+    val x10: Map[String, (Double, Double)] = docOnly.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = sfTimes(name)("0.1")
+      val t10 = try bestOf(runs)(fn(spark, scaleDir).count())
+                catch { case _: Throwable => -1.0 }
+      name -> (t1, t10)
+    }.toMap
+
+    def fmt(v: Double) = f"$v%.3f"
+    val sfJson = names.map { n =>
+      val m = sfs.map(sf => s""""$sf":${fmt(sfTimes(n)(sf))}""").mkString(",")
+      // slope over the last decade: log10(t(0.1)/t(0.01)); ≤1 is at-most-
+      // linear, and fixed overhead biases it LOW at these sizes
+      val (t2, t3) = (sfTimes(n)("0.01"), sfTimes(n)("0.1"))
+      val slope = if (t2 > 0 && t3 > 0) math.log10(t3 / t2) else Double.NaN
+      s""""$n":{$m,"slope_tail":${if (slope.isNaN) "null" else fmt(slope)}}"""
+    }.mkString("{", ",", "}")
+    val x10Json = docOnly.map { n =>
+      val (t1, t10) = x10(n)
+      val ratio = if (t1 > 0 && t10 > 0) t10 / t1 else Double.NaN
+      s""""$n":{"t_sf01":${fmt(t1)},"t_x10":${fmt(t10)},"ratio":${if (ratio.isNaN) "null" else fmt(ratio)}}"""
+    }.mkString("{", ",", "}")
+    val out =
+      s"""{"metric":"scale_trend","unit":"sec","runs":$runs,"cpus":$cpus,
+         |"scaled_docs":$nScaled,"sf_times":$sfJson,"x10":$x10Json}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+      (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stdout: just the headline + any flagged query
+    val flagged = docOnly.filter { n => val (t1, t10) = x10(n); t1 > 0 && t10 > 12 * t1 }
+    println(s"""{"metric":"scale_trend","flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],"queries":${names.size},"x10_subset":${docOnly.size}}""")
+    spark.stop()
+  }
+}

@@ -230,8 +230,21 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4, trainIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, k,
+      trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol),
+      nprobe, idCol, vecCol, qIdCol, qVecCol)
+
+  /** IVF search against CALLER-SUPPLIED centroids (`(c_id: int, c_vec:
+    * array<double>)`) — [[ivfTopK]] passes Lloyd-trained ones; a fixed
+    * deterministic frame (e.g. the first k corpus vectors) makes the whole
+    * pruned search SQL-expressible, which is how q_ann_ivf_fixed equality-
+    * checks the nprobe<nCentroids path end to end. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroids: DataFrame, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val cents = broadcast(trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol))
+    val cents = broadcast(centroids)
     // nearest-cell assignment is an argmax, not a ranking: max(struct(d,
     // -c_id, v)) partial-aggregates map-side (no window sort-shuffle of
     // |corpus|·k rows); ties pick the smallest c_id, matching a

@@ -148,7 +148,13 @@ object DataOps {
     val sig = votes.select(col("doc_id").as("id"),
       (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sim"))
-    Dedup.simhashPairsFromSig(sig, maxHamming = 3, maxBucket = 4096, bandBits = 15)
+    // maxBucket 512: comfortably above the sf0.01 max band-bucket (~160, so
+    // the completeness proof holds where the oracle runs) while hard-bounding
+    // the pair blowup on big corpora, whose shared-vocabulary signatures
+    // cluster heavily (measured: the largest 15-bit band bucket is ~1/3 of
+    // the corpus at ANY size — this gate is a correctness instrument; the
+    // scale path is q_dedup_simhash with 64-bucket caps)
+    Dedup.simhashPairsFromSig(sig, maxHamming = 3, maxBucket = 512, bandBits = 15)
       .select(col("a"), col("b"), col("dist").cast("bigint").as("dist"))
       .orderBy(col("a"), col("b"))
   }
@@ -441,6 +447,48 @@ object DataOps {
     Similarity.ivfTopK(Tables(spark, dir).embeddings,
         queriesDf(spark, dir), k = 10, nCentroids = 8, nprobe = 8)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk").cast("bigint").as("rnk"))
+
+  /** The PRUNED IVF path (nprobe < nCentroids) with FIXED centroids (the
+    * first 8 embeddings), fully oracle-checked: cell assignment, the
+    * per-query probe ranking, candidate scoring, and the bounded-heap
+    * top-k are all replicated in SQL — so the approximate search path
+    * itself (not just its full-probe degenerate) is equality-gated;
+    * only Lloyd training stays outside (its invariants are spec-pinned). */
+  def qAnnIvfFixed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    Similarity.ivfTopKWithCentroids(e, queriesDf(spark, dir), k = 10,
+        centroids = cents, nprobe = 4)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk").cast("bigint").as("rnk"))
+  }
+
+  val qAnnIvfFixedSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INT) AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+      |ca AS (SELECT vec_id, v, cell FROM (
+      |  SELECT e.vec_id, e.v, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn = 1),
+      |qp AS (SELECT q_id, qv, cell FROM (
+      |  SELECT q.q_id, q.qv, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |      list_dot_product(q.qv, c.cv) /
+      |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM q CROSS JOIN c) WHERE rn <= 4),
+      |scored AS (SELECT qp.q_id, ca.vec_id,
+      |    list_dot_product(ca.v, qp.qv) /
+      |    (sqrt(list_dot_product(ca.v, ca.v)) * sqrt(list_dot_product(qp.qv, qp.qv))) AS cos
+      |  FROM ca JOIN qp ON ca.cell = qp.cell)
+      |SELECT q_id, vec_id, cos, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM scored) WHERE rnk <= 10""".stripMargin
 
   /** PII scrubbing over a deterministically PII-enriched text (the corpus
     * itself is synthetic word soup, so the fixture plants the PII). */
@@ -1198,6 +1246,7 @@ object DataOps {
     "q_semdedup"       -> ((qSemDedup _, Some(qSemDedupSql))),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
+    "q_ann_ivf_fixed"  -> ((qAnnIvfFixed _, Some(qAnnIvfFixedSql))),
     "q_doc_freq_score" -> ((qDocFreqScore _, Some(qDocFreqScoreSql))),
     "q_pii_scrub"      -> ((qPiiScrub _, Some(qPiiScrubSql))),
     "q_repetition"     -> ((qRepetition _, Some(qRepetitionSql))),
