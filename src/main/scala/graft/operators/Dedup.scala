@@ -85,8 +85,14 @@ object Dedup {
   /** Verified near-duplicate pairs: LSH candidates filtered by true
     * shingle-set Jaccard ≥ threshold. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleN)
+                   threshold: Double = 0.7, shingleN: Int = 3,
+                   k: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 64): DataFrame = {
+    // k/bands set the hash family's operating point: rows-per-band r=k/bands
+    // drives chance collisions as j^r — at billions of docs raise r (e.g.
+    // k=128, bands=16) so the candidate stream stays linear; recall at the
+    // target threshold is 1-(1-j^r)^bands, so rebalance bands to match.
+    val cands = minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucket)
     // sorted hashed shingle sets (same hash family the signature sketches);
     // per-pair verify is then an O(|a|+|b|) long merge walk, no string work
     val sets = df

@@ -39,7 +39,9 @@ object Pipeline {
   /** graft extension steps: the training-data operators as config steps. */
   final case class DedupStep(method: String, idCol: String, textCol: String,
                              threshold: Double, dataType: String,
-                             centroidsPath: String = "") extends Step
+                             centroidsPath: String = "",
+                             hashes: Int = 64, bands: Int = 16,
+                             maxBucket: Int = 64) extends Step
   final case class ScrubStep(columns: Seq[String], dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
@@ -256,7 +258,10 @@ object Pipeline {
         idCol = str("id", "id"), textCol = str("field", "text"),
         threshold = if (node.has("threshold")) node.get("threshold").asDouble() else 0.7,
         dataType,
-        centroidsPath = str("centroids", ""))
+        centroidsPath = str("centroids", ""),
+        hashes = if (node.has("hashes")) node.get("hashes").asInt() else 64,
+        bands = if (node.has("bands")) node.get("bands").asInt() else 16,
+        maxBucket = if (node.has("max_bucket")) node.get("max_bucket").asInt() else 64)
       case "scrub" =>
         val cols = Option(node.get("fields"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("text"))
@@ -405,7 +410,8 @@ object Pipeline {
             flow.updated(dt, df.join(broadcast(renamed),
               df(leftOn) === renamed(s"${name}_$rightOn"), "left"))
           }.getOrElse(flow)
-        case DedupStep(method, id, text, threshold, dt, centroidsPath) =>
+        case DedupStep(method, id, text, threshold, dt, centroidsPath,
+                       hashes, bands, maxBucket) =>
           flow(dt).map { df =>
             val deduped = method match {
               case "exact" => graft.operators.Dedup.exact(df, id, col(text))
@@ -413,7 +419,12 @@ object Pipeline {
                 graft.operators.Dedup.exact(df, id,
                   graft.operators.TextAnalysis.fingerprintSorted(col(text)))
               case "minhash" =>
-                val pairs = graft.operators.Dedup.minhashPairs(df, id, text, threshold)
+                // hashes/bands/max_bucket expose the LSH operating point:
+                // rows-per-band r=hashes/bands sets chance-collision decay
+                // (j^r) — the knob that keeps candidates linear at corpus
+                // scale; max_bucket is the skew cap
+                val pairs = graft.operators.Dedup.minhashPairs(df, id, text,
+                  threshold, k = hashes, bands = bands, maxBucket = maxBucket)
                 val reps = graft.operators.Dedup.representatives(pairs)
                   .withColumnRenamed("id", "__rep_id").withColumnRenamed("rep", "__rep")
                 df.join(reps, df(id) === col("__rep_id"), "left")

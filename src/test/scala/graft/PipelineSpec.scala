@@ -297,6 +297,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("minhash dedup config knobs: hashes/bands/max_bucket reach the LSH family") {
+    // r=hashes/bands=8 rows per band: chance collisions decay as j^8, and
+    // recall at j≈1 (exact duplicates) stays ~1 — the scale operating
+    // point. The planted exact copies must still collapse under it.
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":
+         |   "[{\\"id\\":1,\\"text\\":\\"alpha beta gamma delta epsilon zeta eta theta\\"},{\\"id\\":2,\\"text\\":\\"alpha beta gamma delta epsilon zeta eta theta\\"},{\\"id\\":3,\\"text\\":\\"one two three four five six seven eight nine\\"}]"}},
+         | {"type":"dedup","method":"minhash","id":"id","field":"text","threshold":0.5,
+         |  "hashes":128,"bands":16,"max_bucket":32}
+         |]""".stripMargin)
+    assert(flow.ok.get.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("semdedup step drops embedding near-duplicates from config") {
     val flow = Pipeline.run(spark,
       s"""[
