@@ -59,12 +59,17 @@ class PlansSpec extends SparkSpec {
   test("ann ranking is the two-phase bounded-heap aggregate, not a window") {
     // the pre-trim stage must exist (partial top-k before the shuffle) and
     // the full-corpus per-query window must NOT be back
-    Seq(queries.DataOps.qAnnTopk(spark, sf), queries.DataOps.qAnnIvf(spark, sf)).foreach { df =>
+    Seq(queries.DataOps.qAnnTopk(spark, sf), queries.DataOps.qAnnIvf(spark, sf),
+        queries.DataOps.qAnnIvfFixed(spark, sf)).foreach { df =>
       val s = planString(df)
       assert(s.contains("graft_top_k"), s"bounded top-k aggregate missing:\n$s")
       assert(s.contains("partial_graft_top_k"),
         "map-side partial top-k (pre-trim) stage missing")
     }
+    // the fixed-plane LSH gate keeps the banding contract: keyed bucket
+    // groupBy + capped members — never a cartesian over the corpus
+    assert(!planString(queries.DataOps.qEmbNeardupLshFixed(spark, sf))
+      .contains("CartesianProduct"))
     // brute path has no window at all; IVF keeps only the tiny nprobe
     // window on the QUERY side (a handful of rows), never on the corpus
     assert(!planString(queries.DataOps.qAnnTopk(spark, sf)).contains("row_number"),
