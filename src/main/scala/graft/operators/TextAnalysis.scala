@@ -68,7 +68,10 @@ object TextAnalysis {
     val lenScore = least(nw / lit(100.0), lit(1.0))
     val wlScore = when(wl >= 3.0 && wl <= 10.0, lit(1.0)).otherwise(lit(0.5))
     val punctScore = greatest(lit(0.0), lit(1.0) - punct * 5.0)
-    lenScore * 0.4 + wlScore * 0.3 + punctScore * 0.3
+    // the wlScore `otherwise` branch would otherwise hand NULL text a 0.55
+    // score — enough to pass a quality filter; null in, null out
+    when(c.isNull, lit(null).cast("double"))
+      .otherwise(lenScore * 0.4 + wlScore * 0.3 + punctScore * 0.3)
   }
 
   /** OpenRefine-style collision fingerprint: md5 of sorted distinct tokens —

@@ -43,6 +43,54 @@ class OperatorsSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))                 // null propagates
   }
 
+  test("text operators are total on edge inputs (null/empty/whitespace/unicode)") {
+    // a 100 TB corpus WILL contain nulls, empty strings and stray unicode;
+    // every text op must stay a total function (null-propagate or produce a
+    // sane value), never throw
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "λ µ λ"), (5L, "a"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"),
+      TextAnalysis.avgWordLen(col("text")).as("awl"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.fingerprintSorted(col("text")).as("fp"),
+      TextAnalysis.scrubPii(col("text")).as("clean"),
+      TextAnalysis.repetitionRatio(TextAnalysis.tokens(col("text"))).as("rep"))
+    val rows = out.collect()
+    assert(rows.length == 5)
+    val nullRow = rows.find(_.getLong(0) == 1L).get
+    // every op null-propagates EXCEPT langId, whose documented (and
+    // oracle-matched) contract maps no-evidence input to 'und'
+    val langIdx = out.columns.indexOf("lang")
+    assert((1 until nullRow.length).filter(_ != langIdx).forall(nullRow.isNullAt),
+      s"null text must null-propagate through every text op: $nullRow")
+    assert(nullRow.getString(langIdx) == "und")
+    assert(rows.find(_.getLong(0) == 4L).get.getAs[String]("lang") != null)
+  }
+
+  test("dedup and similarity operators are total on empty frames") {
+    // incremental pipelines routinely pass empty slices; every operator
+    // must return an empty result, not throw on a missing head()/first()
+    import org.apache.spark.sql.types._
+    val eDocs = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val eVecs = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    assert(Dedup.exact(eDocs, "doc_id", col("text")).count() == 0)
+    val pairs = Dedup.minhashPairs(eDocs, "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() == 0)
+    assert(Dedup.representatives(pairs).count() == 0)
+    assert(Dedup.simhashPairs(eDocs, "doc_id", "text").count() == 0)
+    val cent = Seq((0, Seq(1.0, 0.0))).toDF("c_id", "c_vec")
+    assert(Similarity.semDedup(eVecs, cent, tau = 0.5).count() == 0)
+    assert(Similarity.lshNearDupPairs(eVecs, threshold = 0.5).count() == 0)
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("q_id", "q_vec")
+    assert(Similarity.bruteTopK(eVecs, q, k = 3).count() == 0)
+  }
+
   test("cosine similarity: native expr matches hand math and self-sim is 1") {
     val df = Seq((1L, Array(1.0, 0.0), 2L, Array(0.5, 0.5))).toDF("a", "va", "b", "vb")
     val c = df.select(Similarity.cosine(col("va"), col("vb")).as("c")).head().getDouble(0)
