@@ -609,8 +609,15 @@ final case class CurlConnector(endpoint: String, path: String = "",
               else Documents.withEntryPath(spark.read.json(bodies), opts)
             case _ =>
               // non-json documents decode through the per-page document
-              // layer; the fetch still ran in parallel on executors
-              parsePages(spark, fetched.collect().toSeq)
+              // layer; the fetch still ran in parallel on executors, and
+              // the bodies stream to a spill dir one page at a time
+              // (toLocalIterator) instead of assembling on the driver
+              val dir = PageSpill.newDir()
+              var n = 0
+              fetched.toLocalIterator().forEachRemaining { body =>
+                if (!blankPage(body)) { PageSpill.write(dir, n, body); n += 1 }
+              }
+              parseSpilled(spark, dir, n)
           }
         }
       case OffsetPaginator(limit, skip, None) =>
