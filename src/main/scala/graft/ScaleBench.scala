@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *      log-log slope over the last decade (small-SF points sit on Spark's
   *      fixed per-job overhead, so the 0.01→0.1 segment is the signal);
   *   2. the documents-only operator subset re-timed on a synthetic 10×
-  *      corpus (50k docs) built from sf0.1 by replication with per-replica
-  *      HASH-SCRAMBLED token order — per-doc token/length statistics
-  *      survive, but replicas are NOT near-duplicates of each other, so
-  *      dedup pair structure scales the way a fresh corpus would instead
-  *      of exploding quadratically on planted 10× exact copies.
+  *      corpus (50k docs) built from sf0.1 by replication with a BIJECTIVE
+  *      per-replica token remap — within-replica similarity structure is
+  *      preserved exactly and nothing is shared across replicas, so dedup
+  *      pair structure scales linearly the way fresh data would (see
+  *      [[buildScaledDocs]] for the fixture lesson).
   *
   * Writes BENCH_SCALE.json: {sf_times, slope_tail, x10: {t1, t10, ratio}}.
   * A ratio ≤ ~12 on 10× data reads as at-most-linear (fixed overhead keeps
@@ -33,7 +33,7 @@ object ScaleBench {
     "q_text_quality", "q_gopher_rules", "q_lang_id", "q_fingerprint",
     "q_pii_scrub", "q_repetition", "q_sample_hash", "q_top_terms", "q_tfidf",
     "q_contamination", "q_contamination_bloom", "q_lm_bigram",
-    "q_repeated_grams", "q_token_stats", "q_doc_freq_score", "q_chunk_docs",
+    "q_repeated_grams", "q_substring_dedup", "q_token_stats", "q_doc_freq_score", "q_chunk_docs",
     "q_pack_sequences", "q_multimodal", "q_mixture_resample", "q_split_assign")
 
   /** Replicate sf documents `copies`× with fresh ids and a BIJECTIVE

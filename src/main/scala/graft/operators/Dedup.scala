@@ -163,6 +163,51 @@ object Dedup {
     labels
   }
 
+  // ---- exact repeated-substring removal -----------------------------------
+
+  /** Exact repeated-substring removal (Lee et al. 2022, arXiv:2107.06499 —
+    * the RefinedWeb/SlimPajama pass): every n-token run that occurs more
+    * than once in the corpus is removed from every document EXCEPT its
+    * globally-first occurrence (min (id, pos)). Returns
+    * (idCol, clean_text, n_removed).
+    *
+    * Shape at scale: gram explode is map-side linear; the occurrence
+    * ranking is ONE two-phase groupBy on the gram key (count + min-struct
+    * partial-aggregate map-side — no window over the gram stream); dup
+    * positions collect per doc (bounded by doc length); the final mask is
+    * a per-row HOF over (tokens × dup positions). Null text propagates. */
+  def removeRepeatedRuns(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+    val grams = toks.select(col(idCol), posexplode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "gram")))
+    // keeper = globally-first occurrence; every other occurrence of the
+    // same gram is a dup (grams occurring once keep their only occurrence)
+    val keepers = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"), min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("keep"))
+      .filter(col("c") > 1)
+    val dups = grams.join(keepers, "gram")
+      .filter(!(col(idCol) === col("keep.kid") && col("pos") === col("keep.kpos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("dups"))
+    toks.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("toks"),
+        coalesce(col("dups"), array().cast("array<int>")).as("dups"))
+      .select(col(idCol),
+        filter(col("toks"), (t, i) =>
+          !exists(col("dups"), p => p <= i && i < p + n)).as("kept"),
+        col("toks"))
+      .select(col(idCol),
+        when(col("toks").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("kept"))).as("clean_text"),
+        when(col("toks").isNull, lit(null).cast("bigint"))
+          .otherwise((size(col("toks")) - size(col("kept"))).cast("bigint")).as("n_removed"))
+  }
+
   // ---- simhash -----------------------------------------------------------
 
   /** 64-bit SimHash as a 0/1 bit array: per-token xxhash64, sign-vote per

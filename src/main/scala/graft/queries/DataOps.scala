@@ -975,6 +975,40 @@ object DataOps {
     contaminationBloom(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
   }
 
+  /** Exact repeated-substring REMOVAL (Lee et al. 2022) over the documents
+    * table at n = 8 — the operator q_repeated_grams is the detection signal
+    * for. Keep-first-occurrence policy; integer positions and string joins
+    * only, so the DuckDB oracle (row_number occurrence ranking + nested
+    * list lambdas) is bit-exact. */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedRuns(Tables(spark, dir).documents, "doc_id", "text", n = 8)
+
+  val qSubstringDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |    CASE WHEN len(toks) >= 8 THEN
+      |      list_transform(range(1, len(toks) - 8 + 2),
+      |        i -> {'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')})
+      |    ELSE [] END, recursive := true)
+      |  FROM t),
+      |r AS (SELECT doc_id, pos,
+      |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      |      FROM g),
+      |d AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS dups
+      |      FROM r WHERE rn > 1 GROUP BY doc_id),
+      |m AS (SELECT t.doc_id, t.toks, coalesce(d.dups, []) AS dups
+      |      FROM t LEFT JOIN d ON t.doc_id = d.doc_id),
+      |k AS (SELECT doc_id, toks,
+      |        list_filter(toks, (tok, i) ->
+      |          len(list_filter(dups, p -> p <= i - 1 AND i - 1 < p + 8)) = 0) AS kept
+      |      FROM m)
+      |SELECT doc_id,
+      |  -- array_to_string([]) is NULL in DuckDB but concat_ws gives '' in
+      |  -- Spark; a fully-removed doc must read as an EMPTY string
+      |  CASE WHEN len(kept) = 0 THEN '' ELSE array_to_string(kept, ' ') END AS clean_text,
+      |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+      |FROM k""".stripMargin
+
   /** Corpus bigram language-model score — the cheap statistical fluency
     * filter a training pipeline runs where a neural LM is too expensive:
     * documents whose word bigrams are mostly corpus-frequent read as
@@ -1224,6 +1258,7 @@ object DataOps {
     "q_contamination_bloom" -> ((qContaminationBloom _, Some(qContaminationSql))),
     "q_lm_bigram"      -> ((qLmBigram _, Some(qLmBigramSql))),
     "q_repeated_grams" -> ((qRepeatedGrams _, Some(qRepeatedGramsSql))),
+    "q_substring_dedup" -> ((qSubstringDedup _, Some(qSubstringDedupSql))),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),

@@ -19,6 +19,28 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("repeated-substring removal: keep-first policy, within and across docs") {
+    val run = "a b c d e f g h" // an 8-gram planted twice across docs, twice within one
+    val df = Seq(
+      (1L, s"$run x y"),                 // first occurrence anywhere -> kept
+      (2L, s"z $run w"),                 // cross-doc repeat -> removed
+      (3L, s"$run q $run"),              // within-doc second occurrence -> removed
+      (4L, "p q r s t u v")              // 7 tokens: too short to gram, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedRuns(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (s"$run x y", 0L), "globally-first occurrence must survive")
+    assert(out(2L) == ("z w", 8L))
+    // doc 3: occurrence at pos 0 is a dup of doc 1's keeper, so BOTH of its
+    // runs go (pos 0 and pos 9), leaving only the middle token
+    assert(out(3L) == ("q", 16L))
+    assert(out(4L) == ("p q r s t u v", 0L))
+    // null text propagates
+    val nul = Dedup.removeRepeatedRuns(
+      Seq((9L, null: String)).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(nul.isNullAt(1) && nul.isNullAt(2))
+  }
+
   test("simhash of identical token multisets is identical; hamming 0") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta epsilon zeta eta")).toDF("id", "text")
     val sims = df.select(col("id"), Dedup.simhash(col("text")).as("s")).collect()
