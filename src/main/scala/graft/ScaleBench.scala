@@ -70,6 +70,14 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Force FULL materialization of every output column. `count()` (the
+    * Bench action, kept there for round-over-round comparability) lets
+    * Catalyst prune computed projections and eliminate unique-key joins —
+    * a per-row map gate times as a bare scan. The noop sink computes the
+    * real operator, which is what a scaling exponent must measure. */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
@@ -88,7 +96,7 @@ object ScaleBench {
     val sfTimes: Map[String, Map[String, Double]] = names.map { name =>
       val fn = SparkEntry.queries(name)
       name -> sfs.map { sf =>
-        val t = try bestOf(runs)(fn(spark, s"/root/testdata/sf$sf").count())
+        val t = try bestOf(runs)(materialize(fn(spark, s"/root/testdata/sf$sf")))
                 catch { case _: Throwable => -1.0 }
         sf -> t
       }.toMap
@@ -101,7 +109,7 @@ object ScaleBench {
     val x10: Map[String, (Double, Double)] = docOnly.map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = sfTimes(name)("0.1")
-      val t10 = try bestOf(runs)(fn(spark, scaleDir).count())
+      val t10 = try bestOf(runs)(materialize(fn(spark, scaleDir)))
                 catch { case _: Throwable => -1.0 }
       name -> (t1, t10)
     }.toMap
