@@ -43,6 +43,11 @@ object Pipeline {
                              hashes: Int = 64, bands: Int = 16,
                              maxBucket: Int = 64) extends Step
   final case class ScrubStep(columns: Seq[String], dataType: String) extends Step
+  /** Exact repeated-substring removal as a config step (Lee et al. 2022):
+    * rewrites `field` in place, dropping every n-token run that repeats
+    * anywhere in the corpus except its globally-first occurrence. */
+  final case class SubstringDedupStep(idCol: String, textCol: String, n: Int,
+                                      dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
                              valFrac: Double, dataType: String) extends Step
@@ -262,6 +267,9 @@ object Pipeline {
         hashes = if (node.has("hashes")) node.get("hashes").asInt() else 64,
         bands = if (node.has("bands")) node.get("bands").asInt() else 16,
         maxBucket = if (node.has("max_bucket")) node.get("max_bucket").asInt() else 64)
+      case "substring_dedup" => SubstringDedupStep(
+        idCol = str("id", "id"), textCol = str("field", "text"),
+        n = if (node.has("n")) node.get("n").asInt() else 8, dataType)
       case "scrub" =>
         val cols = Option(node.get("fields"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("text"))
@@ -459,6 +467,13 @@ object Pipeline {
               case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
             }
             flow.updated(dt, deduped)
+          }.getOrElse(flow)
+        case SubstringDedupStep(id, text, n, dt) =>
+          flow(dt).map { df =>
+            val cleaned = graft.operators.Dedup.removeRepeatedRuns(df, id, text, n)
+              .select(col(id).as("__sid"), col("clean_text").as("__clean"))
+            flow.updated(dt, df.join(cleaned, df(id) === col("__sid"))
+              .withColumn(text, col("__clean")).drop("__sid", "__clean"))
           }.getOrElse(flow)
         case ScrubStep(cols, dt) =>
           flow(dt).map { df =>

@@ -355,6 +355,21 @@ class PipelineSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet))
   }
 
+  test("substring_dedup step rewrites repeated runs out of the field in place") {
+    val run = "a b c d e f g h"
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":
+         |   "[{\\"id\\":1,\\"text\\":\\"$run x y\\"},{\\"id\\":2,\\"text\\":\\"z $run w\\"}]"}},
+         | {"type":"substring_dedup","id":"id","field":"text","n":8}
+         |]""".stripMargin)
+    val out = flow.ok.get.orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == s"$run x y", "first occurrence survives")
+    assert(out(2L) == "z w", "repeat is cut from the field in place")
+    assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
+  }
+
   test("fingerprint dedup step drops reordered duplicates") {
     val flow = Pipeline.run(spark,
       """[
