@@ -41,7 +41,8 @@ object Pipeline {
                              threshold: Double, dataType: String,
                              centroidsPath: String = "",
                              hashes: Int = 64, bands: Int = 16,
-                             maxBucket: Int = 64) extends Step
+                             maxBucket: Int = 64,
+                             maxHamming: Int = 3) extends Step
   final case class ScrubStep(columns: Seq[String], dataType: String) extends Step
   /** Exact repeated-substring removal as a config step (Lee et al. 2022):
     * rewrites `field` in place, dropping every n-token run that repeats
@@ -266,7 +267,8 @@ object Pipeline {
         centroidsPath = str("centroids", ""),
         hashes = if (node.has("hashes")) node.get("hashes").asInt() else 64,
         bands = if (node.has("bands")) node.get("bands").asInt() else 16,
-        maxBucket = if (node.has("max_bucket")) node.get("max_bucket").asInt() else 64)
+        maxBucket = if (node.has("max_bucket")) node.get("max_bucket").asInt() else 64,
+        maxHamming = if (node.has("max_hamming")) node.get("max_hamming").asInt() else 3)
       case "substring_dedup" => SubstringDedupStep(
         idCol = str("id", "id"), textCol = str("field", "text"),
         n = if (node.has("n")) node.get("n").asInt() else 8, dataType)
@@ -419,7 +421,7 @@ object Pipeline {
               df(leftOn) === renamed(s"${name}_$rightOn"), "left"))
           }.getOrElse(flow)
         case DedupStep(method, id, text, threshold, dt, centroidsPath,
-                       hashes, bands, maxBucket) =>
+                       hashes, bands, maxBucket, maxHamming) =>
           flow(dt).map { df =>
             val deduped = method match {
               case "exact" => graft.operators.Dedup.exact(df, id, col(text))
@@ -433,6 +435,17 @@ object Pipeline {
                 // scale; max_bucket is the skew cap
                 val pairs = graft.operators.Dedup.minhashPairs(df, id, text,
                   threshold, k = hashes, bands = bands, maxBucket = maxBucket)
+                val reps = graft.operators.Dedup.representatives(pairs)
+                  .withColumnRenamed("id", "__rep_id").withColumnRenamed("rep", "__rep")
+                df.join(reps, df(id) === col("__rep_id"), "left")
+                  .filter(col("__rep").isNull || col("__rep") === df(id))
+                  .drop("__rep_id", "__rep")
+              case "simhash" =>
+                // near-dup graph on 64-bit simhash (hamming <= max_hamming,
+                // banded blocking, max_bucket skew cap) -> min-id
+                // representative per connected component
+                val pairs = graft.operators.Dedup.simhashPairs(
+                  df, id, text, maxHamming, maxBucket)
                 val reps = graft.operators.Dedup.representatives(pairs)
                   .withColumnRenamed("id", "__rep_id").withColumnRenamed("rep", "__rep")
                 df.join(reps, df(id) === col("__rep_id"), "left")

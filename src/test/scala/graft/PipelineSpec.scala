@@ -355,6 +355,18 @@ class PipelineSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet))
   }
 
+  test("simhash dedup config method drops hamming-close near-duplicates") {
+    // docs 1 and 2 share the same token multiset (reordered) -> identical
+    // simhash (hamming 0); doc 3 is disjoint vocabulary
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":
+         |   "[{\\"id\\":1,\\"text\\":\\"alpha beta gamma delta epsilon\\"},{\\"id\\":2,\\"text\\":\\"epsilon delta gamma beta alpha\\"},{\\"id\\":3,\\"text\\":\\"one two three four five six\\"}]"}},
+         | {"type":"dedup","method":"simhash","id":"id","field":"text","max_hamming":3}
+         |]""".stripMargin)
+    assert(flow.ok.get.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("substring_dedup step rewrites repeated runs out of the field in place") {
     val run = "a b c d e f g h"
     val flow = Pipeline.run(spark,
