@@ -125,12 +125,13 @@ object DataOps {
 
   /** SimHash with a PORTABLE signature, fully oracle-checked (the
     * q_ann_ivf_exact pattern): per-token 60-bit values come from md5 hex —
-    * which DuckDB computes bit-identically — instead of xxhash64, votes and
+    * which DuckDB computes bit-identically — instead of xxhash64; votes and
     * banding are otherwise the real simhash shape, and maxHamming = 3 over
-    * 4×15-bit bands makes the blocking COMPLETE by pigeonhole. The DuckDB
-    * oracle recomputes every signature from scratch and takes the exhaustive
-    * O(n²) hamming join, so banding, bucket capping, pair generation, and
-    * the verify filter are all equality-gated. */
+    * 4×15-bit bands makes the blocking COMPLETE by pigeonhole wherever the
+    * bucket cap is slack (true at the driver's sf0.01). The DuckDB oracle
+    * recomputes every signature from scratch AND replicates the banding +
+    * maxBucket cap + verify, so the whole pipeline is equality-gated at
+    * every scale, cap binding or not. */
   def qDedupSimhashExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val tok = docs.select(col("doc_id"),
@@ -168,6 +169,10 @@ object DataOps {
       s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
     val sigExpr = (0 until 60).map(b =>
       s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    // the oracle replicates the ENTIRE pipeline including the maxBucket
+    // skew cap (rank members per band-bucket by id, keep the first 512),
+    // so the gate is exact at EVERY scale — not just where the cap is
+    // slack (same pattern as the fixed-plane LSH oracle)
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tk
        |  FROM documents),
@@ -176,11 +181,17 @@ object DataOps {
        |votes AS (SELECT doc_id,
        |    $sums
        |  FROM vals GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sigExpr AS sim FROM votes)
-       |SELECT a.doc_id AS a, b.doc_id AS b,
-       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS dist
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |sig AS (SELECT doc_id, $sigExpr AS sim FROM votes),
+       |m AS (SELECT doc_id, sim, b.band, (sim >> (15 * b.band)) & 32767 AS bucket
+       |      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |r AS (SELECT doc_id, sim, band, bucket,
+       |        row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+       |      FROM m)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS dist
+       |FROM r x JOIN r y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |WHERE x.rn <= 512 AND y.rn <= 512
+       |  AND bit_count(xor(x.sim, y.sim)) <= 3
        |ORDER BY a, b""".stripMargin
   }
 

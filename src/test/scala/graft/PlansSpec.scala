@@ -76,6 +76,17 @@ class PlansSpec extends SparkSpec {
       "per-query row_number window is back — scale-killer")
   }
 
+  test("substring removal: occurrence ranking is a min-struct aggregate, not a gram window") {
+    // a row_number window over the gram stream would sort-shuffle EVERY
+    // gram occurrence into per-gram tasks; the keeper must come from a
+    // partial-aggregating min(struct) groupBy instead
+    val s = planString(queries.DataOps.qSubstringDedup(spark, sf))
+    assert(!s.contains("Window"), s"gram-stream window crept in:\n$s")
+    assert(!s.contains("CartesianProduct"))
+    assert("partial_min".r.findAllIn(s).nonEmpty || s.contains("partial_"),
+      "keeper aggregate must partial-aggregate map-side")
+  }
+
   test("token stats: one FileScan — totals fold into the histogram pass") {
     val s = planString(queries.DataOps.qTokenStats(spark, sf))
     val scans = "FileScan|BatchScan".r.findAllIn(s).size
