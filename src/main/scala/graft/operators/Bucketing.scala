@@ -36,6 +36,27 @@ object Bucketing {
   def readBucketed(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     spark.read.table(table)
 
+  /** Small-file compaction — the table-maintenance pass every long-lived
+    * lake needs: streaming/incremental writers leave thousands of KB-sized
+    * files whose per-file open/footer costs dominate scans and whose
+    * listing bloats planning. Rewrites the directory into
+    * ceil(bytes / targetFileBytes) files (coalesce — no shuffle: existing
+    * partitions concatenate) and swaps it in atomically-enough via a
+    * temp-dir rename. Row contents are untouched. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"compaction rename failed for $path")
+    nFiles.toLong
+  }
+
   /** Range-clustered layout for data skipping: range-partition on the
     * sort key, then sort within each partition before writing parquet.
     * Every output file then covers a narrow, pairwise-disjoint key range,

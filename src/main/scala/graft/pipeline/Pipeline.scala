@@ -300,10 +300,11 @@ object Pipeline {
         val target =
           if (node.has("table")) node.get("table").asText()
           else if (node.has("path")) node.get("path").asText()
-          else throw new IllegalArgumentException("layout step needs \"table\" (bucket) or \"path\" (range)")
+          else throw new IllegalArgumentException("layout step needs \"table\" (bucket) or \"path\" (range/compact)")
         LayoutStep(mode, target, keys, sorts,
           if (node.has("buckets")) node.get("buckets").asInt()
-          else if (node.has("partitions")) node.get("partitions").asInt() else 0,
+          else if (node.has("partitions")) node.get("partitions").asInt()
+          else if (node.has("target_file_mb")) node.get("target_file_mb").asInt() else 0,
           dataType)
       case other => throw new IllegalArgumentException(s"unknown step type: $other")
     }
@@ -530,6 +531,13 @@ object Pipeline {
                   else df.sparkSession.sessionState.conf.numShufflePartitions
                 graft.operators.Bucketing.writeRangeClustered(df, target,
                   if (keys.nonEmpty) keys else sorts, parts)
+              case "compact" =>
+                // table maintenance on the TARGET directory (the flow frame
+                // is not consumed): rewrite small files toward
+                // target_file_mb-sized ones
+                val mb = if (n > 0) n else 128
+                graft.operators.Bucketing.compact(df.sparkSession, target,
+                  mb.toLong * 1024 * 1024)
               case other =>
                 throw new IllegalArgumentException(s"unknown layout mode: $other")
             }
