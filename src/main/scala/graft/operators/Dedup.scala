@@ -65,10 +65,23 @@ object Dedup {
       .select(col("id"), minhashSignature(col("toks"), shingleN, k).as("sig"))
       .select(col("id"), bandHashes(col("sig"), bands).as("bh"))
     val exploded = sig.select(col("id"), posexplode(col("bh")).as(Seq("band", "bucket")))
-    // bucket members, capped; same (band,bucket) ⇒ candidate
-    val buckets = exploded.groupBy(col("band"), col("bucket"))
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
-      .filter(size(col("ids")) > 1)
+    // bucket members, capped; same (band,bucket) ⇒ candidate. The cap lives
+    // INSIDE the aggregation buffer (bounded min-k heap, ≤ maxBucket
+    // entries) — a collect-then-slice would buffer a degenerate bucket's
+    // whole membership before truncating. Output matches the sorted-slice
+    // formulation exactly: the maxBucket smallest ids, ascending.
+    val idType = df.schema(idCol).dataType
+    val buckets =
+      if (Seq("byte", "short", "int", "bigint").contains(idType.simpleString))
+        exploded.groupBy(col("band"), col("bucket"))
+          .agg(graft.plans.Native.minKByKey(
+            col("id").cast("long"), col("id").cast("long"), maxBucket).as("ks"))
+          .select(transform(col("ks"), e => e.getField("id").cast(idType)).as("ids"))
+          .filter(size(col("ids")) > 1)
+      else // non-integral ids (config-driven callers): legacy capped collect
+        exploded.groupBy(col("band"), col("bucket"))
+          .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+          .filter(size(col("ids")) > 1)
     // in-bucket pairs via index-aware transform: s*(s-1)/2 per bucket
     buckets.select(explode(flatten(transform(col("ids"),
         (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
@@ -241,9 +254,23 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("sim")))), 1, maxBucket).as("ms"))
-      .filter(size(col("ms")) > 1)
+    // cap inside the aggregation buffer (bounded min-k heap keyed on id,
+    // the 64-bit signature riding as payload — ≤ maxBucket 16-byte entries
+    // even on a degenerate bucket); identical output to the sorted-slice
+    // collect since ids are unique per frame
+    val idType = withSim.schema("id").dataType
+    val buckets =
+      if (Seq("byte", "short", "int", "bigint").contains(idType.simpleString))
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(graft.plans.Native.minKByKey(
+            col("id").cast("long"), col("sim"), maxBucket).as("ks"))
+          .select(transform(col("ks"), e => struct(
+            e.getField("id").cast(idType).as("id"), e.getField("p").as("sim"))).as("ms"))
+          .filter(size(col("ms")) > 1)
+      else // non-integral ids (config-driven callers): legacy capped collect
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(slice(sort_array(collect_list(struct(col("id"), col("sim")))), 1, maxBucket).as("ms"))
+          .filter(size(col("ms")) > 1)
     buckets.select(explode(flatten(transform(col("ms"),
         (a, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
           b => struct(a.getField("id").as("a"), b.getField("id").as("b"),

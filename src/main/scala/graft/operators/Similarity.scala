@@ -103,18 +103,45 @@ object Similarity {
   }
 
   /** Shared LSH tail: band a packed signature, cap buckets (skew guard),
-    * emit in-bucket pairs, verify exact cosine ≥ threshold. */
+    * emit in-bucket pairs, verify exact cosine ≥ threshold.
+    *
+    * Capping happens on IDS ONLY, via the bounded min-k heap aggregate: a
+    * `collect_list(struct(id, v))` here would materialize EVERY member's
+    * embedding in one aggregation buffer before any slice truncates — on a
+    * degenerate bucket (a band key shared by ~1/3 of the corpus is
+    * observed at sf0.01) that is a multi-GB buffer on one executor at
+    * 100 TB scale. The heap buffer never exceeds maxBucket 16-byte
+    * entries; the surviving members' vectors come back via an equi-join
+    * against the signature frame (the SemDeDup anchor pattern,
+    * [[semDedup]]), and the rebuild collect below is bounded by
+    * construction because its input is pre-capped. */
   private def bandedCosinePairs(sig: DataFrame, threshold: Double,
                                 bands: Int, bandBits: Int,
                                 maxBucket: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
+    val idType = sig.schema("id").dataType
     val banded = sig.select(col("id"), col("v"),
       posexplode(array((0 until bands).map(bi =>
         shiftrightunsigned(col("sig"), bi * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("v")))), 1, maxBucket).as("ms"))
-      .filter(size(col("ms")) > 1)
+    val cappedIds =
+      if (Seq("byte", "short", "int", "bigint").contains(idType.simpleString))
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(graft.plans.Native.minKByKey(
+            col("id").cast("long"), col("id").cast("long"), maxBucket).as("ks"))
+          .filter(size(col("ks")) > 1)
+          .select(col("band"), col("bucket"), explode(col("ks")).as("e"))
+          .select(col("band"), col("bucket"), col("e.id").cast(idType).as("id"))
+      else
+        // non-integral ids (config-driven callers): legacy capped collect —
+        // same output, but the pre-cap buffer is bounded only by bucket size
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(col("band"), col("bucket"), explode(col("ids")).as("id"))
+    val buckets = cappedIds.join(sig.select(col("id"), col("v")), "id")
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
     buckets.select(explode(flatten(transform(col("ms"),
         (a, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
           b => struct(a.getField("id").as("a"), b.getField("id").as("b"),
@@ -207,12 +234,22 @@ object Similarity {
         (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
       .groupBy(col("id")).agg(max(col("s")).as("s"))
       .select(col("id"), col("s.vv").as("v"), (-col("s.negc")).as("cell"))
-    // anchor ids: capped sorted prefix per cell (ids only — the vectors are
-    // fetched back by an equi-join so the aggregation buffer never holds a
-    // cell's worth of embeddings)
-    val anchorIds = cells.groupBy(col("cell"))
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxCell).as("ids"))
-      .select(explode(col("ids")).as("a"))
+    // anchor ids: capped sorted prefix per cell (ids only, cap inside the
+    // bounded min-k heap buffer — ≤ maxCell entries even on a one-cell
+    // corpus; the vectors are fetched back by an equi-join so no buffer
+    // ever holds a cell's worth of embeddings)
+    val idT = corpus.schema(idCol).dataType
+    val anchorIds =
+      if (Seq("byte", "short", "int", "bigint").contains(idT.simpleString))
+        cells.groupBy(col("cell"))
+          .agg(graft.plans.Native.minKByKey(
+            col("id").cast("long"), col("id").cast("long"), maxCell).as("ks"))
+          .select(explode(col("ks")).as("e"))
+          .select(col("e.id").cast(idT).as("a"))
+      else // non-integral ids (config-driven callers): legacy capped collect
+        cells.groupBy(col("cell"))
+          .agg(slice(sort_array(collect_list(col("id"))), 1, maxCell).as("ids"))
+          .select(explode(col("ids")).as("a"))
     val anchors = cells.select(col("cell"), col("id").as("a"), col("v").as("va"))
       .join(anchorIds, "a")
     val b = cells.select(col("cell"), col("id").as("b"), col("v").as("vb"))

@@ -26,6 +26,11 @@ object Native {
     * bounded heap — partial buffers trim to k map-side. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     toCol(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
+
+  /** Aggregate: the k SMALLEST (key, payload) pairs by key, as a bounded
+    * k-entry heap — the LSH bucket cap with the bound inside the buffer. */
+  def minKByKey(key: Column, payload: Column, k: Int): Column =
+    toCol(MinKByKey(toExpr(key), toExpr(payload), k).toAggregateExpression())
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.plans.GraftExtensions`

@@ -73,6 +73,93 @@ case class VectorSum(child: Expression,
     copy(child = newChild)
 }
 
+/** Bounded min-k by key: keeps the `k` SMALLEST (key, payload) pairs by
+  * key, as a k-entry max-heap per aggregation buffer.
+  *
+  * This is the LSH-bucket cap (`slice(sort_array(collect_list(...)), 1,
+  * max)`) with the buffer bound moved INTO the aggregate: collect_list
+  * materializes every bucket member before the slice truncates, so a
+  * degenerate bucket (boilerplate docs, a collapsed embedding space) holds
+  * an unbounded buffer on one executor; here the buffer never exceeds k
+  * 16-byte entries no matter how hot the bucket. Output is identical to
+  * the collect+sort+slice formulation when keys are unique per group:
+  * array<struct<id,p>> sorted key-ascending.
+  *
+  * Keys/payloads are longs (callers cast integral id columns in/out);
+  * null keys or payloads are skipped.
+  */
+case class MinKByKey(left: Expression, right: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Long, Long)]]
+    with BinaryLike[Expression] {
+  require(k > 0, s"min-k needs k > 0, got $k")
+
+  private def key: Expression = left
+  private def payload: Expression = right
+
+  // dequeue yields the LARGEST kept key (the first to evict)
+  private val largestFirst: Ordering[(Long, Long)] = Ordering.by(_._1)
+
+  override def prettyName: String = "graft_min_k"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("p", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Long, Long)] =
+    scala.collection.mutable.PriorityQueue.empty(largestFirst)
+
+  private def push(buf: scala.collection.mutable.PriorityQueue[(Long, Long)],
+                   kv: (Long, Long)): Unit = {
+    if (buf.size < k) buf.enqueue(kv)
+    else if (largestFirst.lt(kv, buf.head)) { buf.dequeue(); buf.enqueue(kv) }
+  }
+
+  override def update(buf: scala.collection.mutable.PriorityQueue[(Long, Long)],
+                      input: InternalRow): scala.collection.mutable.PriorityQueue[(Long, Long)] = {
+    val kk = key.eval(input)
+    val p = payload.eval(input)
+    if (kk != null && p != null)
+      push(buf, (kk.asInstanceOf[Long], p.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(b1: scala.collection.mutable.PriorityQueue[(Long, Long)],
+                     b2: scala.collection.mutable.PriorityQueue[(Long, Long)]): scala.collection.mutable.PriorityQueue[(Long, Long)] = {
+    b2.foreach(push(b1, _))
+    b1
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Long, Long)]): Any =
+    if (buf.isEmpty) null
+    else new GenericArrayData(buf.toArray.sorted(largestFirst).map { case (kk, p) =>
+      new GenericInternalRow(Array[Any](kk, p))
+    })
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+    buf.foreach { case (kk, p) => bb.putLong(kk); bb.putLong(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    (0 until bytes.length / 16).foreach { _ =>
+      push(buf, (bb.getLong(), bb.getLong()))
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKByKey =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKByKey =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MinKByKey =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Bounded top-k by score: keeps the best `k` (score, id) pairs ordered by
   * (score DESC, id ASC), as a k-entry heap per aggregation buffer.
   *

@@ -199,6 +199,27 @@ class OperatorsSpec extends SparkSpec {
       "capped: 50 survives because its only earlier similar member (20) is beyond the anchor cap")
   }
 
+  test("lsh/minhash/simhash bucket caps bound degenerate one-bucket corpora") {
+    // every row identical → every band collapses to ONE hot bucket (the
+    // case where collect-then-slice buffers the whole corpus): the bounded
+    // min-k cap must keep exactly the maxBucket smallest ids, so the pair
+    // set is C(8,2) over ids 0..7 — and nothing else
+    val expect = (for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)).toSet
+    val vecs = spark.range(500).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(2.0), lit(3.0)).as("embedding"))
+    val lsh = Similarity.lshNearDupPairs(vecs, threshold = 0.9, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == expect, s"lsh pairs must be capped to ids 0..7, got ${lsh.size}")
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated everywhere in this corpus").as("text"))
+    val mh = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == expect, s"minhash candidates must be capped to ids 0..7")
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh == expect, s"simhash pairs must be capped to ids 0..7")
+  }
+
   test("ivf top-k returns k ranked rows per query") {
     val emb = Tables(spark, sf).embeddings
     val q = emb.filter(col("vec_id") < 2)

@@ -280,6 +280,38 @@ class PlansSpec extends SparkSpec {
     assert(viaSql == Seq(3.0, 1.0))
   }
 
+  test("min-k aggregate: buffer hard-bounded at k; output = k smallest, key-ascending") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.plans.MinKByKey(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 8)
+    // 10k updates through one buffer: the degenerate-bucket case a
+    // collect-then-slice would materialize in full — here the heap must
+    // never exceed k entries at ANY point, not just after a final slice
+    val rnd = new scala.util.Random(7)
+    var buf = agg.createAggregationBuffer()
+    rnd.shuffle((0L until 10000L).toVector).foreach { i =>
+      buf = agg.update(buf, InternalRow(i, i * 3))
+      assert(buf.size <= 8, s"buffer grew past k: ${buf.size}")
+    }
+    // merging another full buffer keeps the bound; null keys are skipped
+    var buf2 = agg.createAggregationBuffer()
+    (20000L until 20100L).foreach(i => buf2 = agg.update(buf2, InternalRow(i, i)))
+    buf2 = agg.update(buf2, InternalRow(null, 5L))
+    val merged = agg.merge(buf, buf2)
+    assert(merged.size <= 8)
+    val pairs = agg.eval(merged).asInstanceOf[GenericArrayData].array
+      .map(_.asInstanceOf[InternalRow]).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == (0L until 8L).map(i => (i, i * 3)),
+      "eval must yield the k smallest keys ascending with their payloads")
+    // serde roundtrip preserves bound and contents
+    val rt = agg.deserialize(agg.serialize(merged))
+    assert(agg.eval(rt).asInstanceOf[GenericArrayData].array.length == 8)
+  }
+
   test("top-k and int8-quant are SQL-callable") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
