@@ -41,19 +41,28 @@ object Bucketing {
     * files whose per-file open/footer costs dominate scans and whose
     * listing bloats planning. Rewrites the directory into
     * ceil(bytes / targetFileBytes) files (coalesce — no shuffle: existing
-    * partitions concatenate) and swaps it in atomically-enough via a
-    * temp-dir rename. Row contents are untouched. */
+    * partitions concatenate) and swaps it in via rename-aside: the
+    * original moves to `path__old` BEFORE the compacted dir takes the
+    * canonical name, so every crash state leaves a complete copy at a
+    * known name (`path` or `path__old`) — a delete-then-rename would have
+    * a window where the dataset exists only under the temp name. Row
+    * contents are untouched. Stale `__old`/`__compacting` leftovers from
+    * a previous crash are cleared on entry. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     spark.read.parquet(path).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
+    require(fs.rename(hPath, old), s"compaction rename-aside failed for $path")
     require(fs.rename(tmp, hPath), s"compaction rename failed for $path")
+    fs.delete(old, true)
     nFiles.toLong
   }
 

@@ -466,11 +466,28 @@ object Pipeline {
                   else {
                     val p = new org.apache.hadoop.fs.Path(centroidsPath)
                     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                    if (fs.exists(p)) spark.read.parquet(centroidsPath)
+                    // trust the persisted model only when its write COMMITTED
+                    // (_SUCCESS marker) — a bare exists() would load the
+                    // partial dir a killed run leaves behind. An uncommitted
+                    // dir is cleared and retrained; the fresh model writes to
+                    // a temp path and renames in, so no reader ever sees a
+                    // half-written model at the canonical path.
+                    val committed = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+                    if (fs.exists(committed)) spark.read.parquet(centroidsPath)
                     else {
+                      fs.delete(p, true)
                       val trained = graft.operators.Similarity.trainCentroids(
                         df, k = 16, iterations = 2, idCol = id, vecCol = text)
-                      trained.write.parquet(centroidsPath)
+                      val tmp = new org.apache.hadoop.fs.Path(
+                        centroidsPath + "__tmp-" + java.util.UUID.randomUUID())
+                      trained.write.parquet(tmp.toString)
+                      if (!fs.rename(tmp, p)) {
+                        // lost a race to a concurrent run: use theirs if
+                        // committed, otherwise surface the conflict
+                        fs.delete(tmp, true)
+                        require(fs.exists(committed),
+                          s"centroids path $centroidsPath is contended and uncommitted")
+                      }
                       spark.read.parquet(centroidsPath)
                     }
                   }

@@ -364,7 +364,10 @@ object DataOps {
     * so the oracle replicates the assignment exactly), keep-first policy
     * at tau = 0.3. Output is float-free — (vec_id, cell) of kept rows —
     * and the cosine values that decide assignment and drops are the same
-    * IEEE shapes on both sides (native CosineSim vs list_dot_product). */
+    * IEEE shapes on both sides (native CosineSim vs list_dot_product).
+    * The maxCell=4096 anchor cap is mirrored in the oracle (arn ≤ 4096 on
+    * the dropper side), so the gate stays exact even when a cell outgrows
+    * the cap at larger SFs — same pattern as the simhash bucket cap. */
   def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val cents = e.filter(col("vec_id") < 8)
@@ -384,8 +387,12 @@ object DataOps {
       |  SELECT vec_id, v, c_id AS cell,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c_id) AS rn
       |  FROM scored) WHERE rn = 1),
+      |anchors AS (SELECT vec_id, v, cell FROM (
+      |  SELECT vec_id, v, cell,
+      |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS arn
+      |  FROM assigned) WHERE arn <= 4096),
       |drops AS (SELECT DISTINCT b.vec_id
-      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  FROM anchors a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  WHERE list_dot_product(a.v, b.v) /
       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assigned

@@ -15,8 +15,10 @@ import graft.sources.Documents.DocOptions
   *   a page-per-partition plan). The HTTP call itself is injectable and the
   *   default transport refuses (this environment has zero egress) — the
   *   plumbing (pagination plan, parallelism, parsing) is real and tested.
-  * - mongodb would ride the official Spark connector; modeled as config
-  *   only (no driver jar in this environment).
+  * - mongodb executes against an injectable client surface (MongoConnector
+  *   below: pagination planning, distributed parse, batched insert, erase —
+  *   fake-client e2e specs); on a real deployment the client binds to the
+  *   official driver (no driver jar in this environment).
   */
 sealed trait Connector {
   def load(spark: SparkSession): DataFrame
@@ -365,35 +367,77 @@ final case class HttpConnector(endpoint: String, pages: Int = 1,
   }
 }
 
-/** Spill surface for sequential page walks: pages go to one temp file each
-  * AS FETCHED, so driver memory holds a single page at a time no matter how
+/** Spill surface for sequential page walks: pages go to one file each AS
+  * FETCHED, so driver memory holds a single page at a time no matter how
   * long the walk is (a 100k-page cursor chain used to pin every body in an
-  * ArrayBuffer). Files are session-temp (deleteOnExit). */
-private[sources] object PageSpill {
-  def newDir(): java.nio.file.Path = {
-    val d = java.nio.file.Files.createTempDirectory("graft-curl-pages")
-    d.toFile.deleteOnExit()
-    d
+  * ArrayBuffer).
+  *
+  * Cluster contract: the spill path must be readable by EXECUTORS (the
+  * json parse is a distributed file read). A driver-local tempdir only
+  * qualifies on a local master, so the spill location is chosen per
+  * session: `spark.graft.http.spillDir` (any shared Hadoop filesystem —
+  * hdfs://, s3a://, a mounted NFS path) when set; a driver-local tempdir
+  * when the master is local; otherwise spilling is impossible without a
+  * shared location and bodies fall back to an in-driver buffer (correct
+  * everywhere, memory bounded by walk size — configure spillDir for long
+  * walks on a real cluster).
+  *
+  * Lifecycle: the json parse MATERIALIZES into Spark's block manager
+  * (persist + count) and the spill dir is deleted eagerly right after —
+  * no per-file deleteOnExit accumulation in a long-lived JVM, and the
+  * returned frame never re-reads the deleted files. */
+private[sources] final class PageSpill(spark: SparkSession) {
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private val dir: Option[org.apache.hadoop.fs.Path] =
+    spark.conf.getOption("spark.graft.http.spillDir")
+      .map(base => new org.apache.hadoop.fs.Path(
+        base, s"graft-curl-pages-${java.util.UUID.randomUUID()}"))
+      .orElse {
+        if (spark.sparkContext.isLocal)
+          Some(new org.apache.hadoop.fs.Path(
+            "file://" + java.nio.file.Files.createTempDirectory("graft-curl-pages")))
+        else None
+      }
+  private val mem = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  def write(i: Int, body: String): Unit = dir match {
+    case Some(d) =>
+      val fs = d.getFileSystem(hadoopConf)
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, f"page-$i%08d.body"), true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    case None => mem += body
   }
 
-  def write(dir: java.nio.file.Path, i: Int, body: String): Unit = {
-    val f = dir.resolve(f"page-$i%08d.body")
-    java.nio.file.Files.write(f,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    f.toFile.deleteOnExit()
+  def readPage(i: Int): String = dir match {
+    case Some(d) =>
+      val fs = d.getFileSystem(hadoopConf)
+      val in = fs.open(new org.apache.hadoop.fs.Path(d, f"page-$i%08d.body"))
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    case None => mem(i)
   }
 
-  def readPage(dir: java.nio.file.Path, i: Int): String =
-    new String(
-      java.nio.file.Files.readAllBytes(dir.resolve(f"page-$i%08d.body")),
-      java.nio.charset.StandardCharsets.UTF_8)
-
-  /** Distributed json parse of a spill dir: one wholetext row per page. */
-  def readJson(spark: SparkSession, dir: java.nio.file.Path): DataFrame = {
+  /** Json parse: one wholetext row per spilled page, read distributed,
+    * pinned to the block manager so [[delete]] can run eagerly. */
+  def parseJson(): DataFrame = {
     import spark.implicits._
-    spark.read.json(
-      spark.read.option("wholetext", "true").text(dir.toString).as[String])
+    dir match {
+      case Some(d) =>
+        val parsed = spark.read.json(
+            spark.read.option("wholetext", "true").text(d.toString).as[String])
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        parsed.count() // materialize before the spill files disappear
+        delete()
+        parsed
+      case None => spark.read.json(spark.createDataset(mem.toSeq))
+    }
   }
+
+  /** Remove the spill dir (recursive). Idempotent. */
+  def delete(): Unit =
+    dir.foreach(d => d.getFileSystem(hadoopConf).delete(d, true))
 }
 
 object CursorHttpConnector {
@@ -414,19 +458,20 @@ final case class CursorHttpConnector(endpoint: String, maxPages: Int = 1000,
     extends Connector {
   override def load(spark: SparkSession): DataFrame = {
     // sequential by protocol, bounded by memory: each body spills to a
-    // temp file as fetched; the json parse reads the files distributed
-    val dir = PageSpill.newDir()
+    // file as fetched; the json parse reads the files distributed
+    val spill = new PageSpill(spark)
     var cursor: Option[String] = None
     var pages = 0
     var done = false
     while (!done && pages < maxPages) {
       val (body, next) = fetch(cursor)
-      PageSpill.write(dir, pages, body)
+      spill.write(pages, body)
       cursor = next
       pages += 1
       done = next.isEmpty
     }
-    if (pages == 0) spark.emptyDataFrame else PageSpill.readJson(spark, dir)
+    if (pages == 0) { spill.delete(); spark.emptyDataFrame }
+    else spill.parseJson()
   }
 }
 
@@ -542,17 +587,20 @@ final case class CurlConnector(endpoint: String, path: String = "",
     * gives one row per page file and inference reads from the files, so the
     * bodies never re-assemble on the driver. Other document types decode
     * through Documents.readString one page at a time — bounded at a single
-    * body in driver memory (the plan union stays distributed). */
-  private def parseSpilled(spark: SparkSession, dir: java.nio.file.Path,
+    * body in driver memory (the plan union stays distributed). The spill
+    * dir is deleted before returning in every branch. */
+  private def parseSpilled(spark: SparkSession, spill: PageSpill,
                            n: Int): DataFrame = {
-    if (n == 0) spark.emptyDataFrame
+    if (n == 0) { spill.delete(); spark.emptyDataFrame }
     else docType match {
       case "json" | "jsonl" | "" =>
-        Documents.withEntryPath(PageSpill.readJson(spark, dir), opts)
+        Documents.withEntryPath(spill.parseJson(), opts)
       case other =>
-        (0 until n).map(i =>
-          Documents.readString(spark, other, PageSpill.readPage(dir, i), opts))
+        val parsed = (0 until n).map(i =>
+          Documents.readString(spark, other, spill.readPage(i), opts))
           .reduce(_.unionByName(_))
+        spill.delete()
+        parsed
     }
   }
 
@@ -612,33 +660,33 @@ final case class CurlConnector(endpoint: String, path: String = "",
               // layer; the fetch still ran in parallel on executors, and
               // the bodies stream to a spill dir one page at a time
               // (toLocalIterator) instead of assembling on the driver
-              val dir = PageSpill.newDir()
+              val spill = new PageSpill(spark)
               var n = 0
               fetched.toLocalIterator().forEachRemaining { body =>
-                if (!blankPage(body)) { PageSpill.write(dir, n, body); n += 1 }
+                if (!blankPage(body)) { spill.write(n, body); n += 1 }
               }
-              parseSpilled(spark, dir, n)
+              parseSpilled(spark, spill, n)
           }
         }
       case OffsetPaginator(limit, skip, None) =>
         // unknown total: the page count is data-dependent, so the walk is
         // sequential on the driver; each body spills to disk as fetched
         // (driver holds ONE page) and parsing reads the files distributed
-        val dir = PageSpill.newDir()
+        val spill = new PageSpill(spark)
         var n = 0
         var s = skip.toLong
         var done = false
         while (!done) {
           val body = ex(urlFor(Map("limit" -> limit.toString, "skip" -> s.toString)), hs).body
           if (blankPage(body)) done = true
-          else { PageSpill.write(dir, n, body); n += 1; s += limit }
+          else { spill.write(n, body); n += 1; s += limit }
         }
-        parseSpilled(spark, dir, n)
+        parseSpilled(spark, spill, n)
       case CursorPaginator(limit, entryPath) =>
         // cursor chains are inherently sequential (each page names the
         // next); memory is NOT — bodies spill as fetched, same as above
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val dir = PageSpill.newDir()
+        val spill = new PageSpill(spark)
         var n = 0
         var cursor: Option[String] = None
         var done = false
@@ -647,14 +695,14 @@ final case class CurlConnector(endpoint: String, path: String = "",
           val body = ex(urlFor(subst), hs).body
           if (blankPage(body)) done = true
           else {
-            PageSpill.write(dir, n, body); n += 1
+            spill.write(n, body); n += 1
             val at = mapper.readTree(body).at(entryPath)
             cursor = if (at.isMissingNode || at.isNull || at.asText().isEmpty) None
                      else Some(at.asText())
             done = cursor.isEmpty
           }
         }
-        parseSpilled(spark, dir, n)
+        parseSpilled(spark, spill, n)
     }
   }
 }

@@ -929,8 +929,9 @@ class PipelineSpec extends SparkSpec {
   test("long cursor walk spills pages to disk — driver holds one page at a time") {
     // 400 pages × 2 rows: enough that an in-driver ArrayBuffer of bodies
     // would be the design bug (a real walk can be 100k pages); the contract
-    // is every page body lands in a temp file BEFORE parsing starts, and
-    // the parse reads those files distributed.
+    // is every page body lands in a spill file BEFORE parsing starts, and
+    // the spill dir is deleted eagerly once the parse has materialized
+    // (no deleteOnExit accumulation in a long-lived JVM).
     val nPages = 400
     def tmpDirs(): Set[String] = {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -938,9 +939,16 @@ class PipelineSpec extends SparkSpec {
         .map(_.getName).toSet
     }
     val before = tmpDirs()
+    // observe the spill from inside the LAST fetch: pages 0..n-2 must
+    // already be on disk while the walk is still running
+    var filesSeenAtLastFetch = -1
     val conn = CursorHttpConnector("http://example/api", maxPages = 100000,
       fetch = cur => {
         val i = cur.map(_.toInt).getOrElse(0)
+        if (i == nPages - 1)
+          filesSeenAtLastFetch = (tmpDirs() -- before).toSeq.map(d =>
+            new java.io.File(System.getProperty("java.io.tmpdir"), d)
+              .listFiles().count(_.getName.endsWith(".body"))).sum
         val body = s"""[{"v":${i * 2}},{"v":${i * 2 + 1}}]"""
         (body, if (i + 1 < nPages) Some((i + 1).toString) else None)
       })
@@ -948,12 +956,34 @@ class PipelineSpec extends SparkSpec {
     assert(df.count() == nPages * 2L)
     assert(df.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) ==
       (0L until nPages * 2L).sum)
-    val spillDirs = (tmpDirs() -- before).toSeq
-    assert(spillDirs.nonEmpty, "cursor walk must spill page bodies to a temp dir")
-    val files = spillDirs.flatMap(d =>
-      new java.io.File(System.getProperty("java.io.tmpdir"), d).listFiles())
-    assert(files.length == nPages,
-      s"expected $nPages spilled page files, found ${files.length}")
+    assert(filesSeenAtLastFetch == nPages - 1,
+      s"expected ${nPages - 1} page files on disk mid-walk, saw $filesSeenAtLastFetch")
+    assert((tmpDirs() -- before).isEmpty,
+      "spill dir must be deleted eagerly after the parse materializes")
+  }
+
+  test("spark.graft.http.spillDir routes page spill through the shared staging path") {
+    // cluster contract: executors must be able to read the spill files, so
+    // a configured shared filesystem path wins over the driver tempdir;
+    // the per-walk subdir is removed once the parse materializes
+    val base = java.nio.file.Files.createTempDirectory("graft-staging")
+    spark.conf.set("spark.graft.http.spillDir", "file://" + base)
+    try {
+      var filesInStagingMidWalk = -1
+      val conn = CursorHttpConnector("http://example/api", maxPages = 10,
+        fetch = cur => {
+          val i = cur.map(_.toInt).getOrElse(0)
+          if (i == 2) filesInStagingMidWalk = base.toFile.listFiles()
+            .map(d => d.listFiles().count(_.getName.endsWith(".body"))).sum
+          (s"""[{"v":$i}]""", if (i < 2) Some((i + 1).toString) else None)
+        })
+      assert(conn.load(spark).select("v").as[Long].collect().sorted.toSeq ==
+        Seq(0L, 1L, 2L))
+      assert(filesInStagingMidWalk == 2,
+        s"pages 0..1 must be in the staging dir mid-walk, saw $filesInStagingMidWalk")
+      assert(base.toFile.listFiles().isEmpty,
+        "per-walk staging subdir must be deleted eagerly after the parse")
+    } finally spark.conf.unset("spark.graft.http.spillDir")
   }
 
   test("metrics listener aggregates task counters") {
