@@ -1036,14 +1036,22 @@ object DataOps {
     * (2) the corpus gram stream joins the frequency table on the same key
     * (AQE picks the strategy; at 100 TB both sides are gram-partitioned)
     * and aggregates per doc. Outputs are exact integers plus one IEEE
-    * division, so the oracle matches bit-for-bit. */
+    * division, so the oracle matches bit-for-bit.
+    *
+    * The gram is a pure internal key here (never output), so it travels
+    * as a 128-bit double xxhash64 instead of the bigram string — the same
+    * shuffle-width cut as [[graft.operators.Dedup.removeRepeatedRuns]],
+    * with the same ≪2^-64 birthday bound on exactness. */
   def qLmBigram(spark: SparkSession, dir: String): DataFrame = {
     val grams = wordGrams(Tables(spark, dir).documents, 2)
-    val common = grams.groupBy(col("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("g1"),
+        xxhash64(lit("graft-lm"), col("gram")).as("g2"))
+    val common = grams.groupBy(col("g1"), col("g2"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 3)
-      .select(col("gram"), lit(1).as("is_common"))
-    grams.join(common, Seq("gram"), "left")
+      .select(col("g1"), col("g2"), lit(1).as("is_common"))
+    grams.join(common, Seq("g1", "g2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count(col("is_common")).as("n_common"))

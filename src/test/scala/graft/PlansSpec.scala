@@ -280,6 +280,58 @@ class PlansSpec extends SparkSpec {
     assert(viaSql == Seq(3.0, 1.0))
   }
 
+  test("substring removal shuffles hashed gram keys: same output, fewer shuffle bytes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    def measure(out: => org.apache.spark.sql.DataFrame): (Long, Set[(Long, String, Long)]) = {
+      val l = graft.pipeline.QueryMetricsListener.attach(spark)
+      val rows = out.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      Thread.sleep(500) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(l)
+      (l.snapshot("shuffle_bytes_written"), rows)
+    }
+    val (hashBytes, hashed) = measure(
+      operators.Dedup.removeRepeatedRuns(docs, "doc_id", "text", n = 8))
+    // the pre-r10 string-keyed formulation, inlined as the reference: the
+    // gram STRING is the groupBy/join key, so ~50-80 bytes per gram shuffle
+    val (strBytes, viaStrings) = measure {
+      val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val grams = toks.select(col("doc_id"), posexplode(
+          when(size(col("toks")) >= 8,
+            transform(sequence(lit(0), size(col("toks")) - 8),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(8)))))
+            .otherwise(array().cast("array<string>")))
+          .as(Seq("pos", "gram")))
+      val keepers = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("doc_id").as("kid"), col("pos").as("kpos"))).as("keep"))
+        .filter(col("c") > 1)
+      val dups = grams.join(keepers, "gram")
+        .filter(!(col("doc_id") === col("keep.kid") && col("pos") === col("keep.kpos")))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("pos"))).as("dups"))
+      toks.join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("toks"),
+          coalesce(col("dups"), array().cast("array<int>")).as("dups"))
+        .select(col("doc_id"),
+          filter(col("toks"), (t, i) =>
+            !exists(col("dups"), p => p <= i && i < p + 8)).as("kept"),
+          col("toks"))
+        .select(col("doc_id"),
+          when(col("toks").isNull, lit(null).cast("string"))
+            .otherwise(concat_ws(" ", col("kept"))).as("clean_text"),
+          when(col("toks").isNull, lit(null).cast("bigint"))
+            .otherwise((size(col("toks")) - size(col("kept"))).cast("bigint")).as("n_removed"))
+    }
+    assert(hashed == viaStrings,
+      "hash-keyed substring removal must be bit-identical to the string-keyed formulation")
+    assert(hashBytes < strBytes,
+      s"hashed gram keys must shuffle fewer bytes: $hashBytes vs $strBytes")
+    assert(hashBytes.toDouble / strBytes < 0.8,
+      f"expected a material shuffle-width cut, got ${hashBytes.toDouble / strBytes}%.2f")
+  }
+
   test("min-k aggregate: buffer hard-bounded at k; output = k smallest, key-ascending") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
