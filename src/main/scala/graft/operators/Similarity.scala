@@ -163,18 +163,58 @@ object Similarity {
     // iteration (and the caller's final assignment) re-reads them
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed selection: TakeOrdered collects exactly k rows (a per-partition
-    // heap, never a global sort), and the c_id numbering happens on the
-    // driver — k rows — so no window, partitioned or otherwise, exists here
+    // seed selection, two deterministic stages:
+    // (1) a candidate POOL of 8k vectors in xxhash64(id) order — TakeOrdered
+    //     collects exactly 8k rows (a per-partition heap, never a global
+    //     sort; id is the tiebreak so reruns pool identically). Hash order
+    //     makes the pool a distribution-representative pseudo-random draw;
+    //     plain id-order would hand a sorted/clustered corpus prefix (e.g.
+    //     near-duplicate docs ingested together) straight to the seeds.
+    // (2) a greedy near-duplicate REJECTION walk over the pool on the
+    //     driver (≤ 8k vectors, ≤ 8k·k cosines): a candidate is skipped
+    //     while it has cosine > 0.95 to an accepted seed, so a pool whose
+    //     picks land inside one near-dup family still seeds k DISTINCT
+    //     cells (degenerate cells are the case maxCell defends against
+    //     downstream; better not to create them). Deliberately NOT
+    //     farthest-point: maximal spread over-picks outliers and skews
+    //     cell balance; density-following picks cluster like the data.
+    //     If rejection exhausts the pool, remaining seeds fill in pool
+    //     order (a corpus that IS one near-dup family).
+    // The c_id numbering happens on the driver — k rows — so no window,
+    // partitioned or otherwise, exists anywhere in training.
     val seedSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("c_id",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("c_vec",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
-    val seeds = vecs.orderBy(col("id")).limit(k).select(col("v")).collect()
-      .zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i, r.getSeq[Double](0))
+    val pool = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k * 8)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val c = d / (math.sqrt(na) * math.sqrt(nb))
+      if (c.isNaN) 1.0 else c // zero vectors: maximally similar → picked last
+    }
+    val chosenIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (pool.nonEmpty) {
+      chosenIdx += 0
+      var i = 1
+      while (chosenIdx.size < math.min(k, pool.length) && i < pool.length) {
+        if (chosenIdx.iterator.map(j => cos(pool(i), pool(j))).max <= 0.95)
+          chosenIdx += i
+        i += 1
       }
+      // pool exhausted below k distinct seeds: fill in pool order
+      i = 1
+      while (chosenIdx.size < math.min(k, pool.length)) {
+        if (!chosenIdx.contains(i)) chosenIdx += i
+        i += 1
+      }
+    }
+    val seeds = chosenIdx.toArray.map(pool).zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i, v.toSeq)
+    }
     var centroids = corpus.sparkSession.createDataFrame(
       corpus.sparkSession.sparkContext.parallelize(seeds.toSeq, 1), seedSchema)
     for (_ <- 0 until iterations) {
@@ -282,25 +322,81 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     val cents = broadcast(centroids)
-    // nearest-cell assignment is an argmax, not a ranking: max(struct(d,
-    // -c_id, v)) partial-aggregates map-side (no window sort-shuffle of
-    // |corpus|·k rows); ties pick the smallest c_id, matching a
-    // row_number() over (d DESC, c_id ASC) ordering
-    val corpusCells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    probeTopK(assignCells(corpus, cents, idCol, vecCol),
+      queries, k, cents, nprobe, idCol, qIdCol, qVecCol)
+  }
+
+  /** Nearest-cell assignment: (idCol, __v, cell). An argmax, not a
+    * ranking: max(struct(d, -c_id, v)) partial-aggregates map-side (no
+    * window sort-shuffle of |corpus|·k rows); ties pick the smallest
+    * c_id, matching a row_number() over (d DESC, c_id ASC) ordering.
+    * `cents` must already be broadcast-wrapped. */
+  private def assignCells(corpus: DataFrame, cents: DataFrame,
+                          idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .join(cents)
       .select(col(idCol), struct(cosine(col("__v"), col("c_vec")).as("d"),
         (-col("c_id")).as("negc"), col("__v").as("v")).as("s"))
       .groupBy(col(idCol)).agg(max(col("s")).as("s"))
       .select(col(idCol), col("s.v").as("__v"), (-col("s.negc")).as("cell"))
-    // query side probes nprobe cells — a handful of rows, window is fine
+
+  /** Probe `nprobe` nearest cells per query over an assigned corpus
+    * (`(idCol, __v, cell)`) and rank top-k. The query side is a handful
+    * of rows (window is fine) and broadcasts; the corpus side never
+    * exchanges. */
+  private def probeTopK(corpusCells: DataFrame, queries: DataFrame, k: Int,
+                        cents: DataFrame, nprobe: Int, idCol: String,
+                        qIdCol: String, qVecCol: String): DataFrame = {
+    val scored = corpusCells.join(broadcast(
+        queryCells(queries, cents, nprobe, qIdCol, qVecCol)), "cell")
+      .select(col(qIdCol), col(idCol), cosine(col("__v"), col("__q")).as("cos"))
+    rankTopK(scored, k, qIdCol, idCol)
+  }
+
+  /** The `nprobe` nearest cells per query: (qIdCol, __q, cell). */
+  private def queryCells(queries: DataFrame, cents: DataFrame, nprobe: Int,
+                         qIdCol: String, qVecCol: String): DataFrame = {
     val qw = Window.partitionBy(col(qIdCol)).orderBy(col("__d").desc, col("c_id"))
-    val queryCells = queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__q"))
+    queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__q"))
       .join(cents)
       .withColumn("__d", cosine(col("__q"), col("c_vec")))
       .withColumn("__r", row_number().over(qw))
       .filter(col("__r") <= nprobe)
       .select(col(qIdCol), col("__q"), col("c_id").as("cell"))
-    val scored = corpusCells.join(broadcast(queryCells), "cell")
+  }
+
+  /** Persist an IVF index: the corpus cell assignment written as a table
+    * BUCKETED ON `cell` (composes the storage-layout operator with ANN).
+    * At 100 TB the assignment pass — the one |corpus|-row shuffle in IVF
+    * search — runs ONCE here instead of per query batch, and the bucket
+    * layout gives every later probe bucket PRUNING on its cell predicate:
+    * a batch probing p of c cells reads ~p/c of the index files. */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame, table: String,
+                    buckets: Int = 32, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    Bucketing.writeBucketed(
+      assignCells(corpus, broadcast(centroids), idCol, vecCol)
+        .select(col(idCol), col("__v").as(vecCol), col("cell")),
+      table, buckets, keys = Seq("cell"))
+
+  /** IVF search over a [[buildIvfIndex]] table: no assignment pass, no
+    * corpus-side exchange, and the probed cell set is injected as a
+    * literal IN-filter so the bucketed scan prunes to the probed buckets
+    * (the cell list is |queries|·nprobe values, collected from the tiny
+    * query side — the same rows the probe join broadcasts anyway).
+    * Centroids must be the ones the index was built with. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                       queries: DataFrame, k: Int, centroids: DataFrame,
+                       nprobe: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val cents = broadcast(centroids)
+    val qc = queryCells(queries, cents, nprobe, qIdCol, qVecCol)
+    val probedCells = qc.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val idx = Bucketing.readBucketed(spark, table)
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"), col("cell"))
+    val scored = idx.join(broadcast(qc), "cell")
       .select(col(qIdCol), col(idCol), cosine(col("__v"), col("__q")).as("cos"))
     rankTopK(scored, k, qIdCol, idCol)
   }

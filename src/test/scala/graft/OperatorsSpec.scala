@@ -220,6 +220,34 @@ class OperatorsSpec extends SparkSpec {
     assert(sh == expect, s"simhash pairs must be capped to ids 0..7")
   }
 
+  test("centroid training survives a degenerate corpus prefix (hash-spread seeding)") {
+    // ids 0..15 are all the SAME vector: id-order seeding would plant k
+    // identical centroids (every later vector lands in one cell — the
+    // degenerate case maxCell guards downstream). Hash-spread seeding
+    // scatters the picks, so training still yields k distinct live cells.
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val theta = if (i < 16) 0.0 else i * math.Pi / n
+      (i.toLong, Seq(math.cos(theta), math.sin(theta)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(df, k = 4, iterations = 2)
+    val cents = trained.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    assert(cents.length == 4, s"all 4 cells must survive training, got ${cents.length}")
+    for (i <- cents.indices; j <- (i + 1) until cents.length) {
+      val (a, b) = (cents(i)._2, cents(j)._2)
+      val cos = (a(0) * b(0) + a(1) * b(1)) /
+        (math.sqrt(a(0) * a(0) + a(1) * a(1)) * math.sqrt(b(0) * b(0) + b(1) * b(1)))
+      assert(cos < 0.9999,
+        s"centroids ${cents(i)._1} and ${cents(j)._1} are near-identical (cos=$cos)")
+    }
+    // determinism: the hash order is stable, so reruns seed identically
+    val again = Similarity.trainCentroids(df, k = 4, iterations = 2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    assert(again == trained.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet)
+  }
+
   test("ivf top-k returns k ranked rows per query") {
     val emb = Tables(spark, sf).embeddings
     val q = emb.filter(col("vec_id") < 2)
@@ -237,10 +265,13 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("ivf recall against brute force rises with nprobe (quality floor)") {
-    // the accuracy/scan tradeoff an IVF index must honor: measured 0.85 /
-    // 0.96 recall@10 at nprobe 2 / 8 on these (unclustered — worst-case)
-    // gaussians; pinned with head-room so a quantization/assignment bug
-    // can't silently gut accuracy
+    // the accuracy/scan tradeoff an IVF index must honor. These gaussians
+    // are unclustered — the worst case for IVF — so the honest bar is
+    // recall well ABOVE the random-scan baseline (nprobe/nCentroids), not
+    // the near-1 recall clustered data gives. Measured with hash-spread
+    // seeding: 0.42 / 0.84 at nprobe 2 / 8 of 16 (baselines 0.125 / 0.5).
+    // The previous 0.85@2 floor was an artifact: id-order seeding planted
+    // the query vectors (ids 0..9 ⊂ first 16 ids) as their own centroids.
     val emb = Tables(spark, sf).embeddings
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -252,8 +283,9 @@ class OperatorsSpec extends SparkSpec {
       (ivf & brute).size.toDouble / brute.size
     }
     val r2 = recall(2); val r8 = recall(8)
-    assert(r2 >= 0.75, s"recall@10 nprobe=2 collapsed to $r2")
-    assert(r8 >= 0.9, s"recall@10 nprobe=8 collapsed to $r8")
+    assert(r2 >= 0.3, s"recall@10 nprobe=2 collapsed to $r2")
+    assert(r2 >= 2 * 2.0 / 16, s"recall@10 nprobe=2 must beat 2x the random-scan baseline, got $r2")
+    assert(r8 >= 0.7, s"recall@10 nprobe=8 collapsed to $r8")
     assert(r8 >= r2, "recall must not decrease with more probed cells")
   }
 

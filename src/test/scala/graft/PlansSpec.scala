@@ -236,6 +236,66 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: probe is corpus-exchange-free and bucket-pruned") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = Tables(spark, sf).embeddings
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        operators.Similarity.asDouble(col("embedding")).as("c_vec"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    operators.Similarity.buildIvfIndex(emb, cents, "ivf_idx", buckets = 8)
+    try {
+      val fromIdx = operators.Similarity.ivfTopKFromIndex(
+        spark, "ivf_idx", q, k = 5, cents, nprobe = 2)
+      // same ranked answer as the direct (assignment-per-batch) path
+      val direct = operators.Similarity.ivfTopKWithCentroids(
+        emb, q, k = 5, cents, nprobe = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Int]("rnk"))).toSet
+      assert(rows(fromIdx) == rows(direct),
+        "index probe must return the same top-k as the direct IVF path")
+      // corpus side never exchanges: no shuffle subtree contains the
+      // bucketed index scan (the only shuffles left carry k-sized top-k
+      // buffers and the tiny query window). AQE wraps materialized
+      // stages in leaf QueryStageExec nodes, so flatten through them.
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case q: QueryStageExec => p +: nodes(q.plan)
+        case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      val plan = executed(fromIdx)
+      val all = nodes(plan)
+      // the only legal exchange above the index scan is the two-phase
+      // top-k: its child must be the PARTIAL bounded-heap aggregate, so
+      // k-sized buffers travel, never raw index rows
+      val offending = all.collect {
+        case s: ShuffleExchangeExec if nodes(s).exists {
+          case f: FileSourceScanExec => f.bucketedScan
+          case _ => false
+        } => s
+      }.filterNot(_.child match {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+          a.aggregateExpressions.forall(!_.isDistinct) &&
+            a.aggregateExpressions.forall(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+        case _ => false
+      })
+      assert(offending.isEmpty,
+        s"raw index rows must not pass through an exchange:\n$plan")
+      // the IN-filter on the probed cells prunes buckets at the scan
+      val scans = all.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(scans.nonEmpty, s"expected a bucketed index scan:\n$plan")
+      val pruned = scans.head.optionalBucketSet
+      assert(pruned.isDefined && pruned.get.cardinality() < 8,
+        s"probe must prune to the probed cells' buckets, got $pruned")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx")
+  }
+
   test("full faker registry is SQL-callable") {
     graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
