@@ -508,6 +508,30 @@ object DataOps {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
       |  FROM scored) WHERE rnk <= 10""".stripMargin
 
+  /** The [[qAnnIvfFixed]] search executed through a PERSISTED
+    * bucket-by-cell index ([[Similarity.buildIvfIndex]] →
+    * [[Similarity.ivfTopKFromIndex]]): same fixed centroids, same nprobe,
+    * and the SAME DuckDB oracle — so the gate proves the persisted layout
+    * changes only the PLAN (assignment runs once at build; the probe is
+    * bucket-pruned and corpus-exchange-free), never the answer. */
+  def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    // a fresh session's catalog doesn't know tables an earlier JVM left in
+    // the warehouse, so DROP alone can't clear them — remove the physical
+    // location too or saveAsTable dies with LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_gate_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_ivf_gate_idx")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    Similarity.buildIvfIndex(e, cents, "graft_ivf_gate_idx", buckets = 8)
+    Similarity.ivfTopKFromIndex(spark, "graft_ivf_gate_idx",
+        queriesDf(spark, dir), k = 10, centroids = cents, nprobe = 4)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk").cast("bigint").as("rnk"))
+  }
+
   /** PII scrubbing over a deterministically PII-enriched text (the corpus
     * itself is synthetic word soup, so the fixture plants the PII). */
   def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
@@ -1308,6 +1332,7 @@ object DataOps {
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
     "q_ann_ivf_fixed"  -> ((qAnnIvfFixed _, Some(qAnnIvfFixedSql))),
+    "q_ann_ivf_indexed" -> ((qAnnIvfIndexed _, Some(qAnnIvfFixedSql))),
     "q_doc_freq_score" -> ((qDocFreqScore _, Some(qDocFreqScoreSql))),
     "q_pii_scrub"      -> ((qPiiScrub _, Some(qPiiScrubSql))),
     "q_repetition"     -> ((qRepetition _, Some(qRepetitionSql))),
