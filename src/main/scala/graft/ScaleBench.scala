@@ -36,6 +36,16 @@ object ScaleBench {
     "q_repeated_grams", "q_substring_dedup", "q_token_stats", "q_doc_freq_score", "q_chunk_docs",
     "q_pack_sequences", "q_multimodal", "q_mixture_resample", "q_split_assign")
 
+  /** Queries whose only input is the embeddings table (eligible for the
+    * synthetic 10× embedding corpus). q_semdedup is handled separately:
+    * its gate form fixes k=8 centroids, and within-cell pair work is
+    * quadratic in cell size BY CONTRACT — the 100 TB discipline is k ∝
+    * corpus (SURVEY §2.5 55q), so the sweep times it with k scaled. */
+  val embOnly: Seq[String] = Seq(
+    "q_emb_neardup", "q_emb_neardup_lsh", "q_emb_neardup_lsh_fixed",
+    "q_ann_topk", "q_ann_ivf", "q_ann_ivf_exact", "q_ann_ivf_fixed",
+    "q_ann_ivf_indexed", "q_quantize_emb")
+
   /** Replicate sf documents `copies`× with fresh ids and a BIJECTIVE
     * per-replica token remap (every token gets a replica suffix): within a
     * replica the token-to-token bijection preserves the corpus's pairwise
@@ -61,6 +71,35 @@ object ScaleBench {
     val scaled = replicas.reduce(_.unionByName(_))
     scaled.repartition(32).write.mode("overwrite").parquet(s"$outPath/documents.parquet")
     spark.read.parquet(s"$outPath/documents.parquet").count()
+  }
+
+  /** Replicate sf embeddings `copies`× with fresh ids, per-replica label
+    * offsets, and a per-replica COORDINATE PERMUTATION of the vector:
+    * permuting coordinates is orthogonal, so every within-replica cosine
+    * (and the LSH/ANN geometry built on it) is preserved EXACTLY, while
+    * cross-replica cosines scramble to noise (~N(0, 1/64) at dim 64 —
+    * no planted similarity crosses replicas, honoring the
+    * [[buildScaledDocs]] fixture lesson). Labels shift per replica so the
+    * label-blocked exact join keeps its block sizes (a shared label space
+    * would square the blocks — a manufactured quadratic). */
+  def buildScaledEmb(spark: SparkSession, srcDir: String, outPath: String,
+                     copies: Int): Long = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val idStride = 10000000L
+    val replicas = (0 until copies).map { i =>
+      if (i == 0) emb
+      else {
+        val perm = new scala.util.Random(i).shuffle((0 until d).toVector)
+        emb.select(
+          (col("vec_id") + lit(i * idStride)).as("vec_id"),
+          array(perm.map(j => col("embedding").getItem(j)): _*).as("embedding"),
+          (col("label") + lit(i * 1000)).as("label"))
+      }
+    }
+    val scaled = replicas.reduce(_.unionByName(_))
+    scaled.repartition(32).write.mode("overwrite").parquet(s"$outPath/embeddings.parquet")
+    spark.read.parquet(s"$outPath/embeddings.parquet").count()
   }
 
   private def bestOf(runs: Int)(body: => Unit): Double =
@@ -102,17 +141,30 @@ object ScaleBench {
       }.toMap
     }.toMap
 
-    // synthetic 10× corpus from sf0.1 (50k docs)
+    // synthetic 10× corpora from sf0.1 (50k docs, 20k embeddings)
     val scaleDir = "target/scale10x"
     val nScaled = buildScaledDocs(spark, "/root/testdata/sf0.1", scaleDir, copies = 10)
-    System.err.println(s"scaled corpus: $nScaled docs at $scaleDir")
-    val x10: Map[String, (Double, Double)] = docOnly.map { name =>
+    val nScaledEmb = buildScaledEmb(spark, "/root/testdata/sf0.1", scaleDir, copies = 10)
+    System.err.println(s"scaled corpus: $nScaled docs, $nScaledEmb embeddings at $scaleDir")
+    val x10: Map[String, (Double, Double)] = (docOnly ++ embOnly).map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = sfTimes(name)("0.1")
       val t10 = try bestOf(runs)(materialize(fn(spark, scaleDir)))
                 catch { case _: Throwable => -1.0 }
       name -> (t1, t10)
-    }.toMap
+    }.toMap ++ {
+      // semdedup with the 100 TB discipline: k scales with the corpus
+      // (first 80 fixed centroids at 10× vs the gate's 8 at 1×), so cell
+      // sizes — and the by-contract quadratic within them — stay constant
+      val e10 = spark.read.parquet(s"$scaleDir/embeddings.parquet")
+      val cents = e10.filter(col("vec_id") < 80)
+        .select(col("vec_id").cast("int").as("c_id"),
+          graft.operators.Similarity.asDouble(col("embedding")).as("c_vec"))
+      val t10 = try bestOf(runs)(materialize(
+          graft.operators.Similarity.semDedup(e10, cents, tau = 0.3)))
+        catch { case _: Throwable => -1.0 }
+      Map("q_semdedup" -> (sfTimes("q_semdedup")("0.1"), t10))
+    }
 
     def fmt(v: Double) = f"$v%.3f"
     val sfJson = names.map { n =>
@@ -123,19 +175,20 @@ object ScaleBench {
       val slope = if (t2 > 0 && t3 > 0) math.log10(t3 / t2) else Double.NaN
       s""""$n":{$m,"slope_tail":${if (slope.isNaN) "null" else fmt(slope)}}"""
     }.mkString("{", ",", "}")
-    val x10Json = docOnly.map { n =>
+    val x10Names = docOnly ++ embOnly :+ "q_semdedup"
+    val x10Json = x10Names.map { n =>
       val (t1, t10) = x10(n)
       val ratio = if (t1 > 0 && t10 > 0) t10 / t1 else Double.NaN
       s""""$n":{"t_sf01":${fmt(t1)},"t_x10":${fmt(t10)},"ratio":${if (ratio.isNaN) "null" else fmt(ratio)}}"""
     }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"scale_trend","unit":"sec","runs":$runs,"cpus":$cpus,
-         |"scaled_docs":$nScaled,"sf_times":$sfJson,"x10":$x10Json}""".stripMargin.replace("\n", "")
+         |"scaled_docs":$nScaled,"scaled_emb":$nScaledEmb,"sf_times":$sfJson,"x10":$x10Json}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stdout: just the headline + any flagged query
-    val flagged = docOnly.filter { n => val (t1, t10) = x10(n); t1 > 0 && t10 > 12 * t1 }
-    println(s"""{"metric":"scale_trend","flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],"queries":${names.size},"x10_subset":${docOnly.size}}""")
+    val flagged = x10Names.filter { n => val (t1, t10) = x10(n); t1 > 0 && t10 > 12 * t1 }
+    println(s"""{"metric":"scale_trend","flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],"queries":${names.size},"x10_subset":${x10Names.size}}""")
     spark.stop()
   }
 }

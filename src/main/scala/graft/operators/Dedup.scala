@@ -235,6 +235,47 @@ object Dedup {
           .otherwise((size(col("toks")) - size(col("kept"))).cast("bigint")).as("n_removed"))
   }
 
+  /** Corpus-level boilerplate line removal (CCNet, Wenzek et al. 2020,
+    * arXiv:1911.00359 — paragraph-hash dedup; RefinedWeb runs the same
+    * pass line-wise): a newline-delimited line occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav menus, cookie
+    * banners, license headers) and is removed from EVERY document —
+    * unlike [[removeRepeatedRuns]]' keep-first policy, because a line
+    * that common is template chrome, not content. Returns
+    * (idCol, clean_text, n_removed). Line order is preserved; null text
+    * propagates; empty lines count like any other line.
+    *
+    * Shape at scale: line explode is map-side linear; the document
+    * frequency is ONE two-phase groupBy; lines travel as the same
+    * 128-bit double hash as [[removeRepeatedRuns]]' grams (the line
+    * string is never a shuffle key), with the same ≪2^-64 collision
+    * bound; removed positions collect per doc (bounded by line count). */
+  def removeCommonLines(docs: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), "\n").as("lines"))
+    val lines = toks.select(col(idCol), posexplode(col("lines")).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"),
+        xxhash64(col("line")).as("l1"),
+        xxhash64(lit("graft-bp"), col("line")).as("l2"))
+    val common = lines.groupBy(col("l1"), col("l2"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("l1"), col("l2"))
+    val removed = lines.join(common, Seq("l1", "l2"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("rm"))
+    toks.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("lines"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(col(idCol), col("lines"),
+        filter(col("lines"), (_, i) => !array_contains(col("rm"), i)).as("kept"))
+      .select(col(idCol),
+        when(col("lines").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("\n", col("kept"))).as("clean_text"),
+        when(col("lines").isNull, lit(null).cast("bigint"))
+          .otherwise((size(col("lines")) - size(col("kept"))).cast("bigint")).as("n_removed"))
+  }
+
   // ---- simhash -----------------------------------------------------------
 
   /** 64-bit SimHash as a 0/1 bit array: per-token xxhash64, sign-vote per

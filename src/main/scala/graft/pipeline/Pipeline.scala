@@ -49,6 +49,11 @@ object Pipeline {
     * anywhere in the corpus except its globally-first occurrence. */
   final case class SubstringDedupStep(idCol: String, textCol: String, n: Int,
                                       dataType: String) extends Step
+  /** Corpus-level boilerplate line removal as a config step (CCNet-style):
+    * rewrites `field` in place, dropping every newline-delimited line that
+    * occurs in at least `min_docs` distinct documents. */
+  final case class BoilerplateStep(idCol: String, textCol: String, minDocs: Int,
+                                   dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
                              valFrac: Double, dataType: String) extends Step
@@ -272,6 +277,9 @@ object Pipeline {
       case "substring_dedup" => SubstringDedupStep(
         idCol = str("id", "id"), textCol = str("field", "text"),
         n = if (node.has("n")) node.get("n").asInt() else 8, dataType)
+      case "boilerplate" => BoilerplateStep(
+        idCol = str("id", "id"), textCol = str("field", "text"),
+        minDocs = if (node.has("min_docs")) node.get("min_docs").asInt() else 2, dataType)
       case "scrub" =>
         val cols = Option(node.get("fields"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("text"))
@@ -505,6 +513,13 @@ object Pipeline {
               .select(col(id).as("__sid"), col("clean_text").as("__clean"))
             flow.updated(dt, df.join(cleaned, df(id) === col("__sid"))
               .withColumn(text, col("__clean")).drop("__sid", "__clean"))
+          }.getOrElse(flow)
+        case BoilerplateStep(id, text, minDocs, dt) =>
+          flow(dt).map { df =>
+            val cleaned = graft.operators.Dedup.removeCommonLines(df, id, text, minDocs)
+              .select(col(id).as("__bid"), col("clean_text").as("__bclean"))
+            flow.updated(dt, df.join(cleaned, df(id) === col("__bid"))
+              .withColumn(text, col("__bclean")).drop("__bid", "__bclean"))
           }.getOrElse(flow)
         case ScrubStep(cols, dt) =>
           flow(dt).map { df =>

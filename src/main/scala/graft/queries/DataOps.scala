@@ -1017,6 +1017,44 @@ object DataOps {
     contaminationBloom(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
   }
 
+  /** Corpus-level boilerplate line removal (CCNet-style). The word-soup
+    * fixture has no newlines, so the gate PLANTS the line structure a web
+    * corpus would have: every doc_id % 7 == 0 doc gets a shared header
+    * line, every doc_id % 5 == 0 doc a shared footer — both occur in
+    * hundreds of docs, far over min_docs = 3, so removal must strip
+    * exactly those (plus the bodies of texts planted as ≥3-way exact
+    * dups). String joins and integer positions only → bit-exact oracle. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("ACCEPT COOKIES TO CONTINUE\n")).otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\nall rights reserved")).otherwise(lit(""))).as("text"))
+    Dedup.removeCommonLines(dirty, "doc_id", "text", minDocs = 3)
+  }
+
+  val qBoilerplateSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'ACCEPT COOKIES TO CONTINUE' || chr(10) ELSE '' END)
+      |    || text ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END) AS text
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+      |l AS (SELECT doc_id, u.s['pos'] AS pos, u.s['line'] AS line
+      |      FROM ls, UNNEST(list_transform(range(len(lines)),
+      |        i -> struct_pack(pos := i, line := lines[i+1]))) AS u(s)),
+      |c AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+      |                        FROM l GROUP BY 1) WHERE df >= 3),
+      |k AS (SELECT doc_id, list(line ORDER BY pos) AS kept
+      |      FROM l WHERE line NOT IN (SELECT line FROM c) GROUP BY doc_id)
+      |SELECT ls.doc_id,
+      |  CASE WHEN k.kept IS NULL OR len(k.kept) = 0 THEN ''
+      |       ELSE array_to_string(k.kept, chr(10)) END AS clean_text,
+      |  CAST(len(ls.lines) - coalesce(len(k.kept), 0) AS BIGINT) AS n_removed
+      |FROM ls LEFT JOIN k USING (doc_id)""".stripMargin
+
   /** Exact repeated-substring REMOVAL (Lee et al. 2022) over the documents
     * table at n = 8 — the operator q_repeated_grams is the detection signal
     * for. Keep-first-occurrence policy; integer positions and string joins
@@ -1309,6 +1347,7 @@ object DataOps {
     "q_lm_bigram"      -> ((qLmBigram _, Some(qLmBigramSql))),
     "q_repeated_grams" -> ((qRepeatedGrams _, Some(qRepeatedGramsSql))),
     "q_substring_dedup" -> ((qSubstringDedup _, Some(qSubstringDedupSql))),
+    "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),

@@ -199,6 +199,29 @@ class OperatorsSpec extends SparkSpec {
       "capped: 50 survives because its only earlier similar member (20) is beyond the anchor cap")
   }
 
+  test("boilerplate line removal strips corpus-common lines, keeps content") {
+    val docs = Seq(
+      (1L, "HEADER\nunique one content\nFOOTER"),
+      (2L, "HEADER\nunique two content\nFOOTER"),
+      (3L, "HEADER\nunique three content\nFOOTER"),
+      (4L, "no chrome here at all"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeCommonLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L) == (("unique one content", 2L)))
+    assert(out(2L) == (("unique two content", 2L)))
+    assert(out(3L) == (("unique three content", 2L)))
+    assert(out(4L) == (("no chrome here at all", 0L)), "unique lines must survive")
+    assert(out(5L) == ((null, -1L)), "null text must propagate as null")
+    // raise the bar past the fixture: nothing is common enough, all intact
+    val loose = Dedup.removeCommonLines(docs, "doc_id", "text", minDocs = 4)
+      .filter(col("n_removed") > 0).count()
+    assert(loose == 0, "minDocs above every line's df must remove nothing")
+  }
+
   test("lsh/minhash/simhash bucket caps bound degenerate one-bucket corpora") {
     // every row identical → every band collapses to ONE hot bucket (the
     // case where collect-then-slice buffers the whole corpus): the bounded

@@ -382,6 +382,20 @@ class PipelineSpec extends SparkSpec {
     assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
   }
 
+  test("boilerplate step strips corpus-common lines from the field in place") {
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":
+        |   "[{\"id\":1,\"text\":\"MENU\\nalpha body\"},{\"id\":2,\"text\":\"MENU\\nbeta body\"},{\"id\":3,\"text\":\"MENU\\ngamma body\"}]"}},
+        | {"type":"boilerplate","id":"id","field":"text","min_docs":3}
+        |]""".stripMargin)
+    val out = flow.ok.get.orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(1L -> "alpha body", 2L -> "beta body", 3L -> "gamma body"),
+      "the shared MENU line must vanish from every doc, bodies intact")
+    assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
+  }
+
   test("fingerprint dedup step drops reordered duplicates") {
     val flow = Pipeline.run(spark,
       """[
