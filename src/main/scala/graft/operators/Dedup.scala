@@ -29,6 +29,46 @@ object Dedup {
     df.join(keep, Seq(idCol), "leftsemi")
   }
 
+  // ---- incremental (batch-vs-corpus) exact dedup ---------------------------
+
+  /** Persist a fingerprint index for incremental dedup: one (fp, keeper)
+    * row per distinct key in `corpus`, written as a table BUCKETED on fp.
+    * The 100 TB shape: a daily ingest must not rescan the corpus — the
+    * index holds one 32-byte fingerprint per distinct document, and the
+    * bucket layout means later batches join against it with NO exchange
+    * on the index side (only the batch — orders of magnitude smaller —
+    * shuffles to the buckets). */
+  def buildFingerprintIndex(corpus: DataFrame, table: String, buckets: Int,
+                            idCol: String, key: Column): Unit =
+    Bucketing.writeBucketed(
+      corpus.groupBy(md5(key.cast("binary")).as("fp"))
+        .agg(min(col(idCol)).as("keeper")),
+      table, buckets, keys = Seq("fp"))
+
+  /** Dedup a new batch against a [[buildFingerprintIndex]] table: drops
+    * batch rows whose key already exists in the index, then exact-dedups
+    * within the batch (keep min id). Returns the surviving input rows.
+    * The anti-join reads the index bucket-partitioned (exchange-free on
+    * the corpus side); at 100 TB the raw corpus is never touched. */
+  def dedupAgainstIndex(batch: DataFrame, table: String,
+                        idCol: String, key: Column): DataFrame = {
+    val idx = Bucketing.readBucketed(batch.sparkSession, table)
+    val fresh = batch.withColumn("__fp", md5(key.cast("binary")))
+      .join(idx, col("__fp") === idx("fp"), "left_anti")
+    val keep = fresh.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)).drop("__fp")
+    fresh.drop("__fp").join(keep, Seq(idCol), "leftsemi")
+  }
+
+  /** Fold a deduped batch's fingerprints into the index (append-mode
+    * bucketed write — the spec must match [[buildFingerprintIndex]]'s),
+    * so the next batch dedups against corpus + this batch. */
+  def appendToIndex(newRows: DataFrame, table: String, buckets: Int,
+                    idCol: String, key: Column): Unit =
+    newRows.groupBy(md5(key.cast("binary")).as("fp"))
+      .agg(min(col(idCol)).as("keeper"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "fp").saveAsTable(table)
+
   // ---- shingles + minhash ------------------------------------------------
 
   /** Word n-gram shingles from a PRE-TOKENIZED column (whole text when

@@ -23,6 +23,30 @@ object DataOps {
     """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
       |FROM documents GROUP BY md5(text)""".stripMargin
 
+  /** Incremental exact dedup: a "new batch" (doc_id % 3 ≠ 0) deduped
+    * against a persisted fingerprint index of the "existing corpus"
+    * (doc_id % 3 = 0), bucketed on fp so the corpus side of the anti-join
+    * never exchanges — the daily-ingest discipline at 100 TB, where the
+    * raw corpus is never rescanned. The oracle states the same thing in
+    * terms of text equality (md5 is injective modulo 2^-128 collisions). */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val existing = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    dropGateTable(spark, "graft_fp_gate_idx")
+    Dedup.buildFingerprintIndex(existing, "graft_fp_gate_idx", buckets = 8,
+      idCol = "doc_id", key = col("text"))
+    Dedup.dedupAgainstIndex(batch, "graft_fp_gate_idx",
+        idCol = "doc_id", key = col("text"))
+      .select(col("doc_id"))
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)
+      |SELECT min(doc_id) AS doc_id FROM b
+      |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
+      |GROUP BY text""".stripMargin
+
   /** Exact token-set Jaccard over id-block-bounded pairs (equi-keyed
     * self-join — the blocked shape that scales; discovery at scale goes
     * through q_dedup_minhash instead). */
@@ -317,6 +341,17 @@ object DataOps {
 
   // ---- similarity --------------------------------------------------------
 
+  /** Clear a gate-owned warehouse table AND its physical location: a fresh
+    * session's catalog doesn't know tables an earlier JVM left in the
+    * warehouse, so DROP alone leaves the directory and saveAsTable dies
+    * with LOCATION_ALREADY_EXISTS. */
+  private def dropGateTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+  }
+
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -519,13 +554,7 @@ object DataOps {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("c_id"),
         Similarity.asDouble(col("embedding")).as("c_vec"))
-    // a fresh session's catalog doesn't know tables an earlier JVM left in
-    // the warehouse, so DROP alone can't clear them — remove the physical
-    // location too or saveAsTable dies with LOCATION_ALREADY_EXISTS
-    spark.sql("DROP TABLE IF EXISTS graft_ivf_gate_idx")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), "graft_ivf_gate_idx")
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    dropGateTable(spark, "graft_ivf_gate_idx")
     Similarity.buildIvfIndex(e, cents, "graft_ivf_gate_idx", buckets = 8)
     Similarity.ivfTopKFromIndex(spark, "graft_ivf_gate_idx",
         queriesDf(spark, dir), k = 10, centroids = cents, nprobe = 4)
@@ -1353,6 +1382,7 @@ object DataOps {
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
+    "q_dedup_incremental" -> ((qDedupIncremental _, Some(qDedupIncrementalSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_dedup_minhash"  -> ((qDedupMinhash _, Some(qDedupMinhashSql))),
     "q_dedup_corpus"   -> ((qDedupCorpus _, Some(qDedupCorpusSql))),

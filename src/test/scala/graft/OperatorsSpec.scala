@@ -199,6 +199,31 @@ class OperatorsSpec extends SparkSpec {
       "capped: 50 survives because its only earlier similar member (20) is beyond the anchor cap")
   }
 
+  test("incremental dedup lifecycle: batch vs index, fold in, next batch") {
+    spark.sql("DROP TABLE IF EXISTS inc_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "inc_idx")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    try {
+      val corpus = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+      Dedup.buildFingerprintIndex(corpus, "inc_idx", buckets = 4,
+        idCol = "doc_id", key = col("text"))
+      // batch 1: "aa" exists in the corpus; "cc" is an intra-batch dup
+      val batch1 = Seq((10L, "aa"), (11L, "cc"), (12L, "cc"), (13L, "dd"))
+        .toDF("doc_id", "text")
+      val kept1 = Dedup.dedupAgainstIndex(batch1, "inc_idx",
+        idCol = "doc_id", key = col("text"))
+      assert(kept1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+      // fold batch 1's survivors in; batch 2 must now see "cc" as existing
+      Dedup.appendToIndex(kept1, "inc_idx", buckets = 4,
+        idCol = "doc_id", key = col("text"))
+      val batch2 = Seq((20L, "cc"), (21L, "ee")).toDF("doc_id", "text")
+      val kept2 = Dedup.dedupAgainstIndex(batch2, "inc_idx",
+        idCol = "doc_id", key = col("text"))
+      assert(kept2.select("doc_id").as[Long].collect().toSeq == Seq(21L))
+    } finally spark.sql("DROP TABLE IF EXISTS inc_idx")
+  }
+
   test("boilerplate line removal strips corpus-common lines, keeps content") {
     val docs = Seq(
       (1L, "HEADER\nunique one content\nFOOTER"),

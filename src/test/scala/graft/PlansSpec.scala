@@ -21,6 +21,14 @@ class PlansSpec extends SparkSpec {
   private def planString(df: org.apache.spark.sql.DataFrame): String =
     executed(df).toString
 
+  /** Flatten an executed plan THROUGH AQE's leaf QueryStageExec wrappers
+    * (plain TreeNode.collect stops at materialized stage boundaries). */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: nodes(q.plan)
+    case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+    case _ => p +: p.children.flatMap(nodes)
+  }
+
   test("q_filter_project: filters push to the scan, schema is pruned") {
     val df = queries.Relational.qFilterProject(spark, sf)
     val leaf = df.queryExecution.executedPlan.collectLeaves().head.toString
@@ -259,14 +267,7 @@ class PlansSpec extends SparkSpec {
         "index probe must return the same top-k as the direct IVF path")
       // corpus side never exchanges: no shuffle subtree contains the
       // bucketed index scan (the only shuffles left carry k-sized top-k
-      // buffers and the tiny query window). AQE wraps materialized
-      // stages in leaf QueryStageExec nodes, so flatten through them.
-      import org.apache.spark.sql.execution.adaptive.QueryStageExec
-      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-        case q: QueryStageExec => p +: nodes(q.plan)
-        case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
-        case _ => p +: p.children.flatMap(nodes)
-      }
+      // buffers and the tiny query window)
       val plan = executed(fromIdx)
       val all = nodes(plan)
       // the only legal exchange above the index scan is the two-phase
@@ -294,6 +295,48 @@ class PlansSpec extends SparkSpec {
       assert(pruned.isDefined && pruned.get.cardinality() < 8,
         s"probe must prune to the probed cells' buckets, got $pruned")
     } finally spark.sql("DROP TABLE IF EXISTS ivf_idx")
+  }
+
+  test("incremental dedup: index side of the anti-join never exchanges") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = Tables(spark, sf).documents
+    spark.sql("DROP TABLE IF EXISTS inc_plan_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "inc_plan_idx")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    operators.Dedup.buildFingerprintIndex(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), "inc_plan_idx",
+      buckets = 4, idCol = "doc_id", key = col("text"))
+    // at 100 TB the index is NOT broadcastable — force the sort-merge path
+    // the real cluster takes, then require the segment between the bucketed
+    // index scan and its join to be exchange-free (the batch side shuffles
+    // to the buckets; survivors may shuffle again later — both fine, they
+    // are |batch|-sized, never |corpus|)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = operators.Dedup.dedupAgainstIndex(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "inc_plan_idx",
+        idCol = "doc_id", key = col("text"))
+      val plan = executed(out)
+      def pathToBucketedScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec if f.bucketedScan => Some(List(p))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          pathToBucketedScan(q.plan).map(p :: _)
+        case a: AdaptiveSparkPlanExec =>
+          pathToBucketedScan(a.executedPlan).map(p :: _)
+        case _ => p.children.flatMap(pathToBucketedScan(_)).headOption.map(p :: _)
+      }
+      val path = pathToBucketedScan(plan)
+      assert(path.isDefined, s"expected a bucketed index scan in:\n$plan")
+      val scanToJoin = path.get.reverse.takeWhile(
+        !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(!scanToJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"index rows must flow from the bucketed scan into the join without an exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS inc_plan_idx")
+    }
   }
 
   test("full faker registry is SQL-callable") {
