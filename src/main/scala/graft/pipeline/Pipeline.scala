@@ -42,7 +42,10 @@ object Pipeline {
                              centroidsPath: String = "",
                              hashes: Int = 64, bands: Int = 16,
                              maxBucket: Int = 64,
-                             maxHamming: Int = 3) extends Step
+                             maxHamming: Int = 3,
+                             indexTable: String = "",
+                             indexBuckets: Int = 32,
+                             appendIndex: Boolean = true) extends Step
   final case class ScrubStep(columns: Seq[String], dataType: String) extends Step
   /** Exact repeated-substring removal as a config step (Lee et al. 2022):
     * rewrites `field` in place, dropping every n-token run that repeats
@@ -273,7 +276,10 @@ object Pipeline {
         hashes = if (node.has("hashes")) node.get("hashes").asInt() else 64,
         bands = if (node.has("bands")) node.get("bands").asInt() else 16,
         maxBucket = if (node.has("max_bucket")) node.get("max_bucket").asInt() else 64,
-        maxHamming = if (node.has("max_hamming")) node.get("max_hamming").asInt() else 3)
+        maxHamming = if (node.has("max_hamming")) node.get("max_hamming").asInt() else 3,
+        indexTable = str("index", ""),
+        indexBuckets = if (node.has("index_buckets")) node.get("index_buckets").asInt() else 32,
+        appendIndex = !node.has("append_index") || node.get("append_index").asBoolean())
       case "substring_dedup" => SubstringDedupStep(
         idCol = str("id", "id"), textCol = str("field", "text"),
         n = if (node.has("n")) node.get("n").asInt() else 8, dataType)
@@ -430,10 +436,39 @@ object Pipeline {
               df(leftOn) === renamed(s"${name}_$rightOn"), "left"))
           }.getOrElse(flow)
         case DedupStep(method, id, text, threshold, dt, centroidsPath,
-                       hashes, bands, maxBucket, maxHamming) =>
+                       hashes, bands, maxBucket, maxHamming,
+                       indexTable, indexBuckets, appendIndex) =>
           flow(dt).map { df =>
             val deduped = method match {
               case "exact" => graft.operators.Dedup.exact(df, id, col(text))
+              case "incremental" =>
+                // batch-vs-corpus dedup against a persisted fingerprint
+                // index; first run bootstraps the index from this batch
+                require(indexTable.nonEmpty,
+                  "dedup method=incremental needs \"index\" (a table name)")
+                if (!spark.catalog.tableExists(indexTable)) {
+                  val first = graft.operators.Dedup.exact(df, id, col(text))
+                  graft.operators.Dedup.buildFingerprintIndex(
+                    first, indexTable, indexBuckets, id, col(text))
+                  first
+                } else {
+                  // materialize AND cut lineage BEFORE appending: the
+                  // anti-join reads the index lazily, and appending this
+                  // batch's fingerprints invalidates any cache that still
+                  // references the table (Spark recaches on table write) —
+                  // a plain persist would recompute against the appended
+                  // index and dedup the batch against itself, dropping
+                  // every row. localCheckpoint severs the plan from the
+                  // table; on a long-lived cluster pipeline, a reliable
+                  // checkpoint dir is the equivalent.
+                  val kept = graft.operators.Dedup.dedupAgainstIndex(
+                      df, indexTable, id, col(text))
+                    .localCheckpoint()
+                  if (appendIndex)
+                    graft.operators.Dedup.appendToIndex(
+                      kept, indexTable, indexBuckets, id, col(text))
+                  kept
+                }
               case "fingerprint" =>
                 graft.operators.Dedup.exact(df, id,
                   graft.operators.TextAnalysis.fingerprintSorted(col(text)))

@@ -255,6 +255,39 @@ object DataOps {
       |       greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3 AS score
       |FROM documents""".stripMargin
 
+  /** Per-source quality curation: the best 20 documents per source by
+    * quality score — "take the best N per domain", the selection pass a
+    * mixture-building pipeline runs after scoring. Ranking is the bounded
+    * TopKByScore heap (k pairs per (source × partition) shuffle, no
+    * window over the scored corpus — the same scale argument as ANN
+    * ranking); the score itself never leaves the plan, so the gate output
+    * is float-free (source, doc_id, rnk) and the oracle's row_number
+    * formulation matches exactly because both sides compute the same
+    * IEEE score shapes (see [[qTextQuality]]). */
+  def qBestPerSource(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .groupBy(col("source"))
+      .agg(graft.plans.Native.topKByScore(col("score"), col("doc_id").cast("long"), 20).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), col("e.id").as("doc_id"),
+        (col("pos") + 1).cast("bigint").as("rnk"))
+
+  val qBestPerSourceSql: String =
+    """WITH s AS (SELECT source, doc_id,
+      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      |  + (CASE WHEN (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+      |       CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+      |      THEN 1.0 ELSE 0.5 END) * 0.3
+      |  + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+      |       greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3 AS score
+      |  FROM documents)
+      |SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk
+      |  FROM s) WHERE rnk <= 20""".stripMargin
+
   /** Gopher-style document filter rules (Rae et al. 2021, public paper —
     * the standard pretraining quality gate): word-count bounds, mean word
     * length bounds, minimum stopword presence, symbol-to-word ratio. Pure
@@ -1390,6 +1423,7 @@ object DataOps {
     "q_dedup_simhash_exact" -> ((qDedupSimhashExact _, Some(qDedupSimhashExactSql))),
     "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
     "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
+    "q_best_per_source" -> ((qBestPerSource _, Some(qBestPerSourceSql))),
     "q_gopher_rules"   -> ((qGopherRules _, Some(qGopherRulesSql))),
     "q_lang_id"        -> ((qLangId _, Some(qLangIdSql))),
     "q_fingerprint"    -> ((qFingerprint _, Some(qFingerprintSql))),

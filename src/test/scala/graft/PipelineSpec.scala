@@ -382,6 +382,29 @@ class PipelineSpec extends SparkSpec {
     assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
   }
 
+  test("incremental dedup step: first run bootstraps the index, reruns dedup against it") {
+    spark.sql("DROP TABLE IF EXISTS inc_step_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "inc_step_idx")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    try {
+      def run(data: String) = Pipeline.run(spark,
+        s"""[
+           | {"type":"reader","connector":{"type":"mem","data":"$data"}},
+           | {"type":"dedup","method":"incremental","id":"id","field":"text","index":"inc_step_idx","index_buckets":4}
+           |]""".stripMargin)
+      // run 1: bootstrap — intra-batch dup of "aa" collapses, index built
+      val r1 = run("""[{\"id\":1,\"text\":\"aa\"},{\"id\":2,\"text\":\"aa\"},{\"id\":3,\"text\":\"bb\"}]""")
+      assert(r1.ok.get.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      // run 2: "aa"/"bb" exist in the index now; only "cc" survives
+      val r2 = run("""[{\"id\":10,\"text\":\"aa\"},{\"id\":11,\"text\":\"cc\"},{\"id\":12,\"text\":\"bb\"}]""")
+      assert(r2.ok.get.select("id").as[Long].collect().toSeq == Seq(11L))
+      // run 3: "cc" was appended by run 2 — nothing fresh survives
+      val r3 = run("""[{\"id\":20,\"text\":\"cc\"}]""")
+      assert(r3.ok.get.count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS inc_step_idx")
+  }
+
   test("boilerplate step strips corpus-common lines from the field in place") {
     val flow = Pipeline.run(spark,
       """[
