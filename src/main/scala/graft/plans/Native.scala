@@ -71,6 +71,12 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"graft_top_k needs a literal int k, got $other")
       })),
+    ("graft_min_k", info("MinKByKey", "k smallest (key,payload) pairs, key-ascending"),
+      (e: Seq[Expression]) => MinKByKey(e(0), e(1), e(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_min_k needs a literal int k, got $other")
+      })),
     ("graft_int8_quant", info("Int8QuantStats", "symmetric int8 quantization stats of a double array"),
       (e: Seq[Expression]) => Int8QuantStats(e(0))),
     // tera-helper surface, callable from SQL and config patterns

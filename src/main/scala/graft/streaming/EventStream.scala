@@ -99,4 +99,42 @@ object EventStream {
     df.writeStream.outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .format("parquet").option("path", path).start()
+
+  /** Streaming incremental dedup against the PERSISTED fingerprint index
+    * (composes §2.6 with operator 44b): each micro-batch anti-joins the
+    * bucketed index, survivors sink through `write` and their fingerprints
+    * fold into the index — so cross-batch duplicates collapse against the
+    * WHOLE corpus history, not just the watermark horizon
+    * ([[dedupWithinWatermark]]'s bound), while state lives in the index
+    * table instead of the state store (one fingerprint per distinct doc —
+    * the only shape that holds when history is 100 TB). Exactly-once
+    * caveat: a replayed micro-batch whose fingerprints already committed
+    * dedups against itself and sinks nothing — replays are idempotent. */
+  def dedupStreamAgainstIndex(stream: DataFrame, indexTable: String,
+                              indexBuckets: Int, idCol: String, keyCol: String,
+                              checkpoint: String)(
+                              write: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.col
+        if (!spark.catalog.tableExists(indexTable)) {
+          val first = graft.operators.Dedup.exact(batch, idCol, col(keyCol))
+            .localCheckpoint()
+          graft.operators.Dedup.buildFingerprintIndex(
+            first, indexTable, indexBuckets, idCol, col(keyCol))
+          write(first)
+        } else {
+          // localCheckpoint BEFORE the append: the table write invalidates
+          // caches referencing the index, and a recompute would dedup the
+          // batch against its own just-appended fingerprints
+          val kept = graft.operators.Dedup.dedupAgainstIndex(
+              batch, indexTable, idCol, col(keyCol))
+            .localCheckpoint()
+          graft.operators.Dedup.appendToIndex(
+            kept, indexTable, indexBuckets, idCol, col(keyCol))
+          write(kept)
+        }
+      }.start()
 }

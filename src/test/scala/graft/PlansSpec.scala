@@ -476,6 +476,11 @@ class PlansSpec extends SparkSpec {
       "SELECT g, graft_top_k(s, id, 2) AS tk FROM tk_t GROUP BY g ORDER BY g").collect()
     assert(tk(0).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0)) == Seq(1L, 3L))
     assert(tk(1).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0)) == Seq(9L))
+    val mk = spark.sql(
+      "SELECT g, graft_min_k(id, id * 10, 2) AS mk FROM tk_t GROUP BY g ORDER BY g").collect()
+    assert(mk(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getLong(0), r.getLong(1)))
+      == Seq((1L, 10L), (2L, 20L)))
+    assert(mk(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(9L))
     val qs = spark.sql(
       "SELECT graft_int8_quant(array(1.0D, -0.5D, 0.25D)) AS q").head().getStruct(0)
     assert(qs.getDouble(0) == 1.0 / 127.0)

@@ -116,6 +116,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup collapses cross-batch dups against the index") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS stream_inc_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "stream_inc_idx")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-inc-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.dedupStreamAgainstIndex(
+      input.toDF().toDF("doc_id", "text"), "stream_inc_idx",
+      indexBuckets = 4, idCol = "doc_id", keyCol = "text", checkpoint = ckpt) {
+      kept => seen ++= kept.select("doc_id").as[Long](implicitly).collect()
+    }
+    try {
+      // batch 1 bootstraps the index ("aa" intra-batch dup collapses)
+      input.addData((1L, "aa"), (2L, "aa"), (3L, "bb"))
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == Seq(1L, 3L))
+      // batch 2: "aa"/"bb" are corpus history now — far beyond any
+      // watermark horizon — only "cc" is new
+      input.addData((10L, "aa"), (11L, "cc"), (12L, "bb"))
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == Seq(1L, 3L, 11L))
+      // batch 3: "cc" folded in by batch 2; nothing survives
+      input.addData((20L, "cc"))
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == Seq(1L, 3L, 11L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_inc_idx")
+    }
+  }
+
   test("config-driven streaming pipeline: stream reader -> transform -> parquet sink") {
     val dir = java.nio.file.Files.createTempDirectory("streamcfg").toString
     val in = dir + "/in"
