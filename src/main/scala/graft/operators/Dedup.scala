@@ -69,6 +69,88 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "fp").saveAsTable(table)
 
+  // ---- incremental near-dup (minhash index) --------------------------------
+
+  /** Persist a MinHash LSH index for incremental NEAR-dup dedup, the fuzzy
+    * sibling of [[buildFingerprintIndex]]: two bucketed tables —
+    * `<prefix>_bands` holds the corpus's capped LSH bucket membership
+    * (band, bucket, id), bucketed on the probe key, and `<prefix>_sets`
+    * the per-doc hashed shingle sets for exact verification, bucketed on
+    * id. The cap applies at BUILD time (bounded min-k heap, same as
+    * [[minhashCandidates]]), so a batch probing a degenerate bucket fans
+    * out to at most maxBucket corpus candidates. At 100 TB the raw corpus
+    * text is never rescanned: the index is one row per (doc × band) plus
+    * one hashed set per doc. */
+  def buildMinhashIndex(corpus: DataFrame, tablePrefix: String, buckets: Int,
+                        idCol: String, textCol: String, shingleN: Int = 3,
+                        k: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 64): Unit = {
+    val idType = corpus.schema(idCol).dataType
+    val base = corpus.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
+    val exploded = base
+      .select(col("id"), bandHashes(minhashSignature(col("toks"), shingleN, k), bands).as("bh"))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "bucket")))
+    val capped = exploded.groupBy(col("band"), col("bucket"))
+      .agg(graft.plans.Native.minKByKey(
+        col("id").cast("long"), col("id").cast("long"), maxBucket).as("ks"))
+      .select(col("band"), col("bucket"), explode(col("ks")).as("e"))
+      .select(col("band"), col("bucket"), col("e.id").cast(idType).as("id"))
+    Bucketing.writeBucketed(capped, s"${tablePrefix}_bands", buckets,
+      keys = Seq("band", "bucket"))
+    Bucketing.writeBucketed(
+      base.select(col("id"),
+        graft.plans.NativeSets.hashedSet(col("toks"), shingleN).as("sset")),
+      s"${tablePrefix}_sets", buckets, keys = Seq("id"))
+  }
+
+  /** Verified near-dup pairs between a new batch and a
+    * [[buildMinhashIndex]] corpus: the batch's band keys probe the bands
+    * table (bucket-layout join — the index side never exchanges), shared
+    * buckets become candidates, and the exact shingle-set Jaccard verifies
+    * against the sets table. Output: (bid, cid, jaccard) — batch id,
+    * corpus id, exact Jaccard ≥ threshold. The batch computes signatures
+    * and sets once; corpus text is untouched. */
+  def minhashPairsAgainstIndex(batch: DataFrame, tablePrefix: String,
+                               threshold: Double, idCol: String, textCol: String,
+                               shingleN: Int = 3, k: Int = 64,
+                               bands: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val bandsT = Bucketing.readBucketed(spark, s"${tablePrefix}_bands")
+    val setsT = Bucketing.readBucketed(spark, s"${tablePrefix}_sets")
+      .select(col("id").as("cid"), col("sset").as("cset"))
+    val base = batch.select(col(idCol).as("bid"), split(trim(col(textCol)), "\\s+").as("toks"))
+    val probes = base
+      .select(col("bid"), bandHashes(minhashSignature(col("toks"), shingleN, k), bands).as("bh"))
+      .select(col("bid"), posexplode(col("bh")).as(Seq("band", "bucket")))
+    val cands = probes.join(bandsT, Seq("band", "bucket"))
+      .select(col("bid"), col("id").as("cid")).distinct()
+    val bsets = base.select(col("bid"),
+      graft.plans.NativeSets.hashedSet(col("toks"), shingleN).as("bset"))
+    cands.join(bsets, "bid").join(setsT, "cid")
+      .select(col("bid"), col("cid"),
+        graft.plans.NativeSets.jaccardSorted(col("bset"), col("cset")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Batch-vs-corpus near-dup dedup: drops batch docs near-duplicate to
+    * the indexed corpus, then resolves intra-batch near-dup groups to
+    * their min-id representative ([[minhashPairs]] + [[representatives]]).
+    * Returns the surviving input rows. */
+  def dedupNearDupAgainstIndex(batch: DataFrame, tablePrefix: String,
+                               threshold: Double, idCol: String, textCol: String,
+                               shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                               maxBucket: Int = 64): DataFrame = {
+    val crossDup = minhashPairsAgainstIndex(batch, tablePrefix, threshold,
+        idCol, textCol, shingleN, k, bands)
+      .select(col("bid")).distinct()
+    val fresh = batch.join(crossDup, batch(idCol) === crossDup("bid"), "left_anti")
+    val reps = representatives(
+      minhashPairs(fresh, idCol, textCol, threshold, shingleN, k, bands, maxBucket))
+    fresh.join(reps, fresh(idCol) === reps("id"), "left")
+      .filter(col("id").isNull || col("rep") === fresh(idCol))
+      .drop("id", "rep")
+  }
+
   // ---- shingles + minhash ------------------------------------------------
 
   /** Word n-gram shingles from a PRE-TOKENIZED column (whole text when

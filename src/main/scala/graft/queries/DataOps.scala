@@ -47,6 +47,42 @@ object DataOps {
       |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
       |GROUP BY text""".stripMargin
 
+  /** Incremental NEAR-dup: verified cross pairs between a new batch
+    * (doc_id % 3 ≠ 0) and a MinHash-indexed corpus (doc_id % 3 = 0).
+    * Oracle-checked as a FULL-RECALL equality, same argument as
+    * [[qDedupMinhash]]: DuckDB computes the exhaustive cross Jaccard pair
+    * set, every true pair on this fixture has j ≥ 0.9 (word soup shares
+    * nothing by chance), so the LSH probe must find all of them and the
+    * verified Jaccards must be bit-identical exact set math. */
+  def qDedupMinhashInc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val existing = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    dropGateTable(spark, "graft_mh_gate_idx_bands")
+    dropGateTable(spark, "graft_mh_gate_idx_sets")
+    Dedup.buildMinhashIndex(existing, "graft_mh_gate_idx", buckets = 8,
+      idCol = "doc_id", textCol = "text")
+    Dedup.minhashPairsAgainstIndex(batch, "graft_mh_gate_idx",
+        threshold = 0.5, idCol = "doc_id", textCol = "text")
+      .orderBy(col("bid"), col("cid"))
+  }
+
+  val qDedupMinhashIncSql: String =
+    """WITH t AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |s AS MATERIALIZED (SELECT doc_id,
+      |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |                    i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+      |      FROM t),
+      |bb AS (SELECT doc_id, sh FROM s WHERE doc_id % 3 <> 0),
+      |ee AS (SELECT doc_id, sh FROM s WHERE doc_id % 3 = 0),
+      |ij AS MATERIALIZED (SELECT bb.doc_id AS bid, ee.doc_id AS cid,
+      |        len(list_intersect(bb.sh, ee.sh)) AS i, len(bb.sh) + len(ee.sh) AS su
+      |       FROM bb CROSS JOIN ee)
+      |SELECT bid, cid, CAST(i AS DOUBLE) / CAST(su - i AS DOUBLE) AS jaccard
+      |FROM ij WHERE CAST(i AS DOUBLE) / CAST(su - i AS DOUBLE) >= 0.5
+      |ORDER BY bid, cid""".stripMargin
+
   /** Exact token-set Jaccard over id-block-bounded pairs (equi-keyed
     * self-join — the blocked shape that scales; discovery at scale goes
     * through q_dedup_minhash instead). */
@@ -1416,6 +1452,7 @@ object DataOps {
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_dedup_incremental" -> ((qDedupIncremental _, Some(qDedupIncrementalSql))),
+    "q_dedup_minhash_inc" -> ((qDedupMinhashInc _, Some(qDedupMinhashIncSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_dedup_minhash"  -> ((qDedupMinhash _, Some(qDedupMinhashSql))),
     "q_dedup_corpus"   -> ((qDedupCorpus _, Some(qDedupCorpusSql))),

@@ -224,6 +224,36 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS inc_idx")
   }
 
+  test("incremental near-dup: batch drops corpus near-dups, resolves intra-batch groups") {
+    for (t <- Seq("mh_t_bands", "mh_t_sets")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    try {
+      val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+      val other = "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+      val corpus = Seq((1L, base)).toDF("doc_id", "text")
+      Dedup.buildMinhashIndex(corpus, "mh_t", buckets = 4,
+        idCol = "doc_id", textCol = "text")
+      val batch = Seq(
+        (10L, base + " extra"),    // near-dup of corpus doc 1 → dropped
+        (11L, other),              // intra-batch group min-id → kept
+        (12L, other + " zulu"),    // near-dup of 11 → dropped
+        (13L, "one two three four five six seven eight nine ten eleven twelve"))
+        .toDF("doc_id", "text")
+      // the cross pair is found with its exact jaccard
+      val cross = Dedup.minhashPairsAgainstIndex(batch, "mh_t", 0.5, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cross.toSeq == Seq((10L, 1L)), s"expected the planted cross pair, got ${cross.toSeq}")
+      val kept = Dedup.dedupNearDupAgainstIndex(batch, "mh_t", 0.5, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(11L, 13L))
+    } finally Seq("mh_t_bands", "mh_t_sets").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("boilerplate line removal strips corpus-common lines, keeps content") {
     val docs = Seq(
       (1L, "HEADER\nunique one content\nFOOTER"),

@@ -339,6 +339,55 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("minhash index probe: both index tables join without exchanging") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = Tables(spark, sf).documents
+    for (t <- Seq("mh_plan_bands", "mh_plan_sets")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    operators.Dedup.buildMinhashIndex(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), "mh_plan",
+      buckets = 4, idCol = "doc_id", textCol = "text")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = operators.Dedup.minhashPairsAgainstIndex(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "mh_plan",
+        threshold = 0.5, idCol = "doc_id", textCol = "text")
+      val plan = executed(out)
+      // every bucketed index scan (bands AND sets) must reach its join
+      // without an exchange; only |batch|-derived sides shuffle
+      def scanPaths(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = acc :+ p
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case _ => p.children
+        }
+        val sub = kids.flatMap(scanPaths(_, here))
+        p match {
+          case f: FileSourceScanExec if f.bucketedScan => sub :+ here
+          case _ => sub
+        }
+      }
+      val paths = scanPaths(plan, Nil)
+      assert(paths.size >= 2, s"expected bands + sets bucketed scans in:\n$plan")
+      paths.foreach { path =>
+        val scanToJoin = path.reverse.takeWhile(
+          !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+        assert(!scanToJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"index rows must reach the join exchange-free:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      Seq("mh_plan_bands", "mh_plan_sets").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("full faker registry is SQL-callable") {
     graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
