@@ -34,7 +34,8 @@ object ScaleBench {
     "q_pii_scrub", "q_repetition", "q_sample_hash", "q_top_terms", "q_tfidf",
     "q_contamination", "q_contamination_bloom", "q_lm_bigram",
     "q_repeated_grams", "q_substring_dedup", "q_token_stats", "q_doc_freq_score", "q_chunk_docs",
-    "q_pack_sequences", "q_multimodal", "q_mixture_resample", "q_split_assign")
+    "q_pack_sequences", "q_multimodal", "q_mixture_resample", "q_split_assign",
+    "q_boilerplate", "q_dedup_incremental", "q_dedup_minhash_inc", "q_best_per_source")
 
   /** Queries whose only input is the embeddings table (eligible for the
     * synthetic 10× embedding corpus). q_semdedup is handled separately:
