@@ -300,6 +300,62 @@ object Similarity {
       .select(col("id").as(idCol), col("cell").cast("bigint").as("cell"))
   }
 
+  /** Persist a SemDeDup anchor index for incremental SEMANTIC dedup (the
+    * embedding sibling of Dedup.buildFingerprintIndex / buildMinhashIndex):
+    * the corpus's capped per-cell anchor set — (cell, id, vector) for the
+    * maxCell smallest-id members of every cell — written as a table
+    * bucketed on `cell`. A later batch assigns to the same centroids and
+    * joins anchors by cell with no exchange on the index side; the corpus
+    * embedding table itself is never rescanned. Anchor capping uses the
+    * same bounded min-k heap as [[semDedup]]. */
+  def buildSemDedupIndex(corpus: DataFrame, centroids: DataFrame, table: String,
+                         buckets: Int, idCol: String = "vec_id",
+                         vecCol: String = "embedding", maxCell: Int = 4096): Unit = {
+    val cents = broadcast(centroids)
+    val cells = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(cents)
+      .select(col("id"), struct(cosine(col("v"), col("c_vec")).as("d"),
+        (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
+      .groupBy(col("id")).agg(max(col("s")).as("s"))
+      .select(col("id"), col("s.vv").as("v"), (-col("s.negc")).as("cell"))
+    val anchorIds = cells.groupBy(col("cell"))
+      .agg(graft.plans.Native.minKByKey(
+        col("id").cast("long"), col("id").cast("long"), maxCell).as("ks"))
+      .select(explode(col("ks")).as("e"))
+      .select(col("e.id").as("aid"))
+    Bucketing.writeBucketed(
+      cells.join(anchorIds, cells("id").cast("long") === col("aid"))
+        .select(col("cell"), col("id"), col("v")),
+      table, buckets, keys = Seq("cell"))
+  }
+
+  /** Incremental semantic dedup: drop batch vectors tau-similar to ANY
+    * indexed corpus anchor in their assigned cell, then run keep-first
+    * [[semDedup]] within the surviving batch. `centroids` must be the
+    * frame the index was built with. Returns (idCol, cell) of kept batch
+    * rows — the same shape as [[semDedup]]. */
+  def semDedupAgainstIndex(batch: DataFrame, centroids: DataFrame, table: String,
+                           tau: Double, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxCell: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = broadcast(centroids)
+    val anchors = Bucketing.readBucketed(spark, table)
+      .select(col("cell"), col("id").as("a"), col("v").as("va"))
+    val cells = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(cents)
+      .select(col("id"), struct(cosine(col("v"), col("c_vec")).as("d"),
+        (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
+      .groupBy(col("id")).agg(max(col("s")).as("s"))
+      .select(col("id"), col("s.vv").as("v"), (-col("s.negc")).as("cell"))
+    val dropped = cells.join(anchors, "cell")
+      .filter(cosine(col("va"), col("v")) >= tau)
+      .select(col("id")).distinct()
+    val fresh = batch.join(dropped,
+      batch(idCol) === dropped("id"), "left_anti")
+    semDedup(fresh, centroids, tau, idCol, vecCol, maxCell)
+  }
+
   /** IVF-style ANN with trained coarse centroids: every corpus vector is
     * assigned to its nearest centroid (one broadcast pass), queries probe
     * the `nprobe` nearest cells only. The scan-side win at scale: the

@@ -502,6 +502,57 @@ object DataOps {
       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assigned
       |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
 
+  /** Incremental SEMANTIC dedup: a batch (vec_id % 3 ≠ 0) deduped against
+    * a persisted SemDeDup anchor index of the existing corpus
+    * (vec_id % 3 = 0), then keep-first within the surviving batch — the
+    * embedding sibling of [[qDedupIncremental]] / [[qDedupMinhashInc]].
+    * Fixed first-8 centroids make every stage SQL-expressible, so the
+    * whole two-phase pipeline (shared cell assignment, capped corpus
+    * anchors, cross-drop, intra-batch keep-first with the same cap) is
+    * equality-gated with the same IEEE cosine shapes as q_semdedup. */
+  def qSemDedupInc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    val existing = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    dropGateTable(spark, "graft_sem_gate_idx")
+    Similarity.buildSemDedupIndex(existing, cents, "graft_sem_gate_idx", buckets = 8)
+    Similarity.semDedupAgainstIndex(batch, cents, "graft_sem_gate_idx", tau = 0.3)
+  }
+
+  val qSemDedupIncSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INT) AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, cell FROM (
+      |  SELECT e.vec_id, e.v, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn = 1),
+      |ex AS (SELECT vec_id, v, cell FROM (
+      |  SELECT vec_id, v, cell,
+      |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS arn
+      |  FROM asg WHERE vec_id % 3 = 0) WHERE arn <= 4096),
+      |bt AS (SELECT vec_id, v, cell FROM asg WHERE vec_id % 3 <> 0),
+      |crossdrop AS (SELECT DISTINCT b.vec_id
+      |  FROM bt b JOIN ex a ON a.cell = b.cell
+      |  WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+      |fresh AS (SELECT * FROM bt WHERE vec_id NOT IN (SELECT vec_id FROM crossdrop)),
+      |fa AS (SELECT vec_id, v, cell FROM (
+      |  SELECT vec_id, v, cell,
+      |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS arn
+      |  FROM fresh) WHERE arn <= 4096),
+      |drops AS (SELECT DISTINCT b.vec_id
+      |  FROM fa a JOIN fresh b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+      |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM fresh
+      |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+
   /** LSH-bucketed near-dup (approximate) — rows-only gate (SplitMix64
     * planes have no DuckDB equivalent; the banding/capping/verify pipeline
     * is oracle-checked by [[qEmbNeardupLshFixed]] instead). */
@@ -1469,6 +1520,7 @@ object DataOps {
     "q_emb_neardup_lsh" -> ((qEmbNeardupLsh _, None)),
     "q_emb_neardup_lsh_fixed" -> ((qEmbNeardupLshFixed _, Some(qEmbNeardupLshFixedSql))),
     "q_semdedup"       -> ((qSemDedup _, Some(qSemDedupSql))),
+    "q_semdedup_inc"   -> ((qSemDedupInc _, Some(qSemDedupIncSql))),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
     "q_ann_ivf_fixed"  -> ((qAnnIvfFixed _, Some(qAnnIvfFixedSql))),

@@ -254,6 +254,27 @@ class OperatorsSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("incremental semdedup: batch drops vs corpus anchors, then keep-first within batch") {
+    spark.sql("DROP TABLE IF EXISTS sem_t_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "sem_t_idx")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    try {
+      val cent = Seq((0, Seq(math.sqrt(0.5), math.sqrt(0.5)))).toDF("c_id", "c_vec")
+      val corpus = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+      Similarity.buildSemDedupIndex(corpus, cent, "sem_t_idx", buckets = 2)
+      val batch = Seq(
+        (10L, Seq(0.995, 0.1)),  // ~corpus doc 1 → cross-dropped
+        (11L, Seq(0.0, 1.0)),    // new direction → kept
+        (12L, Seq(0.1, 0.995)),  // ~11, later id → intra-batch drop
+        (13L, Seq(-1.0, 0.3)))   // far from both survivors → kept
+        .toDF("vec_id", "embedding")
+      val kept = Similarity.semDedupAgainstIndex(batch, cent, "sem_t_idx", tau = 0.9)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(11L, 13L))
+    } finally spark.sql("DROP TABLE IF EXISTS sem_t_idx")
+  }
+
   test("boilerplate line removal strips corpus-common lines, keeps content") {
     val docs = Seq(
       (1L, "HEADER\nunique one content\nFOOTER"),
