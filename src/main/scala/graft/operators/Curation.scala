@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via hashed n-gram importance weights (Xie et
+  * al. 2023, "Data Selection for Language Models via Importance
+  * Resampling", arXiv:2302.03169): documents from a raw corpus are scored
+  * by how much their hashed unigram+bigram feature distribution resembles
+  * a small TARGET sample (e.g. a trusted high-quality source) relative to
+  * the raw corpus, and the best k are selected.
+  *
+  * Scale shape (the 100 TB contract): the feature stream is a map-side
+  * explode inside the scan stage; BOTH per-bucket count tables (target and
+  * raw) come out of ONE `buckets`-row aggregate over that stream (partial
+  * map-side, so the shuffle carries ≤ buckets rows per partition); the
+  * ratio table is broadcast back onto the stream; the per-document
+  * reduction partial-aggregates before its one narrow shuffle; and the
+  * final selection is the bounded [[graft.plans.Native.topKByScore]] heap
+  * — k pairs per partition, no global sort, nothing corpus-sized ever
+  * collected.
+  */
+object Curation {
+
+  /** Portable 60-bit gram hash (15 hex chars of md5, the
+    * qDedupSimhashExact pattern) mod `buckets` — bit-replicable in the
+    * DuckDB oracle, unlike xxhash64. */
+  def featureBucket(gram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Hashed unigram+bigram occurrence stream: one row per feature
+    * OCCURRENCE — (doc_id, is_t, b). Map-side only: tokenize, explode,
+    * hash all run inside the scan stage. `flagged` must carry an `is_t`
+    * boolean marking target-sample membership. */
+  private def featureStream(flagged: DataFrame, buckets: Int): DataFrame = {
+    val toks = flagged.select(col("doc_id"), col("is_t"),
+      split(trim(lower(col("text"))), "\\s+").as("t"))
+    val uni = toks.select(col("doc_id"), col("is_t"), explode(col("t")).as("g"))
+    val bi = toks.select(col("doc_id"), col("is_t"), explode(
+      when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => array_join(slice(col("t"), i + 1, lit(2)), " ")))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    uni.unionAll(bi)
+      .select(col("doc_id"), col("is_t"), featureBucket(col("g"), buckets).as("b"))
+  }
+
+  /** Per-bucket occurrence counts (b, t, r): target and raw (= everything,
+    * target included) in a single pass over the stream. Only buckets that
+    * occur are present — fine, because every candidate occurrence joins a
+    * bucket with r ≥ 1 by construction. */
+  private def bucketCounts(stream: DataFrame): DataFrame =
+    stream.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("t"),
+      count(lit(1)).as("r"))
+
+  /** Deterministic oracle-exact selection — the FULL-gate path (the
+    * portable-simhash-twin pattern; the paper's log estimator is
+    * [[dsirLogWeights]]). Per bucket, with add-1 smoothed evidence
+    * t̂ = (t_b+1)·(R+B) and r̂ = (r_b+1)·(T+B), the integer ratio
+    *
+    *   lr_b = ⌊2·scale·t̂ / (t̂+r̂)⌋ − scale   ∈ [−scale, scale]
+    *
+    * is the bounded odds contrast scale·(t̂−r̂)/(t̂+r̂): zero-centered,
+    * monotone in the smoothed likelihood ratio, saturating — it tracks
+    * the SIGN and ordering of the per-bucket log ratio without ln
+    * (ln is not bit-portable across engines). Per-doc score =
+    * Σ occurrences lr_b, an exact long sum. The double stage computes
+    * two products, one sum, one division, one floor — every op
+    * correctly-rounded IEEE with a fixed shape, so both engines produce
+    * identical bits at any magnitude (no integer-overflow cliff: the
+    * doubles carry the scale, the floor re-enters exact integers).
+    *
+    * Returns the k best NON-target docs as (doc_id, score), score
+    * descending, doc_id ascending on ties. |score| ≤ grams(x)·scale ≪
+    * 2^53, so the double cast inside the top-k heap is order-exact and
+    * the cast back to bigint is lossless. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
+                 buckets: Int = 1024, scale: Long = 10000L): DataFrame = {
+    val stream = featureStream(docs.withColumn("is_t", isTarget), buckets)
+    val counts = bucketCounts(stream)
+    val totals = counts.agg(sum(col("t")).as("tt"), sum(col("r")).as("rr"))
+    val tn = (col("t") + 1L).cast("double") *
+      (col("rr") + buckets.toLong).cast("double")
+    val rn = (col("r") + 1L).cast("double") *
+      (col("tt") + buckets.toLong).cast("double")
+    val lr = counts.crossJoin(broadcast(totals)).select(col("b"),
+      (floor(lit(2.0 * scale) * tn / (tn + rn)) - scale).as("lr"))
+    stream.filter(!col("is_t"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id")).agg(sum(col("lr")).as("score"))
+      .agg(graft.plans.Native.topKByScore(
+        col("score").cast("double"), col("doc_id").cast("long"), k).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.id").as("doc_id"), col("e.cos").cast("bigint").as("score"))
+  }
+
+  /** Paper-faithful log importance weight for every non-target doc:
+    * logw(x) = Σ_b c_b(x) · ln( ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)) )
+    * with B = buckets, T/R = total target/raw occurrences (add-1
+    * multinomial smoothing, DSIR §3). ln is NOT bit-portable across
+    * engines (JVM intrinsics vs libm differ in ulps), so this path is
+    * spec-gated on fixtures while [[dsirSelect]] pins the shared
+    * pipeline against the DuckDB oracle. */
+  def dsirLogWeights(docs: DataFrame, isTarget: Column,
+                     buckets: Int = 1024): DataFrame = {
+    val stream = featureStream(docs.withColumn("is_t", isTarget), buckets)
+    val counts = bucketCounts(stream)
+    val totals = counts.agg(sum(col("t")).as("tt"), sum(col("r")).as("rr"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("b"), log(
+        ((col("t") + 1L) * (col("rr") + buckets.toLong)).cast("double") /
+          ((col("r") + 1L) * (col("tt") + buckets.toLong)).cast("double"))
+        .as("lr"))
+    stream.filter(!col("is_t"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id")).agg(sum(col("lr")).as("logw"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Dedup, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -323,6 +323,54 @@ object DataOps {
       |  SELECT source, doc_id,
       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk
       |  FROM s) WHERE rnk <= 20""".stripMargin
+
+  /** DSIR importance selection (Xie et al. 2023): the lexicographically
+    * first source stands in for the trusted target sample; the 50 docs
+    * from OTHER sources whose hashed unigram+bigram distribution best
+    * matches it are selected. Integer-surrogate scoring (see
+    * [[graft.operators.Curation.dsirSelect]]) keeps every stage — portable
+    * md5 bucket hash, one-pass target/raw counts, bounded odds-contrast
+    * ratio (fixed-shape IEEE ops, no ln), long-sum scoring,
+    * (score DESC, id) ranking — bit-replicable in the oracle; the
+    * paper's log estimator is spec-gated on fixtures. */
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tgt = docs.agg(min(col("source")).as("tsrc"))
+    Curation.dsirSelect(docs.crossJoin(broadcast(tgt)),
+      col("source") === col("tsrc"), k = 50)
+  }
+
+  val qDsirSelectSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source = (SELECT min(source) FROM documents) AS is_t,
+       |    string_split(trim(lower(text)), ' ') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, is_t, unnest(t) AS g FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, is_t, unnest(CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+       |    ELSE [] END) AS g FROM toks),
+       |hb AS (SELECT doc_id, is_t, ($hexVal) % 1024 AS b
+       |  FROM (SELECT doc_id, is_t, substring(md5(g), 1, 15) AS h FROM g)),
+       |bc AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t, count(*) AS r
+       |  FROM hb GROUP BY b),
+       |tot AS (SELECT sum(t) AS tt, sum(r) AS rr FROM bc),
+       |ev AS (SELECT b,
+       |    CAST(t + 1 AS DOUBLE) * CAST(rr + 1024 AS DOUBLE) AS tn,
+       |    CAST(r + 1 AS DOUBLE) * CAST(tt + 1024 AS DOUBLE) AS rn
+       |  FROM bc CROSS JOIN tot),
+       |lr AS (SELECT b, CAST(floor(20000.0 * tn / (tn + rn)) AS BIGINT) - 10000 AS lr
+       |  FROM ev),
+       |sc AS (SELECT doc_id, sum(lr) AS score
+       |  FROM hb JOIN lr USING (b) WHERE NOT is_t GROUP BY doc_id)
+       |SELECT doc_id, CAST(score AS BIGINT) AS score FROM (
+       |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+       |  FROM sc) WHERE rn <= 50""".stripMargin
+  }
 
   /** Gopher-style document filter rules (Rae et al. 2021, public paper —
     * the standard pretraining quality gate): word-count bounds, mean word
@@ -1512,6 +1560,7 @@ object DataOps {
     "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
     "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
     "q_best_per_source" -> ((qBestPerSource _, Some(qBestPerSourceSql))),
+    "q_dsir_select"    -> ((qDsirSelect _, Some(qDsirSelectSql))),
     "q_gopher_rules"   -> ((qGopherRules _, Some(qGopherRulesSql))),
     "q_lang_id"        -> ((qLangId _, Some(qLangIdSql))),
     "q_fingerprint"    -> ((qFingerprint _, Some(qFingerprintSql))),

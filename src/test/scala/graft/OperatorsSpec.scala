@@ -552,4 +552,58 @@ class OperatorsSpec extends SparkSpec {
     assert(auto.select(col("shard")).distinct().count() ==
       math.min(expected, docs.count()))
   }
+
+  test("dsir select: target-resembling candidates outrank off-target ones") {
+    val docs = Seq(
+      (1L, "wiki", "apple banana cherry apple banana"),   // target sample
+      (2L, "wiki", "banana cherry apple cherry"),         // target sample
+      (10L, "web", "apple banana cherry banana apple"),   // candidate ~ target
+      (11L, "web", "zebra quark xylophone vortex gnome"), // candidate, off-target
+      (12L, "web", "apple zebra banana quark")            // candidate, mixed
+    ).toDF("doc_id", "source", "text")
+    val sel = Curation.dsirSelect(docs, col("source") === "wiki", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(sel.map(_._1).toSeq == Seq(10L, 12L),
+      "ranking must follow target-likeness, best first")
+    assert(sel(0)._2 > sel(1)._2)
+    // top-k heap caps the output, best-first
+    val sel1 = Curation.dsirSelect(docs, col("source") === "wiki", k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel1 == Seq(10L))
+  }
+
+  test("dsir log weights match the closed-form estimator on a fixture") {
+    val B = 1024
+    val fixture = Seq(
+      (1L, true, "apple banana apple"),
+      (2L, true, "banana cherry"),
+      (10L, false, "apple banana"),
+      (11L, false, "zebra quark vortex"))
+    val docs = fixture.map { case (id, t, tx) =>
+      (id, if (t) "tgt" else "raw", tx)
+    }.toDF("doc_id", "source", "text")
+    // independent replication: same features, same add-1 smoothing, same ln
+    def grams(tx: String): Seq[String] = {
+      val t = tx.trim.toLowerCase.split("\\s+").toSeq
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val all = fixture.flatMap { case (id, t, tx) => grams(tx).map(g => (id, t, bucket(g))) }
+    val tC = all.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val rC = all.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tt = tC.values.sum; val rr = rC.values.sum
+    val expect = all.filter(!_._2).groupBy(_._1).view.mapValues(_.map { case (_, _, b) =>
+      math.log(((tC.getOrElse(b, 0L) + 1) * (rr + B)).toDouble /
+        ((rC(b) + 1) * (tt + B)).toDouble)
+    }.sum).toMap
+    val got = Curation.dsirLogWeights(docs, col("source") === "tgt", B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(10L, 11L))
+    got.foreach { case (id, w) => assert(math.abs(w - expect(id)) < 1e-9, s"doc $id") }
+    assert(got(10L) > got(11L), "target-like doc must carry the higher log weight")
+  }
 }
