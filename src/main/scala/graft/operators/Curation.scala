@@ -97,6 +97,45 @@ object Curation {
       .select(col("e.id").as("doc_id"), col("e.cos").cast("bigint").as("score"))
   }
 
+  /** Hashed word n-gram shingle stream: one row per occurrence, (h) only.
+    * Map-side explode + portable 60-bit hash inside the scan stage. */
+  private def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs.select(split(trim(lower(col("text"))), "\\s+").as("t"))
+    toks.select(explode(
+      when(size(col("t")) >= n,
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => array_join(slice(col("t"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .select(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  /** Corpus-overlap estimation via bottom-k (KMV) sketches (Bar-Yossef et
+    * al. 2002; the corpus-granularity contamination check — "how much of
+    * eval's shingle space does train cover?"). Each corpus reduces to its
+    * k smallest DISTINCT shingle hashes ([[graft.plans.Native.bottomKDistinct]]
+    * — ≤ k longs per partition buffer, no corpus-wide distinct shuffle, no
+    * global sort); the unbiased estimator intersects the two sketches
+    * inside the union's bottom-k:
+    *
+    *   Ĵ(A,B) = |U ∩ S_A ∩ S_B| / |U|,  U = bottom-k(S_A ∪ S_B)
+    *
+    * One row out: (n_union, n_both, jaccard_est). The division is a
+    * single IEEE op on integers, so the gate is bit-exact. Standard
+    * error ≈ 1/√k (k=512 → ±4.4%). */
+  def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = 512,
+                    n: Int = 3): DataFrame = {
+    val ska = shingleHashes(a, n)
+      .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sa"))
+    val skb = shingleHashes(b, n)
+      .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sb"))
+    val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val both = size(array_intersect(array_intersect(u, col("sa")), col("sb")))
+    ska.crossJoin(skb).select(
+      size(u).cast("bigint").as("n_union"),
+      both.cast("bigint").as("n_both"),
+      (both.cast("double") / size(u).cast("double")).as("jaccard_est"))
+  }
+
   /** Paper-faithful log importance weight for every non-target doc:
     * logw(x) = Σ_b c_b(x) · ln( ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)) )
     * with B = buckets, T/R = total target/raw occurrences (add-1

@@ -31,6 +31,11 @@ object Native {
     * k-entry heap — the LSH bucket cap with the bound inside the buffer. */
   def minKByKey(key: Column, payload: Column, k: Int): Column =
     toCol(MinKByKey(toExpr(key), toExpr(payload), k).toAggregateExpression())
+
+  /** Aggregate: the k smallest DISTINCT longs (KMV / bottom-k sketch) —
+    * ≤ k-long buffer, duplicates absorbed on insert. */
+  def bottomKDistinct(v: Column, k: Int): Column =
+    toCol(BottomKDistinct(toExpr(v), k).toAggregateExpression())
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -76,6 +81,12 @@ object GraftExtensions {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
           s"graft_min_k needs a literal int k, got $other")
+      })),
+    ("graft_bottom_k", info("BottomKDistinct", "k smallest distinct longs (KMV sketch)"),
+      (e: Seq[Expression]) => BottomKDistinct(e(0), e(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_bottom_k needs a literal int k, got $other")
       })),
     ("graft_int8_quant", info("Int8QuantStats", "symmetric int8 quantization stats of a double array"),
       (e: Seq[Expression]) => Int8QuantStats(e(0))),

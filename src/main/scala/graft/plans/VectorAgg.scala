@@ -246,3 +246,77 @@ case class TopKByScore(left: Expression, right: Expression, k: Int,
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopKByScore =
     copy(left = newLeft, right = newRight)
 }
+
+/** The k smallest DISTINCT long values — a KMV / bottom-k sketch buffer
+  * (Bar-Yossef et al. 2002): duplicates are absorbed on insert, so the
+  * buffer is ≤ k longs no matter how heavy the value multiplicity.
+  *
+  * Replaces `distinct → sort → limit k` for sketch building: the exact
+  * distinct shuffles every value corpus-wide before anything can be
+  * truncated; this partial-aggregates map-side, so the one exchange
+  * carries ≤ k longs per partition and no global sort ever runs — the
+  * shape that lets two 100 TB corpora be compared by reading each once.
+  *
+  * Null inputs are skipped; an all-null group evaluates to null.
+  * Evaluates to array<long> sorted ascending (the bottom-k set).
+  */
+case class BottomKDistinct(child: Expression, k: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k > 0, s"bottom-k needs k > 0, got $k")
+
+  override def prettyName: String = "graft_bottom_k_distinct"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def push(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) push(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    b2.forEach(v => push(b1, v))
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.isEmpty) null
+    else {
+      val out = new Array[Long](buf.size)
+      var i = 0
+      buf.forEach { v => out(i) = v; i += 1 } // TreeSet iterates ascending
+      new GenericArrayData(out)
+    }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
+    buf.forEach(v => { bb.putLong(v); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    (0 until bytes.length / 8).foreach(_ => push(buf, bb.getLong()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BottomKDistinct =
+    copy(child = newChild)
+}

@@ -372,6 +372,45 @@ object DataOps {
        |  FROM sc) WHERE rn <= 50""".stripMargin
   }
 
+  /** Corpus-overlap estimate between the even- and odd-id halves of the
+    * documents table via bottom-k (KMV) shingle sketches — the
+    * corpus-granularity contamination instrument. The sketch aggregate
+    * keeps ≤ k distinct hashes per buffer (no corpus-wide distinct, no
+    * global sort); the oracle replicates the sketches with
+    * row_number-over-distinct-hash and the same set algebra, bit-exact
+    * including the single-division estimate. */
+  def qCorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Curation.corpusOverlap(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), k = 512)
+  }
+
+  val qCorpusOverlapSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id % 2 AS c,
+       |    string_split(trim(lower(text)), ' ') AS t FROM documents),
+       |g AS (SELECT c, unnest(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |    ELSE [] END) AS g FROM toks),
+       |hd AS (SELECT DISTINCT c, ($hexVal) AS h
+       |  FROM (SELECT c, substring(md5(g), 1, 15) AS h FROM g)),
+       |rk AS (SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS rn FROM hd),
+       |ska AS (SELECT h FROM rk WHERE c = 0 AND rn <= 512),
+       |skb AS (SELECT h FROM rk WHERE c = 1 AND rn <= 512),
+       |u AS (SELECT h FROM (
+       |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |  FROM (SELECT h FROM ska UNION SELECT h FROM skb)) WHERE rn <= 512),
+       |nn AS (SELECT count(*) AS n_union,
+       |    sum(CASE WHEN h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+       |        THEN 1 ELSE 0 END) AS n_both FROM u)
+       |SELECT CAST(n_union AS BIGINT) AS n_union, CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_both AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_est FROM nn""".stripMargin
+  }
+
   /** Gopher-style document filter rules (Rae et al. 2021, public paper —
     * the standard pretraining quality gate): word-count bounds, mean word
     * length bounds, minimum stopword presence, symbol-to-word ratio. Pure
@@ -1561,6 +1600,7 @@ object DataOps {
     "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
     "q_best_per_source" -> ((qBestPerSource _, Some(qBestPerSourceSql))),
     "q_dsir_select"    -> ((qDsirSelect _, Some(qDsirSelectSql))),
+    "q_corpus_overlap" -> ((qCorpusOverlap _, Some(qCorpusOverlapSql))),
     "q_gopher_rules"   -> ((qGopherRules _, Some(qGopherRulesSql))),
     "q_lang_id"        -> ((qLangId _, Some(qLangIdSql))),
     "q_fingerprint"    -> ((qFingerprint _, Some(qFingerprintSql))),

@@ -572,6 +572,30 @@ class OperatorsSpec extends SparkSpec {
     assert(sel1 == Seq(10L))
   }
 
+  test("corpus overlap sketch: exact at the extremes, near exact Jaccard between") {
+    def corpus(ids: Range, words: Int => String) = ids.map(i =>
+      (i.toLong, (0 until 6).map(j => words(i * 6 + j)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = corpus(0 until 40, i => s"w$i")
+    // identical corpora → Ĵ = 1
+    val same = Curation.corpusOverlap(a, a, k = 64).head()
+    assert(same.getDouble(2) == 1.0 && same.getLong(0) == same.getLong(1))
+    // disjoint vocabularies → Ĵ = 0
+    val b = corpus(0 until 40, i => s"v$i")
+    assert(Curation.corpusOverlap(a, b, k = 64).head().getDouble(2) == 0.0)
+    // half the docs shared verbatim: k above the 240 distinct shingles
+    // makes the sketch the full set, so Ĵ is EXACT Jaccard — each doc
+    // contributes 4 disjoint shingles: |A|=|B|=160, |A∩B|=80, J=80/240
+    val half = corpus(0 until 40, i => if (i < 120) s"w$i" else s"u$i")
+    val est = Curation.corpusOverlap(a, half, k = 4096).head()
+    assert((est.getLong(0), est.getLong(1)) == (240L, 80L))
+    assert(est.getDouble(2) == 80.0 / 240.0)
+    // k below the distinct count: still an estimate in range, sketch-sized
+    val small = Curation.corpusOverlap(a, half, k = 32).head()
+    assert(small.getLong(0) == 32L)
+    assert(small.getDouble(2) >= 0.0 && small.getDouble(2) <= 1.0)
+  }
+
   test("dsir log weights match the closed-form estimator on a fixture") {
     val B = 1024
     val fixture = Seq(

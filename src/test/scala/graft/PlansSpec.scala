@@ -516,6 +516,33 @@ class PlansSpec extends SparkSpec {
     assert(agg.eval(rt).asInstanceOf[GenericArrayData].array.length == 8)
   }
 
+  test("bottom-k-distinct: buffer ≤ k, duplicates absorbed, output = k smallest distinct") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.plans.BottomKDistinct(
+      BoundReference(0, LongType, nullable = true), 8)
+    // heavy multiplicity: every value fed 5x — a non-distinct heap would
+    // fill its k slots with copies; the sketch must hold k DISTINCT values
+    val rnd = new scala.util.Random(11)
+    var buf = agg.createAggregationBuffer()
+    rnd.shuffle((0L until 2000L).flatMap(i => Seq.fill(5)(i)).toVector).foreach { v =>
+      buf = agg.update(buf, InternalRow(v))
+      assert(buf.size <= 8, s"buffer grew past k: ${buf.size}")
+    }
+    var buf2 = agg.createAggregationBuffer()
+    (0L until 100L).foreach(i => buf2 = agg.update(buf2, InternalRow(i)))
+    buf2 = agg.update(buf2, InternalRow(null))
+    val merged = agg.merge(buf, buf2)
+    assert(merged.size <= 8)
+    assert(agg.eval(merged).asInstanceOf[GenericArrayData]
+      .toLongArray().toSeq == (0L until 8L),
+      "eval must yield the k smallest distinct values ascending")
+    val rt = agg.deserialize(agg.serialize(merged))
+    assert(agg.eval(rt).asInstanceOf[GenericArrayData].toLongArray().length == 8)
+  }
+
   test("top-k and int8-quant are SQL-callable") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
