@@ -339,6 +339,49 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("semdedup index probe: anchor side joins without exchanging") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = Tables(spark, sf).embeddings
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        operators.Similarity.asDouble(col("embedding")).as("c_vec"))
+    spark.sql("DROP TABLE IF EXISTS sem_plan_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "sem_plan_idx")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    operators.Similarity.buildSemDedupIndex(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0), cents, "sem_plan_idx",
+      buckets = 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = operators.Similarity.semDedupAgainstIndex(
+        emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), cents, "sem_plan_idx",
+        tau = 0.3)
+      val plan = executed(out)
+      // the anchor table (cell, id, vector) is corpus-sized at 100 TB —
+      // it must flow from its bucketed scan into the cross-drop join
+      // exchange-free; only |batch|-derived sides may shuffle
+      def pathToBucketedScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec if f.bucketedScan => Some(List(p))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          pathToBucketedScan(q.plan).map(p :: _)
+        case a: AdaptiveSparkPlanExec =>
+          pathToBucketedScan(a.executedPlan).map(p :: _)
+        case _ => p.children.flatMap(pathToBucketedScan(_)).headOption.map(p :: _)
+      }
+      val path = pathToBucketedScan(plan)
+      assert(path.isDefined, s"expected a bucketed anchor scan in:\n$plan")
+      val scanToJoin = path.get.reverse.takeWhile(
+        !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(!scanToJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"anchor rows must reach the cross-drop join exchange-free:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS sem_plan_idx")
+    }
+  }
+
   test("minhash index probe: both index tables join without exchanging") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
