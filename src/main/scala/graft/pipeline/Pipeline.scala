@@ -57,6 +57,14 @@ object Pipeline {
     * occurs in at least `min_docs` distinct documents. */
   final case class BoilerplateStep(idCol: String, textCol: String, minDocs: Int,
                                    dataType: String) extends Step
+  /** DSIR data selection as a config step (Xie et al. 2023): keep only
+    * the `k` docs whose hashed n-gram distribution best matches the
+    * target slice (`target_field` == `target_value`). The id column must
+    * be integral (the bounded top-k heap ranks long ids). */
+  final case class DsirSelectStep(idCol: String, textCol: String,
+                                  targetField: String, targetValue: String,
+                                  k: Int, buckets: Int,
+                                  dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
                              valFrac: Double, dataType: String) extends Step
@@ -290,6 +298,13 @@ object Pipeline {
         val cols = Option(node.get("fields"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("text"))
         ScrubStep(cols, dataType)
+      case "dsir_select" => DsirSelectStep(
+        idCol = str("id", "id"), textCol = str("field", "text"),
+        targetField = str("target_field", "source"),
+        targetValue = str("target_value", ""),
+        k = if (node.has("k")) node.get("k").asInt() else 1000,
+        buckets = if (node.has("buckets")) node.get("buckets").asInt() else 1024,
+        dataType)
       case "sample" => SampleStep(
         fraction = if (node.has("fraction")) node.get("fraction").asDouble() else 0.1,
         keyCol = str("key", "id"), dataType)
@@ -560,6 +575,16 @@ object Pipeline {
           flow(dt).map { df =>
             flow.updated(dt, cols.foldLeft(df)((d, c) =>
               d.withColumn(c, graft.operators.TextAnalysis.scrubPii(col(c)))))
+          }.getOrElse(flow)
+        case DsirSelectStep(id, text, tf, tv, k, buckets, dt) =>
+          flow(dt).map { df =>
+            val renamed = df.select(col(id).cast("long").as("doc_id"),
+              col(text).as("text"), col(tf).as("__tgt"))
+            val sel = graft.operators.Curation
+              .dsirSelect(renamed, col("__tgt") === tv, k, buckets)
+              .select(col("doc_id").as("__kid"))
+            flow.updated(dt,
+              df.join(sel, df(id).cast("long") === col("__kid"), "left_semi"))
           }.getOrElse(flow)
         case SampleStep(fraction, key, dt) =>
           flow(dt).map { df =>

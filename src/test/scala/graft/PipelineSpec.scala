@@ -405,6 +405,20 @@ class PipelineSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS inc_step_idx")
   }
 
+  test("dsir_select step keeps the k candidates most like the target slice") {
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":
+        |   "[{\"id\":1,\"src\":\"wiki\",\"text\":\"apple banana cherry apple\"},{\"id\":2,\"src\":\"wiki\",\"text\":\"banana cherry apple cherry\"},{\"id\":10,\"src\":\"web\",\"text\":\"apple banana cherry banana\"},{\"id\":11,\"src\":\"web\",\"text\":\"zebra quark xylophone vortex\"},{\"id\":12,\"src\":\"web\",\"text\":\"apple zebra banana quark\"}]"}},
+        | {"type":"dsir_select","id":"id","field":"text",
+        |  "target_field":"src","target_value":"wiki","k":2}
+        |]""".stripMargin)
+    val kept = flow.ok.get.select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 12L),
+      "the two most target-like web docs survive; the target slice and the off-target doc do not")
+    assert(flow.ok.get.columns.toSet == Set("id", "src", "text"), "no helper columns leak")
+  }
+
   test("boilerplate step strips corpus-common lines from the field in place") {
     val flow = Pipeline.run(spark,
       """[
