@@ -1,6 +1,12 @@
 package graft
+/** One-off steady-state re-measure of named queries (3 runs each, best
+  * reported). SPARK_GRAFT_SF_DIR overrides the data dir (e.g. the
+  * ScaleBench target/scale10x corpus); SPARK_GRAFT_NOOP=1 materializes
+  * through the noop sink (the ScaleBench methodology) instead of count(). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val noop = sys.env.get("SPARK_GRAFT_NOOP").contains("1")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -11,7 +17,8 @@ object BenchOne {
     args.foreach { n =>
       val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").count()
+        val df = SparkEntry.queries(n)(spark, dir)
+        if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"### $n best=${times.min}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")

@@ -123,17 +123,54 @@ object Curation {
     * single IEEE op on integers, so the gate is bit-exact. Standard
     * error ≈ 1/√k (k=512 → ±4.4%). */
   def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = 512,
-                    n: Int = 3): DataFrame = {
-    val ska = shingleHashes(a, n)
-      .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sa"))
-    val skb = shingleHashes(b, n)
-      .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sb"))
+                    n: Int = 3): DataFrame =
+    sketchEstimate(
+      shingleHashes(a, n)
+        .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sa")),
+      shingleHashes(b, n)
+        .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sb")), k)
+
+  /** Ĵ from two one-row sketch frames (columns sa / sb). */
+  private def sketchEstimate(ska: DataFrame, skb: DataFrame, k: Int): DataFrame = {
     val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
     val both = size(array_intersect(array_intersect(u, col("sa")), col("sb")))
     ska.crossJoin(skb).select(
       size(u).cast("bigint").as("n_union"),
       both.cast("bigint").as("n_both"),
       (both.cast("double") / size(u).cast("double")).as("jaccard_est"))
+  }
+
+  /** Persist a corpus's bottom-k shingle sketch (one row: k sorted long
+    * hashes — a few KB no matter the corpus size) so later overlap
+    * checks never rescan the corpus: the incremental sibling of
+    * [[corpusOverlap]], completing the index family (exact fingerprint /
+    * minhash / semdedup anchors / IVF cells → overlap sketch). Crash-safe
+    * via temp-dir + rename (the persisted-centroids contract): a killed
+    * run leaves either nothing or a fully-committed sketch. */
+  def buildOverlapSketch(corpus: DataFrame, path: String, k: Int = 512,
+                         n: Int = 3): Unit = {
+    val sk = shingleHashes(corpus, n)
+      .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sketch"))
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + "__tmp-" + java.util.UUID.randomUUID())
+    sk.coalesce(1).write.parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest), s"could not commit overlap sketch to $path")
+  }
+
+  /** Overlap estimate of a batch against a persisted corpus sketch —
+    * the corpus itself is never read. Same estimator and output shape as
+    * [[corpusOverlap]]; `k` and `n` must match the build. */
+  def overlapAgainstSketch(b: DataFrame, path: String, k: Int = 512,
+                           n: Int = 3): DataFrame = {
+    sketchEstimate(
+      b.sparkSession.read.parquet(path).select(col("sketch").as("sa")),
+      shingleHashes(b, n)
+        .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sb")), k)
   }
 
   /** Paper-faithful log importance weight for every non-target doc:

@@ -386,6 +386,20 @@ object DataOps {
       docs.filter(pmod(col("doc_id"), lit(2)) === 1), k = 512)
   }
 
+  /** Incremental overlap: the even half's sketch is PERSISTED (a few KB)
+    * and the odd half probes it — the corpus is never rescanned. Shares
+    * [[qCorpusOverlapSql]]: the persisted sketch changes the plan, never
+    * the answer (the q_ann_ivf_indexed contract). */
+  def qCorpusOverlapInc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_overlap_sketch").toString
+    Curation.buildOverlapSketch(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), p, k = 512)
+    Curation.overlapAgainstSketch(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), p, k = 512)
+  }
+
   val qCorpusOverlapSql: String = {
     val hexVal = (1 to 15).map { p =>
       val w = BigInt(16).pow(15 - p)
@@ -1601,6 +1615,7 @@ object DataOps {
     "q_best_per_source" -> ((qBestPerSource _, Some(qBestPerSourceSql))),
     "q_dsir_select"    -> ((qDsirSelect _, Some(qDsirSelectSql))),
     "q_corpus_overlap" -> ((qCorpusOverlap _, Some(qCorpusOverlapSql))),
+    "q_corpus_overlap_inc" -> ((qCorpusOverlapInc _, Some(qCorpusOverlapSql))),
     "q_gopher_rules"   -> ((qGopherRules _, Some(qGopherRulesSql))),
     "q_lang_id"        -> ((qLangId _, Some(qLangIdSql))),
     "q_fingerprint"    -> ((qFingerprint _, Some(qFingerprintSql))),

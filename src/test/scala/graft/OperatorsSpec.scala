@@ -596,6 +596,22 @@ class OperatorsSpec extends SparkSpec {
     assert(small.getDouble(2) >= 0.0 && small.getDouble(2) <= 1.0)
   }
 
+  test("persisted overlap sketch: probe equals the direct estimate") {
+    def corpus(ids: Range, words: Int => String) = ids.map(i =>
+      (i.toLong, (0 until 6).map(j => words(i * 6 + j)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = corpus(0 until 30, i => s"w$i")
+    val b = corpus(0 until 30, i => if (i < 90) s"w$i" else s"u$i")
+    val p = java.nio.file.Files.createTempDirectory("ovsk").toString + "/sketch"
+    Curation.buildOverlapSketch(a, p, k = 64)
+    val direct = Curation.corpusOverlap(a, b, k = 64).head()
+    val probed = Curation.overlapAgainstSketch(b, p, k = 64).head()
+    assert(probed == direct, "sketch probe must reproduce the direct estimate")
+    // a rebuild overwrites committed state cleanly (idempotent runs)
+    Curation.buildOverlapSketch(a, p, k = 64)
+    assert(Curation.overlapAgainstSketch(b, p, k = 64).head() == direct)
+  }
+
   test("dsir log weights match the closed-form estimator on a fixture") {
     val B = 1024
     val fixture = Seq(
