@@ -37,6 +37,10 @@ object Curation {
   private def featureStream(flagged: DataFrame, buckets: Int): DataFrame = {
     val toks = flagged.select(col("doc_id"), col("is_t"),
       split(trim(lower(col("text"))), "\\s+").as("t"))
+    // two explodes unioned, NOT one explode of a concatenated uni++bi
+    // array: measured at sf0.1 the fused form is 1.7× SLOWER (3.77 s vs
+    // 2.21 s steady-state) — materializing the concat array per row costs
+    // more than the second lightweight scan of the text column
     val uni = toks.select(col("doc_id"), col("is_t"), explode(col("t")).as("g"))
     val bi = toks.select(col("doc_id"), col("is_t"), explode(
       when(size(col("t")) >= 2,
