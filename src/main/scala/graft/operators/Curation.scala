@@ -177,6 +177,82 @@ object Curation {
         .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sb")), k)
   }
 
+  /** Per-doc hashed feature counts (doc_id, is_t, b, c) — the sparse
+    * design matrix for the quality classifier. */
+  private def featureCounts(flagged: DataFrame, buckets: Int): DataFrame =
+    featureStream(flagged, buckets)
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** CCNet/fastText-style discriminative quality classifier: logistic
+    * regression on hashed unigram+bigram counts, trained target(y=1) vs
+    * raw(y=0) by full-batch gradient descent (Wenzek et al. 2020 train
+    * exactly this shape to score CommonCrawl against Wikipedia).
+    *
+    * Each iteration is ONE distributed pass: the (B+1)-row weight table
+    * broadcasts onto the persisted sparse feature frame, per-doc margins
+    * reduce map-side, the gradient aggregates two-phase on the bucket key
+    * (≤ B+1 rows per partition shuffle), and only the (B+1)-long gradient
+    * ever reaches the driver — the same small-model contract as
+    * [[Similarity.trainCentroids]] (k·dim centroid collect). Nothing
+    * corpus-sized is collected, sorted, or windowed at any step.
+    *
+    * Returns weights as (b, w) with the bias at b = -1. Determinism note:
+    * iteration 1 from w=0 is EXACT (sigmoid(0) = 1/2, so every product is
+    * a dyadic rational — order-independent double sums; the q_quality_lr
+    * gate pins that step against the DuckDB oracle bit-for-bit); later
+    * iterations involve exp, whose sums are order-sensitive in the last
+    * ulps, so the trained path is spec-gated on fixtures instead. */
+  def trainQualityLR(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
+                     iters: Int = 8, lr: Double = 0.5,
+                     l2: Double = 0.0): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = featureCounts(docs.withColumn("is_t", isTarget), buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = Array.fill(buckets + 1)(0.0) // index buckets = bias
+      for (_ <- 0 until iters) {
+        val wDf = spark.createDataFrame(
+          w.zipWithIndex.map { case (v, i) =>
+            (if (i == buckets) -1L else i.toLong, v)
+          }.toIndexedSeq).toDF("b", "w")
+        val bias = w(buckets)
+        val margins = feats.join(broadcast(wDf), "b")
+          .groupBy(col("doc_id"), col("is_t"))
+          .agg(sum(col("c") * col("w")).as("dot"))
+          .select(col("doc_id"), col("is_t"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(bias)))) -
+              when(col("is_t"), 1.0).otherwise(0.0)).as("err"))
+        val grad = feats.join(margins.select(col("doc_id"), col("err")), "doc_id")
+          .groupBy(col("b")).agg(sum(col("err") * col("c")).as("g"))
+          .unionAll(margins.agg(sum(col("err")).as("g"))
+            .select(lit(-1L).as("b"), col("g")))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        w = w.zipWithIndex.map { case (v, i) =>
+          val b = if (i == buckets) -1L else i.toLong
+          v - lr * (grad.getOrElse(b, 0.0) + l2 * v)
+        }
+      }
+      spark.createDataFrame(
+        w.zipWithIndex.map { case (v, i) =>
+          (if (i == buckets) -1L else i.toLong, v)
+        }.toIndexedSeq).toDF("b", "w")
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Score every doc with trained weights: (doc_id, score) where score
+    * is the raw margin w·x + bias (monotone in the quality probability
+    * sigmoid(score); kept un-squashed so exact-arithmetic paths stay
+    * exact). One broadcast join + one map-side-combined reduction. */
+  def scoreQualityLR(docs: DataFrame, weights: DataFrame,
+                     buckets: Int = 1024): DataFrame = {
+    val feats = featureCounts(docs.withColumn("is_t", lit(false)), buckets)
+    feats.join(broadcast(weights.filter(col("b") >= 0)), "b")
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("w")).as("dot"))
+      .crossJoin(broadcast(weights.filter(col("b") === -1L).select(col("w").as("bias"))))
+      .select(col("doc_id"), (col("dot") + col("bias")).as("score"))
+  }
+
   /** Paper-faithful log importance weight for every non-target doc:
     * logw(x) = Σ_b c_b(x) · ln( ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)) )
     * with B = buckets, T/R = total target/raw occurrences (add-1

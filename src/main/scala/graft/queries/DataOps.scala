@@ -372,6 +372,52 @@ object DataOps {
        |  FROM sc) WHERE rn <= 50""".stripMargin
   }
 
+  /** Quality-classifier gate: ONE gradient-descent step of the CCNet-style
+    * logistic regression (target = lexicographically first source), then
+    * margin scores for every candidate doc. From w=0, sigmoid(0)=1/2
+    * makes every product a dyadic rational — the whole pipeline (hashed
+    * features, per-doc counts, gradient, update, scoring) is exact in
+    * doubles and order-independent, so the gate is a FULL oracle through
+    * the REAL trainer code path; multi-iteration training (exp enters) is
+    * spec-gated on fixtures. */
+  def qQualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tgt = docs.agg(min(col("source")).as("tsrc"))
+    val flagged = docs.crossJoin(broadcast(tgt))
+    val w = Curation.trainQualityLR(flagged, col("source") === col("tsrc"),
+      iters = 1, lr = 0.5)
+    Curation.scoreQualityLR(flagged.filter(col("source") =!= col("tsrc")), w)
+  }
+
+  val qQualityLrSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source = (SELECT min(source) FROM documents) AS is_t,
+       |    string_split(trim(lower(text)), ' ') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, is_t, unnest(t) AS g FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, is_t, unnest(CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+       |    ELSE [] END) AS g FROM toks),
+       |hb AS (SELECT doc_id, is_t, ($hexVal) % 1024 AS b
+       |  FROM (SELECT doc_id, is_t, substring(md5(g), 1, 15) AS h FROM g)),
+       |feat AS (SELECT doc_id, is_t, b, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+       |grad AS (SELECT b,
+       |    sum((CAST(0.5 AS DOUBLE) - CASE WHEN is_t THEN 1.0 ELSE 0.0 END) * c) AS gb
+       |  FROM feat GROUP BY b),
+       |gbias AS (SELECT sum(CAST(0.5 AS DOUBLE) - CASE WHEN is_t THEN 1.0 ELSE 0.0 END) AS g0
+       |  FROM (SELECT DISTINCT doc_id, is_t FROM feat)),
+       |w AS (SELECT b, CAST(-0.5 AS DOUBLE) * gb AS w FROM grad)
+       |SELECT f.doc_id,
+       |  sum(f.c * w.w) + (SELECT CAST(-0.5 AS DOUBLE) * g0 FROM gbias) AS score
+       |FROM feat f JOIN w USING (b) WHERE NOT f.is_t
+       |GROUP BY f.doc_id""".stripMargin
+  }
+
   /** Corpus-overlap estimate between the even- and odd-id halves of the
     * documents table via bottom-k (KMV) shingle sketches — the
     * corpus-granularity contamination instrument. The sketch aggregate
@@ -1616,6 +1662,7 @@ object DataOps {
     "q_dsir_select"    -> ((qDsirSelect _, Some(qDsirSelectSql))),
     "q_corpus_overlap" -> ((qCorpusOverlap _, Some(qCorpusOverlapSql))),
     "q_corpus_overlap_inc" -> ((qCorpusOverlapInc _, Some(qCorpusOverlapSql))),
+    "q_quality_lr"     -> ((qQualityLr _, Some(qQualityLrSql))),
     "q_gopher_rules"   -> ((qGopherRules _, Some(qGopherRulesSql))),
     "q_lang_id"        -> ((qLangId _, Some(qLangIdSql))),
     "q_fingerprint"    -> ((qFingerprint _, Some(qFingerprintSql))),

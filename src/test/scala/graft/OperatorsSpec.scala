@@ -596,6 +596,34 @@ class OperatorsSpec extends SparkSpec {
     assert(small.getDouble(2) >= 0.0 && small.getDouble(2) <= 1.0)
   }
 
+  test("quality LR: GD separates target-like docs and reduces training loss") {
+    val docs = Seq(
+      (1L, "tgt", "apple banana cherry apple banana"),
+      (2L, "tgt", "banana cherry apple cherry apple"),
+      (10L, "raw", "apple banana cherry banana"),   // target-like candidate
+      (11L, "raw", "zebra quark xylophone vortex"), // off-target
+      (12L, "raw", "zebra quark gnome vortex mist")
+    ).toDF("doc_id", "source", "text")
+    val isT = col("source") === "tgt"
+    val w8 = Curation.trainQualityLR(docs, isT, iters = 8, lr = 0.1)
+    val s = Curation.scoreQualityLR(docs.filter(!isT), w8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(10L) > s(11L) && s(10L) > s(12L),
+      s"target-like candidate must outscore off-target ones: $s")
+    def trainLoss(w: org.apache.spark.sql.DataFrame): Double = {
+      val sc = Curation.scoreQualityLR(docs, w)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val y = Map(1L -> 1.0, 2L -> 1.0, 10L -> 0.0, 11L -> 0.0, 12L -> 0.0)
+      y.map { case (id, yy) =>
+        val p = 1.0 / (1.0 + math.exp(-sc(id)))
+        -(yy * math.log(p.max(1e-12)) + (1 - yy) * math.log((1 - p).max(1e-12)))
+      }.sum / y.size
+    }
+    val w1 = Curation.trainQualityLR(docs, isT, iters = 1, lr = 0.1)
+    assert(trainLoss(w8) < trainLoss(w1),
+      "more GD iterations must reduce training log-loss")
+  }
+
   test("persisted overlap sketch: probe equals the direct estimate") {
     def corpus(ids: Range, words: Int => String) = ids.map(i =>
       (i.toLong, (0 until 6).map(j => words(i * 6 + j)).mkString(" ")))
