@@ -84,7 +84,10 @@ object Curation {
   def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
                  buckets: Int = 1024, scale: Long = 10000L): DataFrame = {
     val stream = featureStream(docs.withColumn("is_t", isTarget), buckets)
-    val counts = bucketCounts(stream)
+    // the B-row count table feeds totals AND the ratio join — without the
+    // eager localCheckpoint each reuse re-derives the whole gram explode +
+    // two-phase agg (plan audit showed 3 redundant corpus passes)
+    val counts = bucketCounts(stream).localCheckpoint()
     val totals = counts.agg(sum(col("t")).as("tt"), sum(col("r")).as("rr"))
     val tn = (col("t") + 1L).cast("double") *
       (col("rr") + buckets.toLong).cast("double")
@@ -263,7 +266,7 @@ object Curation {
   def dsirLogWeights(docs: DataFrame, isTarget: Column,
                      buckets: Int = 1024): DataFrame = {
     val stream = featureStream(docs.withColumn("is_t", isTarget), buckets)
-    val counts = bucketCounts(stream)
+    val counts = bucketCounts(stream).localCheckpoint() // see dsirSelect
     val totals = counts.agg(sum(col("t")).as("tt"), sum(col("r")).as("rr"))
     val lr = counts.crossJoin(broadcast(totals))
       .select(col("b"), log(
