@@ -57,6 +57,15 @@ object Pipeline {
     * occurs in at least `min_docs` distinct documents. */
   final case class BoilerplateStep(idCol: String, textCol: String, minDocs: Int,
                                    dataType: String) extends Step
+  /** Learned quality filter as a config step (CCNet-style): train the
+    * logistic quality classifier against the target slice, then keep
+    * every doc whose margin score clears `threshold`. Trains per run
+    * (weights are a (B+1)-row frame; persisting them is the caller's
+    * choice via the Scala API). Integral id required. */
+  final case class QualityFilterStep(idCol: String, textCol: String,
+                                     targetField: String, targetValue: String,
+                                     iters: Int, lr: Double, threshold: Double,
+                                     dataType: String) extends Step
   /** DSIR data selection as a config step (Xie et al. 2023): keep only
     * the `k` docs whose hashed n-gram distribution best matches the
     * target slice (`target_field` == `target_value`). The id column must
@@ -298,6 +307,14 @@ object Pipeline {
         val cols = Option(node.get("fields"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("text"))
         ScrubStep(cols, dataType)
+      case "quality_filter" => QualityFilterStep(
+        idCol = str("id", "id"), textCol = str("field", "text"),
+        targetField = str("target_field", "source"),
+        targetValue = str("target_value", ""),
+        iters = if (node.has("iters")) node.get("iters").asInt() else 8,
+        lr = if (node.has("lr")) node.get("lr").asDouble() else 0.1,
+        threshold = if (node.has("threshold")) node.get("threshold").asDouble() else 0.0,
+        dataType)
       case "dsir_select" => DsirSelectStep(
         idCol = str("id", "id"), textCol = str("field", "text"),
         targetField = str("target_field", "source"),
@@ -575,6 +592,17 @@ object Pipeline {
           flow(dt).map { df =>
             flow.updated(dt, cols.foldLeft(df)((d, c) =>
               d.withColumn(c, graft.operators.TextAnalysis.scrubPii(col(c)))))
+          }.getOrElse(flow)
+        case QualityFilterStep(id, text, tf, tv, iters, lr, thr, dt) =>
+          flow(dt).map { df =>
+            val renamed = df.select(col(id).cast("long").as("doc_id"),
+              col(text).as("text"), col(tf).as("__tgt"))
+            val w = graft.operators.Curation.trainQualityLR(
+              renamed, col("__tgt") === tv, iters = iters, lr = lr)
+            val keep = graft.operators.Curation.scoreQualityLR(renamed, w)
+              .filter(col("score") >= thr).select(col("doc_id").as("__qid"))
+            flow.updated(dt,
+              df.join(keep, df(id).cast("long") === col("__qid"), "left_semi"))
           }.getOrElse(flow)
         case DsirSelectStep(id, text, tf, tv, k, buckets, dt) =>
           flow(dt).map { df =>

@@ -419,6 +419,37 @@ class PipelineSpec extends SparkSpec {
     assert(flow.ok.get.columns.toSet == Set("id", "src", "text"), "no helper columns leak")
   }
 
+  test("quality_filter step trains on the target slice and drops low scorers") {
+    import org.apache.spark.sql.functions.col
+    // derive the separating threshold from the Scala API (deterministic
+    // same-data training), then drive the config step with it: the spec
+    // pins the step's wiring, the separation itself is OperatorsSpec's job
+    val fixture = Seq(
+      (1L, "wiki", "apple banana cherry apple"),
+      (2L, "wiki", "banana cherry apple cherry"),
+      (10L, "web", "apple banana cherry banana"),
+      (11L, "web", "zebra quark xylophone vortex")
+    ).toDF("doc_id", "src", "text")
+    val w = graft.operators.Curation.trainQualityLR(
+      fixture, col("src") === "wiki", iters = 8, lr = 0.1)
+    val s = graft.operators.Curation.scoreQualityLR(fixture, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(10L) > s(11L), s"fixture must be separable: $s")
+    val thr = (s(10L) + s(11L)) / 2
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":
+         |   "[{\\"id\\":1,\\"src\\":\\"wiki\\",\\"text\\":\\"apple banana cherry apple\\"},{\\"id\\":2,\\"src\\":\\"wiki\\",\\"text\\":\\"banana cherry apple cherry\\"},{\\"id\\":10,\\"src\\":\\"web\\",\\"text\\":\\"apple banana cherry banana\\"},{\\"id\\":11,\\"src\\":\\"web\\",\\"text\\":\\"zebra quark xylophone vortex\\"}]"}},
+         | {"type":"quality_filter","id":"id","field":"text",
+         |  "target_field":"src","target_value":"wiki","iters":8,"lr":0.1,
+         |  "threshold":$thr}
+         |]""".stripMargin)
+    val kept = flow.ok.get.select("id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(10L) && !kept.contains(11L),
+      s"target-like doc kept, off-target dropped: $kept")
+    assert(flow.ok.get.columns.toSet == Set("id", "src", "text"), "no helper columns leak")
+  }
+
   test("boilerplate step strips corpus-common lines from the field in place") {
     val flow = Pipeline.run(spark,
       """[
