@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataOps, EtlSteps, Relational, Relational2, SourcesQ}
+import graft.queries.{DataOps, EtlSteps, Relational, Relational2, RetrievalQ, SourcesQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
       Relational2.entries,
       EtlSteps.entries,
       DataOps.entries,
+      RetrievalQ.entries,
       SourcesQ.entries,
     )
 

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Retrieval, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval gates (SURVEY §2.5 §55s): BM25 ranking — direct and
+  * postings-index paths — and hybrid BM25×ANN reciprocal-rank fusion.
+  *
+  * All three are FULL oracles: the integer BM25 path and the RRF
+  * combiner are fixed-shape IEEE chains (see [[graft.operators.Retrieval]]),
+  * so DuckDB reproduces every bit, including the final ranking order.
+  */
+object RetrievalQ {
+
+  /** Probe queries: every doc_id % 97 == 0 document, query text = its
+    * first five tokens (guaranteed matches; df spans the vocabulary). */
+  private def bm25Queries(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ")
+          .as("q_text"))
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Retrieval.bm25TopK(docs, bm25Queries(docs), k = 10)
+  }
+
+  /** One oracle for both BM25 paths (direct + postings index): layout
+    * changes the plan, never the answer. Shape discipline: every double
+    * op below has the same association order as the Spark expression in
+    * [[graft.operators.Retrieval.termScore]] — +,-,*,/ are correctly
+    * rounded IEEE in both engines, so the floor re-enters identical
+    * integers. */
+  val qBm25Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+      |st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM lens),
+      |q AS (SELECT doc_id AS q_id, list_distinct(t[1:5]) AS qt FROM d WHERE doc_id % 97 = 0),
+      |qterm AS (SELECT q_id, unnest(qt) AS term FROM q),
+      |s AS (SELECT doc_id, unnest(t) AS term FROM d),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM s
+      |       WHERE term IN (SELECT DISTINCT term FROM qterm) GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT qterm.q_id, tf.doc_id,
+      |         CAST(floor(1048576.0 *
+      |           ((CAST(st.nd AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+      |            (CAST(dfq.df AS DOUBLE) + 0.5)) *
+      |           (CAST(tf.tf AS DOUBLE) * 2.25) /
+      |           (CAST(tf.tf AS DOUBLE) + 1.25 * (0.25 +
+      |             (0.75 * CAST(lens.dl AS DOUBLE)) /
+      |             (CAST(st.tt AS DOUBLE) / CAST(st.nd AS DOUBLE))))) AS BIGINT) AS ts
+      |       FROM qterm JOIN tf USING (term) JOIN dfq USING (term)
+      |            JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st),
+      |agg AS (SELECT q_id, doc_id, CAST(sum(ts) AS BIGINT) AS score FROM sc GROUP BY 1, 2)
+      |SELECT q_id, doc_id, score, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+      |  FROM agg) WHERE rnk <= 10""".stripMargin
+
+  /** Same search through the persisted postings index — build (tokenize
+    * + tf + df + stats once), then probe with zero corpus work. */
+  def qBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Seq("graft_bm25_gate_postings", "graft_bm25_gate_terms", "graft_bm25_gate_stats")
+      .foreach(t => dropGateTable(spark, t))
+    Retrieval.buildBm25Index(docs, "graft_bm25_gate", buckets = 8)
+    Retrieval.bm25FromIndex(spark, "graft_bm25_gate", bm25Queries(docs), k = 10)
+  }
+
+  /** Hybrid retrieval: BM25 top-20 over documents fused with brute-force
+    * cosine top-20 over embeddings by reciprocal rank (q_id = doc_id =
+    * vec_id < 5 — the testdata keys align). Both input rankings and the
+    * fusion itself are oracle-exact, so the fused list is too. */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    val textQ = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ")
+          .as("q_text"))
+    val vecQ = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val textRank = Retrieval.bm25TopK(docs, textQ, k = 20)
+    val vecRank = Similarity.bruteTopK(t.embeddings, vecQ, k = 20)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
+    Retrieval.rrfFuse(textRank, vecRank, k = 10)
+  }
+
+  val qHybridRrfSql: String =
+    """WITH d AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+      |st AS (SELECT count(*) AS nd, sum(dl) AS tt FROM lens),
+      |q AS (SELECT doc_id AS q_id, list_distinct(t[1:5]) AS qt FROM d WHERE doc_id < 5),
+      |qterm AS (SELECT q_id, unnest(qt) AS term FROM q),
+      |s AS (SELECT doc_id, unnest(t) AS term FROM d),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM s
+      |       WHERE term IN (SELECT DISTINCT term FROM qterm) GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT qterm.q_id, tf.doc_id,
+      |         CAST(floor(1048576.0 *
+      |           ((CAST(st.nd AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+      |            (CAST(dfq.df AS DOUBLE) + 0.5)) *
+      |           (CAST(tf.tf AS DOUBLE) * 2.25) /
+      |           (CAST(tf.tf AS DOUBLE) + 1.25 * (0.25 +
+      |             (0.75 * CAST(lens.dl AS DOUBLE)) /
+      |             (CAST(st.tt AS DOUBLE) / CAST(st.nd AS DOUBLE))))) AS BIGINT) AS ts
+      |       FROM qterm JOIN tf USING (term) JOIN dfq USING (term)
+      |            JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st),
+      |bagg AS (SELECT q_id, doc_id, CAST(sum(ts) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+      |trank AS (SELECT q_id, doc_id, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+      |  FROM bagg) WHERE rnk <= 20),
+      |eq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |       FROM embeddings WHERE vec_id < 5),
+      |escored AS (
+      |  SELECT eq.q_id, e.vec_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), eq.qv) /
+      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(eq.qv, eq.qv))) AS cos
+      |  FROM embeddings e CROSS JOIN eq),
+      |vrank AS (SELECT q_id, vec_id AS doc_id, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM escored) WHERE rnk <= 20),
+      |fused AS (SELECT coalesce(t.q_id, v.q_id) AS q_id,
+      |    coalesce(t.doc_id, v.doc_id) AS doc_id,
+      |    coalesce(1.0 / (60.0 + CAST(t.rnk AS DOUBLE)), 0.0) +
+      |    coalesce(1.0 / (60.0 + CAST(v.rnk AS DOUBLE)), 0.0) AS score
+      |  FROM trank t FULL JOIN vrank v ON t.q_id = v.q_id AND t.doc_id = v.doc_id)
+      |SELECT q_id, doc_id, score, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+      |  FROM fused) WHERE rnk <= 10""".stripMargin
+
+  private def dropGateTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_bm25"         -> ((qBm25 _, Some(qBm25Sql))),
+    "q_bm25_indexed" -> ((qBm25Indexed _, Some(qBm25Sql))),
+    "q_hybrid_rrf"   -> ((qHybridRrf _, Some(qHybridRrfSql))),
+  )
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** BM25 + hybrid retrieval (SURVEY §2.5 55s): closed-form fixtures for
+  * the paper-faithful log path, layout invariance of the postings index,
+  * RRF arithmetic, tie policy, plan shape, and totality. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  test("bm25 log scores match the closed-form Okapi formula on a fixture") {
+    // corpus: nd=3, tt=6, avgdl=2; df(apple)=2 ⇒ idf = ln(1 + 1.5/2.5)
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple cherry"),
+      (3L, "dog")).toDF("doc_id", "text")
+    val q = Seq((10L, "apple")).toDF("q_id", "q_text")
+    val got = Retrieval.bm25LogScores(docs, q).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    // doc1: tf=1, dl=2 ⇒ den = 1 + 1.25*(0.25 + 0.75*2/2) = 2.25 ⇒ tf-part 1.0
+    val d1 = idf * (1.0 * 2.25) / 2.25
+    // doc2: tf=2, dl=3 ⇒ den = 2 + 1.25*(0.25 + 0.75*3/2) = 3.71875
+    val d2 = idf * (2.0 * 2.25) / 3.71875
+    assert(got.keySet == Set(1L, 2L), "only docs containing a query term score")
+    assert(math.abs(got(1L) - d1) < 1e-12 && math.abs(got(2L) - d2) < 1e-12,
+      s"got $got expected ($d1, $d2)")
+  }
+
+  test("integer bm25: higher-tf doc outranks, absent terms contribute nothing") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple cherry"),
+      (3L, "dog")).toDF("doc_id", "text")
+    val q = Seq((10L, "apple zebra")).toDF("q_id", "q_text") // zebra: df=0, no rows
+    val got = Retrieval.bm25TopK(docs, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")))
+    assert(got.toSeq.sortBy(_._2) == Seq((2L, 1L), (1L, 2L)))
+  }
+
+  test("postings index path returns exactly the direct path's ranking") {
+    val docs = Tables(spark, sf).documents
+    val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 4), " ").as("q_text"))
+    Seq("_postings", "_terms", "_stats").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS bm25_spec_idx$s")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"bm25_spec_idx$s")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    try {
+      Retrieval.buildBm25Index(docs, "bm25_spec_idx", buckets = 4)
+      val direct = Retrieval.bm25TopK(docs, queries, k = 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val indexed = Retrieval.bm25FromIndex(spark, "bm25_spec_idx", queries, k = 7)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(direct.nonEmpty && direct == indexed,
+        "layout must change the plan, never the answer")
+    } finally Seq("_postings", "_terms", "_stats")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS bm25_spec_idx$s"))
+  }
+
+  test("rrf fusion arithmetic and ordering on a fixture") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val got = Retrieval.rrfFuse(a, b, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Long]("rnk")))
+      .sortBy(_._3)
+    // d20 in both lists: 1/62 + 1/61; d10 only in a: 1/61; d30 only in b: 1/62
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 30L))
+    assert(math.abs(got(0)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(got(1)._2 - 1.0 / 61) < 1e-15)
+    assert(math.abs(got(2)._2 - 1.0 / 62) < 1e-15)
+  }
+
+  test("score ties rank by ascending doc id (row_number oracle parity)") {
+    val docs = Seq((7L, "x y"), (3L, "x y"), (5L, "z")).toDF("doc_id", "text")
+    val q = Seq((1L, "x")).toDF("q_id", "q_text")
+    val got = Retrieval.bm25TopK(docs, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"))).sortBy(_._2)
+    assert(got.toSeq == Seq((3L, 1L), (7L, 2L)))
+  }
+
+  test("bm25 plan: scan-stage term prefilter broadcasts, ranking is the bounded heap") {
+    val docs = Tables(spark, sf).documents
+    val q = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ").as("q_text"))
+    val s = planString(Retrieval.bm25TopK(docs, q, k = 10))
+    // the corpus term stream must meet the (tiny) query-term set in a
+    // broadcast join — a shuffled join here would exchange every corpus token
+    assert(s.contains("BroadcastHashJoin"), s"query-term prefilter must broadcast:\n$s")
+    // ranking must ride the two-phase bounded heap, never a per-query window
+    assert(s.contains("graft_top_k") && s.contains("partial_graft_top_k"),
+      "bounded top-k aggregate (with map-side partials) missing")
+    assert(!s.contains("row_number"), "per-query row_number window is a scale-killer")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("retrieval is total on empty inputs") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val noQ = Seq.empty[(Long, String)].toDF("q_id", "q_text")
+    assert(Retrieval.bm25TopK(docs, noQ, k = 3).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val q = Seq((1L, "a")).toDF("q_id", "q_text")
+    assert(Retrieval.bm25TopK(noDocs, q, k = 3).count() == 0)
+    val empty = Seq.empty[(Long, Long, Long)].toDF("q_id", "doc_id", "rnk")
+    assert(Retrieval.rrfFuse(empty, empty, k = 3).count() == 0)
+  }
+}
