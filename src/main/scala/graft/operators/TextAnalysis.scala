@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -105,4 +105,46 @@ object TextAnalysis {
   def rollingHash(c: Column): Column =
     aggregate(tokens(c), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** EXACT heavy hitters at bounded memory — every term whose frequency
+    * exceeds N/k token occurrences, two passes (Misra & Gries 1982):
+    *
+    *  1. candidates: ONE [[graft.plans.MisraGries]] summary over hashed
+    *     terms (≤ k counters per buffer, map-side partials — the whole
+    *     exchange is ≤ k entries per partition, where an exact groupBy
+    *     would shuffle the full 100 TB vocabulary). The sketch guarantees
+    *     every value with frequency > N/(k+1) survives, so candidates ⊇
+    *     the true > N/k set. Total N folds into the same pass.
+    *  2. recount: re-scan filtered to candidate hashes (a ≤ k-entry
+    *     IN-set the scan applies map-side), exact groupBy over the
+    *     SURVIVING sliver only, keep `cnt * k > N` — integer-rational,
+    *     so the output is the provably exact heavy-hitter set: the
+    *     sketch's order-dependence selects candidates, never answers.
+    *
+    * Term hashing cannot lose a heavy hitter (a term's hash occurs at
+    * least as often as the term) and the string recount is immune to
+    * collisions. Output: (term, cnt), the exact count of each heavy term.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val stream = docs.select(explode(tokens(lower(col(textCol)))).as("term"))
+    val sketch = stream.agg(
+      count(lit(1)).as("n"),
+      graft.plans.Native.misraGries(xxhash64(col("term")), k).as("mg")).head()
+    val n = sketch.getLong(0)
+    val candidates =
+      if (sketch.isNullAt(1)) Seq.empty[Long]
+      else sketch.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    if (n == 0L || candidates.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    else stream
+      .filter(xxhash64(col("term")).isInCollection(candidates))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > lit(n))
+  }
 }

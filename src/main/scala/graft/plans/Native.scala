@@ -36,6 +36,11 @@ object Native {
     * ≤ k-long buffer, duplicates absorbed on insert. */
   def bottomKDistinct(v: Column, k: Int): Column =
     toCol(BottomKDistinct(toExpr(v), k).toAggregateExpression())
+
+  /** Aggregate: Misra-Gries frequent-items summary (≤ k counters per
+    * buffer; any value with frequency > N/(k+1) is guaranteed kept). */
+  def misraGries(v: Column, k: Int): Column =
+    toCol(MisraGries(toExpr(v), k).toAggregateExpression())
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -87,6 +92,12 @@ object GraftExtensions {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
           s"graft_bottom_k needs a literal int k, got $other")
+      })),
+    ("graft_misra_gries", info("MisraGries", "frequent-items summary, ≤ k counters"),
+      (e: Seq[Expression]) => MisraGries(e(0), e(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_misra_gries needs a literal int k, got $other")
       })),
     ("graft_int8_quant", info("Int8QuantStats", "symmetric int8 quantization stats of a double array"),
       (e: Seq[Expression]) => Int8QuantStats(e(0))),

@@ -320,3 +320,117 @@ case class BottomKDistinct(child: Expression, k: Int,
   override protected def withNewChildInternal(newChild: Expression): BottomKDistinct =
     copy(child = newChild)
 }
+
+/** Misra-Gries frequent-items summary over longs (Misra & Gries 1982;
+  * mergeable form per Agarwal et al. 2013, "Mergeable Summaries"): at
+  * most `k` (value, weight) counters per buffer. Any value with true
+  * frequency > N/(k+1) is guaranteed present in the final summary — the
+  * candidate phase of the two-pass EXACT heavy-hitter shape
+  * ([[graft.operators.TextAnalysis.heavyHitters]]): an exact
+  * `groupBy(term)` shuffles the whole corpus vocabulary; this bounds
+  * every partial buffer at k entries, so the one exchange carries ≤ k
+  * counters per partition no matter how many distinct terms 100 TB holds.
+  *
+  * update: present → increment; room → insert at 1; full → decrement
+  * every counter (dropping zeros) — the classic amortized-O(1) step.
+  * merge: sum matching counters, then subtract the (k+1)-th largest
+  * weight from all and drop non-positives (the mergeable-summaries
+  * reduction, which preserves the N/(k+1) undercount bound).
+  *
+  * Counts are LOWER bounds (never over); candidates are a SUPERSET of
+  * the true heavy hitters, so an exact recount of the candidate set
+  * yields the provably exact answer. The candidate set (though not its
+  * guarantee) depends on encounter order — callers must treat it as a
+  * superset to recount, never as the answer. Null inputs are skipped;
+  * an all-null group evaluates to null. Evaluates to
+  * array<struct<id: long, c: long>> id-ascending (deterministic given
+  * the buffer contents).
+  */
+case class MisraGries(child: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[Long, Long]]
+    with UnaryLike[Expression] {
+  require(k > 0, s"misra-gries needs k > 0, got $k")
+
+  override def prettyName: String = "graft_misra_gries"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long]()
+
+  override def update(buf: java.util.HashMap[Long, Long],
+                      input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      if (buf.containsKey(x)) buf.put(x, buf.get(x) + 1L)
+      else if (buf.size < k) buf.put(x, 1L)
+      else {
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.HashMap[Long, Long],
+                     b2: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    b2.forEach((x, c) => { buf2sum(b1, x, c); () })
+    if (b1.size > k) {
+      // subtract the (k+1)-th largest weight from every counter; ≤ k survive
+      val weights = new Array[Long](b1.size)
+      var i = 0
+      b1.forEach((_, c) => { weights(i) = c; i += 1 })
+      java.util.Arrays.sort(weights)
+      val sub = weights(weights.length - k - 1)
+      val it = b1.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= sub) it.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    b1
+  }
+
+  private def buf2sum(m: java.util.HashMap[Long, Long], x: Long, c: Long): Unit =
+    m.put(x, if (m.containsKey(x)) m.get(x) + c else c)
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any =
+    if (buf.isEmpty) null
+    else {
+      val arr = new Array[(Long, Long)](buf.size)
+      var i = 0
+      buf.forEach((x, c) => { arr(i) = (x, c); i += 1 })
+      scala.util.Sorting.quickSort(arr)(Ordering.by(_._1))
+      new GenericArrayData(arr.map { case (x, c) =>
+        new GenericInternalRow(Array[Any](x, c))
+      })
+    }
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+    buf.forEach((x, c) => { bb.putLong(x); bb.putLong(c); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    (0 until bytes.length / 16).foreach(_ => buf.put(bb.getLong(), bb.getLong()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGries =
+    copy(child = newChild)
+}

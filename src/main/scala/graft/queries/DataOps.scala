@@ -921,6 +921,21 @@ object DataOps {
       |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
       |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** Exact heavy hitters (terms above 1% of token occurrences) via the
+    * bounded-memory Misra-Gries candidates + exact-recount two-pass — the
+    * oracle computes the same set with a plain exact count, so the gate
+    * proves the sketch path loses nothing. Integer counts and an
+    * integer-rational threshold: bit-parity is structural. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(Tables(spark, dir).documents, "text", k = 100)
+
+  val qHeavyHittersSql: String =
+    """WITH s AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |tot AS (SELECT count(*) AS n FROM s),
+      |c AS (SELECT term, count(*) AS cnt FROM s GROUP BY 1)
+      |SELECT term, CAST(cnt AS BIGINT) AS cnt
+      |FROM c CROSS JOIN tot WHERE cnt * 100 > n""".stripMargin
+
   // ---- streaming batch-equivalents --------------------------------------
 
   /** Batch shape of the stream-stream join (EventStream.clickViewJoin):
@@ -1681,6 +1696,7 @@ object DataOps {
     "q_repetition"     -> ((qRepetition _, Some(qRepetitionSql))),
     "q_sample_hash"    -> ((qSampleHash _, Some(qSampleHashSql))),
     "q_top_terms"      -> ((qTopTerms _, Some(qTopTermsSql))),
+    "q_heavy_hitters"  -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
     "q_event_join"     -> ((qEventJoin _, Some(qEventJoinSql))),
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),

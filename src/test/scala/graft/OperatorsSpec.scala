@@ -396,6 +396,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1) == "en" && out(2) == "es" && out(3) == "und")
   }
 
+  test("heavy hitters: exact answer from the bounded sketch, eviction exercised") {
+    // vocab (42) ≫ sketch counters (5): the MG buffer evicts constantly,
+    // yet the two-pass answer must equal the plain exact count
+    val docs = (
+      Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+        (0 until 40).map(i => s"rare$i") ++ Seq.fill(5)("gamma")
+    ).grouped(5).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(8)
+    // N=125, k=5 ⇒ threshold 25: alpha (50) and beta (30) qualify;
+    // gamma (5) and every rare* (1) must not
+    val got = TextAnalysis.heavyHitters(docs, "text", k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha" -> 50L, "beta" -> 30L))
+    // totality: empty corpus and all-null text give an empty frame
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitters(empty, "text", k = 5).count() == 0)
+    val nul = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitters(nul, "text", k = 5).count() == 0)
+  }
+
   test("fingerprint is stable under token reorder") {
     val df = Seq((1, "b a c"), (2, "c b a"), (3, "c b d")).toDF("id", "t")
     val fps = df.select(col("id"), TextAnalysis.fingerprintSorted(col("t")).as("f")).collect()

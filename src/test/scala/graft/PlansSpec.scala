@@ -586,6 +586,46 @@ class PlansSpec extends SparkSpec {
     assert(agg.eval(rt).asInstanceOf[GenericArrayData].toLongArray().length == 8)
   }
 
+  test("misra-gries: buffer ≤ k, heavy value survives adversarial order and merges") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.plans.MisraGries(BoundReference(0, LongType, nullable = true), 8)
+    // 5000 distinct light values interleaved with one value at 27% of the
+    // stream — far above N/(k+1) — in the worst (heavy-last-ish) shuffle
+    val rnd = new scala.util.Random(7)
+    val stream = rnd.shuffle(
+      (0L until 5000L).toVector ++ Vector.fill(1900)(777777L))
+    var buf = agg.createAggregationBuffer()
+    stream.foreach { v =>
+      buf = agg.update(buf, InternalRow(v))
+      assert(buf.size <= 8, s"buffer grew past k: ${buf.size}")
+    }
+    def ids(b: java.util.HashMap[Long, Long]) = {
+      val out = scala.collection.mutable.Set.empty[Long]
+      b.forEach((x, _) => { out += x; () })
+      out
+    }
+    assert(ids(buf).contains(777777L), "a > N/(k+1) value must survive")
+    // merge two full summaries (triggers the subtract-(k+1)th reduction):
+    // bound holds, the heavy value still survives, counts never overcount
+    var buf2 = agg.createAggregationBuffer()
+    rnd.shuffle((5000L until 9000L).toVector ++ Vector.fill(1500)(777777L))
+      .foreach(v => buf2 = agg.update(buf2, InternalRow(v)))
+    buf2 = agg.update(buf2, InternalRow(null))
+    val merged = agg.merge(buf, buf2)
+    assert(merged.size <= 8, s"merge broke the bound: ${merged.size}")
+    assert(ids(merged).contains(777777L))
+    assert(merged.get(777777L) <= 3400L, "misra-gries counts must be lower bounds")
+    // eval is id-ascending structs; serde preserves the summary
+    val out = agg.eval(merged).asInstanceOf[GenericArrayData].array
+      .map(_.asInstanceOf[InternalRow]).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.map(_._1) == out.map(_._1).sorted)
+    val rt = agg.deserialize(agg.serialize(merged))
+    assert(agg.eval(rt).asInstanceOf[GenericArrayData].array.length == out.length)
+  }
+
   test("top-k and int8-quant are SQL-callable") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
@@ -604,5 +644,9 @@ class PlansSpec extends SparkSpec {
       "SELECT graft_int8_quant(array(1.0D, -0.5D, 0.25D)) AS q").head().getStruct(0)
     assert(qs.getDouble(0) == 1.0 / 127.0)
     assert(qs.getLong(1) == 127L - 64L + 31L)  // 127 + floor(-63.5) + floor(31.75)
+    val mg = spark.sql(
+      "SELECT graft_misra_gries(id, 2) AS mg FROM tk_t").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.nonEmpty && mg.size <= 2 && mg.map(_.getLong(0)) == mg.map(_.getLong(0)).sorted)
   }
 }
