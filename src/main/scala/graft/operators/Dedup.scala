@@ -398,6 +398,51 @@ object Dedup {
           .otherwise((size(col("lines")) - size(col("kept"))).cast("bigint")).as("n_removed"))
   }
 
+  /** Paragraph-level keep-first dedup (the Dolma pass — Soldaini et al.
+    * 2024 dedups at paragraph granularity; CCNet's paragraph-hash pass is
+    * the same shape): a newline-delimited paragraph survives ONLY at its
+    * globally first occurrence (smallest (doc, position) in struct
+    * order); every later copy — in other docs or later in the same doc —
+    * is removed. Complements [[removeCommonLines]]: that strips template
+    * chrome from every doc once it clears `minDocs`; this keeps one copy
+    * of ANY repeated paragraph, the right policy for content passages
+    * syndicated across a crawl. Returns (idCol, clean_text, n_removed);
+    * paragraph order is preserved; null text propagates.
+    *
+    * Shape at scale: paragraph explode is map-side linear; the keeper is
+    * ONE two-phase groupBy on the hashed paragraph key (min-struct +
+    * count, partial map-side, no window over the paragraph stream — the
+    * [[removeRepeatedRuns]] discipline); singleton paragraphs (the vast
+    * majority of a real corpus) are pruned BEFORE the drop join, so the
+    * join touches only the duplicated sliver; paragraphs travel as the
+    * 128-bit double hash, never the string (≪2^-64 collision bound). */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), "\n").as("lines"))
+    val lines = toks.select(col(idCol), posexplode(col("lines")).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"),
+        xxhash64(col("line")).as("l1"),
+        xxhash64(lit("graft-par"), col("line")).as("l2"))
+    val firsts = lines.groupBy(col("l1"), col("l2"))
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("first"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("l1"), col("l2"), col("first"))
+    val removed = lines.join(firsts, Seq("l1", "l2"))
+      .filter(!(col(idCol) === col("first.d") && col("pos") === col("first.p")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("rm"))
+    toks.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("lines"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(col(idCol), col("lines"),
+        filter(col("lines"), (_, i) => !array_contains(col("rm"), i)).as("kept"))
+      .select(col(idCol),
+        when(col("lines").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("\n", col("kept"))).as("clean_text"),
+        when(col("lines").isNull, lit(null).cast("bigint"))
+          .otherwise((size(col("lines")) - size(col("kept"))).cast("bigint")).as("n_removed"))
+  }
+
   // ---- simhash -----------------------------------------------------------
 
   /** 64-bit SimHash as a 0/1 bit array: per-token xxhash64, sign-vote per

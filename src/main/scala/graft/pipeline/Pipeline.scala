@@ -57,6 +57,11 @@ object Pipeline {
     * occurs in at least `min_docs` distinct documents. */
   final case class BoilerplateStep(idCol: String, textCol: String, minDocs: Int,
                                    dataType: String) extends Step
+  /** Paragraph-level keep-first dedup as a config step (the Dolma pass):
+    * rewrites `field` in place, keeping each newline-delimited paragraph
+    * only at its globally-first (doc, position) occurrence. */
+  final case class ParagraphDedupStep(idCol: String, textCol: String,
+                                      dataType: String) extends Step
   /** Learned quality filter as a config step (CCNet-style): train the
     * logistic quality classifier against the target slice, then keep
     * every doc whose margin score clears `threshold`. Trains per run
@@ -303,6 +308,8 @@ object Pipeline {
       case "boilerplate" => BoilerplateStep(
         idCol = str("id", "id"), textCol = str("field", "text"),
         minDocs = if (node.has("min_docs")) node.get("min_docs").asInt() else 2, dataType)
+      case "paragraph_dedup" => ParagraphDedupStep(
+        idCol = str("id", "id"), textCol = str("field", "text"), dataType)
       case "scrub" =>
         val cols = Option(node.get("fields"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("text"))
@@ -587,6 +594,13 @@ object Pipeline {
               .select(col(id).as("__bid"), col("clean_text").as("__bclean"))
             flow.updated(dt, df.join(cleaned, df(id) === col("__bid"))
               .withColumn(text, col("__bclean")).drop("__bid", "__bclean"))
+          }.getOrElse(flow)
+        case ParagraphDedupStep(id, text, dt) =>
+          flow(dt).map { df =>
+            val cleaned = graft.operators.Dedup.dedupParagraphs(df, id, text)
+              .select(col(id).as("__pid"), col("clean_text").as("__pclean"))
+            flow.updated(dt, df.join(cleaned, df(id) === col("__pid"))
+              .withColumn(text, col("__pclean")).drop("__pid", "__pclean"))
           }.getOrElse(flow)
         case ScrubStep(cols, dt) =>
           flow(dt).map { df =>

@@ -1366,6 +1366,41 @@ object DataOps {
       |  CAST(len(ls.lines) - coalesce(len(k.kept), 0) AS BIGINT) AS n_removed
       |FROM ls LEFT JOIN k USING (doc_id)""".stripMargin
 
+  /** Paragraph-level keep-first dedup (the Dolma pass). The word-soup
+    * fixture has no newlines, so the gate plants the paragraph structure a
+    * crawl would have: each doc becomes two paragraphs — its own text plus
+    * a syndicated passage shared by every doc with the same doc_id % 53 —
+    * so each planted passage repeats hundreds of times and must survive
+    * only at its globally-first (doc, pos); ≥2-way exact-dup body texts
+    * collapse to their first doc too. Integer positions and string joins
+    * only → bit-exact oracle (row_number occurrence ranking). */
+  def qParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        lit("syndicated passage "), pmod(col("doc_id"), lit(53)).cast("string"))
+        .as("text"))
+    Dedup.dedupParagraphs(dirty, "doc_id", "text")
+  }
+
+  val qParagraphDedupSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    text || chr(10) || 'syndicated passage ' || CAST(doc_id % 53 AS VARCHAR) AS text
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+      |l AS (SELECT doc_id, u.s['pos'] AS pos, u.s['line'] AS line
+      |      FROM ls, UNNEST(list_transform(range(len(lines)),
+      |        i -> struct_pack(pos := i, line := lines[i+1]))) AS u(s)),
+      |r AS (SELECT doc_id, pos, line,
+      |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS occ
+      |      FROM l),
+      |k AS (SELECT doc_id, list(line ORDER BY pos) AS kept
+      |      FROM r WHERE occ = 1 GROUP BY doc_id)
+      |SELECT ls.doc_id,
+      |  CASE WHEN k.kept IS NULL OR len(k.kept) = 0 THEN ''
+      |       ELSE array_to_string(k.kept, chr(10)) END AS clean_text,
+      |  CAST(len(ls.lines) - coalesce(len(k.kept), 0) AS BIGINT) AS n_removed
+      |FROM ls LEFT JOIN k USING (doc_id)""".stripMargin
+
   /** Exact repeated-substring REMOVAL (Lee et al. 2022) over the documents
     * table at n = 8 — the operator q_repeated_grams is the detection signal
     * for. Keep-first-occurrence policy; integer positions and string joins
@@ -1659,6 +1694,7 @@ object DataOps {
     "q_repeated_grams" -> ((qRepeatedGrams _, Some(qRepeatedGramsSql))),
     "q_substring_dedup" -> ((qSubstringDedup _, Some(qSubstringDedupSql))),
     "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
+    "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),

@@ -417,6 +417,24 @@ class OperatorsSpec extends SparkSpec {
     assert(TextAnalysis.heavyHitters(nul, "text", k = 5).count() == 0)
   }
 
+  test("paragraph dedup: globally-first occurrence survives, later copies vanish") {
+    val docs = Seq(
+      (1L, "A\nB"),          // first A, first B — untouched
+      (2L, "B\nC"),          // B is a cross-doc repeat -> removed
+      (3L, "A\nA"),          // both copies trail doc 1's A -> fully removed
+      (4L, "Z\nZ"),          // within-doc repeat: first Z kept, second removed
+      (5L, null: String)     // null text propagates
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out(1L) == (Some("A\nB"), 0L))
+    assert(out(2L) == (Some("C"), 1L))
+    assert(out(3L) == (Some(""), 2L), "a fully-deduped doc must read as empty, not null")
+    assert(out(4L) == (Some("Z"), 1L))
+    assert(out(5L) == (None, -1L))
+  }
+
   test("fingerprint is stable under token reorder") {
     val df = Seq((1, "b a c"), (2, "c b a"), (3, "c b d")).toDF("id", "t")
     val fps = df.select(col("id"), TextAnalysis.fingerprintSorted(col("t")).as("f")).collect()

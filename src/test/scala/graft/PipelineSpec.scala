@@ -464,6 +464,20 @@ class PipelineSpec extends SparkSpec {
     assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
   }
 
+  test("paragraph_dedup step keeps only globally-first paragraph copies") {
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":
+        |   "[{\"id\":1,\"text\":\"shared intro\\nalpha\"},{\"id\":2,\"text\":\"shared intro\\nbeta\"},{\"id\":3,\"text\":\"gamma\"}]"}},
+        | {"type":"paragraph_dedup","id":"id","field":"text"}
+        |]""".stripMargin)
+    val out = flow.ok.get.orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(1L -> "shared intro\nalpha", 2L -> "beta", 3L -> "gamma"),
+      "doc 1 keeps the first copy; doc 2 loses it; doc 3 untouched")
+    assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
+  }
+
   test("fingerprint dedup step drops reordered duplicates") {
     val flow = Pipeline.run(spark,
       """[
