@@ -41,6 +41,11 @@ object Native {
     * buffer; any value with frequency > N/(k+1) is guaranteed kept). */
   def misraGries(v: Column, k: Int): Column =
     toCol(MisraGries(toExpr(v), k).toAggregateExpression())
+
+  /** BPE segmentation of an array<string> word column with a trained
+    * merge list (replayed in rank order, one greedy pass each). */
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeEncode(toExpr(words), merges))
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.plans.GraftExtensions`

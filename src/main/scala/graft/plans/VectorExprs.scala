@@ -387,3 +387,62 @@ case class Int8QuantStats(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Int8QuantStats = copy(child = c)
 }
+
+/** BPE segmentation of an array<string> word column with a trained merge
+  * list ([[graft.operators.Bpe.train]]): each word becomes characters +
+  * `</w>`, then every merge is replayed IN RANK ORDER as one greedy
+  * left-to-right pass — exactly the pass the trainer's column-form
+  * rewrite ran, so encode-time segmentation equals train-time
+  * segmentation by construction. Output: the words' subword tokens
+  * concatenated in order.
+  *
+  * Per row this is one tight loop of O(merges × word length) string
+  * compares — embarrassingly parallel, no state, no shuffle. A
+  * production encoder would pre-index merges by first symbol; at the
+  * merge counts the specs and gates train (≤ a few hundred) the linear
+  * replay is already faster than a HOF chain would be (each merge as a
+  * nested `aggregate` lambda is interpreted per element AND grows the
+  * expression tree linearly with rank count).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override def nullSafeEval(in: Any): Any = {
+    val words = in.asInstanceOf[ArrayData]
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var w = 0
+    while (w < words.numElements()) {
+      val word = words.getUTF8String(w).toString
+      var syms = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+      var ci = 0
+      while (ci < word.length) {
+        val cp = word.codePointAt(ci)
+        syms += new String(Character.toChars(cp))
+        ci += Character.charCount(cp)
+      }
+      syms += "</w>"
+      merges.foreach { case (a, b) =>
+        if (syms.length >= 2) {
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (next.nonEmpty && next.last == a && syms(i) == b)
+              next(next.length - 1) = a + b
+            else next += syms(i)
+            i += 1
+          }
+          syms = next
+        }
+      }
+      syms.foreach(s => out += UTF8String.fromString(s))
+      w += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Curation, Dedup, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1435,6 +1435,43 @@ object DataOps {
       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
       |FROM k""".stripMargin
 
+  /** BPE training's corpus-sized pass — the weighted character-pair count
+    * table over the word-frequency table (Sennrich et al. 2016). This is
+    * the ONLY part of BPE training that touches corpus-scale data (one
+    * groupBy to the vocab table, one to the pair table); the merge loop
+    * (q_bpe_train) then iterates on vocab-sized state. Integer counts →
+    * bit-exact oracle. */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    Bpe.pairCounts(
+      Bpe.wordFreqs(Tables(spark, dir).documents, "text")
+        .select(Bpe.charSyms(col("word")).as("syms"), col("cnt")))
+
+  val qBpePairsSql: String =
+    """WITH w AS (SELECT word, count(*) AS wc FROM
+      |    (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      |  GROUP BY 1),
+      |s AS (SELECT wc, list_append(
+      |        list_transform(range(len(word)), i -> word[i+1:i+1]), '</w>') AS syms
+      |      FROM w),
+      |p AS (SELECT syms[i+1] AS a, syms[i+2] AS b, wc
+      |      FROM s, UNNEST(range(len(syms) - 1)) AS t(i))
+      |SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1, 2""".stripMargin
+
+  /** The trained merge table (rank, a, b) at 12 merges — rows-only BY
+    * DESIGN: the merge loop is iterative argmax-and-rewrite state no
+    * single SQL statement expresses; its exact pin is the hand-computed
+    * Sennrich-fixture spec (the paper's low/lower/newest/widest corpus,
+    * full expected merge sequence) plus q_bpe_pairs gating the corpus
+    * pass bit-exactly. Deterministic: ties break (cnt DESC, a ASC, b
+    * ASC), so reruns and repartitionings produce this exact table. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Bpe.train(Tables(spark, dir).documents, "text", numMerges = 12)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("rank", "a", "b")
+  }
+
   /** Corpus bigram language-model score — the cheap statistical fluency
     * filter a training pipeline runs where a neural LM is too expensive:
     * documents whose word bigrams are mostly corpus-frequent read as
@@ -1695,6 +1732,8 @@ object DataOps {
     "q_substring_dedup" -> ((qSubstringDedup _, Some(qSubstringDedupSql))),
     "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
+    "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),
+    "q_bpe_train"       -> ((qBpeTrain _, None)),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
