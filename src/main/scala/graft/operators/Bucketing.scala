@@ -66,6 +66,55 @@ object Bucketing {
     nFiles.toLong
   }
 
+  /** Deterministic global shuffle for training-data export. Gradient
+    * descent wants its corpus in random order, and a 100 TB export can't
+    * ask a driver-side RNG: the permutation must be reproducible,
+    * partitioning-independent, and computable per row. Two DECORRELATED
+    * portable md5 hashes per row (the splitAssign content-hash
+    * discipline) give shard = hash_s mod `shards` and the within-shard
+    * sort key hash_o — a seeded pseudorandom permutation any engine can
+    * replay bit-for-bit. Appends (shard: int, idx: bigint), idx 0-based
+    * in hash order within its shard.
+    *
+    * Scale shape: hashing is map-side; the only shuffle is the shard
+    * exchange; the within-shard ranking window partitions by shard
+    * (corpus/shards rows each — size `shards` so a shard fits an
+    * executor, the pack_sequences shard-local discipline). */
+  def shuffleAssign(df: DataFrame, keyCols: Seq[String], shards: Int,
+                    seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "shuffle export needs at least one key column")
+    require(shards > 0, s"shuffle export needs shards > 0, got $shards")
+    val key = concat_ws("-", (lit(seed) +: keyCols.map(col)): _*)
+    val hs = md5(concat(key, lit("-s")).cast("binary"))
+    val ho = md5(concat(key, lit("-o")).cast("binary"))
+    // first 4 hex digits as an integer, via ops both engines share
+    val hexVal = Range(1, 5).map { i =>
+      (instr(lit("0123456789abcdef"), substring(hs, i, 1)) - 1) *
+        lit(1L << (4 * (4 - i)))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ho") +: keyCols.map(col): _*)
+    df.withColumn("shard", pmod(hexVal, lit(shards)).cast("int"))
+      .withColumn("__ho", ho)
+      .withColumn("idx", (row_number().over(w) - 1).cast("bigint"))
+      .drop("__ho")
+  }
+
+  /** Materialize the shuffled export: one file per shard, rows inside in
+    * permutation order — the layout a training loader streams directly.
+    * One exchange (the shard repartition); the per-shard sort rides the
+    * exchange's spill machinery. */
+  def writeShuffled(df: DataFrame, path: String, keyCols: Seq[String],
+                    shards: Int, seed: String = "graft",
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    shuffleAssign(df, keyCols, shards, seed)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("idx"))
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
   /** Range-clustered layout for data skipping: range-partition on the
     * sort key, then sort within each partition before writing parquet.
     * Every output file then covers a narrow, pairwise-disjoint key range,

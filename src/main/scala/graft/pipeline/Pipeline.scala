@@ -672,6 +672,13 @@ object Pipeline {
                 val mb = if (n > 0) n else 128
                 graft.operators.Bucketing.compact(df.sparkSession, target,
                   mb.toLong * 1024 * 1024)
+              case "shuffle" =>
+                // deterministic training-export shuffle: one file per
+                // shard, rows in seeded permutation order
+                require(keys.nonEmpty, "layout mode=shuffle needs \"keys\"")
+                val parts = if (n > 0) n
+                  else df.sparkSession.sessionState.conf.numShufflePartitions
+                graft.operators.Bucketing.writeShuffled(df, target, keys, parts)
               case other =>
                 throw new IllegalArgumentException(s"unknown layout mode: $other")
             }

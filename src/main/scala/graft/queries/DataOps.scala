@@ -1659,6 +1659,29 @@ object DataOps {
       |  FROM documents)
       |SELECT source, split, count(*) AS n FROM a GROUP BY 1, 2""".stripMargin
 
+  /** Deterministic training-export shuffle assignment (SURVEY §2.5 55p4):
+    * the seeded pseudorandom permutation a 100 TB export replays —
+    * decorrelated portable md5s give the shard and the within-shard
+    * order, so any engine reproduces the permutation bit-for-bit. */
+  def qShuffleExport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bucketing.shuffleAssign(
+      Tables(spark, dir).documents.select(col("doc_id")), Seq("doc_id"), shards = 8)
+
+  val qShuffleExportSql: String =
+    """WITH a AS (SELECT doc_id,
+      |    md5('graft-' || CAST(doc_id AS VARCHAR) || '-s') AS hs,
+      |    md5('graft-' || CAST(doc_id AS VARCHAR) || '-o') AS ho
+      |  FROM documents),
+      |b AS (SELECT doc_id, ho, CAST(
+      |      ((strpos('0123456789abcdef', substr(hs, 1, 1)) - 1) * 4096 +
+      |       (strpos('0123456789abcdef', substr(hs, 2, 1)) - 1) * 256 +
+      |       (strpos('0123456789abcdef', substr(hs, 3, 1)) - 1) * 16 +
+      |       (strpos('0123456789abcdef', substr(hs, 4, 1)) - 1)) % 8 AS INT) AS shard
+      |  FROM a)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ho, doc_id) - 1 AS BIGINT) AS idx
+      |FROM b""".stripMargin
+
   /** Overlapping-window document chunking (context-window preparation):
     * each doc yields chunks of ≤`maxTokens` tokens starting every
     * `stride` (maxTokens - stride overlap). Chunk starts are a generated
@@ -1720,6 +1743,7 @@ object DataOps {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_split_assign"   -> ((qSplitAssign _, Some(qSplitAssignSql))),
+    "q_shuffle_export" -> ((qShuffleExport _, Some(qShuffleExportSql))),
     "q_chunk_docs"     -> ((qChunkDocs _, Some(qChunkDocsSql))),
     "q_quantize_emb"   -> ((qQuantizeEmb _, Some(qQuantizeEmbSql))),
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),

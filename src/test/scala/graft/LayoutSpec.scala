@@ -61,6 +61,33 @@ class LayoutSpec extends SparkSpec {
       df.filter(col("k") < 100).count())
   }
 
+  test("shuffled export: one file per shard, rows in permutation order, nothing lost") {
+    val dir = java.nio.file.Files.createTempDirectory("shufexp").toString + "/data"
+    val df = spark.range(2000).select(col("id").as("doc_id"))
+    graft.operators.Bucketing.writeShuffled(df, dir, Seq("doc_id"), shards = 4)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4, "every shard gets its own hive dir")
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"one file per shard, got ${files.length} in $d")
+      // inside the file rows sit in permutation order: idx is 0..n-1 AS READ
+      val idxs = spark.read.parquet(files.head.toString)
+        .select("idx").collect().map(_.getLong(0))
+      assert(idxs.toSeq == idxs.indices.map(_.toLong),
+        "rows must be stored in within-shard permutation order")
+    }
+    // the export is a permutation: every input row exactly once
+    assert(spark.read.parquet(dir).select("doc_id").as[Long].collect().sorted.toSeq
+      == (0L until 2000L))
+    // and the assignment is stable across recomputation (no RNG state)
+    val a = graft.operators.Bucketing.shuffleAssign(df, Seq("doc_id"), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = graft.operators.Bucketing.shuffleAssign(df.repartition(7), Seq("doc_id"), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "assignment must be partitioning-independent")
+  }
+
   test("partition pruning reaches the scan for partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/data"
     spark.range(100)

@@ -95,6 +95,30 @@ class PlansSpec extends SparkSpec {
       "keeper aggregate must partial-aggregate map-side")
   }
 
+  test("paragraph dedup / bpe pairs: two-phase keyed aggs, no stream window") {
+    // keeper selection and pair counting must partial-aggregate map-side;
+    // a window over the exploded paragraph/pair stream would sort-shuffle
+    // every occurrence into per-key tasks
+    Seq(queries.DataOps.qParagraphDedup(spark, sf),
+        queries.DataOps.qBpePairs(spark, sf)).foreach { df =>
+      val s = planString(df)
+      assert(!s.contains("Window"), s"stream window crept in:\n$s")
+      assert(!s.contains("CartesianProduct"))
+      assert(s.contains("partial_"), "map-side partial aggregation missing")
+    }
+  }
+
+  test("heavy hitters: recount is candidate-filtered and two-phase") {
+    val df = queries.DataOps.qHeavyHitters(spark, sf)
+    val s = planString(df)
+    // the recount scan must carry the ≤ k-entry candidate IN-filter so
+    // only the heavy sliver reaches the exact groupBy
+    assert(s.contains("xxhash64") && (s.contains(" IN ") || s.contains("INSET")),
+      s"candidate prefilter missing from the recount scan:\n$s")
+    assert(s.contains("partial_count"), "recount must partial-aggregate map-side")
+    assert(!s.contains("Window"))
+  }
+
   test("token stats: one FileScan — totals fold into the histogram pass") {
     val s = planString(queries.DataOps.qTokenStats(spark, sf))
     val scans = "FileScan|BatchScan".r.findAllIn(s).size
