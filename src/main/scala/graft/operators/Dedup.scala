@@ -443,6 +443,75 @@ object Dedup {
           .otherwise((size(col("lines")) - size(col("kept"))).cast("bigint")).as("n_removed"))
   }
 
+  // ---- winnowing fingerprints ---------------------------------------------
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * SIGMOD — the MOSS local fingerprinting algorithm; complements the
+    * whole-document rolling hash of q_fingerprint with POSITION-robust
+    * sketches). Word `k`-grams are hashed; in every window of `w`
+    * consecutive gram hashes the minimum is selected (rightmost on ties —
+    * the paper's robust winnowing rule). The selected set has expected
+    * density 2/(w+1) and the winnowing guarantee: any token run of length
+    * ≥ w+k-1 shared by two documents contributes at least one SHARED
+    * fingerprint — unlike MinHash, a local match cannot be sketched away.
+    * Documents with < k tokens have no grams and no fingerprints; k ≤
+    * grams < w collapse to one whole-document window.
+    *
+    * Shape at scale: the gram hash is the portable 60-bit md5 form (15
+    * hex chars — the q_dedup_simhash_exact convention, so a SQL oracle
+    * replicates it bit-exactly); window membership is a map-side ×w
+    * explode — w is a small constant (4-8), so this stays linear; the
+    * per-window min is ONE two-phase min-struct groupBy on (doc, window)
+    * — partial-aggregate map-side, no window function over the gram
+    * stream. Returns distinct (idCol, h, pos) fingerprints. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+    val grams = toks.select(col(idCol),
+        (size(col("toks")) - k + 1).as("gcnt"),
+        posexplode(when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => conv(substring(md5(
+                concat_ws(" ", slice(col("toks"), i + 1, lit(k)))), 1, 15), 16, 10)
+              .cast("long")))
+          .otherwise(array().cast("array<long>")))
+          .as(Seq("pos", "h")))
+    // gram at pos p is a member of windows [p-w+1, p] ∩ [0, gcnt-w]
+    val wins = grams.select(col(idCol), col("h"), col("pos"),
+      explode(sequence(greatest(col("pos") - (w - 1), lit(0)),
+        least(col("pos"), greatest(col("gcnt") - w, lit(0))))).as("s"))
+    wins.groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("m"))
+      .select(col(idCol), col("m.h").as("h"), (-col("m.np")).as("pos"))
+      .distinct()
+  }
+
+  /** Candidate near-dup/containment pairs from shared winnowing
+    * fingerprints: documents sharing ≥ `minShared` selected hashes, with
+    * the exact shared-fingerprint count (the MOSS match score's
+    * numerator). Fingerprint buckets are capped at `maxBucket` members
+    * INSIDE the aggregation buffer (bounded min-k heap — the LSH bucket
+    * discipline, ≤ maxBucket 16-byte entries no matter how hot a
+    * boilerplate fingerprint runs); pair fan-out is therefore ≤
+    * maxBucket²/2 per distinct hash. Output: (a, b, shared), a < b. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 4, maxBucket: Int = 64,
+                  minShared: Int = 2): DataFrame = {
+    val dh = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("id"), col("h")).distinct()
+    val buckets = dh.groupBy(col("h"))
+      .agg(graft.plans.Native.minKByKey(col("id"), col("id"), maxBucket).as("ks"))
+      .select(transform(col("ks"), e => e.getField("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets.select(explode(flatten(transform(col("ids"),
+        (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ---- simhash -----------------------------------------------------------
 
   /** 64-bit SimHash as a 0/1 bit array: per-token xxhash64, sign-vote per

@@ -1435,6 +1435,49 @@ object DataOps {
       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
       |FROM k""".stripMargin
 
+  /** Winnowing fingerprint matching (Schleimer et al. 2003 — MOSS) over
+    * the documents table: pairs sharing ≥ 2 selected fingerprints at
+    * k=4, w=4, with the exact shared count. The oracle replicates the
+    * ENTIRE pipeline — portable md5 gram hash, ×w window membership,
+    * rightmost-min selection, the maxBucket skew cap, pair counting —
+    * so the gate is exact at every scale (the q_dedup_simhash_exact
+    * discipline). */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables(spark, dir).documents, "doc_id", "text",
+        k = 4, w = 4, maxBucket = 64, minShared = 2)
+      .select(col("a"), col("b"), col("shared").cast("bigint").as("shared"))
+      .orderBy(col("a"), col("b"))
+
+  val qWinnowSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val wgt = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1) * $wgt"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, len(toks) - 4 + 1 AS gcnt, unnest(
+       |    CASE WHEN len(toks) >= 4 THEN
+       |      list_transform(range(1, len(toks) - 4 + 2),
+       |        i -> {'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')})
+       |    ELSE [] END, recursive := true)
+       |  FROM t),
+       |hx AS (SELECT doc_id, gcnt, pos, substring(md5(gram), 1, 15) AS h FROM g0),
+       |g AS (SELECT doc_id, gcnt, pos, $hexVal AS v FROM hx),
+       |win AS (SELECT doc_id, v, pos, u.s AS s
+       |  FROM g, UNNEST(range(greatest(pos - 3, 0),
+       |                       least(pos, greatest(gcnt - 4, 0)) + 1)) AS u(s)),
+       |sel AS (SELECT doc_id, v,
+       |          row_number() OVER (PARTITION BY doc_id, s ORDER BY v, pos DESC) AS rn
+       |        FROM win),
+       |fp AS (SELECT DISTINCT doc_id, v FROM sel WHERE rn = 1),
+       |r AS (SELECT doc_id, v,
+       |        row_number() OVER (PARTITION BY v ORDER BY doc_id) AS brn FROM fp),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |      FROM r x JOIN r y ON x.v = y.v AND x.doc_id < y.doc_id
+       |      WHERE x.brn <= 64 AND y.brn <= 64)
+       |SELECT a, b, CAST(count(*) AS BIGINT) AS shared
+       |FROM p GROUP BY a, b HAVING count(*) >= 2 ORDER BY a, b""".stripMargin
+  }
+
   /** BPE training's corpus-sized pass — the weighted character-pair count
     * table over the word-frequency table (Sennrich et al. 2016). This is
     * the ONLY part of BPE training that touches corpus-scale data (one
@@ -1754,6 +1797,7 @@ object DataOps {
     "q_lm_bigram"      -> ((qLmBigram _, Some(qLmBigramSql))),
     "q_repeated_grams" -> ((qRepeatedGrams _, Some(qRepeatedGramsSql))),
     "q_substring_dedup" -> ((qSubstringDedup _, Some(qSubstringDedupSql))),
+    "q_winnow"          -> ((qWinnow _, Some(qWinnowSql))),
     "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),

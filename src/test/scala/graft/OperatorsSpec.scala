@@ -713,4 +713,56 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { case (id, w) => assert(math.abs(w - expect(id)) < 1e-9, s"doc $id") }
     assert(got(10L) > got(11L), "target-like doc must carry the higher log weight")
   }
+
+  test("winnowing: the guarantee — a shared w+k-1 token run always shares a fingerprint") {
+    // k=4, w=4: any shared run of >= 7 tokens spans a full gram window in
+    // both docs, and winnowing selects the SAME min hash from it
+    // (Schleimer et al. 2003, the correctness theorem). MinHash can sketch
+    // a local match away; winnowing cannot.
+    val shared = "alpha bravo charlie delta echo foxtrot golf"
+    val df = Seq(
+      (1L, s"aardvark basilisk $shared cormorant dugong"),
+      (2L, s"echidna $shared ferret gharial ibis jerboa kudu"),
+      (3L, "lemur manatee numbat okapi pangolin quokka rhea sloth tapir")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "shared 7-token run must surface the pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("winnowing: density bound, window coverage, rightmost-min selection") {
+    val n = 40; val k = 4; val w = 4
+    val text = (0 until n).map(i => s"tok$i").mkString(" ")
+    val fp = Dedup.winnowFingerprints(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    val gcnt = n - k + 1
+    // replicate selection on the driver: portable 60-bit md5 hash per gram,
+    // rightmost min per window — the fingerprint set must match EXACTLY
+    val toks = text.split(" ")
+    def h60(g: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val hs = (0 to n - k).map(i => h60(toks.slice(i, i + k).mkString(" ")))
+    val expect = (0 to gcnt - w).map { s =>
+      val win = (s until s + w).map(p => (hs(p), p))
+      win.minBy { case (hv, p) => (hv, -p) } // rightmost minimal hash
+    }.toSet
+    assert(fp.toSet == expect, "fingerprint set must equal the paper's selection")
+    assert(fp.length <= gcnt - w + 1 && fp.nonEmpty)
+  }
+
+  test("winnowing: totality (null / empty / short docs) and the bucket cap") {
+    val fp = Dedup.winnowFingerprints(Seq(
+      (1L, null: String), (2L, ""), (3L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(fp.count() == 0L, "docs with < k tokens have no grams, no fingerprints")
+    // three identical docs, maxBucket=2: only the two smallest ids pair
+    val same = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(same, "doc_id", "text", maxBucket = 2, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"cap must bound the bucket: $pairs")
+  }
 }

@@ -95,6 +95,16 @@ class PlansSpec extends SparkSpec {
       "keeper aggregate must partial-aggregate map-side")
   }
 
+  test("winnowing: per-window min is a partial-aggregating groupBy, no gram-stream window") {
+    // a row_number window over (doc, win) would sort-shuffle every gram
+    // membership row; selection must ride min(struct) with map-side partials
+    val s = planString(operators.Dedup.winnowFingerprints(
+      Tables(spark, sf).documents, "doc_id", "text"))
+    assert(!s.contains("Window"), s"gram-stream window crept in:\n$s")
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("partial_"), "window-min aggregate must partial-aggregate map-side")
+  }
+
   test("paragraph dedup / bpe pairs: two-phase keyed aggs, no stream window") {
     // keeper selection and pair counting must partial-aggregate map-side;
     // a window over the exploded paragraph/pair stream would sort-shuffle
