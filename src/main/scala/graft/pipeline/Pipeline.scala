@@ -80,6 +80,8 @@ object Pipeline {
                                   k: Int, buckets: Int,
                                   dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
+  final case class MixtureStep(sourceCol: String, idCol: String, alpha: Double,
+                               dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
                              valFrac: Double, dataType: String) extends Step
   final case class ChunkStep(idCol: String, textCol: String, maxTokens: Long,
@@ -328,6 +330,10 @@ object Pipeline {
         targetValue = str("target_value", ""),
         k = if (node.has("k")) node.get("k").asInt() else 1000,
         buckets = if (node.has("buckets")) node.get("buckets").asInt() else 1024,
+        dataType)
+      case "mixture" => MixtureStep(
+        sourceCol = str("source", "source"), idCol = str("id", "id"),
+        alpha = if (node.has("alpha")) node.get("alpha").asDouble() else 0.5,
         dataType)
       case "sample" => SampleStep(
         fraction = if (node.has("fraction")) node.get("fraction").asDouble() else 0.1,
@@ -628,6 +634,12 @@ object Pipeline {
             flow.updated(dt,
               df.join(sel, df(id).cast("long") === col("__kid"), "left_semi"))
           }.getOrElse(flow)
+        case MixtureStep(source, id, alpha, dt) =>
+          // temperature-scaled per-source downsampling (sizes -> n_s^alpha);
+          // alpha = 0 equalizes to the smallest source, 1 keeps everything
+          flow(dt).map(df => flow.updated(dt,
+            graft.queries.DataOps.mixtureTemperature(df, source, id, alpha)
+              .drop("n_s", "min_n"))).getOrElse(flow)
         case SampleStep(fraction, key, dt) =>
           flow(dt).map { df =>
             // deterministic hash-threshold sampling (no RNG state, partition-

@@ -1124,10 +1124,39 @@ object DataOps {
     * integer floor. */
   /** The resampling filter itself, reusable on any (source, id) frame:
     * returns the kept rows (plus the per-source total as `n_s`). */
-  def mixtureResample(d: DataFrame, sourceCol: String, idCol: String): DataFrame = {
+  def mixtureResample(d: DataFrame, sourceCol: String, idCol: String): DataFrame =
+    mixtureTemperature(d, sourceCol, idCol, alpha = 0.0)
+
+  /** Temperature-scaled mixture sampling (the multilingual-LM sampling
+    * rule of Lample & Conneau 2019 / XLM-R, Conneau et al. 2020, made
+    * deterministic): resulting source sizes are ∝ n_s^α, realized as a
+    * per-source keep fraction f_s = (min_n / n_s)^(1-α) — α = 0 equalizes
+    * every source down to the smallest (the [[mixtureResample]] policy),
+    * α = 1 keeps everything, α in between flattens the mixture while
+    * letting big sources stay bigger. The keep decision is the same
+    * content-hash threshold as mixtureResample — no RNG state, stable
+    * under reruns/repartitioning — and the per-source fractions come from
+    * ONE tiny broadcast aggregate, so the pass is a single scan at any
+    * corpus size.
+    *
+    * Portability: the α = 0.5 gate path computes f_s with `sqrt`, which
+    * IEEE 754 requires correctly rounded — bit-identical across engines.
+    * General α uses `pow` (correctly rounded on every libm we target but
+    * not IEEE-guaranteed), the dsir log-vs-bounded gate discipline. */
+  def mixtureTemperature(d: DataFrame, sourceCol: String, idCol: String,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"temperature alpha in [0,1], got $alpha")
     val counts = d.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
     val minN = counts.agg(min(col("n_s")).as("min_n"))
-    val p = col("min_n").cast("double") / col("n_s").cast("double")
+    // α = 1 keeps everything; every source would hit the p == 1 case whose
+    // 9-hex-char threshold the 8-char pad would truncate, so return early
+    if (alpha == 1.0)
+      return d.join(broadcast(counts), sourceCol).crossJoin(broadcast(minN))
+    val ratio = col("min_n").cast("double") / col("n_s").cast("double")
+    val p =
+      if (alpha == 0.0) ratio
+      else if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, 1.0 - alpha)
     // p < 1 ⇒ floor(p·2^32) fits in 8 hex chars; p == 1 (the smallest
     // source) keeps everything and is special-cased — its 9-char threshold
     // would otherwise truncate/compare wrong
@@ -1151,6 +1180,25 @@ object DataOps {
       |      WHERE n_s = min_n OR substr(md5(d.source || '-' || d.doc_id), 1, 8) <
       |        printf('%08x', CAST(floor(CAST(min_n AS DOUBLE) / CAST(n_s AS DOUBLE)
       |          * 4294967296.0) AS BIGINT)))
+      |SELECT source, count(*) AS n_kept, CAST(any_value(n_s) AS BIGINT) AS n_total
+      |FROM k GROUP BY source""".stripMargin
+
+  /** Temperature sampling at α = 0.5 over the documents table — per-source
+    * kept/total counts. sqrt keeps the oracle bit-exact (IEEE-mandated
+    * correct rounding, unlike pow). */
+  def qMixtureTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixtureTemperature(Tables(spark, dir).documents, "source", "doc_id", alpha = 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_s")).as("n_total"))
+
+  val qMixtureTemperatureSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+      |m AS (SELECT min(n_s) AS min_n FROM c),
+      |k AS (SELECT d.source, d.doc_id, c.n_s FROM documents d
+      |      JOIN c USING (source) CROSS JOIN m
+      |      WHERE n_s = min_n OR substr(md5(d.source || '-' || d.doc_id), 1, 8) <
+      |        printf('%08x', CAST(floor(sqrt(CAST(min_n AS DOUBLE) /
+      |          CAST(n_s AS DOUBLE)) * 4294967296.0) AS BIGINT)))
       |SELECT source, count(*) AS n_kept, CAST(any_value(n_s) AS BIGINT) AS n_total
       |FROM k GROUP BY source""".stripMargin
 
@@ -1805,6 +1853,7 @@ object DataOps {
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
+    "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_dedup_incremental" -> ((qDedupIncremental _, Some(qDedupIncrementalSql))),

@@ -714,6 +714,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got(10L) > got(11L), "target-like doc must carry the higher log weight")
   }
 
+  test("temperature mixture: kept sets nest in alpha, alpha=1 is identity, smallest source whole") {
+    val docs = Tables(spark, sf).documents
+    def kept(a: Double) =
+      graft.queries.DataOps.mixtureTemperature(docs, "source", "doc_id", a).select("doc_id")
+    val (k0, k5, k9) = (kept(0.0), kept(0.5), kept(0.9))
+    // f_s = (min/n)^(1-alpha) grows with alpha and the hash threshold is
+    // shared, so the kept sets nest — raising alpha only ADDS documents
+    assert(k0.except(k5).count() == 0, "alpha=0 must keep a subset of alpha=0.5")
+    assert(k5.except(k9).count() == 0, "alpha=0.5 must keep a subset of alpha=0.9")
+    assert(k0.count() <= k5.count() && k5.count() <= k9.count())
+    assert(kept(1.0).count() == docs.count(), "alpha=1 keeps everything")
+    // a source tied for the global minimum survives whole at every alpha
+    val smallest = docs.groupBy("source").count()
+      .orderBy(col("count"), col("source")).first().getString(0)
+    val nSmall = docs.filter(col("source") === smallest).count()
+    assert(graft.queries.DataOps.mixtureTemperature(docs, "source", "doc_id", 0.5)
+      .filter(col("source") === smallest).count() == nSmall)
+  }
+
   test("winnowing: the guarantee — a shared w+k-1 token run always shares a fingerprint") {
     // k=4, w=4: any shared run of >= 7 tokens spans a full gram window in
     // both docs, and winnowing selects the SAME min hash from it

@@ -382,6 +382,22 @@ class PipelineSpec extends SparkSpec {
     assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
   }
 
+  test("mixture step downsamples big sources toward n^alpha, keeps the smallest whole") {
+    val rows = (1 to 40).map(i => s"""{\\"id\\":$i,\\"src\\":\\"big\\",\\"text\\":\\"t$i\\"}""") :+
+      """{\"id\":100,\"src\":\"small\",\"text\":\"s\"}"""
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":"[${rows.mkString(",")}]"}},
+         | {"type":"mixture","source":"src","id":"id","alpha":0.5}
+         |]""".stripMargin)
+    val out = flow.ok.get
+    assert(out.columns.toSet == Set("id", "src", "text"), "no helper columns leak")
+    assert(out.filter(col("src") === "small").count() == 1L, "smallest source survives whole")
+    val big = out.filter(col("src") === "big").count()
+    // deterministic: md5 content-hash thresholds, f_big = sqrt(1/40) ≈ 0.158
+    assert(big > 0 && big < 40, s"big source must thin, not vanish: kept $big")
+  }
+
   test("incremental dedup step: first run bootstraps the index, reruns dedup against it") {
     spark.sql("DROP TABLE IF EXISTS inc_step_idx")
     val loc = new org.apache.hadoop.fs.Path(
