@@ -74,6 +74,17 @@ object TextAnalysis {
       .otherwise(lenScore * 0.4 + wlScore * 0.3 + punctScore * 0.3)
   }
 
+  /** Compression-ratio quality signal (carried per document by
+    * RedPajama-v2 and Dolma): raw UTF-8 byte length / DEFLATE byte
+    * length. Natural prose lands around 2-4; heavily repetitive or
+    * templated text far above; near-random gibberish at ~1. Both tails
+    * are filter candidates. Null and empty text → null (deflate emits a
+    * 2-byte empty block, so 0-length has no meaningful ratio). */
+  def compressionRatio(c: Column): Column =
+    when(c.isNull || octet_length(c) === 0, lit(null).cast("double"))
+      .otherwise(octet_length(c).cast("double") /
+        graft.plans.Native.deflateLen(c).cast("double"))
+
   /** OpenRefine-style collision fingerprint: md5 of sorted distinct tokens —
     * stable under word reorder, the exact-dedup key for shuffled text. */
   def fingerprintSorted(c: Column): Column =

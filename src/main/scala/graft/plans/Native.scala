@@ -19,6 +19,8 @@ object Native {
 
   def hamming(a: Column, b: Column): Column = toCol(HammingDist(toExpr(a), toExpr(b)))
 
+  def deflateLen(text: Column): Column = toCol(DeflateLen(toExpr(text)))
+
   /** Aggregate: element-wise sum of array<double> rows (map-side partial). */
   def vectorSum(v: Column): Column = toCol(VectorSum(toExpr(v)).toAggregateExpression())
 
@@ -77,6 +79,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => SimHash64(e(0))),
     ("graft_hamming", info("HammingDist", "hamming distance of two longs"),
       (e: Seq[Expression]) => HammingDist(e(0), e(1))),
+    ("graft_deflate_len", info("DeflateLen", "DEFLATE-compressed byte length of a string"),
+      (e: Seq[Expression]) => DeflateLen(e(0))),
     // aggregate: the analyzer wraps bare AggregateFunctions on resolution
     ("graft_vector_sum", info("VectorSum", "element-wise sum of double arrays"),
       (e: Seq[Expression]) => VectorSum(e(0))),

@@ -205,6 +205,42 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** DEFLATE-compressed byte length of a string column (java.util.zip raw
+  * deflate, fixed level 6): the numerator of the compression-ratio
+  * quality signal carried per document by RedPajama-v2 / Dolma —
+  * repetitive or templated text compresses far below natural prose, and
+  * near-random gibberish barely compresses at all. Deterministic for a
+  * given input (single-shot deflate, fixed level/strategy, no
+  * dictionary); the Deflater is thread-local and reset per row, so the
+  * hot path allocates nothing but the output walk. */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_deflate_len"
+
+  override def nullSafeEval(in: Any): Any = {
+    val bytes = in.asInstanceOf[UTF8String].getBytes
+    val d = DeflateLen.local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = DeflateLen.buf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  override protected def withNewChildInternal(c: Expression): DeflateLen = copy(child = c)
+}
+
+object DeflateLen {
+  private val local = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(6, true))
+  private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16384))
+}
+
 /** Hamming distance between two long columns (bit popcount of xor). */
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression {

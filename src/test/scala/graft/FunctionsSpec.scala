@@ -206,4 +206,25 @@ class FunctionsSpec extends SparkSpec {
     val errN = df.filter(col("_error").isNotNull).count()
     assert(okN + errN == total && errN > 0)
   }
+
+  test("compression ratio: repetition compresses far above prose; total; SQL-callable") {
+    import graft.operators.TextAnalysis
+    val prose = "the quick brown fox jumps over the lazy dog while autumn rain " +
+      "settles quietly on the rooftops of the old town and merchants argue about barley"
+    val repet = Seq.fill(60)("spam ham").mkString(" ")
+    def ratio(s: String): Double =
+      one(TextAnalysis.compressionRatio(lit(s))).asInstanceOf[Double]
+    assert(ratio(prose) > 1.0, "prose must compress at all")
+    assert(ratio(repet) > 2.0 * ratio(prose), "repetition must compress far harder")
+    // determinism: the signal is a pure function of the bytes
+    assert(ratio(prose) == ratio(prose))
+    // totality: null and empty text carry no ratio
+    assert(one(TextAnalysis.compressionRatio(lit(null).cast("string"))) == null)
+    assert(one(TextAnalysis.compressionRatio(lit(""))) == null)
+    // SQL surface
+    graft.plans.GraftExtensions.register(spark)
+    val n = spark.sql("SELECT graft_deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') AS n")
+      .head().getInt(0)
+    assert(n > 0 && n < 24, "24 identical bytes must deflate below identity")
+  }
 }
