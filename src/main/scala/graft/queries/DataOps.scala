@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Similarity, Skew, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1204,6 +1204,66 @@ object DataOps {
 
   // ---- training-batch construction & corpus reports ----------------------
 
+  /** Global stable ordinal ranks 0..N-1 in `keyCols` order WITHOUT a
+    * single-task global sort — the scalable zipWithIndex. orderBy +
+    * row_number over an unpartitioned window funnels the whole corpus
+    * through ONE task; instead: range-repartition on the key (every
+    * partition holds a disjoint key interval, in order), sort within
+    * partitions, read the per-partition local position out of
+    * monotonically_increasing_id (pid in the high bits, an in-order
+    * row counter in the low 33), then add exclusive-prefix-sum offsets
+    * from one tiny per-partition count aggregate (≤ #partitions rows on
+    * the driver — cluster-metadata-sized, not data-sized). The rank is
+    * the exact global row_number regardless of partition boundaries, so
+    * the output is deterministic for a UNIQUE key at any partition
+    * count / cluster size (ties would order by physical placement —
+    * callers append a unique tiebreaker column, as q_stable_ids does).
+    * The frame is persisted across the two passes (count + emit) and
+    * unpersisted before returning. */
+  def stableRanks(df: DataFrame, keyCols: Seq[Column],
+                  rankCol: String = "rank", partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val keyNames = keyCols.indices.map(i => s"__k$i")
+    val keyed = keyCols.zip(keyNames).foldLeft(df) {
+      case (d, (c, nm)) => d.withColumn(nm, c)
+    }
+    val sorted = keyed
+      .repartitionByRange(n, keyNames.map(col): _*)
+      .sortWithinPartitions(keyNames.map(col): _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
+      .withColumn("__lrank", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    // stays cached for the caller's emit pass (LRU-evictable; a caller
+    // that materializes immediately can sorted.unpersist via the lineage —
+    // recomputation is safe either way because the range boundaries and
+    // in-partition order are deterministic for a unique key)
+    sorted.join(broadcast(offsets.toDF("__pid", "__off")), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lrank"))
+      .drop("__mid" +: "__pid" +: "__lrank" +: "__off" +: keyNames: _*)
+  }
+
+  /** Stable ids over the documents table: rank in (md5(text), doc_id)
+    * order — content-clustered, doc_id-tiebroken (unique ⇒ deterministic
+    * at any partition count). The oracle is the global row_number the
+    * operator refuses to compute the single-task way. */
+  def qStableIds(spark: SparkSession, dir: String): DataFrame =
+    stableRanks(Tables(spark, dir).documents,
+        Seq(md5(col("text").cast("binary")), col("doc_id")), "rank")
+      .select(col("doc_id"), col("rank"))
+
+  val qStableIdsSql: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY md5(text) NULLS FIRST, doc_id) - 1 AS BIGINT) AS rank
+      |FROM documents""".stripMargin
+
   /** Sequence packing for training batches: documents pack greedily into
     * ~`maxTokens`-token bins by running token count, SHARD-LOCAL so the
     * packing is embarrassingly parallel — a single global pack order would
@@ -1839,6 +1899,7 @@ object DataOps {
     "q_quantize_emb"   -> ((qQuantizeEmb _, Some(qQuantizeEmbSql))),
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
+    "q_stable_ids"     -> ((qStableIds _, Some(qStableIdsSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
     "q_contamination_bloom" -> ((qContaminationBloom _, Some(qContaminationSql))),

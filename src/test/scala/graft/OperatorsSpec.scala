@@ -733,6 +733,23 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("source") === smallest).count() == nSmall)
   }
 
+  test("stable ranks: exact global row_number at any partition count, no ties needed") {
+    val docs = Tables(spark, sf).documents
+    def keys = Seq(md5(col("text").cast("binary")), col("doc_id"))
+    def run(parts: Int) = graft.queries.DataOps
+      .stableRanks(docs, keys, "rank", partitions = parts)
+      .select(col("doc_id").as[Long], col("rank").as[Long]).collect().toSet
+    val r3 = run(3)
+    // partition-count independence: 3-way and 7-way layouts agree exactly
+    assert(r3 == run(7), "ranks must not depend on the partitioning")
+    // equals the single-task window row_number the operator avoids
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    val expect = docs.select(col("doc_id").as[Long],
+      (row_number().over(w) - 1).cast("long").as[Long]).collect().toSet
+    assert(r3 == expect, "rank must be the exact global ordinal")
+  }
+
   test("winnowing: the guarantee — a shared w+k-1 token run always shares a fingerprint") {
     // k=4, w=4: any shared run of >= 7 tokens spans a full gram window in
     // both docs, and winnowing selects the SAME min hash from it

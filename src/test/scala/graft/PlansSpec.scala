@@ -95,6 +95,16 @@ class PlansSpec extends SparkSpec {
       "keeper aggregate must partial-aggregate map-side")
   }
 
+  test("stable ranks: range exchange + local sorts only — no window, no global sort") {
+    val s = planString(queries.DataOps.qStableIds(spark, sf))
+    assert(!s.contains("Window"), s"single-task window funnel crept in:\n$s")
+    assert(s.toLowerCase.contains("rangepartitioning"),
+      "ordering must come from a range exchange")
+    // every Sort in the plan must be partition-local (global sorts print
+    // as Sort [...], true)
+    assert(!s.contains("], true, "), s"global sort crept in:\n$s")
+  }
+
   test("winnowing: per-window min is a partial-aggregating groupBy, no gram-stream window") {
     // a row_number window over (doc, win) would sort-shuffle every gram
     // membership row; selection must ride min(struct) with map-side partials
