@@ -1264,6 +1264,37 @@ object DataOps {
       |  CAST(row_number() OVER (ORDER BY md5(text) NULLS FIRST, doc_id) - 1 AS BIGINT) AS rank
       |FROM documents""".stripMargin
 
+  /** Deterministic uniform k-per-group sampling (the distributed,
+    * replayable form of per-group reservoir sampling — eval-set carving,
+    * per-domain inspection samples): keep the k rows with the smallest
+    * content hash within each group. One bounded min-k heap per group
+    * (MinKByKey — ≤ k 16-byte entries per aggregation buffer, partial
+    * map-side), so the shuffle carries k pairs per (group × partition),
+    * never the corpus; no per-group window. The hash is the portable
+    * 60-bit md5 form, so the selection is uniform-in-expectation over
+    * content, identical on reruns/repartitionings, and SQL-replicable
+    * bit-exactly (hex-string order ≡ numeric order at fixed width). */
+  def samplePerGroup(d: DataFrame, groupCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    val h = conv(substring(md5(
+      concat(col(groupCol), lit("-"), col(idCol)).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    d.select(col(groupCol), col(idCol).cast("long").as("__id"), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.plans.Native.minKByKey(col("__h"), col("__id"), k).as("ks"))
+      .select(col(groupCol), explode(transform(col("ks"), e => e.getField("p"))).as(idCol))
+  }
+
+  def qSamplePerSource(spark: SparkSession, dir: String): DataFrame =
+    samplePerGroup(Tables(spark, dir).documents, "source", "doc_id", k = 5)
+
+  val qSamplePerSourceSql: String =
+    """WITH h AS (SELECT source, doc_id,
+      |    substring(md5(source || '-' || doc_id), 1, 15) AS hx FROM documents),
+      |r AS (SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rn FROM h)
+      |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin
+
   /** Sequence packing for training batches: documents pack greedily into
     * ~`maxTokens`-token bins by running token count, SHARD-LOCAL so the
     * packing is embarrassingly parallel — a single global pack order would
@@ -1900,6 +1931,7 @@ object DataOps {
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
     "q_stable_ids"     -> ((qStableIds _, Some(qStableIdsSql))),
+    "q_sample_per_source" -> ((qSamplePerSource _, Some(qSamplePerSourceSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
     "q_contamination_bloom" -> ((qContaminationBloom _, Some(qContaminationSql))),

@@ -733,6 +733,22 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("source") === smallest).count() == nSmall)
   }
 
+  test("per-group sampling: exactly min(k, |group|) rows, partitioning-independent, no window") {
+    val df = ((1 to 20).map(i => (i.toLong, "big")) ++ Seq((100L, "tiny"), (101L, "tiny")))
+      .toDF("id", "src")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.queries.DataOps
+      .samplePerGroup(d, "src", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = run(df)
+    assert(got.count(_._1 == "big") == 5, "k rows from the big group")
+    assert(got.filter(_._1 == "tiny").map(_._2) == Set(100L, 101L),
+      "a group smaller than k survives whole")
+    assert(run(df.repartition(7)) == got, "selection must not depend on partitioning")
+    val plan = graft.queries.DataOps.samplePerGroup(df, "src", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-group window funnel crept in")
+  }
+
   test("stable ranks: exact global row_number at any partition count, no ties needed") {
     val docs = Tables(spark, sf).documents
     def keys = Seq(md5(col("text").cast("binary")), col("doc_id"))
