@@ -529,6 +529,21 @@ object Pipeline {
                 df.join(reps, df(id) === col("__rep_id"), "left")
                   .filter(col("__rep").isNull || col("__rep") === df(id))
                   .drop("__rep_id", "__rep")
+              case "winnow" =>
+                // winnowing candidate graph (Schleimer et al. 2003): docs
+                // sharing >= threshold selected fingerprints (threshold is
+                // the integer shared-fingerprint floor here, not a jaccard;
+                // max_bucket caps a fingerprint's bucket) -> min-id
+                // representative per connected component
+                val pairs = graft.operators.Dedup.winnowPairs(df, id, text,
+                  maxBucket = maxBucket,
+                  minShared = math.max(1, threshold.toInt))
+                val reps = graft.operators.Dedup.representatives(
+                    pairs.select(col("a"), col("b")))
+                  .withColumnRenamed("id", "__rep_id").withColumnRenamed("rep", "__rep")
+                df.join(reps, df(id) === col("__rep_id"), "left")
+                  .filter(col("__rep").isNull || col("__rep") === df(id))
+                  .drop("__rep_id", "__rep")
               case "simhash" =>
                 // near-dup graph on 64-bit simhash (hamming <= max_hamming,
                 // banded blocking, max_bucket skew cap) -> min-id

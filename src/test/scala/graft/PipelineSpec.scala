@@ -382,6 +382,22 @@ class PipelineSpec extends SparkSpec {
     assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
   }
 
+  test("dedup method=winnow collapses docs sharing fingerprinted runs, keeps min id") {
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val data = Seq(
+      s"""{\\"id\\":3,\\"text\\":\\"intro words $run tail words here\\"}""",
+      s"""{\\"id\\":1,\\"text\\":\\"other prefix $run different suffix now\\"}""",
+      """{\"id\":7,\"text\":\"kiwi lemon mango nectar orange papaya quince raisin\"}"""
+    ).mkString(",")
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":"[$data]"}},
+         | {"type":"dedup","method":"winnow","id":"id","field":"text","threshold":1}
+         |]""".stripMargin)
+    assert(flow.ok.get.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 7L),
+      "shared-run docs collapse to the min id; the unrelated doc survives")
+  }
+
   test("mixture step downsamples big sources toward n^alpha, keeps the smallest whole") {
     val rows = (1 to 40).map(i => s"""{\\"id\\":$i,\\"src\\":\\"big\\",\\"text\\":\\"t$i\\"}""") :+
       """{\"id\":100,\"src\":\"small\",\"text\":\"s\"}"""
