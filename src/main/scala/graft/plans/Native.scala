@@ -21,6 +21,8 @@ object Native {
 
   def deflateLen(text: Column): Column = toCol(DeflateLen(toExpr(text)))
 
+  def textNorm(text: Column): Column = toCol(TextNorm(toExpr(text)))
+
   /** Aggregate: element-wise sum of array<double> rows (map-side partial). */
   def vectorSum(v: Column): Column = toCol(VectorSum(toExpr(v)).toAggregateExpression())
 
@@ -81,6 +83,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => HammingDist(e(0), e(1))),
     ("graft_deflate_len", info("DeflateLen", "DEFLATE-compressed byte length of a string"),
       (e: Seq[Expression]) => DeflateLen(e(0))),
+    ("graft_text_norm", info("TextNorm", "NFKD fold: drop accents, compatibility forms, case"),
+      (e: Seq[Expression]) => TextNorm(e(0))),
     // aggregate: the analyzer wraps bare AggregateFunctions on resolution
     ("graft_vector_sum", info("VectorSum", "element-wise sum of double arrays"),
       (e: Seq[Expression]) => VectorSum(e(0))),

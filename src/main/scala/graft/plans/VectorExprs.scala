@@ -241,6 +241,36 @@ object DeflateLen {
   private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16384))
 }
 
+/** Unicode text folding for corpus normalization (the CCNet cleaning
+  * pass, Wenzek et al. 2020: lowercase + accent/compatibility folding
+  * before hashing or LM scoring): NFKD-normalize (compatibility forms
+  * decompose — Ⅻ→XII, ①→1, ﬁ→fi), drop combining marks (é→e), then
+  * lowercase. One pass per row, no regex; deterministic (java.text
+  * .Normalizer is version-pinned by the JVM). */
+case class TextNorm(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_text_norm"
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK)
+        sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextNorm = copy(child = c)
+}
+
 /** Hamming distance between two long columns (bit popcount of xor). */
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression {

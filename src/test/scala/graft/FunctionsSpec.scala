@@ -207,6 +207,18 @@ class FunctionsSpec extends SparkSpec {
     assert(okN + errN == total && errN > 0)
   }
 
+  test("text norm folds accents, compatibility forms, and case; total; SQL-callable") {
+    def norm(s: String): Any = one(graft.plans.Native.textNorm(lit(s)))
+    assert(norm("Café") == "cafe", "combining accents fold away")
+    assert(norm("Ⅻ ﬁne ①") == "xii fine 1", "NFKD compatibility forms decompose")
+    assert(norm("ALREADY plain") == "already plain")
+    assert(norm("") == "")
+    assert(one(graft.plans.Native.textNorm(lit(null).cast("string"))) == null)
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_text_norm('Naïve Ⅳ') AS t").head().getString(0)
+      == "naive iv", "SQL surface folds diaeresis and roman numeral")
+  }
+
   test("compression ratio: repetition compresses far above prose; total; SQL-callable") {
     import graft.operators.TextAnalysis
     val prose = "the quick brown fox jumps over the lazy dog while autumn rain " +
