@@ -457,15 +457,27 @@ object Dedup {
     * Documents with < k tokens have no grams and no fingerprints; k ≤
     * grams < w collapse to one whole-document window.
     *
-    * Shape at scale: the gram hash is the portable 60-bit md5 form (15
-    * hex chars — the q_dedup_simhash_exact convention, so a SQL oracle
-    * replicates it bit-exactly); window membership is a map-side ×w
-    * explode — w is a small constant (4-8), so this stays linear; the
-    * per-window min is ONE two-phase min-struct groupBy on (doc, window)
-    * — partial-aggregate map-side, no window function over the gram
-    * stream. Returns distinct (idCol, h, pos) fingerprints. */
+    * Shape at scale: winnowing is a PER-DOCUMENT algorithm, so the whole
+    * selection runs in the map stage — one native WinnowSelect pass per
+    * row (monotonic deque, O(grams)) and an explode of the selected set.
+    * Zero shuffle until cross-document matching. The gram hash is the
+    * portable 60-bit md5 form (15 hex chars — the q_dedup_simhash_exact
+    * convention), so a SQL oracle replicates the selection bit-exactly.
+    * Returns distinct (idCol, h, pos) fingerprints. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 4, w: Int = 4): DataFrame = {
+                         k: Int = 4, w: Int = 4): DataFrame =
+    docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col(idCol),
+        explode(graft.plans.Native.winnowSelect(col("toks"), k, w)).as("fp"))
+      .select(col(idCol), col("fp.h").as("h"), col("fp.pos").as("pos"))
+
+  /** The same selection as a groupBy-over-exploded-windows plan — kept as
+    * the independent formulation the equality spec checks the native
+    * deque against (never the production path: it shuffles one row per
+    * token into the per-window min). */
+  private[graft] def winnowFingerprintsViaGroupBy(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
     val toks = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
     val grams = toks.select(col(idCol),
         (size(col("toks")) - k + 1).as("gcnt"),

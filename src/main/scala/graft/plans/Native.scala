@@ -23,6 +23,11 @@ object Native {
 
   def textNorm(text: Column): Column = toCol(TextNorm(toExpr(text)))
 
+  /** Winnowing fingerprint selection over a token array (rightmost-min
+    * per w-window of word-k-gram hashes) — one map-side deque pass. */
+  def winnowSelect(tokens: Column, k: Int, w: Int): Column =
+    toCol(WinnowSelect(toExpr(tokens), k, w))
+
   /** Aggregate: element-wise sum of array<double> rows (map-side partial). */
   def vectorSum(v: Column): Column = toCol(VectorSum(toExpr(v)).toAggregateExpression())
 

@@ -241,6 +241,81 @@ object DeflateLen {
   private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16384))
 }
 
+/** Winnowing fingerprint selection over a token array (Schleimer,
+  * Wilkerson & Aiken 2003) as ONE per-row pass — winnowing is a
+  * per-document algorithm, so the selection belongs in the map stage,
+  * not in a per-window groupBy that would shuffle one row per token.
+  * Computes the portable 60-bit md5 hash of each word k-gram (identical
+  * to conv(substring(md5(gram),1,15),16,10) — oracle-replicable), then
+  * selects the RIGHTMOST minimal hash of every w-window with a
+  * monotonic deque: O(grams) total, zero allocation beyond the output.
+  * Fewer than k tokens → empty; k ≤ grams < w → one whole-doc window.
+  * Returns array<struct<h:long, pos:int>> of the distinct selections
+  * (consecutive windows sharing a selection emit it once — selections
+  * form contiguous window runs, so local dedup is exact). */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k > 0 && w > 0, s"winnow needs k > 0 and w > 0, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(in: Any): Any = {
+    val toks = in.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val g = n - k + 1
+    if (g <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = WinnowSelect.md5.get()
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      i += 1
+    }
+    // rightmost-min per w-window via a monotonic deque of positions with
+    // strictly increasing hash front-to-back; a new element evicts every
+    // back entry with hash >= its own (>= realizes the rightmost tie rule)
+    val win = math.min(w, g)
+    val deque = new Array[Int](g)
+    var head = 0; var tail = 0 // [head, tail)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](2 * g / (w + 1) + 2)
+    var lastPos = -1
+    i = 0
+    while (i < g) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1 && deque(head) != lastPos) {
+        lastPos = deque(head)
+        out += InternalRow(hs(lastPos), lastPos)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowSelect = copy(child = c)
+}
+
+object WinnowSelect {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** Unicode text folding for corpus normalization (the CCNet cleaning
   * pass, Wenzek et al. 2020: lowercase + accent/compatibility folding
   * before hashing or LM scoring): NFKD-normalize (compatibility forms

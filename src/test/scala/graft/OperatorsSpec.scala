@@ -805,6 +805,19 @@ class OperatorsSpec extends SparkSpec {
     assert(fp.length <= gcnt - w + 1 && fp.nonEmpty)
   }
 
+  test("winnowing: native deque selection equals the exploded-groupBy formulation") {
+    // two independent realizations of the same selection rule — the
+    // map-only production path and the per-window min groupBy — must
+    // agree exactly on the real corpus (hash, position, and set size)
+    val docs = Tables(spark, sf).documents
+    val native = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val grouped = Dedup.winnowFingerprintsViaGroupBy(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(native == grouped)
+    assert(native.nonEmpty)
+  }
+
   test("winnowing: totality (null / empty / short docs) and the bucket cap") {
     val fp = Dedup.winnowFingerprints(Seq(
       (1L, null: String), (2L, ""), (3L, "a b c")).toDF("doc_id", "text"),

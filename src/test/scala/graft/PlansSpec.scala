@@ -105,14 +105,16 @@ class PlansSpec extends SparkSpec {
     assert(!s.contains("], true, "), s"global sort crept in:\n$s")
   }
 
-  test("winnowing: per-window min is a partial-aggregating groupBy, no gram-stream window") {
-    // a row_number window over (doc, win) would sort-shuffle every gram
-    // membership row; selection must ride min(struct) with map-side partials
+  test("winnowing: selection is map-only — no exchange, no window, no aggregate") {
+    // winnowing is per-document; shuffling one row per token into a
+    // per-window min groupBy (the exploded formulation) would make the
+    // selection itself a corpus-wide exchange. The native deque pass
+    // keeps the whole stage scan→project→generate.
     val s = planString(operators.Dedup.winnowFingerprints(
       Tables(spark, sf).documents, "doc_id", "text"))
+    assert(!s.contains("Exchange"), s"fingerprint selection must not shuffle:\n$s")
     assert(!s.contains("Window"), s"gram-stream window crept in:\n$s")
-    assert(!s.contains("CartesianProduct"))
-    assert(s.contains("partial_"), "window-min aggregate must partial-aggregate map-side")
+    assert(!s.contains("Aggregate"), s"selection must not aggregate:\n$s")
   }
 
   test("paragraph dedup / bpe pairs: two-phase keyed aggs, no stream window") {
