@@ -38,7 +38,8 @@ object ScaleBench {
     "q_boilerplate", "q_dedup_incremental", "q_dedup_minhash_inc", "q_best_per_source",
     "q_dsir_select", "q_corpus_overlap", "q_corpus_overlap_inc", "q_quality_lr",
     "q_paragraph_dedup", "q_heavy_hitters", "q_bpe_pairs", "q_bpe_train", "q_bm25",
-    "q_winnow", "q_stable_ids", "q_sample_per_source", "q_mixture_temperature")
+    "q_winnow", "q_stable_ids", "q_sample_per_source", "q_mixture_temperature",
+    "q_containment")
 
   /** Queries whose only input is the embeddings table (eligible for the
     * synthetic 10× embedding corpus). q_semdedup is handled separately:

@@ -524,6 +524,36 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Asymmetric containment report over winnowing candidates: for every
+    * pair sharing ≥ `minShared` fingerprints, the exact distinct-token
+    * overlap (inter, n_a, n_b) — containment(a in b) = inter/n_a, the
+    * signal Jaccard structurally misses when a small document lives
+    * inside a much larger one (|A∩B|/|A∪B| stays low however completely
+    * A is swallowed; Broder 1997 separates resemblance from containment
+    * for exactly this reason). Quote/boilerplate-inclusion detection in
+    * curation pipelines. Integer outputs only — division is the
+    * caller's policy choice. Token sets travel as portable 60-bit md5
+    * hashes (SQL-replicable, and the pair join carries fixed-width
+    * longs, not token strings). Candidate generation is [[winnowPairs]]
+    * (local matches are guaranteed surfaced); the set join touches only
+    * the candidate sliver. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 4, w: Int = 4, maxBucket: Int = 64,
+                       minShared: Int = 1): DataFrame = {
+    val cands = winnowPairs(docs, idCol, textCol, k, w, maxBucket, minShared)
+      .select(col("a"), col("b"))
+    val sets = docs.select(col(idCol).cast("long").as("__sid"),
+      array_distinct(transform(split(trim(col(textCol)), "\\s+"),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("__set"))
+    cands
+      .join(sets.select(col("__sid").as("a"), col("__set").as("__sa")), "a")
+      .join(sets.select(col("__sid").as("b"), col("__set").as("__sb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("bigint").as("inter"),
+        size(col("__sa")).cast("bigint").as("n_a"),
+        size(col("__sb")).cast("bigint").as("n_b"))
+  }
+
   // ---- simhash -----------------------------------------------------------
 
   /** 64-bit SimHash as a 0/1 bit array: per-token xxhash64, sign-vote per

@@ -1617,6 +1617,57 @@ object DataOps {
        |FROM p GROUP BY a, b HAVING count(*) >= 2 ORDER BY a, b""".stripMargin
   }
 
+  /** Containment report (Broder 1997's containment, not resemblance)
+    * over winnowing candidates at minShared=1 — integer-exact distinct-
+    * token overlaps, so the oracle needs no float parity at all. The
+    * SQL replicates the whole chain: winnowing selection, bucket cap,
+    * pair set, md5 token sets, intersection counts. */
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(spark, dir).documents, "doc_id", "text",
+        k = 4, w = 4, maxBucket = 64, minShared = 1)
+      .orderBy(col("a"), col("b"))
+
+  val qContainmentSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val wgt = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1) * $wgt"
+    }.mkString(" + ")
+    val hexValTok = (1 to 15).map { p =>
+      val wgt = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(md5(t), $p, 1)) - 1) * $wgt"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, len(toks) - 4 + 1 AS gcnt, unnest(
+       |    CASE WHEN len(toks) >= 4 THEN
+       |      list_transform(range(1, len(toks) - 4 + 2),
+       |        i -> {'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')})
+       |    ELSE [] END, recursive := true)
+       |  FROM t),
+       |hx AS (SELECT doc_id, gcnt, pos, substring(md5(gram), 1, 15) AS h FROM g0),
+       |g AS (SELECT doc_id, gcnt, pos, $hexVal AS v FROM hx),
+       |win AS (SELECT doc_id, v, pos, u.s AS s
+       |  FROM g, UNNEST(range(greatest(pos - 3, 0),
+       |                       least(pos, greatest(gcnt - 4, 0)) + 1)) AS u(s)),
+       |sel AS (SELECT doc_id, v,
+       |          row_number() OVER (PARTITION BY doc_id, s ORDER BY v, pos DESC) AS rn
+       |        FROM win),
+       |fp AS (SELECT DISTINCT doc_id, v FROM sel WHERE rn = 1),
+       |r AS (SELECT doc_id, v,
+       |        row_number() OVER (PARTITION BY v ORDER BY doc_id) AS brn FROM fp),
+       |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |      FROM r x JOIN r y ON x.v = y.v AND x.doc_id < y.doc_id
+       |      WHERE x.brn <= 64 AND y.brn <= 64),
+       |ts AS (SELECT doc_id,
+       |         list_distinct(list_transform(toks, t -> $hexValTok)) AS hset
+       |       FROM t)
+       |SELECT p.a, p.b,
+       |  CAST(len(list_intersect(ta.hset, tb.hset)) AS BIGINT) AS inter,
+       |  CAST(len(ta.hset) AS BIGINT) AS n_a,
+       |  CAST(len(tb.hset) AS BIGINT) AS n_b
+       |FROM p JOIN ts ta ON p.a = ta.doc_id JOIN ts tb ON p.b = tb.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** BPE training's corpus-sized pass — the weighted character-pair count
     * table over the word-frequency table (Sennrich et al. 2016). This is
     * the ONLY part of BPE training that touches corpus-scale data (one
@@ -1939,6 +1990,7 @@ object DataOps {
     "q_repeated_grams" -> ((qRepeatedGrams _, Some(qRepeatedGramsSql))),
     "q_substring_dedup" -> ((qSubstringDedup _, Some(qSubstringDedupSql))),
     "q_winnow"          -> ((qWinnow _, Some(qWinnowSql))),
+    "q_containment"     -> ((qContainment _, Some(qContainmentSql))),
     "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),

@@ -818,6 +818,25 @@ class OperatorsSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("containment: a swallowed document surfaces with inter == n_a despite low jaccard") {
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val soup = (0 until 120).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, passage),                     // 8 distinct tokens, all inside doc 2
+      (2L, s"$soup $passage"),           // 128 distinct tokens
+      (3L, "unrelated words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (inter, na, nb) = rows((1L, 2L))
+    assert(inter == na, "doc 1 is fully contained: every distinct token overlaps")
+    assert(na == 8L && nb == 128L)
+    // the signal jaccard misses: resemblance is only 8/128
+    assert(inter.toDouble / (na + nb - inter) < 0.1)
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("winnowing: totality (null / empty / short docs) and the bucket cap") {
     val fp = Dedup.winnowFingerprints(Seq(
       (1L, null: String), (2L, ""), (3L, "a b c")).toDF("doc_id", "text"),
