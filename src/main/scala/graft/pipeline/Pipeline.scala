@@ -529,6 +529,25 @@ object Pipeline {
                 df.join(reps, df(id) === col("__rep_id"), "left")
                   .filter(col("__rep").isNull || col("__rep") === df(id))
                   .drop("__rep_id", "__rep")
+              case "containment" =>
+                // drop documents swallowed by a larger one (Broder
+                // containment >= threshold of the SMALLER side's tokens);
+                // keep-the-larger policy, min-id on equal sizes. Candidates
+                // come from winnowing, so only locally-matching pairs join.
+                val pairs = graft.operators.Dedup.containmentPairs(
+                  df, id, text, maxBucket = maxBucket)
+                val thr = if (threshold > 0 && threshold <= 1) threshold else 0.9
+                val drops = pairs
+                  .select(col("a"), col("b"), col("inter"), col("n_a"), col("n_b"),
+                    when(col("n_a") < col("n_b"), col("a"))
+                      .when(col("n_a") > col("n_b"), col("b"))
+                      .otherwise(greatest(col("a"), col("b"))).as("small"))
+                  .withColumn("n_small",
+                    when(col("small") === col("a"), col("n_a")).otherwise(col("n_b")))
+                  .filter(col("inter").cast("double") >=
+                    lit(thr) * col("n_small").cast("double"))
+                  .select(col("small").as("__drop_id")).distinct()
+                df.join(drops, df(id).cast("long") === col("__drop_id"), "left_anti")
               case "winnow" =>
                 // winnowing candidate graph (Schleimer et al. 2003): docs
                 // sharing >= threshold selected fingerprints (threshold is

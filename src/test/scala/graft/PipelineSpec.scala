@@ -382,6 +382,23 @@ class PipelineSpec extends SparkSpec {
     assert(flow.ok.get.columns.toSet == Set("id", "text"), "no helper columns leak")
   }
 
+  test("dedup method=containment drops the swallowed doc, keeps the larger") {
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val soup = (0 until 60).map(i => s"w$i").mkString(" ")
+    val data = Seq(
+      s"""{\\"id\\":5,\\"text\\":\\"$passage\\"}""",
+      s"""{\\"id\\":2,\\"text\\":\\"$soup $passage\\"}""",
+      """{\"id\":9,\"text\":\"independent content with nothing shared anywhere at all\"}"""
+    ).mkString(",")
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":"[$data]"}},
+         | {"type":"dedup","method":"containment","id":"id","field":"text","threshold":0.9}
+         |]""".stripMargin)
+    assert(flow.ok.get.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 9L),
+      "the contained doc goes; the container and the unrelated doc stay")
+  }
+
   test("dedup method=winnow collapses docs sharing fingerprinted runs, keeps min id") {
     val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val data = Seq(
