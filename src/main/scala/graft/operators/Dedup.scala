@@ -537,14 +537,19 @@ object Dedup {
     * longs, not token strings). Candidate generation is [[winnowPairs]]
     * (local matches are guaranteed surfaced); the set join touches only
     * the candidate sliver. */
+  /** Distinct portable-md5 token hashes of a text column (the
+    * containment-verification set — SQL-replicable). */
+  private def tokenHashSet(text: Column): Column =
+    array_distinct(transform(split(trim(text), "\\s+"),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 4, w: Int = 4, maxBucket: Int = 64,
                        minShared: Int = 1): DataFrame = {
     val cands = winnowPairs(docs, idCol, textCol, k, w, maxBucket, minShared)
       .select(col("a"), col("b"))
     val sets = docs.select(col(idCol).cast("long").as("__sid"),
-      array_distinct(transform(split(trim(col(textCol)), "\\s+"),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("__set"))
+      tokenHashSet(col(textCol)).as("__set"))
     cands
       .join(sets.select(col("__sid").as("a"), col("__set").as("__sa")), "a")
       .join(sets.select(col("__sid").as("b"), col("__set").as("__sb")), "b")
@@ -552,6 +557,61 @@ object Dedup {
         size(array_intersect(col("__sa"), col("__sb"))).cast("bigint").as("inter"),
         size(col("__sa")).cast("bigint").as("n_a"),
         size(col("__sb")).cast("bigint").as("n_b"))
+  }
+
+  /** Persisted winnowing index — the incremental sibling of
+    * [[buildMinhashIndex]] for the LOCAL-match family: `_fps` holds the
+    * corpus's selected (h, id) fingerprints BUCKETED on h (capped at
+    * `maxBucket` ids per fingerprint inside the aggregation buffer), and
+    * `_sets` the md5 token sets bucketed on id for exact containment
+    * verification. Build cost is the one corpus pass winnowing needs
+    * (map-only selection + the two bucketed writes); after that a daily
+    * batch probes for swallowed/boilerplate-sharing documents WITHOUT
+    * rescanning corpus text, and both index joins are exchange-free by
+    * bucket layout. */
+  def buildWinnowIndex(corpus: DataFrame, tablePrefix: String, buckets: Int,
+                       idCol: String, textCol: String,
+                       k: Int = 4, w: Int = 4, maxBucket: Int = 64): Unit = {
+    val fp = winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("id"), col("h")).distinct()
+    val capped = fp.groupBy(col("h"))
+      .agg(graft.plans.Native.minKByKey(col("id"), col("id"), maxBucket).as("ks"))
+      .select(col("h"), explode(col("ks")).as("e"))
+      .select(col("h"), col("e.id").as("id"))
+    Bucketing.writeBucketed(capped, s"${tablePrefix}_fps", buckets, keys = Seq("h"))
+    Bucketing.writeBucketed(
+      corpus.select(col(idCol).cast("long").as("id"),
+        tokenHashSet(col(textCol)).as("hset")),
+      s"${tablePrefix}_sets", buckets, keys = Seq("id"))
+  }
+
+  /** Containment matches between a new batch and a [[buildWinnowIndex]]
+    * corpus: the batch's fingerprints probe `_fps` (index side never
+    * exchanges), pairs sharing ≥ `minShared` fingerprints verify their
+    * exact token overlap against `_sets`. Output (bid, cid, inter, n_b,
+    * n_c) — integer-exact, division is the caller's policy. The batch
+    * tokenizes once; corpus text is untouched. */
+  def containmentAgainstIndex(batch: DataFrame, tablePrefix: String,
+                              idCol: String, textCol: String,
+                              k: Int = 4, w: Int = 4,
+                              minShared: Int = 1): DataFrame = {
+    val spark = batch.sparkSession
+    val fpsT = Bucketing.readBucketed(spark, s"${tablePrefix}_fps")
+    val setsT = Bucketing.readBucketed(spark, s"${tablePrefix}_sets")
+      .select(col("id").as("cid"), col("hset").as("cset"))
+    val bfp = winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("bid"), col("h")).distinct()
+    val cands = bfp.join(fpsT, "h")
+      .groupBy(col("bid"), col("id")).agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("bid"), col("id").as("cid"))
+    val bsets = batch.select(col(idCol).cast("long").as("bid"),
+      tokenHashSet(col(textCol)).as("bset"))
+    cands.join(bsets, "bid").join(setsT, "cid")
+      .select(col("bid"), col("cid"),
+        size(array_intersect(col("bset"), col("cset"))).cast("bigint").as("inter"),
+        size(col("bset")).cast("bigint").as("n_b"),
+        size(col("cset")).cast("bigint").as("n_c"))
   }
 
   // ---- simhash -----------------------------------------------------------

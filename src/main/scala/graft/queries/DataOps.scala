@@ -1668,6 +1668,67 @@ object DataOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Incremental containment: docs with doc_id % 4 != 0 are the indexed
+    * corpus, the rest probe it as a batch. Same full-replication oracle
+    * as q_containment — the winnowing chain for both sides, the
+    * corpus-only bucket cap, the pair set, the token-set intersections —
+    * proving the persisted-index layout changes the plan, never the
+    * answer. */
+  def qContainmentInc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    dropGateTable(spark, "graft_winnow_gate_idx_fps")
+    dropGateTable(spark, "graft_winnow_gate_idx_sets")
+    Dedup.buildWinnowIndex(corpus, "graft_winnow_gate_idx", buckets = 8,
+      idCol = "doc_id", textCol = "text")
+    Dedup.containmentAgainstIndex(batch, "graft_winnow_gate_idx",
+        idCol = "doc_id", textCol = "text", minShared = 1)
+      .orderBy(col("bid"), col("cid"))
+  }
+
+  val qContainmentIncSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val wgt = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1) * $wgt"
+    }.mkString(" + ")
+    val hexValTok = (1 to 15).map { p =>
+      val wgt = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(md5(t), $p, 1)) - 1) * $wgt"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, len(toks) - 4 + 1 AS gcnt, unnest(
+       |    CASE WHEN len(toks) >= 4 THEN
+       |      list_transform(range(1, len(toks) - 4 + 2),
+       |        i -> {'pos': i - 1, 'gram': array_to_string(toks[i:i+3], ' ')})
+       |    ELSE [] END, recursive := true)
+       |  FROM t),
+       |hx AS (SELECT doc_id, gcnt, pos, substring(md5(gram), 1, 15) AS h FROM g0),
+       |g AS (SELECT doc_id, gcnt, pos, $hexVal AS v FROM hx),
+       |win AS (SELECT doc_id, v, pos, u.s AS s
+       |  FROM g, UNNEST(range(greatest(pos - 3, 0),
+       |                       least(pos, greatest(gcnt - 4, 0)) + 1)) AS u(s)),
+       |sel AS (SELECT doc_id, v,
+       |          row_number() OVER (PARTITION BY doc_id, s ORDER BY v, pos DESC) AS rn
+       |        FROM win),
+       |fp AS (SELECT DISTINCT doc_id, v FROM sel WHERE rn = 1),
+       |cfp AS (SELECT doc_id, v,
+       |          row_number() OVER (PARTITION BY v ORDER BY doc_id) AS brn
+       |        FROM fp WHERE doc_id % 4 <> 0),
+       |bfp AS (SELECT doc_id, v FROM fp WHERE doc_id % 4 = 0),
+       |p AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+       |      FROM bfp b JOIN cfp c ON b.v = c.v WHERE c.brn <= 64),
+       |ts AS (SELECT doc_id,
+       |         list_distinct(list_transform(toks, t -> $hexValTok)) AS hset
+       |       FROM t)
+       |SELECT p.bid, p.cid,
+       |  CAST(len(list_intersect(tb.hset, tc.hset)) AS BIGINT) AS inter,
+       |  CAST(len(tb.hset) AS BIGINT) AS n_b,
+       |  CAST(len(tc.hset) AS BIGINT) AS n_c
+       |FROM p JOIN ts tb ON p.bid = tb.doc_id JOIN ts tc ON p.cid = tc.doc_id
+       |ORDER BY bid, cid""".stripMargin
+  }
+
   /** BPE training's corpus-sized pass — the weighted character-pair count
     * table over the word-frequency table (Sennrich et al. 2016). This is
     * the ONLY part of BPE training that touches corpus-scale data (one
@@ -1991,6 +2052,7 @@ object DataOps {
     "q_substring_dedup" -> ((qSubstringDedup _, Some(qSubstringDedupSql))),
     "q_winnow"          -> ((qWinnow _, Some(qWinnowSql))),
     "q_containment"     -> ((qContainment _, Some(qContainmentSql))),
+    "q_containment_inc" -> ((qContainmentInc _, Some(qContainmentIncSql))),
     "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),

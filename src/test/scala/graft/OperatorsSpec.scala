@@ -837,6 +837,32 @@ class OperatorsSpec extends SparkSpec {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnow index: a batch finds its swallowed docs against the persisted corpus") {
+    val tables = Seq("graft_winnow_t_idx_fps", "graft_winnow_t_idx_sets")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val soup = (0 until 80).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$soup $passage"),
+      (2L, "solo corpus words nothing else whatsoever right here today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, passage), // fully swallowed by corpus doc 1
+      (101L, "fresh batch content unlike anything indexed before now")
+    ).toDF("doc_id", "text")
+    try {
+      Dedup.buildWinnowIndex(corpus, "graft_winnow_t_idx", buckets = 4,
+        idCol = "doc_id", textCol = "text")
+      val m = Dedup.containmentAgainstIndex(batch, "graft_winnow_t_idx",
+          idCol = "doc_id", textCol = "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val (inter, nb) = m((100L, 1L))
+      assert(inter == nb, "batch doc 100 is fully contained in corpus doc 1")
+      assert(!m.keySet.exists(_._1 == 101L), "unrelated batch doc matches nothing")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("winnowing: totality (null / empty / short docs) and the bucket cap") {
     val fp = Dedup.winnowFingerprints(Seq(
       (1L, null: String), (2L, ""), (3L, "a b c")).toDF("doc_id", "text"),
