@@ -1811,6 +1811,57 @@ object DataOps {
       |  CAST(count(is_common) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS common_frac
       |FROM g LEFT JOIN c USING (gram) GROUP BY doc_id""".stripMargin
 
+  /** CCNet's head/middle/tail data map (Wenzek et al. 2020 §4.4: corpora
+    * are released in perplexity terciles per language — head trains,
+    * tail gets filtered): per-SOURCE tercile bucketing of the corpus-LM
+    * quality score (the gate's model-score stand-in for the KenLM
+    * perplexity — the synthetic corpus saturates the bigram-LM fraction
+    * at 1.0, which would collapse every tercile; higher = better). Terciles are RANK-based
+    * (CCNet splits by equal counts), realized integer-exactly: a global
+    * [[stableRanks]] pass ordered (source, q, id) gives every doc its
+    * ordinal without a per-source window (per-source rank = global rank
+    * minus the source's broadcast min-rank), and tercile = (3·r0) div n
+    * — no float cut values anywhere, so the oracle needs no percentile
+    * interpolation parity (an earlier quantile_cont formulation died on
+    * last-ulp boundary flips). */
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val ranked = stableRanks(scored,
+      Seq(col("source"), col("q"), col("doc_id")), "__r")
+    val base = ranked.groupBy(col("source"))
+      .agg(min(col("__r")).as("__r0"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(base), "source")
+      .select(col("source"),
+        expr("CAST(((__r - __r0) * 3) DIV __n AS INT)").as("__t"))
+      .select(col("source"),
+        when(col("__t") === 0, lit("tail"))
+          .when(col("__t") === 1, lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qCcnetBucketsSql: String =
+    """WITH s AS (SELECT doc_id, source,
+      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      |  + (CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+      |       CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+      |      THEN 1.0 ELSE 0.5 END) * 0.3
+      |  + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+      |       greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3 AS q
+      |  FROM documents),
+      |r AS (SELECT source, q, doc_id,
+      |        row_number() OVER (PARTITION BY source ORDER BY q, doc_id) - 1 AS r0,
+      |        count(*) OVER (PARTITION BY source) AS nn
+      |      FROM s)
+      |SELECT source,
+      |  CASE ((r0 * 3) // nn) WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+      |       ELSE 'head' END AS bucket,
+      |  count(*) AS n
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   /** Repeated long n-grams across the corpus — the exact-substring dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): word 8-grams occurring in more than one document.
@@ -2048,6 +2099,7 @@ object DataOps {
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
     "q_contamination_bloom" -> ((qContaminationBloom _, Some(qContaminationSql))),
     "q_lm_bigram"      -> ((qLmBigram _, Some(qLmBigramSql))),
+    "q_ccnet_buckets"  -> ((qCcnetBuckets _, Some(qCcnetBucketsSql))),
     "q_repeated_grams" -> ((qRepeatedGrams _, Some(qRepeatedGramsSql))),
     "q_substring_dedup" -> ((qSubstringDedup _, Some(qSubstringDedupSql))),
     "q_winnow"          -> ((qWinnow _, Some(qWinnowSql))),

@@ -733,6 +733,19 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("source") === smallest).count() == nSmall)
   }
 
+  test("ccnet buckets: per-source terciles balance to within one document") {
+    val rows = graft.queries.DataOps.qCcnetBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, bs) =>
+      assert(bs.map(_._2).toSet == Set("head", "middle", "tail"),
+        s"$src must fill all three buckets")
+      val counts = bs.map(_._3)
+      assert(counts.max - counts.min <= 1, s"$src terciles skewed: ${bs.toSeq}")
+    }
+  }
+
   test("per-group sampling: exactly min(k, |group|) rows, partitioning-independent, no window") {
     val df = ((1 to 20).map(i => (i.toLong, "big")) ++ Seq((100L, "tiny"), (101L, "tiny")))
       .toDF("id", "src")
