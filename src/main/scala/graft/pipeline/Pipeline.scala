@@ -82,6 +82,12 @@ object Pipeline {
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
   final case class MixtureStep(sourceCol: String, idCol: String, alpha: Double,
                                dataType: String) extends Step
+  /** CCNet head/middle/tail annotation (per-source quality terciles of
+    * `field`); `keep` optionally filters to the named buckets (the
+    * released-corpus policy: train on head, drop tail). */
+  final case class QualityBucketsStep(sourceCol: String, idCol: String,
+                                      textCol: String, keep: Seq[String],
+                                      dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
                              valFrac: Double, dataType: String) extends Step
   final case class ChunkStep(idCol: String, textCol: String, maxTokens: Long,
@@ -331,6 +337,11 @@ object Pipeline {
         k = if (node.has("k")) node.get("k").asInt() else 1000,
         buckets = if (node.has("buckets")) node.get("buckets").asInt() else 1024,
         dataType)
+      case "quality_buckets" =>
+        val keep = Option(node.get("keep"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        QualityBucketsStep(str("source", "source"), str("id", "id"),
+          str("field", "text"), keep, dataType)
       case "mixture" => MixtureStep(
         sourceCol = str("source", "source"), idCol = str("id", "id"),
         alpha = if (node.has("alpha")) node.get("alpha").asDouble() else 0.5,
@@ -667,6 +678,14 @@ object Pipeline {
               .select(col("doc_id").as("__kid"))
             flow.updated(dt,
               df.join(sel, df(id).cast("long") === col("__kid"), "left_semi"))
+          }.getOrElse(flow)
+        case QualityBucketsStep(source, id, text, keep, dt) =>
+          flow(dt).map { df =>
+            val annotated = graft.queries.DataOps.ccnetAnnotate(
+              df, source, id, graft.operators.TextAnalysis.qualityScore(col(text)))
+            val out = if (keep.isEmpty) annotated
+                      else annotated.filter(col("bucket").isin(keep: _*)).drop("bucket")
+            flow.updated(dt, out)
           }.getOrElse(flow)
         case MixtureStep(source, id, alpha, dt) =>
           // temperature-scaled per-source downsampling (sizes -> n_s^alpha);

@@ -1824,24 +1824,30 @@ object DataOps {
     * — no float cut values anywhere, so the oracle needs no percentile
     * interpolation parity (an earlier quantile_cont formulation died on
     * last-ulp boundary flips). */
-  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val scored = docs.select(col("doc_id"), col("source"),
-      TextAnalysis.qualityScore(col("text")).as("q"))
+  /** Annotate every row with its per-`sourceCol` tercile of `score`
+    * (tail/middle/head, ascending) — rank-exact, no per-source window,
+    * no float cuts. Keeps all input columns plus `bucket`. */
+  def ccnetAnnotate(df: DataFrame, sourceCol: String, idCol: String,
+                    score: Column): DataFrame = {
+    val scored = df.withColumn("__q", score)
     val ranked = stableRanks(scored,
-      Seq(col("source"), col("q"), col("doc_id")), "__r")
-    val base = ranked.groupBy(col("source"))
+      Seq(col(sourceCol), col("__q"), col(idCol)), "__r")
+    val base = ranked.groupBy(col(sourceCol))
       .agg(min(col("__r")).as("__r0"), count(lit(1)).as("__n"))
-    ranked.join(broadcast(base), "source")
-      .select(col("source"),
-        expr("CAST(((__r - __r0) * 3) DIV __n AS INT)").as("__t"))
-      .select(col("source"),
+    ranked.join(broadcast(base), sourceCol)
+      .withColumn("__t", expr("CAST(((__r - __r0) * 3) DIV __n AS INT)"))
+      .withColumn("bucket",
         when(col("__t") === 0, lit("tail"))
           .when(col("__t") === 1, lit("middle"))
-          .otherwise(lit("head")).as("bucket"))
+          .otherwise(lit("head")))
+      .drop("__q", "__r", "__r0", "__n", "__t")
+  }
+
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetAnnotate(Tables(spark, dir).documents, "source", "doc_id",
+        TextAnalysis.qualityScore(col("text")))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-  }
 
   val qCcnetBucketsSql: String =
     """WITH s AS (SELECT doc_id, source,

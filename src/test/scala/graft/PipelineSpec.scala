@@ -415,6 +415,30 @@ class PipelineSpec extends SparkSpec {
       "shared-run docs collapse to the min id; the unrelated doc survives")
   }
 
+  test("quality_buckets step annotates terciles and keep filters to the named buckets") {
+    // 6 docs, one source: quality rises with length, so terciles follow size
+    val rows = (1 to 6).map { i =>
+      val words = (0 until i * 12).map(j => s"w$j").mkString(" ")
+      s"""{\\"id\\":$i,\\"src\\":\\"s\\",\\"text\\":\\"$words\\"}"""
+    }.mkString(",")
+    val ann = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":"[$rows]"}},
+         | {"type":"quality_buckets","source":"src","id":"id","field":"text"}
+         |]""".stripMargin).ok.get
+    val buckets = ann.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    assert(buckets == Map(1L -> "tail", 2L -> "tail", 3L -> "middle",
+      4L -> "middle", 5L -> "head", 6L -> "head"), s"got $buckets")
+    val kept = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"mem","data":"[$rows]"}},
+         | {"type":"quality_buckets","source":"src","id":"id","field":"text",
+         |  "keep":["head","middle"]}
+         |]""".stripMargin).ok.get
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
+    assert(!kept.columns.contains("bucket"), "keep mode filters and drops the column")
+  }
+
   test("mixture step downsamples big sources toward n^alpha, keeps the smallest whole") {
     val rows = (1 to 40).map(i => s"""{\\"id\\":$i,\\"src\\":\\"big\\",\\"text\\":\\"t$i\\"}""") :+
       """{\"id\":100,\"src\":\"small\",\"text\":\"s\"}"""
