@@ -39,7 +39,7 @@ object ScaleBench {
     "q_dsir_select", "q_corpus_overlap", "q_corpus_overlap_inc", "q_quality_lr",
     "q_paragraph_dedup", "q_heavy_hitters", "q_bpe_pairs", "q_bpe_train", "q_bm25",
     "q_winnow", "q_stable_ids", "q_sample_per_source", "q_mixture_temperature",
-    "q_containment", "q_containment_inc", "q_ccnet_buckets")
+    "q_containment", "q_containment_inc", "q_ccnet_buckets", "q_url_dedup")
 
   /** Queries whose only input is the embeddings table (eligible for the
     * synthetic 10× embedding corpus). q_semdedup is handled separately:

@@ -528,6 +528,11 @@ object Pipeline {
               case "fingerprint" =>
                 graft.operators.Dedup.exact(df, id,
                   graft.operators.TextAnalysis.fingerprintSorted(col(text)))
+              case "url" =>
+                // `field` names the URL column; keep the min-id row per
+                // canonical URL (C4's web pass — case/scheme/www/default
+                // port/fragment/tracking-param/param-order insensitive)
+                graft.operators.Web.dedupByUrl(df, id, text)
               case "minhash" =>
                 // hashes/bands/max_bucket expose the LSH operating point:
                 // rows-per-band r=hashes/bands sets chance-collision decay

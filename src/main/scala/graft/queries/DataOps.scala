@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Similarity, Skew, TextAnalysis, Web}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1540,6 +1540,60 @@ object DataOps {
       |  CAST(len(ls.lines) - coalesce(len(k.kept), 0) AS BIGINT) AS n_removed
       |FROM ls LEFT JOIN k USING (doc_id)""".stripMargin
 
+  /** URL canonicalization + URL-level dedup (the C4 web pass). The
+    * documents table carries no URL column, so the gate DERIVES one
+    * deterministically — four variant spellings of the same logical page
+    * (plain / uppercase+www+:80+tracking+fragment / :443+trailing-slash+
+    * shuffled-params / www+gclid), page number shared by each run of four
+    * consecutive doc_ids — so every normalization rule (case, scheme,
+    * www, default port, fragment, tracking params, param order, trailing
+    * slash) must fire for the groups to collapse. Strings and integers
+    * only → bit-exact oracle. */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val page = expr("doc_id div 4 % 97").cast("string")
+    val urls = Tables(spark, dir).documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("https://example.com/page/"), page))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("HTTP://WWW.EXAMPLE.COM:80/page/"), page,
+          lit("?utm_source=rss&fbclid=x11#frag")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("https://example.com:443/page/"), page, lit("/?b=2&a=1")))
+      .otherwise(concat(lit("https://www.example.com/page/"), page,
+        lit("?a=1&gclid=zz&b=2"))).as("url"))
+    Web.urlDupGroups(urls, "doc_id", "url").orderBy(col("url_key"))
+  }
+
+  val qUrlDedupSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'https://example.com/page/' || CAST((doc_id // 4) % 97 AS VARCHAR)
+      |      WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM:80/page/' || CAST((doc_id // 4) % 97 AS VARCHAR)
+      |                  || '?utm_source=rss&fbclid=x11#frag'
+      |      WHEN 2 THEN 'https://example.com:443/page/' || CAST((doc_id // 4) % 97 AS VARCHAR)
+      |                  || '/?b=2&a=1'
+      |      ELSE 'https://www.example.com/page/' || CAST((doc_id // 4) % 97 AS VARCHAR)
+      |           || '?a=1&gclid=zz&b=2'
+      |    END AS url FROM documents),
+      |s AS (SELECT doc_id,
+      |    regexp_replace(split_part(lower(trim(url)), '#', 1),
+      |                   '^[a-z][a-z0-9+.-]*://', '') AS ns FROM u),
+      |p AS (SELECT doc_id, split_part(ns, '?', 1) AS base,
+      |    regexp_extract(ns, '\?(.*)$', 1) AS qs FROM s),
+      |q AS (SELECT doc_id, base,
+      |    coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))),
+      |      '&'), '') AS qn
+      |  FROM p),
+      |k AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(split_part(base, '/', 1), '^www\.', ''),
+      |                   ':(80|443)$', '')
+      |    || regexp_replace(regexp_extract(base, '^[^/]*(/.*)$', 1), '/+$', '')
+      |    || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_key
+      |  FROM q)
+      |SELECT url_key, min(doc_id) AS keeper_id, count(*) AS n_docs
+      |FROM k GROUP BY url_key ORDER BY url_key""".stripMargin
+
   /** Exact repeated-substring REMOVAL (Lee et al. 2022) over the documents
     * table at n = 8 — the operator q_repeated_grams is the detection signal
     * for. Keep-first-occurrence policy; integer positions and string joins
@@ -2113,6 +2167,7 @@ object DataOps {
     "q_containment_inc" -> ((qContainmentInc _, Some(qContainmentIncSql))),
     "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
+    "q_url_dedup"       -> ((qUrlDedup _, Some(qUrlDedupSql))),
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),
     "q_bpe_train"       -> ((qBpeTrain _, None)),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import graft.operators.Web
+
+/** URL operators (Web.scala): canonicalization rules, dedup semantics,
+  * blocklist suffix policy, per-host cap determinism, and the scan-stage
+  * plan shape that makes the pass 100 TB-viable. */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def key(u: String): String =
+    Seq(u).toDF("url").select(Web.urlKey(col("url")).as("k"))
+      .head().getString(0)
+
+  test("urlKey normalizes every rule the C4 pass needs") {
+    // case + scheme + www + default port + fragment
+    assert(key("HTTPS://WWW.Example.COM:443/A/B#frag") === "example.com/a/b")
+    assert(key("http://example.com:80/a/b") === "example.com/a/b")
+    // non-default port survives
+    assert(key("http://example.com:8080/a") === "example.com:8080/a")
+    // tracking params dropped, survivors sorted, trailing slash stripped
+    assert(key("https://ex.com/p/?utm_source=x&b=2&a=1&fbclid=y&gclid=z&ref=hn")
+      === "ex.com/p?a=1&b=2")
+    // all params tracking -> no query at all
+    assert(key("https://ex.com/p?utm_medium=a&utm_campaign=b") === "ex.com/p")
+    // bare host, with and without slash, collapse
+    assert(key("https://ex.com/") === key("http://ex.com"))
+    // a legit param that merely STARTS with ref chars is kept
+    assert(key("https://ex.com/p?reference=1") === "ex.com/p?reference=1")
+    // scheme-less input is accepted as-is
+    assert(key("www.ex.com/p") === "ex.com/p")
+  }
+
+  test("urlKey and urlHost are total on null/empty/garbage") {
+    val df = Seq[(Integer, String)]((1, null), (2, ""), (3, "   "),
+        (4, "not a url at all"), (5, "????"))
+      .toDF("id", "url")
+      .select(col("id"), Web.urlKey(col("url")).as("k"),
+        Web.urlHost(col("url")).as("h"))
+    val rows = df.collect().sortBy(_.getInt(0))
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getString(1) === "" && rows(1).getString(2) === "")
+    assert(rows(2).getString(1) === "")
+    assert(rows(3).getString(1) === "not a url at all")
+    // "????" -> empty host, the junk survives as an opaque param: garbage
+    // stays distinct-but-stable rather than collapsing to one empty key
+    assert(rows(4).getString(1) === "????")
+  }
+
+  test("dedupByUrl keeps the min-id row per canonical URL") {
+    val df = Seq(
+      (10L, "https://ex.com/a?x=1"),
+      (7L,  "HTTP://WWW.EX.COM:80/a/?x=1#top"), // same page, messier spelling
+      (3L,  "https://ex.com/b"),
+      (9L,  "https://other.com/a?x=1")).toDF("doc_id", "url")
+    val kept = Web.dedupByUrl(df, "doc_id", "url")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L, 7L, 9L))
+  }
+
+  test("dropBlockedDomains: exact + subdomain hit, suffix lookalike survives") {
+    val df = Seq(
+      (1L, "https://bad.com/x"),
+      (2L, "https://ads.bad.com/x"),      // subdomain of blocked
+      (3L, "https://notbad.com/x"),       // lookalike suffix, NOT blocked
+      (4L, "https://www.BAD.com/y"),      // www + case folds into blocked
+      (5L, "https://good.com/x"),
+      (6L, null: String))                 // null kept: blocklists don't validate
+      .toDF("doc_id", "url")
+    val kept = Web.dropBlockedDomains(df, "url", Seq("bad.com"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L, 5L, 6L))
+    // empty blocklist is identity
+    assert(Web.dropBlockedDomains(df, "url", Nil).count() === 6)
+  }
+
+  test("capPerHost keeps exactly min(k, pages) per host, partitioning-independent") {
+    val rows = (0L until 40L).map(i => (i, s"https://site${i % 3}.com/p/$i"))
+    val df = rows.toDF("doc_id", "url")
+    val kept = Web.capPerHost(df, "doc_id", "url", k = 5)
+    val byHost = kept.select(Web.urlHost(col("url")).as("h"))
+      .groupBy("h").count().as[(String, Long)].collect().toMap
+    assert(byHost.values.toSet === Set(5L))
+    val again = Web.capPerHost(df.repartition(7), "doc_id", "url", k = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+    // under-full hosts are untouched
+    val tiny = Seq((1L, "https://a.com/1"), (2L, "https://a.com/2")).toDF("doc_id", "url")
+    assert(Web.capPerHost(tiny, "doc_id", "url", k = 5).count() === 2)
+  }
+
+  test("url dedup plan: normalization fuses into the scan, one two-phase agg shuffle") {
+    val df = queries.DataOps.qUrlDedup(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: nodes(q.plan)
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val all = nodes(plan)
+    // one shuffle for the groupBy, one range exchange for the ordered gate
+    // output — nothing else (no join, no window over the corpus)
+    val shuffles = all.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"expected agg + sort exchanges only:\n$plan")
+    assert(!plan.toString.contains("Window"), "no window in the URL pass")
+    // partial aggregation runs map-side before the exchange
+    assert(plan.toString.contains("partial_min") || plan.toString.contains("partial"),
+      s"two-phase agg expected:\n$plan")
+  }
+
+  test("config step: dedup method=url collapses URL variants end-to-end") {
+    val flow = graft.pipeline.Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":
+        |   "[{\"id\":1,\"url\":\"https://ex.com/a?x=1\"},{\"id\":2,\"url\":\"HTTP://WWW.EX.COM:80/a/?x=1&utm_source=t#f\"},{\"id\":3,\"url\":\"https://ex.com/b\"}]"}},
+        | {"type":"dedup","method":"url","id":"id","field":"url"}
+        |]""".stripMargin)
+    assert(flow.ok.get.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+}
