@@ -170,4 +170,79 @@ object Multimodal {
     media.select(col("path"), col("length"),
         explode(sequence(lit(0L), greatest(col("length") - 1, lit(0L)), lit(everyNBytes)))
           .as("frame_offset"))
+
+  // ---- perceptual image dedup ---------------------------------------------
+
+  /** 64-bit average-hash (aHash) of an image payload: decode → 8×8
+    * bilinear resize → integer BT.601 luma → threshold at the mean → one
+    * bit per pixel, row-major. Robust to re-encoding, resizing, and mild
+    * recompression — near-duplicate images land within a small hamming
+    * distance, where byte-level md5 dedup sees nothing. All-integer math
+    * (luma ×1000, mean compared via `l·64 > Σl`, ties → 0) so the hash
+    * is platform-exact; JDK-only codecs, same as [[imageIoDecode]]. */
+  def aHash64(content: Array[Byte]): Long = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(src != null, "undecodable image payload")
+    val dst = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val lum = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val rgb = dst.getRGB(x, y)
+        val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        lum(i) = l; sum += l; i += 1; x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 64) { if (lum(i) * 64 > sum) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** Per-partition image signatures: (id, sim) with sim = [[aHash64]].
+    * Shuffle-free — the binary payloads never leave their input split;
+    * only 16 bytes per image flow downstream. */
+  def imageSignatures(media: DataFrame, idCol: String,
+                      contentCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("id"), col(contentCol).as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => (id, aHash64(c)) })
+      .toDF("id", "sim")
+  }
+
+  /** Near-duplicate image pairs at hamming ≤ `maxHamming` over the aHash:
+    * rides the simhash banding discipline (4×16-bit bands — pigeonhole-
+    * complete at maxHamming ≤ 3 — capped buckets via the bounded min-k
+    * heap). The decode runs once per image in the scan stage; everything
+    * that shuffles is (id, 64-bit signature). Output: (a, b, dist). */
+  def imageNearDupPairs(media: DataFrame, idCol: String, contentCol: String,
+                        maxHamming: Int = 3, maxBucket: Int = 64): DataFrame =
+    Dedup.simhashPairsFromSig(imageSignatures(media, idCol, contentCol),
+      maxHamming, maxBucket)
+
+  /** Keep one representative per near-duplicate image group (min-id label
+    * propagation over the pair graph — the corpus-dedup shape). */
+  def dedupImages(media: DataFrame, idCol: String, contentCol: String,
+                  maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val pairs = imageNearDupPairs(media, idCol, contentCol, maxHamming, maxBucket)
+    val reps = Dedup.representatives(pairs.select(col("a"), col("b")))
+      .withColumnRenamed("id", "__rep_id").withColumnRenamed("rep", "__rep")
+    media.join(reps, media(idCol).cast("long") === col("__rep_id"), "left")
+      .filter(col("__rep").isNull || col("__rep") === media(idCol).cast("long"))
+      .drop("__rep_id", "__rep")
+  }
 }

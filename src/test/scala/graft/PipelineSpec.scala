@@ -1240,6 +1240,52 @@ class PipelineSpec extends SparkSpec {
     assert(rf.length == 2 && rf.forall(f => f.width == 8 && f.height == 8))
   }
 
+  test("multimodal: perceptual aHash near-dup pairs re-encoded/resized images") {
+    import operators.Multimodal
+    import java.awt.image.BufferedImage
+    // author structured images: a horizontal gradient (id 1), the SAME
+    // scene resized + JPEG-re-encoded (ids 2, 3) — byte-level dedup sees
+    // three distinct blobs — and a vertical gradient (id 4), a different
+    // scene entirely
+    def gradient(w: Int, h: Int, vertical: Boolean): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        val v = if (vertical) (y * 255) / (h - 1) else (x * 255) / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      img
+    }
+    def bytes(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val horiz = gradient(64, 48, vertical = false)
+    val rows = Seq(
+      (1L, bytes(horiz, "png")),
+      (2L, bytes(gradient(32, 24, vertical = false), "png")), // resized copy
+      (3L, bytes(horiz, "jpg")),                              // recompressed copy
+      (4L, bytes(gradient(64, 48, vertical = true), "png")))  // different scene
+    val media = rows.toDF("img_id", "content")
+
+    // signature invariance: the three spellings of the scene agree to <=3 bits
+    val sigs = Multimodal.imageSignatures(media, "img_id", "content")
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 3)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 3)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 3)
+
+    val pairs = Multimodal.imageNearDupPairs(media, "img_id", "content")
+      .select("a", "b").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // group collapses to its min-id representative; the other scene survives
+    val kept = Multimodal.dedupImages(media, "img_id", "content")
+      .select("img_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+  }
+
   test("multimodal: REAL audio decode (WAV) via javax.sound.sampled") {
     import operators.Multimodal
     // author a 440 Hz sine WAV in memory — JDK-only end to end
