@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** EXACT order statistics over a double column at corpus scale.
+  *
+  * The existing exact-percentile path (Relational.intOrderStatNumerator)
+  * shuffles one row per DISTINCT value — right for integral columns,
+  * wrong for doubles where distinct ≈ corpus and the "histogram" IS the
+  * data. The two textbook alternatives both die at 100 TB: a global sort
+  * funnels everything through a range exchange, and percentile_approx
+  * gives up exactness.
+  *
+  * This operator is the selection-by-bracketing shape instead:
+  *   1. one map-side aggregate → (min, max, count);
+  *   2. one map-side histogram over `buckets` uniform value ranges —
+  *      the driver sees `buckets` longs (cluster-metadata-sized, the
+  *      trainCentroids small-model contract), locates each requested
+  *      rank's bucket and the count below it;
+  *   3. one combined refinement histogram WITHIN the hit buckets
+  *      (`buckets`² effective resolution ⇒ expected sliver n/buckets²);
+  *   4. per rank, a TakeOrdered over the final sliver picks the exact
+  *      in-bucket offset — no window over the corpus, no collect of data
+  *      rows, no global sort anywhere.
+  *
+  * Exactness does not depend on bucket balance, only sliver size does:
+  * bucket assignment is monotone in v (IEEE subtraction and
+  * multiplication/division by positive constants are monotone, floor is
+  * monotone, clamping preserves it), so ranks are consistent across
+  * bucket boundaries and ties co-bucket. A pathological distribution
+  * (99.99% one value) degrades the sliver toward that value's
+  * multiplicity, never the answer; the all-equal bucket short-circuits
+  * through the lo == hi fast path at the top. Extraction filters carry a
+  * redundant ulp-widened RANGE predicate alongside the exact bucket
+  * predicate so parquet row-group stats can prune the sliver scan.
+  *
+  * Nulls and NaNs are excluded (a validator's concern, not a rank's).
+  */
+object Quantiles {
+
+  /** `(name, num, den)` → the value at 0-indexed rank (n-1)·num/den
+    * (integer arithmetic — no interpolation, the returned double is a
+    * stored value, so cross-engine comparison is repr-exact).
+    * Output: (which, rank, value), one row per spec, ordered by name. */
+  def orderStatistics(df: DataFrame, valueCol: String,
+                      specs: Seq[(String, Long, Long)],
+                      buckets: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(specs.nonEmpty, "need at least one rank spec")
+    specs.foreach { case (nm, num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"bad rank spec $nm: $num/$den")
+    }
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+
+    val head = vals.agg(min(col("v")), max(col("v")), count(col("v"))).head()
+    val (lo, hi, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+    require(n > 0, s"no non-null values in $valueCol")
+    val ranks = specs.map { case (nm, num, den) => (nm, (n - 1) * num / den) }
+
+    if (lo == hi) // all values equal: every rank is that value
+      return ranks.map { case (nm, r) => (nm, r, lo) }
+        .toDF("which", "rank", "value").orderBy("which")
+
+    def bucketOf(v: Column, l: Double, h: Double): Column =
+      least(greatest(
+        floor((v - lit(l)) * lit(buckets.toDouble) / (lit(h) - lit(l))).cast("int"),
+        lit(0)), lit(buckets - 1))
+
+    def locate(hist: Map[Int, Long], rank: Long): (Int, Long) = {
+      var below = 0L
+      var b = 0
+      while (below + hist.getOrElse(b, 0L) <= rank) {
+        below += hist.getOrElse(b, 0L); b += 1
+      }
+      (b, below)
+    }
+
+    /** Ulp-widened nominal value range of bucket b on [l, h] — a REDUNDANT
+      * predicate (the exact bucket expression decides membership) that
+      * parquet row-group min/max stats can prune by. */
+    def roughRange(vc: Column, l: Double, h: Double, b: Int): Column = {
+      val w = (h - l) / buckets
+      vc >= lit(l + (b - 1) * w) && vc <= lit(l + (b + 2) * w)
+    }
+
+    // pass 2: coarse histogram (map-side partials; `buckets` rows total)
+    val hist1 = vals.groupBy(bucketOf(col("v"), lo, hi).as("b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val coarse = ranks.map { case (nm, r) => (nm, r, locate(hist1, r)) }
+
+    // pass 3: one combined refinement histogram within every hit bucket.
+    // A row can sit in two ranks' brackets (shared bucket) — tag it once
+    // per rank via an exploded literal rank index.
+    val w1 = (hi - lo) / buckets
+    val subRanges = coarse.zipWithIndex.map { case ((_, _, (b1, _)), i) =>
+      (i, b1, lo + b1 * w1, math.min(hi, lo + (b1 + 1) * w1))
+    }
+    val tagged = vals
+      .select(col("v"), explode(array(subRanges.map { case (i, b1, _, _) =>
+        when(bucketOf(col("v"), lo, hi) === b1 &&
+          roughRange(col("v"), lo, hi, b1), lit(i)).otherwise(lit(-1))
+      }: _*)).as("ri"))
+      .filter(col("ri") >= 0)
+    val b2Expr = subRanges.tail
+      .foldLeft(when(col("ri") === subRanges.head._1,
+        bucketOf(col("v"), subRanges.head._3, subRanges.head._4))) {
+        case (acc, (i, _, sl, sh)) =>
+          acc.when(col("ri") === i, bucketOf(col("v"), sl, sh))
+      }
+    val hist2 = tagged
+      .groupBy(col("ri"), b2Expr.as("b2"))
+      .count()
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    // pass 4 (per rank, sliver-sized): TakeOrdered to the exact offset
+    val rows = coarse.zipWithIndex.map { case ((nm, r, (b1, below1)), i) =>
+      val (_, _, sl, sh) = subRanges(i)
+      val h2 = hist2.collect { case ((ri, b2), c) if ri == i => b2 -> c }.toMap
+      val (b2, below2) = locate(h2, r - below1)
+      val offset = (r - below1 - below2).toInt
+      val sliver = vals.filter(
+        roughRange(col("v"), lo, hi, b1) &&
+          bucketOf(col("v"), lo, hi) === b1 &&
+          bucketOf(col("v"), sl, sh) === b2)
+      val value = sliver.orderBy(col("v")).limit(offset + 1)
+        .agg(max(col("v"))).head().getDouble(0)
+      (nm, r, value)
+    }
+    rows.toDF("which", "rank", "value").orderBy("which")
+  }
+}

@@ -377,6 +377,30 @@ object Relational {
       |  CAST(p.vlo * (20 - p.r) + p.vhi * p.r AS BIGINT) AS p95_qty_x20
       |FROM q JOIN p USING (l_returnflag)""".stripMargin
 
+  /** Exact order statistics on a DOUBLE column (l_extendedprice — ~all
+    * values distinct, the case [[intOrderStatNumerator]]'s distinct-value
+    * histogram must NOT touch: there the histogram IS the corpus).
+    * Median and p99 as true stored values via histogram-bracket selection
+    * (operators.Quantiles) — no global sort, no corpus window, no
+    * percentile_approx. The oracle sorts and indexes: repr-exact parity
+    * because the answer is a stored double, never an interpolation. */
+  def qOrderStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.orderStatistics(
+      Tables(spark, dir).lineitem, "l_extendedprice",
+      Seq(("p50", 1L, 2L), ("p99", 99L, 100L)))
+
+  val qOrderStatsSql: String =
+    """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+      |           WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+      |o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM v),
+      |n AS (SELECT count(*) AS c FROM v)
+      |SELECT 'p50' AS which, CAST((c - 1) // 2 AS BIGINT) AS rank, v AS value
+      |  FROM o, n WHERE r = (c - 1) // 2
+      |UNION ALL
+      |SELECT 'p99', CAST(99 * (c - 1) // 100 AS BIGINT), v
+      |  FROM o, n WHERE r = 99 * (c - 1) // 100
+      |ORDER BY which""".stripMargin
+
   /** name → (query fn, oracle sql) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q1_pricing_summary"  -> ((q1PricingSummary _, Some(q1Sql))),
@@ -396,5 +420,6 @@ object Relational {
     "q_rollup"            -> ((qRollup _, Some(qRollupSql))),
     "q_groupwise_max"     -> ((qGroupwiseMax _, Some(qGroupwiseMaxSql))),
     "q_percentile"        -> ((qPercentile _, Some(qPercentileSql))),
+    "q_order_stats"       -> ((qOrderStats _, Some(qOrderStatsSql))),
   )
 }
