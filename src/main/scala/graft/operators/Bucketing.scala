@@ -132,4 +132,53 @@ object Bucketing {
       .sortWithinPartitions(cols: _*)
       .write.mode(mode).parquet(path)
   }
+
+  /** Z-ORDER clustering for TWO-dimensional data skipping (the lakehouse
+    * OPTIMIZE ZORDER pass). Range clustering narrows per-file ranges on
+    * ONE key and leaves every file full-width on all others; interleaving
+    * the bits of two keys (Morton code) clusters rows so each file covers
+    * a small RECTANGLE in (a, b) space — parquet min/max stats then prune
+    * selective scans on EITHER column, which is what multi-tenant query
+    * mixes need (one table queried by user some days, by time others).
+    *
+    * Each key is first normalized to 16 bits by the monotone min/max
+    * bucket map (one tiny agg pass — the Quantiles bracket discipline;
+    * monotone ⇒ ordering-safe; uniform buckets, so a heavily skewed key
+    * clusters less sharply — the rank-exact alternative is a stableRanks
+    * pass per key, the knob to reach for when a key is pathological).
+    * The z-value is a pure expression (bit spread + interleave via
+    * shifts/masks, codegen'd end to end) passed straight to
+    * repartitionByRange/sortWithinPartitions — it never materializes as
+    * a column and the written schema is untouched. One shuffle at write,
+    * zero at read. */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
+                    partitions: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, max, min, shiftleft}
+    import org.apache.spark.sql.Column
+    val stats = df.agg(
+      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    if (stats.anyNull) { // empty frame or all-null key: nothing to cluster
+      df.write.mode(mode).parquet(path); return
+    }
+    def bucket16(c: Column, lo: Double, hi: Double): Column =
+      if (lo == hi) lit(0L)
+      else least(greatest(
+        floor((c.cast("double") - lit(lo)) * lit(65536.0) / (lit(hi) - lit(lo)))
+          .cast("bigint"), lit(0L)), lit(65535L))
+    // classic bit spread: 16 significant bits -> even bit positions of 32
+    def spread(c: Column): Column = {
+      val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val z = spread(bucket16(col(keyA), stats.getDouble(0), stats.getDouble(1)))
+      .bitwiseOR(shiftleft(
+        spread(bucket16(col(keyB), stats.getDouble(2), stats.getDouble(3))), 1))
+    df.repartitionByRange(partitions, z)
+      .sortWithinPartitions(z)
+      .write.mode(mode).parquet(path)
+  }
 }

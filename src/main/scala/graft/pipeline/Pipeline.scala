@@ -735,6 +735,14 @@ object Pipeline {
                   else df.sparkSession.sessionState.conf.numShufflePartitions
                 graft.operators.Bucketing.writeRangeClustered(df, target,
                   if (keys.nonEmpty) keys else sorts, parts)
+              case "zorder" =>
+                // two-key Morton clustering: per-file min/max stats prune
+                // selective scans on EITHER key
+                require(keys.size == 2, "layout mode=zorder needs exactly 2 \"by\" keys")
+                val parts = if (n > 0) n
+                  else df.sparkSession.sessionState.conf.numShufflePartitions
+                graft.operators.Bucketing.writeZOrdered(df, target,
+                  keys.head, keys(1), parts)
               case "compact" =>
                 // table maintenance on the TARGET directory (the flow frame
                 // is not consumed): rewrite small files toward

@@ -61,6 +61,44 @@ class LayoutSpec extends SparkSpec {
       df.filter(col("k") < 100).count())
   }
 
+  test("z-ordered layout: per-file bounding boxes narrow on BOTH keys") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/data"
+    // a full 256×256 grid — both keys vary independently
+    val df = spark.range(65536).select(
+      (col("id") % 256).as("a"), expr("id div 256").as("b"), col("id").as("v"))
+    graft.operators.Bucketing.writeZOrdered(df, dir, "a", "b", partitions = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16)
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min(col("a")), max(col("a")), min(col("b")), max(col("b"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // ideal boxes are 64×64 out of 256×256; allow seam files to be wider,
+    // but on AVERAGE both dimensions must be narrow — 1-D range clustering
+    // would leave one of them at ~255 for every file
+    val avgA = boxes.map { case (lo, hi, _, _) => (hi - lo).toDouble }.sum / 16
+    val avgB = boxes.map { case (_, _, lo, hi) => (hi - lo).toDouble }.sum / 16
+    assert(avgA <= 100, s"avg a-range $avgA")
+    assert(avgB <= 100, s"avg b-range $avgB")
+    // a point predicate on EITHER key prunes most files by min/max stats
+    val hitA = boxes.count { case (lo, hi, _, _) => lo <= 77 && 77 <= hi }
+    val hitB = boxes.count { case (_, _, lo, hi) => lo <= 77 && 77 <= hi }
+    assert(hitA <= 8, s"a=77 hits $hitA of 16 files")
+    assert(hitB <= 8, s"b=77 hits $hitB of 16 files")
+    // the layout changes nothing about the data
+    assert(spark.read.parquet(dir).agg(sum(col("v"))).head().getLong(0) ==
+      df.agg(sum(col("v"))).head().getLong(0))
+    assert(spark.read.parquet(dir).filter(col("a") === 77).count() == 256)
+    // degenerate inputs don't crash: constant key, empty frame
+    graft.operators.Bucketing.writeZOrdered(
+      df.withColumn("a", lit(1L)).limit(10), dir + "_c", "a", "b", 4)
+    graft.operators.Bucketing.writeZOrdered(
+      df.limit(0), dir + "_e", "a", "b", 4)
+    assert(spark.read.parquet(dir + "_c").count() == 10)
+  }
+
   test("shuffled export: one file per shard, rows in permutation order, nothing lost") {
     val dir = java.nio.file.Files.createTempDirectory("shufexp").toString + "/data"
     val df = spark.range(2000).select(col("id").as("doc_id"))

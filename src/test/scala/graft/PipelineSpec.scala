@@ -297,6 +297,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("layout step: config-driven z-order clusters both keys") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("layout_z").toString
+    Pipeline.run(spark,
+      s"""[
+         | {"type":"reader",
+         |  "connector":{"type":"local","path":"/root/testdata/sf0.001/events.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"layout","mode":"zorder","path":"$dir/events",
+         |  "by":["user_id","value"],"partitions":8}
+         |]""".stripMargin)
+    val files = new java.io.File(s"$dir/events").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size == 8)
+    // both keys' per-file ranges are narrow on average (a 1-D layout
+    // leaves the second key full-width in every file)
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min(col("user_id")), max(col("user_id")),
+        min(col("value")), max(col("value"))).head()
+      (r.getLong(1) - r.getLong(0), r.getDouble(3) - r.getDouble(2))
+    }
+    val (globalU, globalV) = {
+      val r = spark.read.parquet(s"$dir/events").agg(
+        min(col("user_id")), max(col("user_id")),
+        min(col("value")), max(col("value"))).head()
+      ((r.getLong(1) - r.getLong(0)).toDouble, r.getDouble(3) - r.getDouble(2))
+    }
+    assert(boxes.map(_._1.toDouble).sum / 8 < 0.65 * globalU,
+      s"user_id boxes not clustered: $boxes")
+    assert(boxes.map(_._2).sum / 8 < 0.65 * globalV,
+      s"value boxes not clustered: $boxes")
+    assert(spark.read.parquet(s"$dir/events").count() ==
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").count())
+  }
+
   test("minhash dedup config knobs: hashes/bands/max_bucket reach the LSH family") {
     // r=hashes/bands=8 rows per band: chance collisions decay as j^8, and
     // recall at j≈1 (exact duplicates) stays ~1 — the scale operating
