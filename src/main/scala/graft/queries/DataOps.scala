@@ -962,6 +962,36 @@ object DataOps {
       |  ON c.user_id = v.user_id AND v.ts <= c.ts
       |  AND v.ts >= c.ts - INTERVAL 1 HOUR""".stripMargin
 
+  /** Range join via chunked equi-join (operators.RangeJoin): clicks inside
+    * the 6-hour window after a same-user signup. Naive Spark plans `t
+    * BETWEEN lo AND hi` as a nested-loop; the operator quantizes time into
+    * interval-width chunks and equi-joins on (user, chunk) — asserted
+    * cartesian/NLJ-free in the spec. Epoch seconds on both sides are
+    * integer-exact (Spark floors unix_timestamp, the oracle floor-divides
+    * epoch_ns), so the gate carries longs only. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("sec"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("sec").as("lo"), (col("sec") + 21600L).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, signups, "sec", "lo", "hi", chunk = 21600L, keys = Seq("user_id"))
+      .select(col("signup_id"), col("click_id"), (col("sec") - col("lo")).as("delta"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |p AS (SELECT event_id AS click_id, user_id, sec FROM e WHERE event_type = 'click'),
+      |w AS (SELECT event_id AS signup_id, user_id, sec AS lo, sec + 21600 AS hi
+      |      FROM e WHERE event_type = 'signup')
+      |SELECT w.signup_id, p.click_id, CAST(p.sec - w.lo AS BIGINT) AS delta
+      |FROM p JOIN w ON p.user_id = w.user_id AND p.sec BETWEEN w.lo AND w.hi""".stripMargin
+
   /** Hourly tumbling-window aggregate (batch shape of the streaming op). */
   def qEventWindow(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -2210,6 +2240,7 @@ object DataOps {
     "q_top_terms"      -> ((qTopTerms _, Some(qTopTermsSql))),
     "q_heavy_hitters"  -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
     "q_event_join"     -> ((qEventJoin _, Some(qEventJoinSql))),
+    "q_range_join"     -> ((qRangeJoin _, Some(qRangeJoinSql))),
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
