@@ -130,6 +130,10 @@ object GraftExtensions {
       colFn1(graft.operators.TextAnalysis.qualityScore)),
     ("graft_fingerprint", info("TextAnalysis", "sorted-token md5 fingerprint"),
       colFn1(graft.operators.TextAnalysis.fingerprintSorted)),
+    ("graft_url_key", info("Web", "canonical URL dedup key (C4 web pass)"),
+      colFn1(graft.operators.Web.urlKey)),
+    ("graft_url_host", info("Web", "normalized URL hostname (www/port stripped)"),
+      colFn1(graft.operators.Web.urlHost)),
   ) ++
     // the full faker registry (reference: tera.rs:46-81 registers ~35
     // fake_* functions) — graft_fake_*(seed) each, seed-deterministic

@@ -116,6 +116,15 @@ class WebSpec extends SparkSpec {
       s"two-phase agg expected:\n$plan")
   }
 
+  test("graft_url_key / graft_url_host are SQL-callable") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_url_key('HTTPS://WWW.Ex.com:443/a/?b=2&utm_source=x&a=1#f') AS k,
+        |       graft_url_host('http://www.Sub.Ex.com:80/p') AS h""".stripMargin).head()
+    assert(r.getString(0) === "ex.com/a?a=1&b=2")
+    assert(r.getString(1) === "sub.ex.com")
+  }
+
   test("config step: dedup method=url collapses URL variants end-to-end") {
     val flow = graft.pipeline.Pipeline.run(spark,
       """[
