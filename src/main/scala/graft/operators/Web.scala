@@ -118,4 +118,43 @@ object Web {
       .select(explode(transform(col("ks"), e => e.getField("p"))).as("__keep"))
     df.join(keep, col(idCol).cast("long") === col("__keep"), "leftsemi")
   }
+
+  /** HTML → plain text (the C4/CCNet upstream extraction pass — every
+    * crawl-derived corpus starts from markup, not prose; Raffel et al.
+    * 2020 §2.1 describe exactly this strip-and-normalize step). A fixed
+    * regex/replace chain over codegen'd built-ins, so extraction fuses
+    * into the scan stage: zero shuffle, one pass per page.
+    *
+    * Chain (every pattern valid and identical under Java regex AND RE2,
+    * so a DuckDB oracle replays it bit-exactly — note no backreferences,
+    * which RE2 lacks; script/style/title each get their own replace):
+    * drop script/style/title blocks and comments; block-level closers
+    * and br/hr become newlines; remaining tags drop; the six standard
+    * entities decode (&amp; last, so `&amp;lt;` can't double-decode);
+    * horizontal whitespace collapses to one space, newline runs to one
+    * newline, and the edges trim. Null-total (null → null). */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = Seq("script", "style", "title").foldLeft(html)((c, t) =>
+      regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", ""))
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", "")
+    val blocksToNl = regexp_replace(
+      regexp_replace(noComments,
+        "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)\\s*>", "\n"),
+      "(?i)<(br|hr)\\s*/?\\s*>", "\n")
+    val noTags = regexp_replace(blocksToNl, "<[^>]*>", "")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r\\f]+", " ")
+    val oneNl = regexp_replace(
+      regexp_replace(oneSpace, " ?\\n ?", "\n"), "\\n+", "\n")
+    regexp_replace(oneNl, "^[ \\n]+|[ \\n]+$", "")
+  }
+
+  /** All href targets of a page, in document order (feeds [[urlKey]] /
+    * [[dedupByUrl]] for link-graph work). Double-quoted hrefs only —
+    * the deterministic common case; a parser is out of scope by design. */
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
 }

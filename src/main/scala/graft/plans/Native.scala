@@ -134,6 +134,10 @@ object GraftExtensions {
       colFn1(graft.operators.Web.urlKey)),
     ("graft_url_host", info("Web", "normalized URL hostname (www/port stripped)"),
       colFn1(graft.operators.Web.urlHost)),
+    ("graft_html_text", info("Web", "HTML to plain text (C4 extraction pass)"),
+      colFn1(graft.operators.Web.htmlToText)),
+    ("graft_html_links", info("Web", "href targets of an HTML page, in order"),
+      colFn1(graft.operators.Web.htmlLinks)),
   ) ++
     // the full faker registry (reference: tera.rs:46-81 registers ~35
     // fake_* functions) — graft_fake_*(seed) each, seed-deterministic

@@ -1624,6 +1624,62 @@ object DataOps {
       |SELECT url_key, min(doc_id) AS keeper_id, count(*) AS n_docs
       |FROM k GROUP BY url_key ORDER BY url_key""".stripMargin
 
+  /** HTML → text extraction (the C4 upstream pass). The documents table
+    * carries prose, not markup, so the gate WRAPS each doc in a
+    * deterministic page template that exercises every rule of the chain:
+    * script (containing a bare `<`), style, title and comment removal,
+    * block-tag and `<br/>` newlines, tag stripping, all six entity
+    * decodes, whitespace collapse and edge trim — plus href extraction.
+    * Every pattern is Java-regex/RE2-identical (no backreferences), so
+    * the oracle replays the chain bit-exactly. */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>t</title><style>body{x:1}</style>" +
+        "<script>if(1<2){a=\"&amp;\";}</script></head><body><!--gen--><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><ul><li>item &amp; one</li>" +
+        "<li><a href=\"https://ex.com/a?x=1\">A</a></li></ul>" +
+        "<div class=\"f\">contact &lt;admin&gt;&nbsp;&quot;here&quot;" +
+        "<br/>rights <a href=\"https://ex.com/b\">B</a></div></body></html>"))
+    Tables(spark, dir).documents.select(col("doc_id"),
+      Web.htmlToText(page).as("clean_text"),
+      array_join(Web.htmlLinks(page), "|").as("links"),
+      size(Web.htmlLinks(page)).as("n_links"))
+  }
+
+  val qHtmlExtractSql: String =
+    """WITH h AS (SELECT doc_id,
+      |    '<html><head><title>t</title><style>body{x:1}</style>'
+      |    || '<script>if(1<2){a="&amp;";}</script></head><body><!--gen--><h1>Doc '
+      |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+      |    || '</p><ul><li>item &amp; one</li>'
+      |    || '<li><a href="https://ex.com/a?x=1">A</a></li></ul>'
+      |    || '<div class="f">contact &lt;admin&gt;&nbsp;&quot;here&quot;'
+      |    || '<br/>rights <a href="https://ex.com/b">B</a></div></body></html>' AS page
+      |  FROM documents),
+      |t1 AS (SELECT doc_id, page, regexp_replace(regexp_replace(regexp_replace(page,
+      |    '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+      |    '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+      |    '(?is)<title\b[^>]*>.*?</title\s*>', '', 'g') AS x FROM h),
+      |t2 AS (SELECT doc_id, page, regexp_replace(x, '(?s)<!--.*?-->', '', 'g') AS x FROM t1),
+      |t3 AS (SELECT doc_id, page, regexp_replace(regexp_replace(x,
+      |    '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)\s*>', chr(10), 'g'),
+      |    '(?i)<(br|hr)\s*/?\s*>', chr(10), 'g') AS x FROM t2),
+      |t4 AS (SELECT doc_id, page, regexp_replace(x, '<[^>]*>', '', 'g') AS x FROM t3),
+      |t5 AS (SELECT doc_id, page,
+      |    replace(replace(replace(replace(replace(replace(x,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x FROM t4),
+      |t6 AS (SELECT doc_id, page, regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(x, '[ \t\r\f]+', ' ', 'g'),
+      |    ' ?\n ?', chr(10), 'g'), '\n+', chr(10), 'g'),
+      |    '^[ \n]+|[ \n]+$', '', 'g') AS x FROM t5)
+      |SELECT doc_id, x AS clean_text,
+      |  array_to_string(regexp_extract_all(page, '(?i)href\s*=\s*"([^"]*)"', 1), '|') AS links,
+      |  CAST(len(regexp_extract_all(page, '(?i)href\s*=\s*"([^"]*)"', 1)) AS INT) AS n_links
+      |FROM t6""".stripMargin
+
   /** Exact repeated-substring REMOVAL (Lee et al. 2022) over the documents
     * table at n = 8 — the operator q_repeated_grams is the detection signal
     * for. Keep-first-occurrence policy; integer positions and string joins
@@ -2198,6 +2254,7 @@ object DataOps {
     "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
     "q_url_dedup"       -> ((qUrlDedup _, Some(qUrlDedupSql))),
+    "q_html_extract"    -> ((qHtmlExtract _, Some(qHtmlExtractSql))),
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),
     "q_bpe_train"       -> ((qBpeTrain _, None)),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),

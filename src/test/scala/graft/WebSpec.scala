@@ -125,6 +125,50 @@ class WebSpec extends SparkSpec {
     assert(r.getString(1) === "sub.ex.com")
   }
 
+  private def extract(h: String): String =
+    Seq(h).toDF("page").select(Web.htmlToText(col("page")).as("t"))
+      .head().getString(0)
+
+  test("htmlToText: scripts/styles/titles/comments drop, blocks break, entities decode") {
+    val page =
+      """<html><head><title>meta</title><style>p { color: red }</style>
+        |<script>if (1 < 2) { x = "&amp;"; }</script></head>
+        |<body><!-- hidden --><h1>Head</h1><p>one   two</p>
+        |<ul><li>a &amp; b</li><li>c &lt;d&gt; &quot;e&quot; &#39;f&#39;&nbsp;g</li></ul>
+        |<div>tail<br/>end</div></body></html>""".stripMargin
+    assert(extract(page) ===
+      "Head\none two\na & b\nc <d> \"e\" 'f' g\ntail\nend")
+    // script content (with its bare `<`) and title text must NOT leak
+    assert(!extract(page).contains("meta") && !extract(page).contains("1 < 2"))
+  }
+
+  test("htmlToText is total: null -> null, empty -> empty, prose unchanged") {
+    val rows = Seq[(Integer, String)]((1, null), (2, ""), (3, "plain words here"))
+      .toDF("id", "page")
+      .select(col("id"), Web.htmlToText(col("page")).as("t"))
+      .collect().sortBy(_.getInt(0))
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getString(1) === "")
+    assert(rows(2).getString(1) === "plain words here")
+  }
+
+  test("htmlLinks extracts hrefs in document order") {
+    val links = Seq("""<a href="https://a.com/1">x</a><p><a HREF="https://b.com/2?q=1">y</a>""")
+      .toDF("page").select(Web.htmlLinks(col("page")).as("l"))
+      .head().getSeq[String](0)
+    assert(links === Seq("https://a.com/1", "https://b.com/2?q=1"))
+  }
+
+  test("graft_html_text / graft_html_links are SQL-callable") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_html_text('<p>a &amp; b</p><div>c</div>') AS t,
+        |       size(graft_html_links('<a href="https://x.com">x</a>')) AS n""".stripMargin)
+      .head()
+    assert(r.getString(0) === "a & b\nc")
+    assert(r.getInt(1) === 1)
+  }
+
   test("config step: dedup method=url collapses URL variants end-to-end") {
     val flow = graft.pipeline.Pipeline.run(spark,
       """[
