@@ -55,6 +55,11 @@ object Native {
     * merge list (replayed in rank order, one greedy pass each). */
   def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeEncode(toExpr(words), merges))
+
+  /** Sorted-distinct dictionary patterns occurring in a text as
+    * substrings — one Aho-Corasick pass however large the dictionary. */
+  def dictMatch(text: Column, dict: Seq[String]): Column =
+    toCol(DictMatch(toExpr(text), dict))
 }
 
 /** SQL-side registration: `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -138,6 +143,15 @@ object GraftExtensions {
       colFn1(graft.operators.Web.htmlToText)),
     ("graft_html_links", info("Web", "href targets of an HTML page, in order"),
       colFn1(graft.operators.Web.htmlLinks)),
+    ("graft_dict_match", info("DictMatch", "dictionary patterns present in a text (Aho-Corasick)"),
+      (e: Seq[Expression]) => {
+        if (!e(1).foldable) throw new IllegalArgumentException(
+          "graft_dict_match needs a literal array of patterns, got " + e(1))
+        val arr = e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val dict = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        DictMatch(e(0), dict)
+      }),
   ) ++
     // the full faker registry (reference: tera.rs:46-81 registers ~35
     // fake_* functions) — graft_fake_*(seed) each, seed-deterministic

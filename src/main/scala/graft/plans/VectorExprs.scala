@@ -587,3 +587,111 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
 }
+
+/** Dictionary tagging: which of a fixed pattern list occur in a text, as
+  * SUBSTRINGS, returned sorted-distinct (the FlashText / keyword-tagging
+  * pass: topic routing, toxic-phrase flags, licence-string detection).
+  * One Aho-Corasick automaton pass per row — O(text + hits) however
+  * large the dictionary — where the naive form is |dict| `contains`
+  * scans over every document; at 10k-phrase policy lists that is the
+  * difference between one corpus pass and ten thousand.
+  *
+  * The automaton ships with the plan (built once per executor on first
+  * eval, ~|dict chars| nodes) — a policy list is cluster-metadata-sized,
+  * never data-sized. Presence semantics (not counts) keep the operator
+  * oracle-replicable: hit set ≡ `p -> contains(text, p)` exactly.
+  */
+case class DictMatch(child: Expression, dict: Seq[String])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_dict_match"
+
+  // sorted-distinct pattern list: output order == dictionary index order
+  @transient private lazy val sortedDict: Array[String] =
+    dict.filter(p => p != null && p.nonEmpty).distinct.sorted.toArray
+
+  @transient private lazy val automaton = DictMatch.build(sortedDict)
+
+  override def nullSafeEval(in: Any): Any = {
+    val text = in.asInstanceOf[UTF8String].toString
+    if (sortedDict.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val hits = automaton.run(text, sortedDict.length)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](hits.cardinality())
+    var i = hits.nextSetBit(0)
+    while (i >= 0) {
+      out += UTF8String.fromString(sortedDict(i))
+      i = hits.nextSetBit(i + 1)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DictMatch = copy(child = c)
+}
+
+object DictMatch {
+  /** Aho-Corasick with fail links and output-set closure (outputs of a
+    * node include outputs of its fail chain, folded in at build time so
+    * the scan never walks fail links for reporting). */
+  final class Automaton(
+      next: Array[java.util.HashMap[Character, Integer]],
+      outs: Array[java.util.BitSet],
+      fails: Array[Int]) {
+    def run(text: String, nPatterns: Int): java.util.BitSet = {
+      val found = new java.util.BitSet(nPatterns)
+      var state = 0
+      var i = 0
+      while (i < text.length && found.cardinality() < nPatterns) {
+        val c = text.charAt(i)
+        var s = state
+        var n = next(s).get(c)
+        while (n == null && s != 0) { s = fails(s); n = next(s).get(c) }
+        state = if (n == null) 0 else n.intValue()
+        if (outs(state) != null) found.or(outs(state))
+        i += 1
+      }
+      found
+    }
+  }
+
+  def build(patterns: Array[String]): Automaton = {
+    val next = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val outIdx = scala.collection.mutable.ArrayBuffer[java.util.BitSet](null)
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        var n = next(s).get(c)
+        if (n == null) {
+          next += new java.util.HashMap[Character, Integer]()
+          outIdx += null
+          n = next.length - 1
+          next(s).put(c, n)
+        }
+        s = n.intValue()
+      }
+      if (outIdx(s) == null) outIdx(s) = new java.util.BitSet()
+      outIdx(s).set(pi)
+    }
+    val fails = new Array[Int](next.length)
+    val queue = new java.util.ArrayDeque[Integer]()
+    next(0).forEach { (_, n) => fails(n) = 0; queue.add(n) }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      next(u).forEach { (c, v) =>
+        var f = fails(u)
+        var n = next(f).get(c)
+        while (n == null && f != 0) { f = fails(f); n = next(f).get(c) }
+        fails(v) = if (n == null || n == v) 0 else n.intValue()
+        // output-set closure: inherit the fail target's outputs
+        if (outIdx(fails(v)) != null) {
+          if (outIdx(v) == null) outIdx(v) = new java.util.BitSet()
+          outIdx(v).or(outIdx(fails(v)))
+        }
+        queue.add(v)
+      }
+    }
+    new Automaton(next.toArray, outIdx.toArray, fails)
+  }
+}

@@ -1680,6 +1680,31 @@ object DataOps {
       |  CAST(len(regexp_extract_all(page, '(?i)href\s*=\s*"([^"]*)"', 1)) AS INT) AS n_links
       |FROM t6""".stripMargin
 
+  /** Dictionary tagging over the documents table (the FlashText / keyword
+    * routing pass): which of a fixed phrase list appears in each doc, as a
+    * substring — including multi-word phrases, which token-set operators
+    * can't see. One Aho-Corasick automaton pass per doc; presence
+    * semantics make the oracle an exact `contains` replication (the list
+    * is pre-sorted, so filter order IS output order on both sides). */
+  val TagDict: Seq[String] = Seq(
+    "customer", "fast merge", "hash join", "slow query", "spark", "vector")
+
+  def qDictTag(spark: SparkSession, dir: String): DataFrame = {
+    val hits = graft.plans.Native.dictMatch(coalesce(col("text"), lit("")), TagDict)
+    Tables(spark, dir).documents.select(col("doc_id"),
+      concat_ws("|", hits).as("terms"),
+      size(hits).as("n_terms"))
+  }
+
+  val qDictTagSql: String = {
+    val dictSql = TagDict.map(p => s"'$p'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  coalesce(array_to_string(list_filter($dictSql,
+       |    p -> contains(coalesce(text, ''), p)), '|'), '') AS terms,
+       |  CAST(len(list_filter($dictSql, p -> contains(coalesce(text, ''), p))) AS INT) AS n_terms
+       |FROM documents""".stripMargin
+  }
+
   /** Exact repeated-substring REMOVAL (Lee et al. 2022) over the documents
     * table at n = 8 — the operator q_repeated_grams is the detection signal
     * for. Keep-first-occurrence policy; integer positions and string joins
@@ -2255,6 +2280,7 @@ object DataOps {
     "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
     "q_url_dedup"       -> ((qUrlDedup _, Some(qUrlDedupSql))),
     "q_html_extract"    -> ((qHtmlExtract _, Some(qHtmlExtractSql))),
+    "q_dict_tag"        -> ((qDictTag _, Some(qDictTagSql))),
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),
     "q_bpe_train"       -> ((qBpeTrain _, None)),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),

@@ -239,4 +239,52 @@ class FunctionsSpec extends SparkSpec {
       .head().getInt(0)
     assert(n > 0 && n < 24, "24 identical bytes must deflate below identity")
   }
+
+  private def dictHits(text: String, dict: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("t")
+      .select(graft.plans.Native.dictMatch(col("t"), dict).as("m"))
+      .head().getSeq[String](0)
+  }
+
+  test("dict match: overlapping, nested, and shared-prefix patterns all surface") {
+    // nested + overlapping occurrences at one position
+    assert(dictHits("xabcx", Seq("ab", "b", "abc", "bc")) == Seq("ab", "abc", "b", "bc"))
+    // the classic fail-link case: hers/she/he share structure inside "ushers"
+    assert(dictHits("ushers", Seq("he", "she", "hers", "his")) == Seq("he", "hers", "she"))
+    // self-overlapping pattern present once is reported once (distinct set)
+    assert(dictHits("aaaa", Seq("aa", "aaa")) == Seq("aa", "aaa"))
+    // multi-word phrase
+    assert(dictHits("a slow query ran", Seq("slow query", "fast")) == Seq("slow query"))
+  }
+
+  test("dict match ≡ contains-chain on the real corpus, and hit order is sorted") {
+    import graft.queries.DataOps
+    val docs = graft.Tables(spark, sf).documents
+    val dict = DataOps.TagDict
+    val both = docs.select(col("doc_id"),
+      graft.plans.Native.dictMatch(col("text"), dict).as("ac"),
+      array_sort(filter(
+        array(dict.map(lit): _*), p => col("text").contains(p))).as("ref"))
+    assert(both.filter(not(col("ac") === col("ref"))).count() === 0)
+    // at least some docs hit ≥2 terms or the fixture is vacuous
+    assert(both.filter(size(col("ac")) >= 2).count() > 0)
+  }
+
+  test("dict match is total and SQL-callable") {
+    import spark.implicits._
+    val rows = Seq[(Integer, String)]((1, null), (2, ""), (3, "plain"))
+      .toDF("id", "t")
+      .select(col("id"), graft.plans.Native.dictMatch(col("t"), Seq("a")).as("m"),
+        graft.plans.Native.dictMatch(col("t"), Seq.empty).as("e"))
+      .collect().sortBy(_.getInt(0))
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getSeq[String](1).isEmpty)
+    assert(rows(2).getSeq[String](2).isEmpty, "empty dict -> empty hits")
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dict_match('the spark shuffle', array('spark', 'hash join')) AS m")
+      .head().getSeq[String](0)
+    assert(r == Seq("spark"))
+  }
 }
