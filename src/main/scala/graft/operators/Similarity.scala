@@ -88,6 +88,30 @@ object Similarity {
     * SplitMix64-derived ones. With data-derived planes (e.g. the first N
     * corpus vectors) every stage is SQL-expressible, which is what lets the
     * q_emb_neardup_lsh_fixed gate equality-check the whole pipeline. */
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    * project each embedding onto a fixed plane set — proj[j] = dot(v,
+    * plane_j), planes ordered by p_id. The planes frame is outDim × dim
+    * (cluster-metadata-sized), so it collects to the driver ONCE and
+    * ships inside the plan as array literals: the projection is a pure
+    * scan-stage codegen'd expression — zero shuffle, zero join, one
+    * corpus pass at 100 TB. Scaling (1/√outDim, unit-norm, …) is the
+    * caller's policy — raw inner products keep the operator exact and
+    * composable (they feed [[bruteTopK]]/[[ivfTopK]] unchanged).
+    *
+    * planesDf: (p_id int, p_vec array<double>) — e.g. hash-derived ±1
+    * planes, or data-derived directions as the gates use. */
+  def projectToPlanes(df: DataFrame, planesDf: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      outCol: String = "proj"): DataFrame = {
+    val planes = planesDf.select(col("p_id").cast("int"), col("p_vec"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(planes.nonEmpty, "projectToPlanes needs at least one plane")
+    val v = asDouble(col(vecCol))
+    df.withColumn(outCol,
+      array(planes.map(p => graft.plans.Native.dotProduct(v, lit(p))): _*))
+  }
+
   def lshNearDupPairsFixedPlanes(df: DataFrame, planesDf: DataFrame,
                                  nPlanes: Int, threshold: Double,
                                  idCol: String = "vec_id", vecCol: String = "embedding",

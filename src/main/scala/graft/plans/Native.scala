@@ -9,6 +9,8 @@ import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => t
 object Native {
   def cosineSim(a: Column, b: Column): Column = toCol(CosineSim(toExpr(a), toExpr(b)))
 
+  def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+
   def minhashSig(tokens: Column, shingleN: Int = 3, k: Int = 64): Column =
     toCol(MinHashSig(toExpr(tokens), shingleN, k))
 
@@ -85,6 +87,8 @@ object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", info("CosineSim", "cosine similarity of two double arrays"),
       (e: Seq[Expression]) => CosineSim(e(0), e(1))),
+    ("graft_dot", info("DotProduct", "dot product of two double arrays"),
+      (e: Seq[Expression]) => DotProduct(e(0), e(1))),
     ("graft_minhash_sig", info("MinHashSig", "minhash signature of a token array"),
       (e: Seq[Expression]) => MinHashSig(e(0), 3, 64)),
     ("graft_simhash64", info("SimHash64", "64-bit simhash of a token array"),

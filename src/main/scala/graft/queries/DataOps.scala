@@ -749,6 +749,27 @@ object DataOps {
       |  (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3
       |ORDER BY a, b""".stripMargin
 
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss)
+    * with DATA-DERIVED planes (the first 8 embeddings — the fixed-plane
+    * gate pattern): every (vector, plane) inner product is replicated by
+    * the oracle's sequential `list_dot_product`, bit-exactly. Output is
+    * exploded to (vec_id, dim, val) so the gate compares scalars, and the
+    * exploded dim ≡ p_id because planes are id-ordered. */
+  def qRandProj(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val planes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("p_id"),
+        Similarity.asDouble(col("embedding")).as("p_vec"))
+    Similarity.projectToPlanes(e, planes)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
+  }
+
+  val qRandProjSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT CAST(vec_id AS INT) AS dim, v AS pv FROM e WHERE vec_id < 8)
+      |SELECT e.vec_id, p.dim, list_dot_product(e.v, p.pv) AS val
+      |FROM e CROSS JOIN p""".stripMargin
+
   /** IVF cluster-pruned ANN — approximate, rows-only gate. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables(spark, dir).embeddings,
@@ -2313,6 +2334,7 @@ object DataOps {
     "q_semdedup"       -> ((qSemDedup _, Some(qSemDedupSql))),
     "q_semdedup_inc"   -> ((qSemDedupInc _, Some(qSemDedupIncSql))),
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
+    "q_rand_proj"      -> ((qRandProj _, Some(qRandProjSql))),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
     "q_ann_ivf_fixed"  -> ((qAnnIvfFixed _, Some(qAnnIvfFixedSql))),
     "q_ann_ivf_indexed" -> ((qAnnIvfIndexed _, Some(qAnnIvfFixedSql))),
