@@ -116,12 +116,12 @@ object Template {
     * `seed=<column>` — deterministic and partition-independent where the
     * reference draws RNG per record. */
   private def templateFunction(name: String, args: Map[String, String],
-                               env: Map[String, Column]): Column = name match {
+                               env: Map[String, Column], tmpl: Tmpl): Column = name match {
     case "uuid_v4" => StringFns.uuidV4()
     case "now" => date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssxxx")
     case "env" | "get_env" => StringFns.env(args("name"), args.getOrElse("default", ""))
     case f if f.startsWith("fake_") =>
-      val seed = args.get("seed").map(v => operand(v, env)).getOrElse(
+      val seed = args.get("seed").map(v => operand(v, env, tmpl)).getOrElse(
         throw new IllegalArgumentException(
           s"$f requires seed=<column> (deterministic generators; the reference draws RNG per record)"))
       Faker.registry.getOrElse(f, throw new IllegalArgumentException(
@@ -139,6 +139,14 @@ object Template {
                                otherwise: Option[Seq[Node]]) extends Node
   private final case class ForN(v: String, iter: String, body: Seq[Node]) extends Node
   private final case class SetN(name: String, value: String) extends Node
+  /** `{% macro name(a, b="dflt") %}…{% endmacro %}` (tera macros —
+    * reference embeds the full engine, src/updater/tera.rs:248). */
+  private final case class MacroDefN(name: String, params: Seq[(String, Option[String])],
+                                     body: Seq[Node]) extends Node
+  private final case class IncludeN(name: String) extends Node
+  private final case class ImportN(tmpl: String, ns: String) extends Node
+  private final case class ExtendsN(name: String) extends Node
+  private final case class BlockN(name: String, body: Seq[Node]) extends Node
 
   // ---- tokenizer ---------------------------------------------------------
 
@@ -182,6 +190,43 @@ object Template {
 
   private val ForTag = raw"for\s+(\w+)\s+in\s+(.+)".r
   private val SetTag = raw"set\s+(\w+)\s*=\s*(.+)".r
+  private val MacroTag = raw"macro\s+(\w+)\s*\((.*)\)".r
+  private val ImportTag = raw"""import\s+["']([^"']+)["']\s+as\s+(\w+)""".r
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Split on top-level `sep` — quotes and parens shield (macro kwargs can
+    * nest calls: `self::m(a=other::n(x=1), b="y,z")`). */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') { cur += c; quote = c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == sep && depth == 0) { out += cur.result(); cur.clear() }
+      else cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `a, b="x", c=3` → (name, default-source?) pairs. Defaults stay SOURCE
+    * strings and compile in the macro-definition scope at call time. */
+  private def parseParams(s: String): Seq[(String, Option[String])] =
+    splitTop(s, ',').map { p =>
+      p.split("=", 2) match {
+        case Array(n)    => (n.trim, None)
+        case Array(n, d) => (n.trim, Some(d.trim))
+      }
+    }
 
   private def parse(template: String): Seq[Node] = {
     val toks = tokenize(template)
@@ -234,8 +279,38 @@ object Template {
                   case SetTag(n, v) => nodes += SetN(n, v.trim)
                   case _ => throw new IllegalArgumentException(s"bad set tag: {% $body %}")
                 }
+              case "macro" =>
+                pos += 1
+                body match {
+                  case MacroTag(name, params) =>
+                    val (b, c) = block(Set("endmacro"))
+                    require(c.nonEmpty, "missing {% endmacro %}")
+                    nodes += MacroDefN(name, parseParams(params), b)
+                  case _ => throw new IllegalArgumentException(s"bad macro tag: {% $body %}")
+                }
+              case "include" =>
+                pos += 1
+                nodes += IncludeN(unquote(body.stripPrefix("include").trim))
+              case "import" =>
+                pos += 1
+                body match {
+                  case ImportTag(t, ns) => nodes += ImportN(t, ns)
+                  case _ => throw new IllegalArgumentException(
+                    s"""bad import tag (expected {% import "tmpl" as ns %}): {% $body %}""")
+                }
+              case "extends" =>
+                pos += 1
+                nodes += ExtendsN(unquote(body.stripPrefix("extends").trim))
+              case "block" =>
+                pos += 1
+                val name = body.stripPrefix("block").trim
+                require(name.nonEmpty, "block tag needs a name")
+                val (b, c) = block(Set("endblock"))
+                require(c.nonEmpty, "missing {% endblock %}")
+                nodes += BlockN(name, b)
               case other => throw new IllegalArgumentException(
-                s"unsupported template tag: {% $other %} (supported: if/elif/else/endif, for/endfor, set)")
+                s"unsupported template tag: {% $other %} (supported: if/elif/else/endif, " +
+                  "for/endfor, set, macro/endmacro, include, import, extends, block/endblock)")
             }
         }
       }
@@ -244,6 +319,44 @@ object Template {
     val (nodes, closer) = block(Set.empty)
     require(closer.isEmpty, s"unexpected {% $closer %}")
     nodes
+  }
+
+  // ---- template units (macro / include / import / inheritance scope) ----
+
+  /** One parsed template inside a registry. All cross-template resolution —
+    * include splicing, `ns::macro(...)` expansion, extends/block overriding —
+    * happens at PLAN TIME, so the emitted Column is the same codegen'd
+    * concat/CASE chain a single flat template compiles to (no per-row
+    * template interpreter at 100 TB). `loading` guards include/import/extends
+    * cycles. */
+  private final class Tmpl(source: String, registry: Map[String, String],
+                           loading: Set[String]) {
+    val allNodes: Seq[Node] = parse(source)
+    val extendsName: Option[String] = allNodes.collectFirst { case ExtendsN(n) => n }
+    val macros: Map[String, MacroDefN] =
+      allNodes.collect { case m: MacroDefN => (m.name, m) }.toMap
+    def load(name: String): Tmpl = {
+      require(!loading.contains(name), s"template cycle at '$name'")
+      new Tmpl(registry.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown template: '$name' (registered: ${registry.keys.toSeq.sorted.mkString(", ")})")),
+        registry, loading + name)
+    }
+    /** Macro namespaces visible here: `self::` (own macros — tera's
+      * same-file call syntax) plus every `{% import "t" as ns %}`. Each
+      * macro carries its DEFINING unit so its body resolves nested macro
+      * calls in its own scope, not the caller's. */
+    lazy val namespaces: Map[String, Map[String, (MacroDefN, Tmpl)]] = {
+      val imported = allNodes.collect { case ImportN(t, ns) =>
+        val u = load(t)
+        ns -> u.macros.map { case (k, v) => (k, (v, u)) }
+      }.toMap
+      imported + ("self" -> macros.map { case (k, v) => (k, (v, this)) })
+    }
+    /** Renderable stream: defs/imports/extends are declarations, not output. */
+    val bodyNodes: Seq[Node] = allNodes.filterNot {
+      case _: MacroDefN | _: ImportN | _: ExtendsN => true
+      case _ => false
+    }
   }
 
   // ---- compilation -------------------------------------------------------
@@ -273,9 +386,11 @@ object Template {
 
   private val FnCallPat = raw"(\w+)\s*\((.*)\)".r
 
-  /** A bare operand: quoted string, number, bool, function call, or
-    * variable path. */
-  private def operand(s: String, env: Map[String, Column]): Column = {
+  private val MacroCallPat = raw"(\w+)::(\w+)\s*\((.*)\)".r
+
+  /** A bare operand: quoted string, number, bool, macro call, function
+    * call, or variable path. */
+  private def operand(s: String, env: Map[String, Column], tmpl: Tmpl): Column = {
     val t = s.trim
     if ((t.startsWith("\"") && t.endsWith("\"") && t.length >= 2) ||
         (t.startsWith("'") && t.endsWith("'") && t.length >= 2)) lit(t.substring(1, t.length - 1))
@@ -283,9 +398,38 @@ object Template {
     else if (t == "false") lit(false)
     else if (NumLit.matches(t)) { if (t.contains('.')) lit(t.toDouble) else lit(t.toLong) }
     else t match {
-      case FnCallPat(name, args) => templateFunction(name, parseArgs(args), env)
+      case MacroCallPat(ns, name, argsRaw) => expandMacro(ns, name, argsRaw, env, tmpl)
+      case FnCallPat(name, args) => templateFunction(name, parseArgs(args), env, tmpl)
       case _ => ref(t, env)
     }
+  }
+
+  /** `{{ ns::name(k=v, …) }}` — tera macro invocation. Kwarg VALUES compile
+    * in the caller's scope; the BODY compiles with only its params bound
+    * (tera: macros see their arguments, not the caller's context) and in
+    * its defining template's namespace, so nested `self::` calls resolve
+    * where the macro was written. Expansion is compile-time inlining — a
+    * macro used in a million-row scan costs exactly its body's columns. */
+  private def expandMacro(ns: String, name: String, argsRaw: String,
+                          env: Map[String, Column], tmpl: Tmpl): Column = {
+    val space = tmpl.namespaces.getOrElse(ns, throw new IllegalArgumentException(
+      s"unknown macro namespace: $ns (visible: ${tmpl.namespaces.keys.toSeq.sorted.mkString(", ")})"))
+    val (mdef, defTmpl) = space.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown macro: $ns::$name (in $ns: ${space.keys.toSeq.sorted.mkString(", ")})"))
+    val kwargs = splitTop(argsRaw, ',').map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"macro args must be kwargs (k=v): '$kv' in $ns::$name")
+      kv.substring(0, i).trim -> kv.substring(i + 1).trim
+    }.toMap
+    val unknown = kwargs.keySet -- mdef.params.map(_._1).toSet
+    require(unknown.isEmpty, s"unknown args ${unknown.mkString(", ")} for macro $ns::$name")
+    val bound = mdef.params.map { case (p, dflt) =>
+      p -> kwargs.get(p).map(v => arith(v, env, tmpl))
+        .orElse(dflt.map(d => operand(d, Map.empty, defTmpl)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"macro $ns::$name missing required arg: $p"))
+    }.toMap
+    renderNodes(mdef.body, bound, defTmpl, Map.empty)
   }
 
   /** Parse `k="v", k2=3` filter args; commas inside quotes don't split
@@ -321,13 +465,13 @@ object Template {
     * before. NB: tera identifiers cannot contain '-' or '/', so `a-b`
     * is a subtraction and `a/b` a division here too (exactly tera's
     * reading); pointer-style paths inside templates must use dots. */
-  private def arith(s: String, env: Map[String, Column]): Column = {
+  private def arith(s: String, env: Map[String, Column], tmpl: Tmpl): Column = {
     val t = s.trim
     if (t.startsWith("(") && t.endsWith(")") && wrapsWhole(t))
-      return arith(t.substring(1, t.length - 1), env)
+      return arith(t.substring(1, t.length - 1), env, tmpl)
     topLevelOp(t) match {
       case Some((l, op, r)) =>
-        val lc = arith(l, env); val rc = arith(r, env)
+        val lc = arith(l, env, tmpl); val rc = arith(r, env, tmpl)
         op match {
           case '+' => lc + rc
           case '-' => lc - rc
@@ -335,7 +479,7 @@ object Template {
           case '/' => lc / rc
           case '%' => lc % rc
         }
-      case None => operand(t, env)
+      case None => operand(t, env, tmpl)
     }
   }
 
@@ -383,7 +527,7 @@ object Template {
     else Some((t.substring(0, pos), t.charAt(pos), t.substring(pos + 1)))
   }
 
-  private def compileExpr(body: String, env: Map[String, Column]): Column = {
+  private def compileExpr(body: String, env: Map[String, Column], tmpl: Tmpl): Column = {
     val parts = body.split("\\|").map(_.trim).filter(_.nonEmpty)
     // `{{ input | json_encode() }}` — the reference's whole-record JSON
     // idiom (transformer docs): when the pipeline bound the row struct
@@ -394,7 +538,7 @@ object Template {
       if (env.contains("__row__" + head) &&
           parts.tail.headOption.exists(_.startsWith("json_encode")))
         (to_json(env("__row__" + head)), parts.tail.tail)
-      else (arith(parts.head, env), parts.tail)
+      else (arith(parts.head, env, tmpl), parts.tail)
     chain.foldLeft(base) { (c, f) =>
       f match {
         case FilterCall(name, null) =>
@@ -413,7 +557,7 @@ object Template {
     * grammar: or ← and (`or` and)*; and ← not (`and` not)*;
     * not ← `not` not | `(` or `)` | cmp;
     * cmp ← operand ((==|!=|<=|>=|<|>) operand | `is` [`not`] `defined`)? */
-  private class CondParser(s: String, env: Map[String, Column]) {
+  private class CondParser(s: String, env: Map[String, Column], tmpl: Tmpl) {
     private var pos = 0
     private def ws(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
     private def peekWord: String = {
@@ -534,49 +678,88 @@ object Template {
             (s.charAt(pos + 1).isDigit || s.charAt(pos + 1) == '.')) pos += 1
         while (pos < s.length && !s.charAt(pos).isWhitespace &&
                !"()<>=!|+-*/%".contains(s.charAt(pos))) pos += 1
-        operand(s.substring(start, pos), env)
+        operand(s.substring(start, pos), env, tmpl)
       }
     }
   }
 
-  private def compileCond(cond: String, env: Map[String, Column]): Column =
-    new CondParser(cond, env).parseOr()
+  private def compileCond(cond: String, env: Map[String, Column], tmpl: Tmpl): Column =
+    new CondParser(cond, env, tmpl).parseOr()
 
-  private def renderNodes(nodes: Seq[Node], env: Map[String, Column]): Column = {
+  private def renderNodes(nodes: Seq[Node], env: Map[String, Column], tmpl: Tmpl,
+                          overrides: Map[String, (Seq[Node], Tmpl)]): Column = {
     var e = env
     val pieces = nodes.flatMap {
-      case SetN(n, v) => e += (n -> compileExpr(v, e)); None
+      case SetN(n, v) => e += (n -> compileExpr(v, e, tmpl)); None
       case TextN("") => None
       case TextN(s) => Some(lit(s))
-      case InterpN(b) => Some(compileExpr(b, e).cast("string"))
+      case InterpN(b) => Some(compileExpr(b, e, tmpl).cast("string"))
       case IfN(branches, otherwise) =>
         val localEnv = e
-        val first = when(compileCond(branches.head._1, localEnv),
-          renderNodes(branches.head._2, localEnv))
+        val first = when(compileCond(branches.head._1, localEnv, tmpl),
+          renderNodes(branches.head._2, localEnv, tmpl, overrides))
         val chained = branches.tail.foldLeft(first)((acc, br) =>
-          acc.when(compileCond(br._1, localEnv), renderNodes(br._2, localEnv)))
-        Some(chained.otherwise(otherwise.map(renderNodes(_, localEnv)).getOrElse(lit(""))))
+          acc.when(compileCond(br._1, localEnv, tmpl), renderNodes(br._2, localEnv, tmpl, overrides)))
+        Some(chained.otherwise(
+          otherwise.map(renderNodes(_, localEnv, tmpl, overrides)).getOrElse(lit(""))))
       case ForN(v, iterB, body) =>
         val localEnv = e
-        val arr = compileExpr(iterB, localEnv)
+        val arr = compileExpr(iterB, localEnv, tmpl)
         // the loop body runs inside the `transform` HOF — per row, inside
         // the executor, never a driver-side expansion
         Some(concat_ws("", transform(arr, (x, i) =>
           renderNodes(body, localEnv ++ Map(
-            v -> x, "loop.index0" -> i, "loop.index" -> (i + lit(1)))).cast("string"))))
+            v -> x, "loop.index0" -> i, "loop.index" -> (i + lit(1))), tmpl, overrides)
+            .cast("string"))))
+      case IncludeN(t) =>
+        // tera include: the included template renders with the CURRENT
+        // context (env) but its own macro scope — compile-time splicing
+        Some(renderTmpl(tmpl.load(t), e, Map.empty).cast("string"))
+      case BlockN(name, own) =>
+        overrides.get(name) match {
+          case Some((b, childTmpl)) =>
+            // a child's block body compiles in the CHILD's macro scope
+            Some(renderNodes(b, e, childTmpl, Map.empty).cast("string"))
+          case None => Some(renderNodes(own, e, tmpl, overrides).cast("string"))
+        }
+      // declarations — handled at Tmpl load; inert if nested in a body
+      case _: MacroDefN | _: ImportN | _: ExtendsN => None
     }
     if (pieces.isEmpty) lit("") else if (pieces.size == 1) pieces.head.cast("string")
     else concat(pieces: _*)
   }
 
-  def render(template: String): Column = renderNodes(parse(template), Map.empty)
+  /** Render a unit honoring `{% extends %}`: walk up the parent chain
+    * accumulating block overrides (nearest child wins — entries already in
+    * `overrides` come from deeper children and take precedence). */
+  private def renderTmpl(u: Tmpl, env: Map[String, Column],
+                         overrides: Map[String, (Seq[Node], Tmpl)]): Column =
+    u.extendsName match {
+      case Some(p) =>
+        val childBlocks = u.bodyNodes.collect { case BlockN(n, b) => (n, (b, u)) }.toMap
+        renderTmpl(u.load(p), env, childBlocks ++ overrides)
+      case None => renderNodes(u.bodyNodes, env, u, overrides)
+    }
+
+  def render(template: String): Column = render(template, Map.empty[String, Column])
 
   /** Render with pre-bound names — how referential datasets reach
     * patterns: the pipeline collects each (small) referential and binds
     * `alias.i.field` → lit(value), so `{{ m.2.code }}` folds to a plan
     * constant (the template analogue of a broadcast join). */
   def render(template: String, env: Map[String, Column]): Column =
-    renderNodes(parse(template), env)
+    render(template, env, Map.empty)
+
+  /** Render against a named-template registry (tera: a `Tera` instance
+    * holding several templates): enables `{% include "t" %}`,
+    * `{% import "t" as ns %}` + `{{ ns::macro(...) }}`, same-template
+    * `{% macro %}` + `{{ self::macro(...) }}`, and `{% extends "base" %}`
+    * with `{% block %}` overriding. Everything resolves at plan time —
+    * the emitted Column is the same codegen'd concat/CASE chain a flat
+    * template compiles to. */
+  def render(template: String, env: Map[String, Column],
+             templates: Map[String, String]): Column =
+    renderTmpl(new Tmpl(template, templates, Set.empty), env, Map.empty)
 
   private val Var = raw"\{\{-?\s*([^}]+?)\s*-?\}\}".r
 

@@ -106,6 +106,64 @@ class FunctionsSpec extends SparkSpec {
     assert(run("{% if n > 9000 %}x{% endif %}") == "")
   }
 
+  test("tera macros: self-calls, defaults, import namespaces, kwargs scope") {
+    val df = spark.range(1).select(lit("ada").as("name"), lit(3L).as("n"))
+    def run(t: String, reg: Map[String, String] = Map.empty): String =
+      df.select(Template.render(t, Map.empty, reg).as("v")).head().getString(0)
+    // same-template macro via self:: (tera call syntax), kwarg from a column
+    assert(run("{% macro tag(v) %}<{{ v | upper }}>{% endmacro %}{{ self::tag(v=name) }}")
+      == "<ADA>")
+    // default args compile in the macro's own scope; override wins
+    assert(run("{% macro p(x, sep=\"-\") %}{{ x }}{{ sep }}{% endmacro %}" +
+      "{{ self::p(x=name) }}{{ self::p(x=name, sep=\"+\") }}") == "ada-ada+")
+    // imported namespace: macros live in another registered template
+    val lib = "{% macro shout(s) %}{{ s | upper }}!{% endmacro %}"
+    assert(run("{% import \"lib\" as m %}{{ m::shout(s=name) }}",
+      Map("lib" -> lib)) == "ADA!")
+    // a macro body sees ONLY its params (tera scoping): `name` un-passed
+    // must not leak from the caller's row context
+    intercept[Exception] {
+      df.select(Template.render(
+        "{% macro bad() %}{{ nope_not_a_column }}{% endmacro %}{{ self::bad() }}",
+        Map.empty, Map.empty).as("v")).head()
+    }
+    // arity errors name the macro and the missing arg
+    val err = intercept[IllegalArgumentException](
+      run("{% macro q(a) %}{{ a }}{% endmacro %}{{ self::q() }}"))
+    assert(err.getMessage.contains("missing required arg: a"))
+    // macro result feeds a filter chain like any operand
+    assert(run("{% macro two(x) %}{{ x }}{{ x }}{% endmacro %}{{ self::two(x=name) | length }}")
+      == "6")
+  }
+
+  test("tera include and extends/block compose templates at plan time") {
+    val df = spark.range(1).select(lit("ada").as("name"))
+    def run(t: String, reg: Map[String, String]): String =
+      df.select(Template.render(t, Map.empty, reg).as("v")).head().getString(0)
+    // include renders with the CURRENT row context
+    assert(run("pre[{% include \"frag\" %}]post",
+      Map("frag" -> "hi {{ name }}")) == "pre[hi ada]post")
+    // extends: child blocks override the base's; un-overridden blocks keep
+    // the base body; base text outside blocks always renders
+    val base = "A{% block head %}h0{% endblock %}B{% block tail %}t0{% endblock %}C"
+    assert(run("{% extends \"base\" %}{% block head %}H-{{ name }}{% endblock %}",
+      Map("base" -> base)) == "AH-adaBt0C")
+    // two-level chain: grandchild wins over child over base
+    val mid = "{% extends \"base\" %}{% block head %}mid{% endblock %}" +
+      "{% block tail %}midt{% endblock %}"
+    assert(run("{% extends \"mid\" %}{% block tail %}leaf{% endblock %}",
+      Map("base" -> base, "mid" -> mid)) == "AmidBleafC")
+    // unknown template and cycles fail at COMPILE time with named errors
+    assert(intercept[IllegalArgumentException](
+      run("{% include \"ghost\" %}", Map.empty)).getMessage.contains("ghost"))
+    intercept[IllegalArgumentException](
+      run("{% include \"a\" %}", Map("a" -> "{% include \"a\" %}")))
+    // an included template can carry its own macros without leaking them
+    assert(run("{% import \"lib\" as m %}{{ m::dot(s=name) }}{% include \"lib2\" %}",
+      Map("lib" -> "{% macro dot(s) %}{{ s }}.{% endmacro %}",
+          "lib2" -> "[{{ name }}]")) == "ada.[ada]")
+  }
+
   test("tera stdlib filters: round/abs/int/float/date/wordcount/striptags") {
     val df = spark.range(1).select(lit(-2.718).as("x"), lit("  <b>two words</b> ").as("h"),
       lit("2024-03-05 07:09:11").as("ts"))

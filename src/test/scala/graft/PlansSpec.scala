@@ -249,12 +249,20 @@ class PlansSpec extends SparkSpec {
     // an empty window partitionSpec funnels the whole input through ONE
     // task — the canonical 100 TB scale-killer; every gate plan is checked
     // so one can't sneak in behind a refactor
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.optimizedPlan
-      plan.collect {
+    // a gate that fails analysis must name itself rather than abort the
+    // whole sweep (which would mask the window audit for every other gate)
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> scala.util.Try(fn(spark, sf).queryExecution.optimizedPlan)
+    }
+    val broken = results.collect { case (name, scala.util.Failure(e)) =>
+      s"$name (${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)})"
+    }
+    assert(broken.isEmpty, s"gates failing analysis: ${broken.mkString("; ")}")
+    val offenders = results.flatMap { case (name, t) =>
+      t.toOption.toSeq.flatMap(_.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => name
-      }
+      })
     }.distinct
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
