@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *   - `{%- … -%}` / `{{- … -}}` trim adjacent whitespace (tera ws control).
   *
   * Conditions support `== != < <= > >=`, `and`/`or`/`not`, parentheses,
-  * string/number/bool literals and `x is [not] defined` (→ null check; a
-  * fixed relational schema has no absent fields, so null is the analogue).
+  * string/number/bool literals, filtered operands (`s | length <= max` —
+  * tera precedence: filters bind tighter than any operator) and
+  * `x is [not] defined` (→ null check; a fixed relational schema has no
+  * absent fields, so null is the analogue).
   *
   * Filters compose tera-style: `{{ name | trim | upper }}`; arg-taking
   * filters use tera call syntax: `{{ s | split(pat=",") }}`,
@@ -527,6 +529,17 @@ object Template {
     else Some((t.substring(0, pos), t.charAt(pos), t.substring(pos + 1)))
   }
 
+  /** Apply one named filter (shared by `{{ … | f }}` chains and filtered
+    * condition operands). `args == null` means no parens were written —
+    * the zero-arg form. */
+  private def applyFilter(c: Column, name: String, args: String): Column =
+    if (args == null)
+      filters.get(name).orElse(objectFilters.get(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"unsupported template filter: $name (supported: ${(filters.keys ++ objectFilters.keys ++ argFilters.keys).toSeq.sorted.mkString(", ")})"))(c)
+    else argFilters.getOrElse(name, throw new IllegalArgumentException(
+      s"filter $name takes no args or is unsupported"))(c, parseArgs(args))
+
   private def compileExpr(body: String, env: Map[String, Column], tmpl: Tmpl): Column = {
     val parts = body.split("\\|").map(_.trim).filter(_.nonEmpty)
     // `{{ input | json_encode() }}` — the reference's whole-record JSON
@@ -541,13 +554,7 @@ object Template {
       else (arith(parts.head, env, tmpl), parts.tail)
     chain.foldLeft(base) { (c, f) =>
       f match {
-        case FilterCall(name, null) =>
-          filters.get(name).orElse(objectFilters.get(name)).getOrElse(
-            throw new IllegalArgumentException(
-              s"unsupported template filter: $name (supported: ${(filters.keys ++ objectFilters.keys ++ argFilters.keys).toSeq.sorted.mkString(", ")})"))(c)
-        case FilterCall(name, args) =>
-          argFilters.getOrElse(name, throw new IllegalArgumentException(
-            s"filter $name takes no args or is unsupported"))(c, parseArgs(args))
+        case FilterCall(name, args) => applyFilter(c, name, args)
         case other => throw new IllegalArgumentException(s"bad filter syntax: $other")
       }
     }
@@ -607,12 +614,46 @@ object Template {
       c
     }
     private def parseProd(): Column = {
-      var c = parseOperand()
+      var c = parseFiltered()
       ws()
       while (pos < s.length && "*/%".contains(s.charAt(pos))) {
         val op = s.charAt(pos); pos += 1
-        val r = parseOperand()
+        val r = parseFiltered()
         c = op match { case '*' => c * r; case '/' => c / r; case _ => c % r }
+        ws()
+      }
+      c
+    }
+
+    /** Operand with a tera filter chain: `s | length <= max` compares the
+      * FILTERED value (tera precedence: filters bind tighter than any
+      * operator). `|` is unambiguous here — tera spells disjunction `or`. */
+    private def parseFiltered(): Column = {
+      var c = parseOperand()
+      ws()
+      while (pos < s.length && s.charAt(pos) == '|') {
+        pos += 1; ws()
+        val start = pos
+        while (pos < s.length && (s.charAt(pos).isLetterOrDigit || s.charAt(pos) == '_')) pos += 1
+        val name = s.substring(start, pos)
+        require(name.nonEmpty, s"dangling | in condition: $s")
+        ws()
+        var args: String = null
+        if (pos < s.length && s.charAt(pos) == '(') {
+          val a0 = pos + 1; var depth = 1; var i = pos + 1; var q: Char = 0
+          while (i < s.length && depth > 0) {
+            val ch = s.charAt(i)
+            if (q != 0) { if (ch == q) q = 0 }
+            else if (ch == '"' || ch == '\'') q = ch
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            i += 1
+          }
+          require(depth == 0, s"unbalanced filter args in: $s")
+          args = s.substring(a0, i - 1)
+          pos = i
+        }
+        c = applyFilter(c, name, args)
         ws()
       }
       c

@@ -102,6 +102,15 @@ object Pipeline {
   final case class LayoutStep(mode: String, target: String, keyCols: Seq[String],
                               sortCols: Seq[String], n: Int, dataType: String) extends Step
 
+  /** Named-template registry as a config step: registers tera templates
+    * (macros, includable fragments, inheritance bases) for every later
+    * transformer/validator pattern in the pipeline (tera: `Tera` holds
+    * named templates; reference embeds the engine at src/updater/tera.rs).
+    * A declaration — contributes no data flow. */
+  final case class TemplatesStep(templates: Map[String, String]) extends Step {
+    def dataType: String = "ok" // declaration only — never touches a flow
+  }
+
   final case class Action(field: String, pattern: Option[String], actionType: String)
   final case class Rule(name: String, pattern: String, message: String)
 
@@ -112,7 +121,12 @@ object Pipeline {
   def compilePattern(pattern: String): Column = compilePattern(pattern, Map.empty)
 
   def compilePattern(pattern: String, env: Map[String, Column]): Column =
-    if (pattern.contains("{{") || pattern.contains("{%")) Template.render(pattern, env)
+    compilePattern(pattern, env, Map.empty)
+
+  def compilePattern(pattern: String, env: Map[String, Column],
+                     templates: Map[String, String]): Column =
+    if (pattern.contains("{{") || pattern.contains("{%"))
+      Template.render(pattern, env, templates)
     else expr(pattern)
 
   /** Compile a validator-rule pattern to a BOOLEAN Column. chewdata rule
@@ -124,8 +138,12 @@ object Pipeline {
   def compileBoolPattern(pattern: String): Column = compileBoolPattern(pattern, Map.empty)
 
   def compileBoolPattern(pattern: String, env: Map[String, Column]): Column =
+    compileBoolPattern(pattern, env, Map.empty)
+
+  def compileBoolPattern(pattern: String, env: Map[String, Column],
+                         templates: Map[String, String]): Column =
     if (pattern.contains("{{") || pattern.contains("{%"))
-      trim(Template.render(pattern, env)) === "true"
+      trim(Template.render(pattern, env, templates)) === "true"
     else expr(pattern)
 
   final case class Parsed(steps: Seq[Step])
@@ -292,6 +310,11 @@ object Pipeline {
           else if (node.has("separator")) node.get("separator").asText()
           else "; "
         Validator(rules, sep, dataType, referentials)
+      case "templates" | "tmpl" =>
+        val m = Option(node.get("templates")).map { t =>
+          t.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty[String, String])
+        TemplatesStep(m)
       case "referential" | "ref" =>
         Referential(str("name", "ref"), connector, str("left_on"), str("right_on"), dataType)
       case "generator" | "g" =>
@@ -431,6 +454,10 @@ object Pipeline {
 
   def applyActions(df: DataFrame, actions: Seq[Action],
                    env: Map[String, Column]): DataFrame =
+    applyActions(df, actions, env, Map.empty)
+
+  def applyActions(df: DataFrame, actions: Seq[Action], env: Map[String, Column],
+                   templates: Map[String, String]): DataFrame =
     actions.foldLeft(df) { (d, a) =>
       (a.actionType, a.field) match {
         case ("remove", f)       => d.drop(fieldName(f))
@@ -443,7 +470,7 @@ object Pipeline {
           val rowEnv = env +
             ("__row__input" -> struct(inputCols.map(col): _*)) +
             ("__row__output" -> struct(d.columns.toIndexedSeq.map(col): _*))
-          val c = a.pattern.map(compilePattern(_, rowEnv)).getOrElse(lit(null))
+          val c = a.pattern.map(compilePattern(_, rowEnv, templates)).getOrElse(lit(null))
           d.withColumn(fieldName(f), c)
       }
     }
@@ -456,9 +483,13 @@ object Pipeline {
     applyRules(df, rules, sep, Map.empty)
 
   def applyRules(df: DataFrame, rules: Seq[Rule], sep: String,
-                 env: Map[String, Column]): (DataFrame, DataFrame) = {
+                 env: Map[String, Column]): (DataFrame, DataFrame) =
+    applyRules(df, rules, sep, env, Map.empty)
+
+  def applyRules(df: DataFrame, rules: Seq[Rule], sep: String, env: Map[String, Column],
+                 templates: Map[String, String]): (DataFrame, DataFrame) = {
     val err = nullif(concat_ws(sep,
-      rules.map(r => when(!compileBoolPattern(r.pattern, env), lit(r.message))): _*), lit(""))
+      rules.map(r => when(!compileBoolPattern(r.pattern, env, templates), lit(r.message))): _*), lit(""))
     val tagged = df.withColumn("_error", err)
     (tagged.filter(col("_error").isNull).drop("_error"),
      tagged.filter(col("_error").isNotNull))
@@ -469,19 +500,24 @@ object Pipeline {
   def run(spark: SparkSession, parsed: Parsed): Flow = {
     // make the graft SQL surface available to config patterns
     try graft.plans.GraftExtensions.register(spark) catch { case _: Throwable => () }
+    // template registrations are declarations: visible to every pattern in
+    // the pipeline regardless of step order (tera loads all templates first)
+    val registry = parsed.steps.collect { case TemplatesStep(m) => m }
+      .foldLeft(Map.empty[String, String])(_ ++ _)
     parsed.steps.foldLeft(Flow(None, None)) { (flow, step) =>
       step match {
         case Reader(_, conn, dt, stream) =>
           flow.updated(dt, if (stream) conn.loadStream(spark) else conn.load(spark))
         case Generator(n, dt)     => flow.updated(dt, spark.range(n).toDF("id"))
         case Eraser(conn, _)      => conn.erase(spark); flow
+        case TemplatesStep(_)     => flow
         case Transformer(actions, dt, refs) =>
           flow(dt).map(df =>
-            flow.updated(dt, applyActions(df, actions, referentialEnv(spark, refs)))
+            flow.updated(dt, applyActions(df, actions, referentialEnv(spark, refs), registry))
           ).getOrElse(flow)
         case Validator(rules, sep, dt, refs) =>
           flow(dt).map { df =>
-            val (ok, err) = applyRules(df, rules, sep, referentialEnv(spark, refs))
+            val (ok, err) = applyRules(df, rules, sep, referentialEnv(spark, refs), registry)
             Flow(Some(ok), Some(err))
           }.getOrElse(flow)
         case Referential(name, conn, leftOn, rightOn, dt) =>

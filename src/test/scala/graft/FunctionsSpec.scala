@@ -104,6 +104,10 @@ class FunctionsSpec extends SparkSpec {
     assert(run("{% if maybe is not undefined %}y{% else %}n{% endif %}") == "n")
     // no else → empty string when no branch matches
     assert(run("{% if n > 9000 %}x{% endif %}") == "")
+    // filtered operands in conditions (tera: filters bind tighter than
+    // comparison): lang has length 2
+    assert(run("{% if lang | length == 2 %}two{% endif %}") == "two")
+    assert(run("{% if lang | upper == 'EN' and n > 100 %}up{% endif %}") == "up")
   }
 
   test("tera macros: self-calls, defaults, import namespaces, kwargs scope") {

@@ -790,6 +790,38 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).toSeq == (0L until 6L))
   }
 
+  test("templates step registers tera macros/includes for pipeline patterns") {
+    // a `templates` declaration makes named templates (macro libraries,
+    // includable fragments) visible to every transformer/validator pattern,
+    // regardless of where in the pipeline it appears (tera loads all
+    // templates up front)
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mem","data":"[{\"name\":\"ada\"},{\"name\":\"grace\"}]"}},
+        | {"type":"transformer","actions":[
+        |    {"field":"badge","pattern":"{% import \"lib\" as m %}{{ m::shout(s=input.name) }}"},
+        |    {"field":"framed","pattern":"[{% include \"frame\" %}]"}]},
+        | {"type":"templates","templates":{
+        |    "lib":"{% macro shout(s) %}{{ s | upper }}!{% endmacro %}",
+        |    "frame":"<{{ name }}>"}}
+        |]""".stripMargin)
+    val rows = flow.ok.get.orderBy("name").collect()
+    assert(rows.map(_.getAs[String]("badge")).toSeq == Seq("ADA!", "GRACE!"))
+    assert(rows.map(_.getAs[String]("framed")).toSeq == Seq("[<ada>]", "[<grace>]"))
+    // validator rules render against the same registry
+    val v = Pipeline.run(spark,
+      """[
+        | {"type":"templates","templates":{
+        |    "checks":"{% macro short(s, max) %}{% if s | length <= max %}true{% else %}false{% endif %}{% endmacro %}"}},
+        | {"type":"reader","connector":{"type":"mem","data":"[{\"name\":\"ada\"},{\"name\":\"wilhelmina\"}]"}},
+        | {"type":"validator","rules":{"short_name":{
+        |    "pattern":"{% import \"checks\" as c %}{{ c::short(s=input.name, max=5) }}",
+        |    "message":"name too long"}}}
+        |]""".stripMargin)
+    assert(v.ok.get.collect().map(_.getAs[String]("name")).toSeq == Seq("ada"))
+    assert(v.err.get.head().getAs[String]("_error") == "name too long")
+  }
+
   test("config xml maps attributes and text with chewdata's @/$text conventions") {
     // reference: src/document/xml.rs:98-99 (attribute_key '@', text_key
     // '$') + src/helper/xml2json.rs:164 — a chewdata config reading
@@ -847,6 +879,32 @@ class PipelineSpec extends SparkSpec {
     // append mode accumulates (the reference writer's default update path)
     conn.save(df.limit(10), org.apache.spark.sql.SaveMode.Append)
     assert(conn.load(spark).count() == 110)
+  }
+
+  test("psql config: a real-postgres url/driver plumbs through to Spark's JDBC source") {
+    // the Derby e2e above proves the full JDBC path; a production postgres
+    // deployment changes ONLY the config node below (plus the postgres JDBC
+    // jar on the classpath — any driver jar works, nothing in graft is
+    // Derby-specific). Assert the swap wires through: the configured driver
+    // class must reach Spark's JDBC layer, which it proves by trying to
+    // load exactly that class (absent in this sandbox → named failure).
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfg = mapper.readTree(
+      """{"type":"psql","url":"jdbc:postgresql://db.internal:5432/corpus",
+        |  "table":"documents","user":"etl","password":"secret",
+        |  "driver":"org.postgresql.Driver",
+        |  "partition_column":"doc_id","lower_bound":0,"upper_bound":1000000,
+        |  "num_partitions":64}""".stripMargin)
+    val conn = sources.Connector.fromConfig(cfg, "json", Documents.DocOptions())
+      .asInstanceOf[JdbcConnector]
+    assert(conn.url == "jdbc:postgresql://db.internal:5432/corpus")
+    assert(conn.driver == "org.postgresql.Driver")
+    assert(conn.partitionColumn.contains("doc_id") && conn.numPartitions == 64)
+    val e = intercept[Throwable](conn.load(spark))
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("org.postgresql.Driver"))),
+      s"expected the configured driver class to surface in: ${chain(e).map(_.getMessage)}")
   }
 
   test("mongodb connector executes save/load/erase over an injectable client") {
