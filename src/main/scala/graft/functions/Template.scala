@@ -120,6 +120,9 @@ object Template {
   private def templateFunction(name: String, args: Map[String, String],
                                env: Map[String, Column], tmpl: Tmpl): Column = name match {
     case "uuid_v4" => StringFns.uuidV4()
+    // {{ super() }}: parent block body, bound by the BlockN override path
+    case "super" => env.getOrElse("__super__", throw new IllegalArgumentException(
+      "super() is only valid inside a block that overrides a parent's"))
     case "now" => date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssxxx")
     case "env" | "get_env" => StringFns.env(args("name"), args.getOrElse("default", ""))
     case f if f.startsWith("fake_") =>
@@ -145,6 +148,10 @@ object Template {
     * reference embeds the full engine, src/updater/tera.rs:248). */
   private final case class MacroDefN(name: String, params: Seq[(String, Option[String])],
                                      body: Seq[Node]) extends Node
+  /** `{% filter upper %}…{% endfilter %}` — the whole body through one
+    * filter (tera filter sections). */
+  private final case class FilterBlockN(name: String, args: Option[String],
+                                        body: Seq[Node]) extends Node
   private final case class IncludeN(name: String) extends Node
   private final case class ImportN(tmpl: String, ns: String) extends Node
   private final case class ExtendsN(name: String) extends Node
@@ -290,6 +297,16 @@ object Template {
                     nodes += MacroDefN(name, parseParams(params), b)
                   case _ => throw new IllegalArgumentException(s"bad macro tag: {% $body %}")
                 }
+              case "filter" =>
+                pos += 1
+                val spec = body.stripPrefix("filter").trim
+                val (fname, fargs) = spec match {
+                  case FilterCall(n, a) => (n, Option(a))
+                  case _ => throw new IllegalArgumentException(s"bad filter tag: {% $body %}")
+                }
+                val (b, c) = block(Set("endfilter"))
+                require(c.nonEmpty, "missing {% endfilter %}")
+                nodes += FilterBlockN(fname, fargs, b)
               case "include" =>
                 pos += 1
                 nodes += IncludeN(unquote(body.stripPrefix("include").trim))
@@ -674,9 +691,19 @@ object Template {
           else if (eatWord("containing")) left.contains(parseParenString())
           else if (eatWord("starting_with")) left.startsWith(parseParenString())
           else if (eatWord("ending_with")) left.endsWith(parseParenString())
+          // numeric tera tests; pmod so negatives behave (Scala % keeps sign)
+          else if (eatWord("odd")) pmod(left, lit(2)) === 1
+          else if (eatWord("even")) pmod(left, lit(2)) === 0
+          else if (eatWord("divisibleby")) pmod(left, lit(parseParenNum())) === 0
           else throw new IllegalArgumentException(
-            s"unsupported `is` test in: $s (defined/undefined, matching, containing, starting_with, ending_with)")
+            s"unsupported `is` test in: $s (defined/undefined, matching, containing, " +
+              "starting_with, ending_with, odd, even, divisibleby)")
         if (neg) !base else base
+      } else if (eatWord("not")) {
+        require(eatWord("in"), s"expected `in` after `not` in: $s")
+        !parseInRhs(left)
+      } else if (eatWord("in")) {
+        parseInRhs(left)
       } else if (pos + 1 < s.length && "==" == s.substring(pos, pos + 2)) { pos += 2; left === parseSum() }
       else if (pos + 1 < s.length && "!=" == s.substring(pos, pos + 2)) { pos += 2; left =!= parseSum() }
       else if (pos + 1 < s.length && "<=" == s.substring(pos, pos + 2)) { pos += 2; left <= parseSum() }
@@ -685,6 +712,41 @@ object Template {
       else if (pos < s.length && s.charAt(pos) == '>') { pos += 1; left > parseSum() }
       else left // bare truthy column, e.g. {% if flag %}
     }
+    /** `(number)` argument of a tera test (divisibleby). */
+    private def parseParenNum(): Long = {
+      ws()
+      require(pos < s.length && s.charAt(pos) == '(', s"expected ( in: $s")
+      pos += 1; ws()
+      val start = pos
+      while (pos < s.length && s.charAt(pos) != ')') pos += 1
+      require(pos < s.length, s"expected ) in: $s")
+      val v = s.substring(start, pos).trim.toLong
+      pos += 1
+      v
+    }
+
+    /** Right-hand side of `in` / `not in`: a literal list (`x in ["a","b"]`
+      * → plan-time array membership) or any operand (`c in name` → string
+      * containment, tera's substring test). */
+    private def parseInRhs(left: Column): Column = {
+      ws()
+      if (pos < s.length && s.charAt(pos) == '[') {
+        val start = pos + 1; var i = pos + 1; var q: Char = 0; var depth = 1
+        while (i < s.length && depth > 0) {
+          val ch = s.charAt(i)
+          if (q != 0) { if (ch == q) q = 0 }
+          else if (ch == '"' || ch == '\'') q = ch
+          else if (ch == '[') depth += 1
+          else if (ch == ']') depth -= 1
+          i += 1
+        }
+        require(depth == 0, s"unbalanced [ in: $s")
+        val items = splitTop(s.substring(start, i - 1), ',').map(v => operand(v, env, tmpl))
+        pos = i
+        array_contains(array(items: _*), left)
+      } else parseFiltered().contains(left)
+    }
+
     /** `('literal')` argument of a tera test. */
     private def parseParenString(): String = {
       ws()
@@ -752,6 +814,9 @@ object Template {
           renderNodes(body, localEnv ++ Map(
             v -> x, "loop.index0" -> i, "loop.index" -> (i + lit(1))), tmpl, overrides)
             .cast("string"))))
+      case FilterBlockN(name, args, body) =>
+        Some(applyFilter(renderNodes(body, e, tmpl, overrides), name, args.orNull)
+          .cast("string"))
       case IncludeN(t) =>
         // tera include: the included template renders with the CURRENT
         // context (env) but its own macro scope — compile-time splicing
@@ -759,8 +824,11 @@ object Template {
       case BlockN(name, own) =>
         overrides.get(name) match {
           case Some((b, childTmpl)) =>
-            // a child's block body compiles in the CHILD's macro scope
-            Some(renderNodes(b, e, childTmpl, Map.empty).cast("string"))
+            // a child's block body compiles in the CHILD's macro scope;
+            // {{ super() }} splices the parent body, pre-rendered here
+            val parentCol = renderNodes(own, e, tmpl, overrides).cast("string")
+            Some(renderNodes(b, e + ("__super__" -> parentCol), childTmpl, Map.empty)
+              .cast("string"))
           case None => Some(renderNodes(own, e, tmpl, overrides).cast("string"))
         }
       // declarations — handled at Tmpl load; inert if nested in a body

@@ -168,6 +168,32 @@ class FunctionsSpec extends SparkSpec {
           "lib2" -> "[{{ name }}]")) == "ada.[ada]")
   }
 
+  test("tera filter sections, in/not-in, numeric is-tests, and super()") {
+    val df = spark.range(1).select(lit("ada").as("name"), lit(6L).as("n"),
+      lit("en").as("lang"))
+    def run(t: String, reg: Map[String, String] = Map.empty): String =
+      df.select(Template.render(t, Map.empty, reg).as("v")).head().getString(0)
+    // {% filter %} pushes the whole rendered section through one filter
+    assert(run("{% filter upper %}hi {{ name }}{% endfilter %}") == "HI ADA")
+    assert(run("{% filter truncate(length=4) %}{{ name }}-{{ name }}{% endfilter %}")
+      == "ada-")
+    // membership: literal lists are plan-time arrays; column RHS = substring
+    assert(run("{% if lang in [\"en\", \"fr\"] %}eu{% endif %}") == "eu")
+    assert(run("{% if lang not in ['de', 'nl'] %}no{% endif %}") == "no")
+    assert(run("{% if \"da\" in name %}sub{% endif %}") == "sub")
+    // numeric tests
+    assert(run("{% if n is even %}e{% else %}o{% endif %}") == "e")
+    assert(run("{% if n is not odd %}ne{% endif %}") == "ne")
+    assert(run("{% if n is divisibleby(3) %}d3{% endif %}") == "d3")
+    assert(run("{% if n is divisibleby(4) %}x{% else %}nd{% endif %}") == "nd")
+    // super() splices the parent block's body into the override
+    val base = "A{% block b %}base-{{ name }}{% endblock %}Z"
+    assert(run("{% extends \"t\" %}{% block b %}[{{ super() }}]{% endblock %}",
+      Map("t" -> base)) == "A[base-ada]Z")
+    // super() outside an override is a compile-time error
+    intercept[IllegalArgumentException](run("{{ super() }}"))
+  }
+
   test("tera stdlib filters: round/abs/int/float/date/wordcount/striptags") {
     val df = spark.range(1).select(lit(-2.718).as("x"), lit("  <b>two words</b> ").as("h"),
       lit("2024-03-05 07:09:11").as("ts"))

@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("events loader accepts both ts encodings: int64 nanos and timestamp") {
+    // testdata generations have shipped ts as TIMESTAMP(NANOS) (loads as
+    // BIGINT under nanosAsLong) and as timestamp[us]; Tables.events must
+    // surface identical TimestampType data from either. The live testdata
+    // covers the timestamp branch; rewrite it as nanos to pin the other.
+    val real = Tables(spark, sf).events
+    assert(real.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_enc").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val viaNanos = Tables(spark, dir).events
+    assert(viaNanos.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(unix_micros(col("ts"))),
+        min(col("ts")), max(col("ts"))).head()
+    assert(fp(viaNanos) == fp(real))
+  }
+
   test("exact dedup keeps one row per key") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "text")
     val out = Dedup.exact(df, "id", col("text"))
