@@ -146,6 +146,15 @@ object ScaleBench {
       }.toMap
     }.toMap
 
+    // the 3-SF sweep leaves cached frames (localCheckpoint/cache inside
+    // operators) piled up in this JVM; the x10 section would then time GC
+    // pressure instead of plans (r11: q_dedup_minhash measured 20s here vs
+    // 1.0s in a fresh JVM on the SAME scaled corpus). Drop the ballast
+    // before the section that feeds the super-linearity flags.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
+
     // synthetic 10× corpora from sf0.1 (50k docs, 20k embeddings)
     val scaleDir = "target/scale10x"
     val nScaled = buildScaledDocs(spark, "/root/testdata/sf0.1", scaleDir, copies = 10)

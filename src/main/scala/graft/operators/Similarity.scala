@@ -406,6 +406,39 @@ object Similarity {
       queries, k, cents, nprobe, idCol, qIdCol, qVecCol)
   }
 
+  /** Cluster-balanced sampling (semantic data mixing): assign every vector
+    * to its nearest centroid cell, then keep an exact `perCell` quota per
+    * cell ranked by a deterministic salted hash — the embedding-space
+    * analogue of per-source sampling, used to de-skew a web corpus toward
+    * uniform semantic coverage before training (the cluster-balancing step
+    * of SemDeDup-style pipelines). 100 TB shape: the assignment is the
+    * same broadcast-join + argmax-aggregate ANN uses (map-side partials,
+    * no corpus window — and this lean variant drops the vector from the
+    * aggregate buffer, so only (score, cell) pairs shuffle); the quota is
+    * the bounded min-k-by-key heap, so only `perCell`-sized buffers per
+    * (cell × map partition) reach the one shuffle. The md5-derived rank
+    * hash makes the whole pipeline SQL-replicable (full oracle with fixed
+    * centroids) and independent of row order and partitioning. */
+  def clusterBalancedSample(corpus: DataFrame, centroids: DataFrame, perCell: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(centroids)
+    val assigned = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(cents)
+      .select(col(idCol), struct(cosine(col("__v"), col("c_vec")).as("d"),
+        (-col("c_id")).as("negc")).as("s"))
+      .groupBy(col(idCol)).agg(max(col("s")).as("s"))
+      .select(col(idCol), (-col("s.negc")).as("cell"))
+    val h = conv(substring(md5(
+      concat(col("cell"), lit("-"), col(idCol)).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    assigned.select(col("cell"), col(idCol).cast("long").as("__id"), h.as("__h"))
+      .groupBy(col("cell"))
+      .agg(graft.plans.Native.minKByKey(col("__h"), col("__id"), perCell).as("ks"))
+      .select(col("cell"),
+        explode(transform(col("ks"), e => e.getField("p"))).as(idCol))
+  }
+
   /** Nearest-cell assignment: (idCol, __v, cell). An argmax, not a
     * ranking: max(struct(d, -c_id, v)) partial-aggregates map-side (no
     * window sort-shuffle of |corpus|·k rows); ties pick the smallest

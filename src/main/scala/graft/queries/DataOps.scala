@@ -831,6 +831,34 @@ object DataOps {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
       |  FROM scored) WHERE rnk <= 10""".stripMargin
 
+  /** Cluster-balanced sampling with the same FIXED centroids as
+    * [[qAnnIvfFixed]] (first 8 embeddings), fully oracle-checked: nearest-
+    * cell assignment + exact per-cell md5-ranked quota — the semantic-
+    * mixing step of a SemDeDup-style pipeline, equality-gated end to end. */
+  def qClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    Similarity.clusterBalancedSample(e, cents, perCell = 20)
+  }
+
+  val qClusterSampleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INT) AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |ca AS (SELECT vec_id, cell FROM (
+      |  SELECT e.vec_id, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn = 1),
+      |h AS (SELECT cell, vec_id,
+      |    substring(md5(cell || '-' || vec_id), 1, 15) AS hx FROM ca),
+      |r AS (SELECT cell, vec_id,
+      |    row_number() OVER (PARTITION BY cell ORDER BY hx, vec_id) AS rn FROM h)
+      |SELECT cell, vec_id FROM r WHERE rn <= 20""".stripMargin
+
   /** The [[qAnnIvfFixed]] search executed through a PERSISTED
     * bucket-by-cell index ([[Similarity.buildIvfIndex]] →
     * [[Similarity.ivfTopKFromIndex]]): same fixed centroids, same nprobe,
@@ -2337,6 +2365,7 @@ object DataOps {
     "q_rand_proj"      -> ((qRandProj _, Some(qRandProjSql))),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
     "q_ann_ivf_fixed"  -> ((qAnnIvfFixed _, Some(qAnnIvfFixedSql))),
+    "q_cluster_sample" -> ((qClusterSample _, Some(qClusterSampleSql))),
     "q_ann_ivf_indexed" -> ((qAnnIvfIndexed _, Some(qAnnIvfFixedSql))),
     "q_doc_freq_score" -> ((qDocFreqScore _, Some(qDocFreqScoreSql))),
     "q_pii_scrub"      -> ((qPiiScrub _, Some(qPiiScrubSql))),

@@ -123,4 +123,30 @@ class CompatSpec extends SparkSpec {
       Seq("value mapped", "value mapped 2", "value mapped 3"))
     assert(rows.forall(_.getString(3) == "replaced"))
   }
+
+  test("every tera tag the reference's own sources use is supported here") {
+    // sweep the reference tree (read-only) for {% tag %} keywords; each
+    // must be in the compiler's supported set, so any chewdata config built
+    // from reference examples/docs compiles. The engine also supports tags
+    // the examples never use (macro/include/import/extends/block/filter —
+    // tera engine features the reference exposes via Tera::default()).
+    val supported = Set("if", "elif", "else", "endif", "for", "endfor", "set",
+      "macro", "endmacro", "include", "import", "extends", "block", "endblock",
+      "filter", "endfilter")
+    val tag = raw"\{%-?\s*([a-z_]+)".r
+    val used = scala.collection.mutable.Set[String]()
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(walk)
+      else if (Seq(".rs", ".json", ".yaml", ".yml", ".hjson", ".md", ".toml")
+                 .exists(f.getName.endsWith)) {
+        val src = try new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") catch { case _: Exception => "" }
+        tag.findAllMatchIn(src).foreach(m => used += m.group(1))
+      }
+    walk(new java.io.File("/root/reference/examples"))
+    walk(new java.io.File("/root/reference/src"))
+    assert(used.nonEmpty, "expected the reference tree to use tera tags")
+    val missing = used.toSet -- supported
+    assert(missing.isEmpty, s"reference uses unsupported tera tags: $missing")
+  }
 }

