@@ -548,14 +548,28 @@ object Template {
 
   /** Apply one named filter (shared by `{{ … | f }}` chains and filtered
     * condition operands). `args == null` means no parens were written —
-    * the zero-arg form. */
-  private def applyFilter(c: Column, name: String, args: String): Column =
+    * the zero-arg form. `merge`/`map` resolve their argument in the
+    * CALLER's scope (reference: filters::object::merge takes `with=` —
+    * another value, not a string; map takes `attribute=`). */
+  private def applyFilter(c: Column, name: String, args: String,
+                          env: Map[String, Column], tmpl: Tmpl): Column =
     if (args == null)
       filters.get(name).orElse(objectFilters.get(name)).getOrElse(
         throw new IllegalArgumentException(
-          s"unsupported template filter: $name (supported: ${(filters.keys ++ objectFilters.keys ++ argFilters.keys).toSeq.sorted.mkString(", ")})"))(c)
-    else argFilters.getOrElse(name, throw new IllegalArgumentException(
-      s"filter $name takes no args or is unsupported"))(c, parseArgs(args))
+          s"unsupported template filter: $name (supported: ${(filters.keys ++ objectFilters.keys ++ argFilters.keys).toSeq.sorted.mkString(", ")}, merge, map)"))(c)
+    else name match {
+      case "merge" =>
+        val raw = splitTop(args, ',').collectFirst {
+          case kv if kv.takeWhile(_ != '=').trim == "with" =>
+            kv.dropWhile(_ != '=').drop(1).trim
+        }.getOrElse(throw new IllegalArgumentException("merge requires with=<object>"))
+        ObjectFns.merge(c, arith(raw, env, tmpl))
+      case "map" =>
+        element_at(c, lit(parseArgs(args).getOrElse("attribute",
+          throw new IllegalArgumentException("map requires attribute=<key>"))))
+      case _ => argFilters.getOrElse(name, throw new IllegalArgumentException(
+        s"filter $name takes no args or is unsupported"))(c, parseArgs(args))
+    }
 
   private def compileExpr(body: String, env: Map[String, Column], tmpl: Tmpl): Column = {
     val parts = body.split("\\|").map(_.trim).filter(_.nonEmpty)
@@ -571,7 +585,7 @@ object Template {
       else (arith(parts.head, env, tmpl), parts.tail)
     chain.foldLeft(base) { (c, f) =>
       f match {
-        case FilterCall(name, args) => applyFilter(c, name, args)
+        case FilterCall(name, args) => applyFilter(c, name, args, env, tmpl)
         case other => throw new IllegalArgumentException(s"bad filter syntax: $other")
       }
     }
@@ -670,7 +684,7 @@ object Template {
           args = s.substring(a0, i - 1)
           pos = i
         }
-        c = applyFilter(c, name, args)
+        c = applyFilter(c, name, args, env, tmpl)
         ws()
       }
       c
@@ -815,7 +829,7 @@ object Template {
             v -> x, "loop.index0" -> i, "loop.index" -> (i + lit(1))), tmpl, overrides)
             .cast("string"))))
       case FilterBlockN(name, args, body) =>
-        Some(applyFilter(renderNodes(body, e, tmpl, overrides), name, args.orNull)
+        Some(applyFilter(renderNodes(body, e, tmpl, overrides), name, args.orNull, e, tmpl)
           .cast("string"))
       case IncludeN(t) =>
         // tera include: the included template renders with the CURRENT

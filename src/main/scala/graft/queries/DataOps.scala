@@ -1643,6 +1643,33 @@ object DataOps {
     Web.urlDupGroups(urls, "doc_id", "url").orderBy(col("url_key"))
   }
 
+  /** Per-host page cap (RefinedWeb: no site dominates the corpus) with
+    * synthetic multi-host URLs (10 hosts via doc_id%10, scheme/www/port
+    * noise exercising the host normalizer), fully oracle-checked: host
+    * extraction + md5-ranked k-per-host selection, layout-independent. */
+  def qCapPerHost(spark: SparkSession, dir: String): DataFrame = {
+    val urls = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(lit("https://WWW.site"), pmod(col("doc_id"), lit(10)),
+        lit(".example.org:443/p/"), col("doc_id")).as("url"))
+    Web.capPerHost(urls, "doc_id", "url", k = 12).orderBy(col("doc_id"))
+  }
+
+  val qCapPerHostSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    'https://WWW.site' || (doc_id % 10) || '.example.org:443/p/' || doc_id AS url
+      |  FROM documents),
+      |s AS (SELECT doc_id, url,
+      |    regexp_replace(split_part(lower(trim(url)), '#', 1),
+      |                   '^[a-z][a-z0-9+.-]*://', '') AS ns FROM u),
+      |hh AS (SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(split_part(split_part(ns, '?', 1), '/', 1),
+      |                   '^www\.', ''), ':(80|443)$', '') AS host FROM s),
+      |r AS (SELECT doc_id, url,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY substring(md5(host || '-' || doc_id), 1, 15), doc_id) AS rn
+      |  FROM hh)
+      |SELECT doc_id, url FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin
+
   val qUrlDedupSql: String =
     """WITH u AS (SELECT doc_id,
       |    CASE doc_id % 4
@@ -2328,6 +2355,7 @@ object DataOps {
     "q_boilerplate"     -> ((qBoilerplate _, Some(qBoilerplateSql))),
     "q_paragraph_dedup" -> ((qParagraphDedup _, Some(qParagraphDedupSql))),
     "q_url_dedup"       -> ((qUrlDedup _, Some(qUrlDedupSql))),
+    "q_cap_per_host"    -> ((qCapPerHost _, Some(qCapPerHostSql))),
     "q_html_extract"    -> ((qHtmlExtract _, Some(qHtmlExtractSql))),
     "q_dict_tag"        -> ((qDictTag _, Some(qDictTagSql))),
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),

@@ -48,6 +48,20 @@ class FunctionsSpec extends SparkSpec {
     assert(one(element_at(ObjectFns.update(m, "a", lit("7")), "a")) == "7")
   }
 
+  test("template merge/map filters resolve object args in caller scope") {
+    // reference: src/updater/tera.rs registers merge (with=<object>) and
+    // map (attribute=<key>) as object filters
+    val df = spark.range(1).select(
+      map(lit("a"), lit("1"), lit("b"), lit("2")).as("m"),
+      map(lit("b"), lit("9"), lit("c"), lit("3")).as("m2"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    assert(run("{{ m | merge(with=m2) | keys | join(sep=\",\") }}") == "a,b,c")
+    assert(run("{{ m | merge(with=m2) | map(attribute=\"b\") }}") == "9")
+    assert(run("{{ m | map(attribute=\"a\") }}") == "1")
+    intercept[IllegalArgumentException](run("{{ m | merge(nope=m2) }}"))
+  }
+
   test("faker is deterministic and seed-dependent") {
     val rows = spark.range(20).select(
       Faker.firstName(col("id")).as("fn"),
