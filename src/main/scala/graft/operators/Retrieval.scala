@@ -171,12 +171,43 @@ object Retrieval {
       .saveAsTable(s"${tablePrefix}_stats")
   }
 
+  /** Append a NEW batch of documents to a [[buildBm25Index]] table set —
+    * the daily-batch discipline of the other incremental indexes (exact/
+    * minhash/containment/semdedup): the corpus-sized tokenize + tf passes
+    * run over the BATCH only, never rescanning the indexed corpus.
+    * Postings rows append into the bucketed table (same bucket spec, so
+    * probes stay exchange-free); `_terms` and `_stats` accumulate PARTIAL
+    * rows (per-batch df / (nd, tt)) that [[bm25FromIndex]] sums at probe
+    * time — both tables are vocab-/constant-sized, so the probe-side agg
+    * is driver-trivial and a build-once index pays nothing. Batch ids must
+    * be new (the exact-dedup incremental index is the upstream guard). */
+  def appendBm25Index(docs: DataFrame, tablePrefix: String, buckets: Int,
+                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val t = docs.select(col(idCol).as("id"), toks(col(textCol)).as("__t"))
+    val lens = t.select(col("id"), size(col("__t")).cast("bigint").as("dl"))
+    val tf = t.select(col("id"), explode(col("__t")).as("term"))
+      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+    Bucketing.writeBucketed(tf.join(lens, "id")
+        .select(col("term"), col("id"), col("tf"), col("dl")),
+      s"${tablePrefix}_postings", buckets, keys = Seq("term"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${tablePrefix}_terms")
+    lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(s"${tablePrefix}_stats")
+  }
+
   /** BM25 top-k against a [[buildBm25Index]] table set: zero corpus
     * work — the postings scan prunes to the query-term set via a
     * broadcast join (no exchange on the index side), df and stats are
     * broadcast table reads, and the only shuffle is the narrow
     * per-(query, doc) score sum. Same output as [[bm25TopK]] on the
-    * indexed corpus — layout changes the plan, never the answer. */
+    * indexed corpus — layout changes the plan, never the answer.
+    * df/stats SUM their per-batch partial rows so appended batches
+    * ([[appendBm25Index]]) fold in with no index rebuild (a single-build
+    * index has one row per key — the sum is the identity). */
   def bm25FromIndex(spark: SparkSession, tablePrefix: String,
                     queries: DataFrame, k: Int,
                     idCol: String = "doc_id",
@@ -189,7 +220,9 @@ object Retrieval {
       .join(broadcast(termSet), "term")
     val dfT = spark.read.table(s"${tablePrefix}_terms")
       .join(broadcast(termSet), "term")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val stats = spark.read.table(s"${tablePrefix}_stats")
+      .agg(sum(col("nd")).as("nd"), sum(col("tt")).as("tt"))
     val scored = postings
       .join(broadcast(qt), "term")
       .join(broadcast(dfT), "term")

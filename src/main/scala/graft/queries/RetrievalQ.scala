@@ -76,6 +76,26 @@ object RetrievalQ {
     Retrieval.bm25FromIndex(spark, prefix, bm25Queries(Tables(spark, dir).documents), k = 10)
   }
 
+  /** Incremental-index path: build on the even-id half, APPEND the odd-id
+    * half ([[Retrieval.appendBm25Index]] — batch-only tokenize/tf, no
+    * corpus rescan), probe. Oracle = the same whole-corpus SQL as the
+    * direct and build-once paths: three physical strategies, one answer.
+    * Same build-once-per-(session, dir) discipline as [[qBm25Indexed]] so
+    * the bench's best-of-2 times the probe. */
+  def qBm25Inc(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = s"graft_bm25i_gate_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+    val docs = Tables(spark, dir).documents
+    if (!spark.catalog.tableExists(s"${prefix}_stats")) {
+      Seq(s"${prefix}_postings", s"${prefix}_terms", s"${prefix}_stats")
+        .foreach(t => dropGateTable(spark, t))
+      Retrieval.buildBm25Index(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        prefix, buckets = 8)
+      Retrieval.appendBm25Index(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        prefix, buckets = 8)
+    }
+    Retrieval.bm25FromIndex(spark, prefix, bm25Queries(docs), k = 10)
+  }
+
   /** Hybrid retrieval: BM25 top-20 over documents fused with brute-force
     * cosine top-20 over embeddings by reciprocal rank (q_id = doc_id =
     * vec_id < 5 — the testdata keys align). Both input rankings and the
@@ -149,6 +169,7 @@ object RetrievalQ {
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_bm25"         -> ((qBm25 _, Some(qBm25Sql))),
     "q_bm25_indexed" -> ((qBm25Indexed _, Some(qBm25Sql))),
+    "q_bm25_inc"     -> ((qBm25Inc _, Some(qBm25Sql))),
     "q_hybrid_rrf"   -> ((qHybridRrf _, Some(qHybridRrfSql))),
   )
 }

@@ -72,6 +72,39 @@ class RetrievalSpec extends SparkSpec {
       .foreach(s => spark.sql(s"DROP TABLE IF EXISTS bm25_spec_idx$s"))
   }
 
+  test("incremental append path returns exactly the direct path's ranking") {
+    // build on one half, append the other: df/stats partial rows must sum
+    // to the whole-corpus values at probe time
+    val docs = Tables(spark, sf).documents
+    val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 4), " ").as("q_text"))
+    Seq("_postings", "_terms", "_stats").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS bm25_spec_inc$s")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"bm25_spec_inc$s")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    try {
+      Retrieval.buildBm25Index(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        "bm25_spec_inc", buckets = 4)
+      Retrieval.appendBm25Index(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+        "bm25_spec_inc", buckets = 4)
+      // stats partials: two rows summing to the corpus totals
+      val st = spark.read.table("bm25_spec_inc_stats")
+        .agg(sum(col("nd")), count(lit(1))).head()
+      assert(st.getLong(0) == docs.count() && st.getLong(1) == 2L)
+      val direct = Retrieval.bm25TopK(docs, queries, k = 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val inc = Retrieval.bm25FromIndex(spark, "bm25_spec_inc", queries, k = 7)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(direct.nonEmpty && direct == inc,
+        "append must fold into the index, never change the answer")
+    } finally Seq("_postings", "_terms", "_stats")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS bm25_spec_inc$s"))
+  }
+
   test("rrf fusion arithmetic and ordering on a fixture") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q_id", "doc_id", "rnk")
     val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("q_id", "doc_id", "rnk")
