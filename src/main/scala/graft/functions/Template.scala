@@ -67,7 +67,10 @@ object Template {
     "wordcount" -> (c => when(trim(c) === "", lit(0))
       .otherwise(size(split(trim(c), "\\s+"))).cast("string")),
     "striptags" -> (c => regexp_replace(c, "<[^>]*>", "")),
-    "urlencode" -> (c => url_encode(c)))
+    "urlencode" -> (c => url_encode(c)),
+    // tera array filters (operate on array columns, e.g. after `split`)
+    "sort" -> (c => array_sort(c)),
+    "unique" -> (c => array_distinct(c)))
 
   /** Arg-taking filters: (column, parsed k=v args) → Column. The object
     * filters mirror the reference's tera registrations
@@ -100,6 +103,22 @@ object Template {
         s"unsupported date specifier in '${a.getOrElse("format", "")}' " +
           "(supported: %Y %m %d %H %M %S)")
       date_format(c.cast("timestamp"), fmt)
+    }),
+    // tera `nth(n=)` is 0-based; element_at is 1-based
+    "nth" -> ((c, a) => element_at(c, a("n").toInt + 1)),
+    // tera `slice(start=, end=)`: 0-based, end exclusive; negatives count
+    // from the end (tera semantics) — resolved via the array length
+    "slice" -> ((c, a) => {
+      val st = a.getOrElse("start", "0").toInt
+      val en = a.get("end").map(_.toInt)
+      val startPos = if (st >= 0) lit(st + 1) else greatest(size(c) + st + 1, lit(1))
+      val endPos0 = en match {
+        case Some(x) if x >= 0 => least(lit(x), size(c))
+        case Some(x)           => size(c) + x
+        case None              => size(c)
+      }
+      val len = greatest(endPos0 - startPos + 1, lit(0))
+      slice(c, startPos, len)
     }),
     "find" -> ((c, a) => StringFns.find(c, a("pattern"))),
     "extract" -> ((c, a) => ObjectFns.extract(c, a("keys").split(",").map(_.trim).toSeq)),
@@ -142,7 +161,11 @@ object Template {
   private final case class InterpN(body: String) extends Node
   private final case class IfN(branches: Seq[(String, Seq[Node])],
                                otherwise: Option[Seq[Node]]) extends Node
-  private final case class ForN(v: String, iter: String, body: Seq[Node]) extends Node
+  /** `{% for x in arr %}` or `{% for k, v in map %}` (kv defined ⇒ map
+    * iteration in sorted-key order — tera object iteration made
+    * deterministic). */
+  private final case class ForN(v: String, kv: Option[String], iter: String,
+                                body: Seq[Node]) extends Node
   private final case class SetN(name: String, value: String) extends Node
   /** `{% macro name(a, b="dflt") %}…{% endmacro %}` (tera macros —
     * reference embeds the full engine, src/updater/tera.rs:248). */
@@ -198,6 +221,7 @@ object Template {
   // ---- parser ------------------------------------------------------------
 
   private val ForTag = raw"for\s+(\w+)\s+in\s+(.+)".r
+  private val ForKvTag = raw"for\s+(\w+)\s*,\s*(\w+)\s+in\s+(.+)".r
   private val SetTag = raw"set\s+(\w+)\s*=\s*(.+)".r
   private val MacroTag = raw"macro\s+(\w+)\s*\((.*)\)".r
   private val ImportTag = raw"""import\s+["']([^"']+)["']\s+as\s+(\w+)""".r
@@ -276,10 +300,14 @@ object Template {
               case "for" =>
                 pos += 1
                 body match {
+                  case ForKvTag(k1, v1, iter) =>
+                    val (b, c) = block(Set("endfor"))
+                    require(c.nonEmpty, "missing {% endfor %}")
+                    nodes += ForN(k1, Some(v1), iter.trim, b)
                   case ForTag(v, iter) =>
                     val (b, c) = block(Set("endfor"))
                     require(c.nonEmpty, "missing {% endfor %}")
-                    nodes += ForN(v, iter.trim, b)
+                    nodes += ForN(v, None, iter.trim, b)
                   case _ => throw new IllegalArgumentException(s"bad for tag: {% $body %}")
                 }
               case "set" =>
@@ -819,14 +847,20 @@ object Template {
           acc.when(compileCond(br._1, localEnv, tmpl), renderNodes(br._2, localEnv, tmpl, overrides)))
         Some(chained.otherwise(
           otherwise.map(renderNodes(_, localEnv, tmpl, overrides)).getOrElse(lit(""))))
-      case ForN(v, iterB, body) =>
+      case ForN(v, kv, iterB, body) =>
         val localEnv = e
-        val arr = compileExpr(iterB, localEnv, tmpl)
+        val iterC = compileExpr(iterB, localEnv, tmpl)
+        // map iteration: entries sorted by key (array_sort on the entry
+        // struct sorts on its first field) — deterministic where tera's
+        // object order is insertion order
+        val arr = if (kv.isDefined) array_sort(map_entries(iterC)) else iterC
         // the loop body runs inside the `transform` HOF — per row, inside
         // the executor, never a driver-side expansion
         Some(concat_ws("", transform(arr, (x, i) =>
-          renderNodes(body, localEnv ++ Map(
-            v -> x, "loop.index0" -> i, "loop.index" -> (i + lit(1))), tmpl, overrides)
+          renderNodes(body, localEnv ++ (kv match {
+            case Some(valName) => Map(v -> x.getField("key"), valName -> x.getField("value"))
+            case None          => Map(v -> x)
+          }) ++ Map("loop.index0" -> i, "loop.index" -> (i + lit(1))), tmpl, overrides)
             .cast("string"))))
       case FilterBlockN(name, args, body) =>
         Some(applyFilter(renderNodes(body, e, tmpl, overrides), name, args.orNull, e, tmpl)

@@ -62,6 +62,24 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("{{ m | merge(nope=m2) }}"))
   }
 
+  test("tera for over maps (k,v) and array filters sort/unique/nth/slice") {
+    val df = spark.range(1).select(
+      map(lit("b"), lit("2"), lit("a"), lit("1")).as("m"),
+      lit("c,a,b,a").as("csv"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    // map iteration binds key+value, sorted by key for determinism
+    assert(run("{% for k, v in m %}{{ k }}={{ v }};{% endfor %}") == "a=1;b=2;")
+    assert(run("{% for k, v in m %}{{ loop.index }}:{{ k }} {% endfor %}") == "1:a 2:b ")
+    // array stdlib over a split column
+    assert(run("{{ csv | split(pat=\",\") | sort | join(sep=\"\") }}") == "aabc")
+    assert(run("{{ csv | split(pat=\",\") | unique | join(sep=\"\") }}") == "cab")
+    assert(run("{{ csv | split(pat=\",\") | nth(n=1) }}") == "a")
+    assert(run("{{ csv | split(pat=\",\") | slice(start=1, end=3) | join(sep=\"\") }}") == "ab")
+    assert(run("{{ csv | split(pat=\",\") | slice(end=-1) | join(sep=\"\") }}") == "cab")
+    assert(run("{{ csv | split(pat=\",\") | slice(start=-2) | join(sep=\"\") }}") == "ba")
+  }
+
   test("faker is deterministic and seed-dependent") {
     val rows = spark.range(20).select(
       Faker.firstName(col("id")).as("fn"),
