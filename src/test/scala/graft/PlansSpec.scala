@@ -64,6 +64,26 @@ class PlansSpec extends SparkSpec {
       planString(df).contains("BroadcastHashJoin"))
   }
 
+  test("cluster sample and host cap: bounded heaps + broadcast dims, no windows") {
+    // cluster-balanced sample: centroid side broadcasts (never shuffles
+    // the corpus against it), quota selection is the two-phase min-k heap,
+    // and no window touches the corpus
+    val cs = planString(queries.DataOps.qClusterSample(spark, sf))
+    assert(cs.contains("BroadcastHashJoin") || cs.contains("BroadcastNestedLoopJoin"),
+      "centroids must broadcast")
+    assert(cs.contains("graft_min_k"), "bounded min-k quota aggregate missing")
+    assert(cs.contains("partial_graft_min_k"), "map-side partial min-k missing")
+    assert(!cs.contains("Window"), "corpus window in cluster sample — scale-killer")
+    // per-host cap: same discipline
+    val ch = planString(queries.DataOps.qCapPerHost(spark, sf))
+    assert(ch.contains("graft_min_k"), "bounded min-k cap aggregate missing")
+    assert(!ch.contains("Window"), "per-host window is back — scale-killer")
+    assert(!ch.contains("CartesianProduct"))
+    // incremental bm25 probe keeps the bounded-heap ranking
+    val bi = planString(queries.RetrievalQ.qBm25Inc(spark, sf))
+    assert(bi.contains("graft_top_k") && !bi.contains("Window"))
+  }
+
   test("ann ranking is the two-phase bounded-heap aggregate, not a window") {
     // the pre-trim stage must exist (partial top-k before the shuffle) and
     // the full-corpus per-query window must NOT be back
