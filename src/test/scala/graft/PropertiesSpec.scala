@@ -114,6 +114,76 @@ class PropertiesSpec extends SparkSpec {
     assert(r.getInt(1) < 8)     // disjoint shingles → near-zero agreement
   }
 
+  test("template compiler matches a reference interpreter on random templates") {
+    // differential test: generate random templates from a small grammar
+    // together with a straight-line Scala evaluator, render ALL of them as
+    // columns of ONE DataFrame (single job), and compare row by row. Covers
+    // interpolation, arithmetic, if/else with comparisons, for over split
+    // arrays with loop.index, set bindings, and filter chains.
+    val g = new scala.util.Random(4711)
+    def pickS() = if (g.nextBoolean()) "s1" else "s2"
+    def pickN() = if (g.nextBoolean()) "n1" else "n2"
+    case class T(t: String, eval: Map[String, Any] => String)
+    def lit0(): T = { val w = (1 to 3).map(_ => ('a' + g.nextInt(26)).toChar).mkString; T(w, _ => w) }
+    def node(depth: Int): T = g.nextInt(if (depth >= 2) 4 else 6) match {
+      case 0 => lit0()
+      case 1 => val v = pickS(); T(s"{{ $v }}", m => m(v).toString)
+      case 2 =>
+        val v = pickS()
+        g.nextInt(3) match {
+          case 0 => T(s"{{ $v | upper }}", m => m(v).toString.toUpperCase)
+          case 1 => T(s"{{ $v | length }}", m => m(v).toString.length.toString)
+          case 2 => T(s"{{ $v | reverse }}", m => m(v).toString.reverse)
+        }
+      case 3 =>
+        val (a, b, k) = (pickN(), pickN(), g.nextInt(9) + 1)
+        g.nextInt(2) match {
+          case 0 => T(s"{{ $a + $b }}",
+            m => (m(a).asInstanceOf[Long] + m(b).asInstanceOf[Long]).toString)
+          case 1 => T(s"{{ $a * $k - $b }}",
+            m => (m(a).asInstanceOf[Long] * k - m(b).asInstanceOf[Long]).toString)
+        }
+      case 4 =>
+        val (v, cut) = (pickN(), g.nextInt(100))
+        val (yes, no) = (seq(depth + 1), seq(depth + 1))
+        T(s"{% if $v < $cut %}${yes.t}{% else %}${no.t}{% endif %}",
+          m => if (m(v).asInstanceOf[Long] < cut) yes.eval(m) else no.eval(m))
+      case 5 =>
+        val v = pickS()
+        g.nextInt(2) match {
+          case 0 =>
+            T(s"""{% for w in $v | split(pat=" ") %}[{{ w }}]{% endfor %}""",
+              m => m(v).toString.split(" ", -1).map(x => s"[$x]").mkString)
+          case 1 =>
+            T(s"""{% for w in $v | split(pat=" ") %}{{ loop.index }}:{{ w | upper }};{% endfor %}""",
+              m => m(v).toString.split(" ", -1).zipWithIndex
+                .map { case (x, i) => s"${i + 1}:${x.toUpperCase};" }.mkString)
+        }
+    }
+    def seq(depth: Int): T = {
+      val parts = Seq.fill(1 + g.nextInt(3))(node(depth))
+      T(parts.map(_.t).mkString, m => parts.map(_.eval(m)).mkString)
+    }
+    def withSet(body: T): T = {
+      // a set binding referenced through interpolation
+      val n = pickN()
+      T(s"{% set k2 = $n * 2 %}${body.t}(k2={{ k2 }})",
+        m => body.eval(m) + s"(k2=${m(n).asInstanceOf[Long] * 2L})")
+    }
+    val templates = Seq.fill(40)(seq(0)) ++ Seq.fill(5)(withSet(seq(0)))
+    val rows = Seq.fill(8)((text(), word(), g.nextInt(200).toLong, g.nextInt(200).toLong))
+    val df = rows.toDF("s1", "s2", "n1", "n2")
+    val out = df.select(templates.zipWithIndex.map { case (t, i) =>
+      functions.Template.render(t.t).as(s"t$i") }: _*).collect()
+    rows.zip(out).foreach { case ((s1, s2, n1, n2), r) =>
+      val m = Map[String, Any]("s1" -> s1, "s2" -> s2, "n1" -> n1, "n2" -> n2)
+      templates.zipWithIndex.foreach { case (t, i) =>
+        assert(r.getString(i) == t.eval(m),
+          s"template <${t.t}> diverged on row $m: got '${r.getString(i)}' want '${t.eval(m)}'")
+      }
+    }
+  }
+
   test("bounded top-k aggregate equals the sort-based ranking on random data") {
     // TopKByScore (heap, map-side partial trim) must agree exactly — ties
     // included — with the naive row_number ranking it replaced. Duplicate
