@@ -184,6 +184,74 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("condition grammar matches a reference interpreter on random conditions") {
+    // the CondParser owns a subtle grammar (precedence, not, filtered
+    // operands, in/not-in, is-tests) — generate random boolean expressions
+    // with a parallel evaluator and compare via {% if %} rendering
+    val g = new scala.util.Random(2718)
+    case class C(t: String, eval: Map[String, Any] => Boolean)
+    def num(m: Map[String, Any], v: String): Long = m(v).asInstanceOf[Long]
+    def cmp(depth: Int): C = g.nextInt(6) match {
+      case 0 =>
+        val (v, k) = (if (g.nextBoolean()) "n1" else "n2", g.nextInt(100))
+        val ops = Seq(("<", (a: Long, b: Long) => a < b), ("<=", (a: Long, b: Long) => a <= b),
+          (">", (a: Long, b: Long) => a > b), (">=", (a: Long, b: Long) => a >= b),
+          ("==", (a: Long, b: Long) => a == b), ("!=", (a: Long, b: Long) => a != b))
+        val (os, of) = ops(g.nextInt(ops.size))
+        C(s"$v $os $k", m => of(num(m, v), k))
+      case 1 =>
+        val v = if (g.nextBoolean()) "n1" else "n2"
+        if (g.nextBoolean()) C(s"$v is even", m => num(m, v) % 2 == 0)
+        else C(s"$v is odd", m => num(m, v) % 2 != 0)
+      case 2 =>
+        val k = g.nextInt(5) + 2
+        C(s"n1 is divisibleby($k)", m => num(m, "n1") % k == 0)
+      case 3 =>
+        // filtered operand: string length against a cut
+        val cut = g.nextInt(30)
+        C(s"s1 | length <= $cut", m => m("s1").toString.length <= cut)
+      case 4 =>
+        // membership in a literal list
+        val items = Seq.fill(3)(('a' + g.nextInt(4)).toChar.toString)
+        val lst = items.map(x => s""""$x"""").mkString("[", ", ", "]")
+        C(s"s2 in $lst", m => items.contains(m("s2").toString))
+      case 5 =>
+        // arithmetic inside a comparison
+        val k = g.nextInt(5) + 1
+        C(s"n1 * $k + n2 > 150", m => num(m, "n1") * k + num(m, "n2") > 150)
+    }
+    def bool(depth: Int): C =
+      if (depth >= 2) cmp(depth)
+      else g.nextInt(4) match {
+        case 0 => cmp(depth)
+        // children parenthesized so the emitted string is unambiguous —
+        // the first run of this property emitted `A and B` with an
+        // or-node child and caught its OWN ambiguity: tera (and this
+        // compiler) binds `and` tighter than `or`
+        case 1 => val (a, b) = (bool(depth + 1), bool(depth + 1))
+          C(s"(${a.t}) and (${b.t})", m => a.eval(m) && b.eval(m))
+        case 2 => val (a, b) = (bool(depth + 1), bool(depth + 1))
+          C(s"(${a.t}) or (${b.t})", m => a.eval(m) || b.eval(m))
+        case 3 => val a = bool(depth + 1)
+          C(s"not (${a.t})", m => !a.eval(m))
+      }
+    val conds = Seq.fill(50)(bool(0))
+    // single-char s2 values so the in-list case can hit both branches
+    val rows = Seq.fill(10)((text(), ('a' + g.nextInt(4)).toChar.toString,
+      g.nextInt(200).toLong, g.nextInt(200).toLong))
+    val df = rows.toDF("s1", "s2", "n1", "n2")
+    val out = df.select(conds.zipWithIndex.map { case (c, i) =>
+      functions.Template.render(s"{% if ${c.t} %}1{% else %}0{% endif %}").as(s"c$i") }: _*)
+      .collect()
+    rows.zip(out).foreach { case ((s1, s2, n1, n2), r) =>
+      val m = Map[String, Any]("s1" -> s1, "s2" -> s2, "n1" -> n1, "n2" -> n2)
+      conds.zipWithIndex.foreach { case (c, i) =>
+        assert(r.getString(i) == (if (c.eval(m)) "1" else "0"),
+          s"condition <${c.t}> diverged on row $m")
+      }
+    }
+  }
+
   test("bounded top-k aggregate equals the sort-based ranking on random data") {
     // TopKByScore (heap, map-side partial trim) must agree exactly — ties
     // included — with the naive row_number ranking it replaced. Duplicate
