@@ -165,7 +165,8 @@ object Template {
     * iteration in sorted-key order — tera object iteration made
     * deterministic). */
   private final case class ForN(v: String, kv: Option[String], iter: String,
-                                body: Seq[Node]) extends Node
+                                body: Seq[Node],
+                                orElse: Option[Seq[Node]] = None) extends Node
   private final case class SetN(name: String, value: String) extends Node
   /** `{% macro name(a, b="dflt") %}…{% endmacro %}` (tera macros —
     * reference embeds the full engine, src/updater/tera.rs:248). */
@@ -299,17 +300,43 @@ object Template {
                 nodes += IfN(branches.result(), otherwise)
               case "for" =>
                 pos += 1
+                // tera for-else: the else branch renders when the iterable
+                // is empty
+                def forBody(): (Seq[Node], Option[Seq[Node]]) = {
+                  val (b, c) = block(Set("endfor", "else"))
+                  require(c.nonEmpty, "missing {% endfor %}")
+                  if (c == "else") {
+                    val (eb, c2) = block(Set("endfor"))
+                    require(c2.nonEmpty, "missing {% endfor %}")
+                    (b, Some(eb))
+                  } else (b, None)
+                }
                 body match {
                   case ForKvTag(k1, v1, iter) =>
-                    val (b, c) = block(Set("endfor"))
-                    require(c.nonEmpty, "missing {% endfor %}")
-                    nodes += ForN(k1, Some(v1), iter.trim, b)
+                    val (b, eb) = forBody()
+                    nodes += ForN(k1, Some(v1), iter.trim, b, eb)
                   case ForTag(v, iter) =>
-                    val (b, c) = block(Set("endfor"))
-                    require(c.nonEmpty, "missing {% endfor %}")
-                    nodes += ForN(v, None, iter.trim, b)
+                    val (b, eb) = forBody()
+                    nodes += ForN(v, None, iter.trim, b, eb)
                   case _ => throw new IllegalArgumentException(s"bad for tag: {% $body %}")
                 }
+              case "raw" =>
+                // verbatim passthrough: tokens re-emit with their braces
+                // until {% endraw %} (tera raw sections)
+                pos += 1
+                val sb = new StringBuilder
+                var rawDone = false
+                while (!rawDone) {
+                  require(pos < toks.length, "missing {% endraw %}")
+                  toks(pos) match {
+                    case Right(tok) if tok.startsWith("{%") &&
+                        inner(tok).startsWith("endraw") => rawDone = true
+                    case Right(tok) => sb ++= tok
+                    case Left(t)    => sb ++= t
+                  }
+                  pos += 1
+                }
+                nodes += TextN(sb.result())
               case "set" =>
                 pos += 1
                 body match {
@@ -525,6 +552,8 @@ object Template {
           case '*' => lc * rc
           case '/' => lc / rc
           case '%' => lc % rc
+          // tera `~`: string concatenation, loosest precedence
+          case '~' => concat(lc.cast("string"), rc.cast("string"))
         }
       case None => operand(t, env, tmpl)
     }
@@ -550,7 +579,7 @@ object Template {
     * prefer +/- over * / %; None when the string is a single operand. */
   private def topLevelOp(t: String): Option[(String, Char, String)] = {
     var depth = 0; var quote: Char = 0
-    var addPos = -1; var mulPos = -1
+    var catPos = -1; var addPos = -1; var mulPos = -1
     for (i <- 0 until t.length) {
       val c = t.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0 }
@@ -558,18 +587,19 @@ object Template {
         case '"' | '\'' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1
+        case '~' if depth == 0 => catPos = i
         case '+' | '-' if depth == 0 =>
           // binary only: something operand-like must precede (else it is a
           // sign, as in `-1` or `2 * -3`)
           val prev = t.substring(0, i).trim
-          if (prev.nonEmpty && !"+-*/%(=,".contains(prev.last)) addPos = i
+          if (prev.nonEmpty && !"+-*/%~(=,".contains(prev.last)) addPos = i
         case '*' | '/' | '%' if depth == 0 =>
           val prev = t.substring(0, i).trim
-          if (prev.nonEmpty && !"+-*/%(=,".contains(prev.last)) mulPos = i
+          if (prev.nonEmpty && !"+-*/%~(=,".contains(prev.last)) mulPos = i
         case _ =>
       }
     }
-    val pos = if (addPos >= 0) addPos else mulPos
+    val pos = if (catPos >= 0) catPos else if (addPos >= 0) addPos else mulPos
     if (pos < 0) None
     else Some((t.substring(0, pos), t.charAt(pos), t.substring(pos + 1)))
   }
@@ -847,7 +877,7 @@ object Template {
           acc.when(compileCond(br._1, localEnv, tmpl), renderNodes(br._2, localEnv, tmpl, overrides)))
         Some(chained.otherwise(
           otherwise.map(renderNodes(_, localEnv, tmpl, overrides)).getOrElse(lit(""))))
-      case ForN(v, kv, iterB, body) =>
+      case ForN(v, kv, iterB, body, orElse) =>
         val localEnv = e
         val iterC = compileExpr(iterB, localEnv, tmpl)
         // map iteration: entries sorted by key (array_sort on the entry
@@ -856,12 +886,18 @@ object Template {
         val arr = if (kv.isDefined) array_sort(map_entries(iterC)) else iterC
         // the loop body runs inside the `transform` HOF — per row, inside
         // the executor, never a driver-side expansion
-        Some(concat_ws("", transform(arr, (x, i) =>
+        val looped = concat_ws("", transform(arr, (x, i) =>
           renderNodes(body, localEnv ++ (kv match {
             case Some(valName) => Map(v -> x.getField("key"), valName -> x.getField("value"))
             case None          => Map(v -> x)
           }) ++ Map("loop.index0" -> i, "loop.index" -> (i + lit(1))), tmpl, overrides)
-            .cast("string"))))
+            .cast("string")))
+        Some(orElse match {
+          // tera for-else: else renders when the iterable is empty
+          case Some(eb) => when(coalesce(size(arr), lit(0)) === 0,
+            renderNodes(eb, localEnv, tmpl, overrides)).otherwise(looped)
+          case None => looped
+        })
       case FilterBlockN(name, args, body) =>
         Some(applyFilter(renderNodes(body, e, tmpl, overrides), name, args.orNull, e, tmpl)
           .cast("string"))

@@ -80,6 +80,25 @@ class FunctionsSpec extends SparkSpec {
     assert(run("{{ csv | split(pat=\",\") | slice(start=-2) | join(sep=\"\") }}") == "ba")
   }
 
+  test("tera raw sections, for-else, and ~ concatenation") {
+    val df = spark.range(1).select(lit("ada").as("name"), lit("").as("empty"),
+      lit(6L).as("n"))
+    def run(t: String): String =
+      df.select(Template.render(t).as("v")).head().getString(0)
+    // raw passes tags through verbatim — no interpolation, no parse errors
+    assert(run("{% raw %}{{ name }} {% if x %}lit{% endif %}{% endraw %}")
+      == "{{ name }} {% if x %}lit{% endif %}")
+    assert(run("a{% raw %}{{ n | nope }}{% endraw %}b") == "a{{ n | nope }}b")
+    // for-else: else branch renders only for an empty iterable
+    assert(run("{% for w in name | split(pat=\"-\") %}[{{ w }}]{% else %}none{% endfor %}")
+      == "[ada]")
+    assert(run("{% for w in empty | split(pat=\",\") | slice(start=1) %}[{{ w }}]" +
+      "{% else %}none{% endfor %}") == "none")
+    // ~ concatenates with loosest precedence; numbers stringify
+    assert(run("{{ name ~ \"-\" ~ n + 1 }}") == "ada-7")
+    assert(run("{{ \"x\" ~ n * 2 }}") == "x12")
+  }
+
   test("faker is deterministic and seed-dependent") {
     val rows = spark.range(20).select(
       Faker.firstName(col("id")).as("fn"),
