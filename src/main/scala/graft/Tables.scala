@@ -13,33 +13,32 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalise a timestamp-carrying column to session-TZ TimestampType
+    * whatever physical encoding the testdata generation used: BIGINT nanos
+    * (TIMESTAMP(NANOS) under `spark.sql.legacy.parquet.nanosAsLong`, exact
+    * integer division to micros — double division loses ulps above 2^53),
+    * TIMESTAMP_NTZ, DATE, or TimestampType pass-through. The events `ts`
+    * regeneration from nanos to micros broke 9 gates in round 10; every
+    * time-typed column loads through here so the next regeneration can't. */
+  private def normTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ, DATE, other timestamp flavors
+        df.withColumn(colName, col(colName).cast(TimestampType))
+    }
+  }
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
   def supplier: DataFrame   = t("supplier")
   def part: DataFrame       = t("part")
-  def orders: DataFrame     = t("orders")
-  def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet has shipped with two physical `ts` encodings across
-    * testdata generations: TIMESTAMP(NANOS) (loads as BIGINT nanos under
-    * `spark.sql.legacy.parquet.nanosAsLong`, set at session build — no
-    * per-read config mutation here, which would race under concurrent use)
-    * and TIMESTAMP(MICROS) (loads as a timestamp directly). Branch on the
-    * loaded type so both generations work: longs get exact integer division
-    * to micros (double division loses ulps above 2^53 nanos); timestamps —
-    * incl. TIMESTAMP_NTZ — are normalised to session-TZ TimestampType so
-    * downstream window/watermark semantics are uniform. */
-  def events: DataFrame = {
-    val raw = t("events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampType =>
-        raw
-      case _ => // TIMESTAMP_NTZ or other timestamp flavors
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
-  }
+  def orders: DataFrame     = normTs(t("orders"), "o_orderdate")
+  def lineitem: DataFrame   = normTs(t("lineitem"), "l_shipdate")
+  def events: DataFrame     = normTs(t("events"), "ts")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

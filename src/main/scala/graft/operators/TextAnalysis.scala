@@ -85,6 +85,26 @@ object TextAnalysis {
       .otherwise(octet_length(c).cast("double") /
         graft.plans.Native.deflateLen(c).cast("double"))
 
+  /** One-pass codepoint histogram stats (struct n_cp/distinct_cp/top_cp_n/
+    * sumsq) — see [[graft.plans.CharDiversity]]. Scan-stage, no explode. */
+  def charStats(c: Column): Column = graft.plans.Native.charDiversity(c)
+
+  /** Simpson's diversity index 1 − Σn_c²/N² over characters — the log-free
+    * character-entropy cousin (higher = more diverse; near 0 = one
+    * character dominates, the gibberish/template-spam signal). Exactly two
+    * IEEE ops over exact longs, so SQL oracles reproduce it bit-for-bit. */
+  def simpsonDiversity(stats: Column): Column =
+    when(stats.getField("n_cp") === 0, lit(null).cast("double"))
+      .otherwise(lit(1.0) - stats.getField("sumsq").cast("double") /
+        (stats.getField("n_cp").cast("double") * stats.getField("n_cp").cast("double")))
+
+  /** Fraction of the document taken by its single most frequent character
+    * (MassiveText-style concentration filter). */
+  def topCharFraction(stats: Column): Column =
+    when(stats.getField("n_cp") === 0, lit(null).cast("double"))
+      .otherwise(stats.getField("top_cp_n").cast("double") /
+        stats.getField("n_cp").cast("double"))
+
   /** OpenRefine-style collision fingerprint: md5 of sorted distinct tokens —
     * stable under word reorder, the exact-dedup key for shuffled text. */
   def fingerprintSorted(c: Column): Column =

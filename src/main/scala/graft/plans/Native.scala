@@ -25,6 +25,10 @@ object Native {
 
   def textNorm(text: Column): Column = toCol(TextNorm(toExpr(text)))
 
+  /** One-pass codepoint histogram stats: struct(n_cp, distinct_cp,
+    * top_cp_n, sumsq) — the character-diversity quality signals. */
+  def charDiversity(text: Column): Column = toCol(CharDiversity(toExpr(text)))
+
   /** Winnowing fingerprint selection over a token array (rightmost-min
     * per w-window of word-k-gram hashes) — one map-side deque pass. */
   def winnowSelect(tokens: Column, k: Int, w: Int): Column =
@@ -99,6 +103,9 @@ object GraftExtensions {
       (e: Seq[Expression]) => DeflateLen(e(0))),
     ("graft_text_norm", info("TextNorm", "NFKD fold: drop accents, compatibility forms, case"),
       (e: Seq[Expression]) => TextNorm(e(0))),
+    ("graft_char_diversity", info("CharDiversity",
+      "codepoint histogram stats: struct(n_cp, distinct_cp, top_cp_n, sumsq)"),
+      (e: Seq[Expression]) => CharDiversity(e(0))),
     // aggregate: the analyzer wraps bare AggregateFunctions on resolution
     ("graft_vector_sum", info("VectorSum", "element-wise sum of double arrays"),
       (e: Seq[Expression]) => VectorSum(e(0))),

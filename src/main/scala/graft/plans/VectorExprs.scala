@@ -741,3 +741,70 @@ object DictMatch {
     new Automaton(next.toArray, outIdx.toArray, fails)
   }
 }
+
+/** One-pass per-document character histogram statistics — the raw
+  * material of the character-diversity quality signals corpus-curation
+  * pipelines run at scan time (MassiveText/Gopher-family heuristics flag
+  * gibberish and template spam by character concentration; Simpson's
+  * diversity index 1 − Σn_c²/N² is the log-free cousin of character
+  * entropy, chosen here because it needs only IEEE-exact ops — one
+  * subtraction and one division — so a SQL oracle reproduces it
+  * bit-for-bit, which `log` cannot guarantee).
+  *
+  * Counts Unicode codepoints (surrogate pairs are one character). ASCII
+  * rides a flat 128-slot array; anything above spills to a map. One tight
+  * loop per row in the scan stage — no explode (a char-level explode at
+  * 100 TB is a 100× row multiplier into a shuffle), no shuffle, nothing
+  * leaves the row but four longs.
+  *
+  * Returns struct(n_cp, distinct_cp, top_cp_n, sumsq) — all exact longs;
+  * derived ratios (Simpson, top-char fraction) are left to the caller so
+  * each is a single IEEE op shape.
+  */
+case class CharDiversity(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cp", LongType, nullable = false),
+    StructField("distinct_cp", LongType, nullable = false),
+    StructField("top_cp_n", LongType, nullable = false),
+    StructField("sumsq", LongType, nullable = false)))
+  override def prettyName: String = "graft_char_diversity"
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    val ascii = new Array[Long](128)
+    var wide: java.util.HashMap[Integer, Array[Long]] = null
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (wide == null) wide = new java.util.HashMap[Integer, Array[Long]]()
+        val cell = wide.computeIfAbsent(cp, _ => new Array[Long](1))
+        cell(0) += 1
+      }
+    }
+    var distinct = 0L
+    var top = 0L
+    var sumsq = 0L
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) { distinct += 1; sumsq += k * k; if (k > top) top = k }
+      c += 1
+    }
+    if (wide != null) wide.forEach { (_, cell) =>
+      val k = cell(0)
+      distinct += 1; sumsq += k * k; if (k > top) top = k
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct, top, sumsq))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharDiversity = copy(child = c)
+}

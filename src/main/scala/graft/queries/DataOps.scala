@@ -291,6 +291,47 @@ object DataOps {
       |       greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3 AS score
       |FROM documents""".stripMargin
 
+  /** Character-diversity quality signals, one scan-stage pass per doc (no
+    * char explode — at 100 TB that's a 100× row multiplier into a shuffle;
+    * here nothing leaves the row but four longs). The histogram stats are
+    * exact integers; Simpson's index and the top-char fraction are each a
+    * single IEEE division (+ one subtraction), so the DuckDB oracle — which
+    * has no one-pass histogram and must explode characters — reproduces
+    * them bit-for-bit from the same longs. */
+  def qCharDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.charStats(col("text")).as("cs"))
+      .select(col("doc_id"),
+        col("cs.n_cp").as("n_cp"),
+        col("cs.distinct_cp").as("distinct_cp"),
+        col("cs.top_cp_n").as("top_cp_n"),
+        col("cs.sumsq").as("sumsq"),
+        when(col("cs.n_cp") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("cs.sumsq").cast("double") /
+            (col("cs.n_cp").cast("double") * col("cs.n_cp").cast("double")))
+          .as("simpson"),
+        when(col("cs.n_cp") === 0, lit(null).cast("double"))
+          .otherwise(col("cs.top_cp_n").cast("double") / col("cs.n_cp").cast("double"))
+          .as("top_frac"))
+
+  val qCharDiversitySql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, ch, count(*)::BIGINT AS k
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+      |  GROUP BY doc_id, ch
+      |), h AS (
+      |  SELECT doc_id, sum(k)::BIGINT AS n_cp, count(*)::BIGINT AS distinct_cp,
+      |         max(k)::BIGINT AS top_cp_n, sum(k * k)::BIGINT AS sumsq
+      |  FROM cnt GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_cp, distinct_cp, top_cp_n, sumsq,
+      |  CASE WHEN n_cp = 0 THEN NULL
+      |       ELSE 1.0 - CAST(sumsq AS DOUBLE) /
+      |            (CAST(n_cp AS DOUBLE) * CAST(n_cp AS DOUBLE)) END AS simpson,
+      |  CASE WHEN n_cp = 0 THEN NULL
+      |       ELSE CAST(top_cp_n AS DOUBLE) / CAST(n_cp AS DOUBLE) END AS top_frac
+      |FROM h""".stripMargin
+
   /** Per-source quality curation: the best 20 documents per source by
     * quality score — "take the best N per domain", the selection pass a
     * mixture-building pipeline runs after scoring. Ranking is the bounded
@@ -2375,6 +2416,7 @@ object DataOps {
     "q_dedup_simhash_exact" -> ((qDedupSimhashExact _, Some(qDedupSimhashExactSql))),
     "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
     "q_text_quality"   -> ((qTextQuality _, Some(qTextQualitySql))),
+    "q_char_diversity" -> ((qCharDiversity _, Some(qCharDiversitySql))),
     "q_best_per_source" -> ((qBestPerSource _, Some(qBestPerSourceSql))),
     "q_dsir_select"    -> ((qDsirSelect _, Some(qDsirSelectSql))),
     "q_corpus_overlap" -> ((qCorpusOverlap _, Some(qCorpusOverlapSql))),

@@ -25,6 +25,34 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(viaNanos) == fp(real))
   }
 
+  test("lineitem/orders date columns normalise from nanos and DATE encodings") {
+    // the same regeneration hazard as events.ts: if l_shipdate/o_orderdate
+    // ever ship as TIMESTAMP(NANOS) (→ BIGINT under nanosAsLong) or DATE,
+    // every relational gate dies at analysis. Pin all three encodings to
+    // identical TimestampType data.
+    val real = Tables(spark, sf).lineitem
+    assert(real.schema("l_shipdate").dataType == org.apache.spark.sql.types.TimestampType)
+    val dir = java.nio.file.Files.createTempDirectory("graft_li_enc").toString
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    raw.withColumn("l_shipdate", unix_micros(col("l_shipdate").cast("timestamp")) * 1000L)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(unix_micros(col("l_shipdate"))),
+        min(col("l_shipdate")), max(col("l_shipdate"))).head()
+    val viaNanos = Tables(spark, dir).lineitem
+    assert(viaNanos.schema("l_shipdate").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(fp(viaNanos) == fp(real))
+    // DATE branch: midnight-UTC timestamps, schema normalised; testdata
+    // shipdates are already midnight-aligned so values round-trip exactly
+    raw.withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val viaDate = Tables(spark, dir).lineitem
+    assert(viaDate.schema("l_shipdate").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(fp(viaDate) == fp(real))
+    val ordReal = Tables(spark, sf).orders
+    assert(ordReal.schema("o_orderdate").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
   test("cluster-balanced sample: exact quotas, determinism under repartitioning") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = e.filter(col("vec_id") < 8)
@@ -924,5 +952,36 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Dedup.winnowPairs(same, "doc_id", "text", maxBucket = 2, minShared = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"cap must bound the bucket: $pairs")
+  }
+
+  test("char diversity: one-pass histogram stats, unicode + edge cases") {
+    val rows = Seq(
+      (1L, "aabb"),          // n=4, distinct=2, top=2, sumsq=8
+      (2L, "aaaa"),          // degenerate: simpson = 0
+      (3L, ""),              // empty: all zeros, null ratios
+      (4L, "aéé😀"), // é é 😀 — surrogate pair is ONE cp
+      (5L, "abcd")           // uniform: simpson = 1 - 4/16 = 0.75
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), TextAnalysis.charStats(col("text")).as("cs"))
+      .select(col("doc_id"), col("cs.n_cp"), col("cs.distinct_cp"),
+        col("cs.top_cp_n"), col("cs.sumsq"),
+        TextAnalysis.simpsonDiversity(col("cs")).as("simpson"),
+        TextAnalysis.topCharFraction(col("cs")).as("top_frac"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def stats(id: Long) = { val r = out(id); (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) }
+    assert(stats(1L) == ((4L, 2L, 2L, 8L)))
+    assert(out(1L).getDouble(5) == 0.5 && out(1L).getDouble(6) == 0.5)
+    assert(stats(2L) == ((4L, 1L, 4L, 16L)) && out(2L).getDouble(5) == 0.0)
+    assert(stats(3L) == ((0L, 0L, 0L, 0L)))
+    assert(out(3L).isNullAt(5) && out(3L).isNullAt(6))
+    // 'a' + 2×'é' + 1 emoji: 4 codepoints (not 5 UTF-16 chars), 3 distinct
+    assert(stats(4L) == ((4L, 3L, 2L, 6L)))
+    assert(stats(5L) == ((4L, 4L, 1L, 4L)) && out(5L).getDouble(5) == 0.75)
+    // SQL registration surfaces the same struct
+    graft.plans.GraftExtensions.register(spark)
+    rows.createOrReplaceTempView("cd_t")
+    val s = spark.sql("SELECT graft_char_diversity(text).sumsq AS q FROM cd_t WHERE doc_id = 1")
+      .head().getLong(0)
+    assert(s == 8L)
   }
 }
