@@ -513,4 +513,58 @@ object Similarity {
       .select(col(qIdCol), col(idCol), cosine(col("__v"), col("__q")).as("cos"))
     rankTopK(scored, k, qIdCol, idCol)
   }
+
+  /** Approximate k-NN GRAPH: every corpus vector's k nearest OTHER corpus
+    * vectors by cosine — the corpus×corpus sibling of [[ivfTopKWithCentroids]]
+    * (whose query side must be small enough to broadcast). The building
+    * block of graph-based curation: degree-based density pruning, graph
+    * clustering over embeddings, kNN-classification of unlabeled docs from
+    * a labeled seed set.
+    *
+    * Blocking: each vector probes its `nprobe` nearest cells; a candidate
+    * pair (i, j) forms when j's ASSIGNED cell (its top-1) is among i's
+    * probed cells. Since j lives in exactly one cell and i's probe list is
+    * distinct, each ordered pair forms at most once — no dedup pass.
+    *
+    * 100 TB shape: one broadcast-join + bounded-heap aggregation computes
+    * the probe ranking AND the cell assignment together (the assignment IS
+    * the probe list's head — no second argmax pass); candidates are a keyed
+    * shuffle join on `cell`, never a cartesian, with the candidate count
+    * bounded by Σ_cell |probes_cell|·|members_cell| — the IVF contract (pick
+    * nCentroids so cells stay joinable) plus the hard `maxCell` skew guard:
+    * only the maxCell smallest-id members of a cell act as neighbor
+    * CANDIDATES (the [[semDedup]] anchor pattern — a degenerate centroid
+    * set can't make one hot cell quadratic); ranking is the same bounded
+    * heap as every ANN path (k pairs per (vector × partition), no window
+    * over the candidate stream). */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int, nprobe: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxCell: Int = 4096): DataFrame = {
+    val cents = broadcast(centroids)
+    val ranked = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(cents)
+      .select(col(idCol), col("__v"),
+        cosine(col("__v"), col("c_vec")).as("__d"), col("c_id"))
+      .groupBy(col(idCol))
+      .agg(graft.plans.Native.topKByScore(col("__d"), col("c_id").cast("long"), nprobe)
+             .as("__tk"),
+           first(col("__v")).as("__v"))
+    val members = ranked.select(col(idCol).as("__nid"), col("__v").as("__nv"),
+      col("__tk").getItem(0).getField("id").cast("int").as("cell"))
+    val memberIds = members.groupBy(col("cell"))
+      .agg(graft.plans.Native.minKByKey(
+        col("__nid").cast("long"), col("__nid").cast("long"), maxCell).as("ks"))
+      .select(explode(col("ks")).as("e"))
+      .select(col("e.id").as("__aid"))
+    val cappedMembers = members.join(memberIds,
+      members("__nid").cast("long") === col("__aid"))
+    val probes = ranked.select(col(idCol), col("__v"),
+      explode(org.apache.spark.sql.functions.transform(col("__tk"),
+        e => e.getField("id").cast("int"))).as("cell"))
+    val scored = probes.join(cappedMembers, "cell")
+      .filter(col(idCol) =!= col("__nid"))
+      .select(col(idCol), col("__nid").as("nbr_id"),
+        cosine(col("__nv"), col("__v")).as("cos"))
+    rankTopK(scored, k, idCol, "nbr_id")
+  }
 }

@@ -872,6 +872,44 @@ object DataOps {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
       |  FROM scored) WHERE rnk <= 10""".stripMargin
 
+  /** Approximate k-NN graph over the whole embedding table with the same
+    * FIXED centroids as [[qAnnIvfFixed]], fully oracle-checked INCLUDING
+    * the maxCell skew guard (the oracle replicates the smallest-id member
+    * cap, so the gate stays exact at every SF even where the cap binds):
+    * probe ranking, cell assignment (= the probe head), capped candidate
+    * join, cosine scoring and the bounded-heap top-k are all SQL-replicated. */
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    Similarity.knnGraph(e, cents, k = 5, nprobe = 2, maxCell = 100)
+      .select(col("vec_id"), col("nbr_id"), col("cos"),
+        col("rnk").cast("bigint").as("rnk"))
+  }
+
+  val qKnnGraphSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INT) AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |pr AS (SELECT vec_id, v, cell, rn FROM (
+      |  SELECT e.vec_id, e.v, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn <= 2),
+      |mem AS (SELECT vec_id, v, cell FROM (
+      |  SELECT vec_id, v, cell,
+      |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+      |  FROM pr WHERE rn = 1) WHERE mrn <= 100),
+      |scored AS (SELECT p.vec_id, m.vec_id AS nbr_id,
+      |    list_dot_product(m.v, p.v) /
+      |    (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(p.v, p.v))) AS cos
+      |  FROM pr p JOIN mem m ON p.cell = m.cell AND p.vec_id != m.vec_id)
+      |SELECT vec_id, nbr_id, cos, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+      |  FROM scored) WHERE rnk <= 5""".stripMargin
+
   /** Cluster-balanced sampling with the same FIXED centroids as
     * [[qAnnIvfFixed]] (first 8 embeddings), fully oracle-checked: nearest-
     * cell assignment + exact per-cell md5-ranked quota — the semantic-
@@ -2434,6 +2472,7 @@ object DataOps {
     "q_ann_ivf"        -> ((qAnnIvf _, None)),
     "q_rand_proj"      -> ((qRandProj _, Some(qRandProjSql))),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
+    "q_knn_graph"      -> ((qKnnGraph _, Some(qKnnGraphSql))),
     "q_ann_ivf_fixed"  -> ((qAnnIvfFixed _, Some(qAnnIvfFixedSql))),
     "q_cluster_sample" -> ((qClusterSample _, Some(qClusterSampleSql))),
     "q_ann_ivf_indexed" -> ((qAnnIvfIndexed _, Some(qAnnIvfFixedSql))),

@@ -954,6 +954,39 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"cap must bound the bucket: $pairs")
   }
 
+  test("knn graph: shape, no self-pairs, recall floor vs brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, k = 8, iterations = 2)
+    val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 3).cache()
+    val n = e.count()
+    assert(g.filter(col("vec_id") === col("nbr_id")).count() == 0, "self-pair")
+    val degrees = g.groupBy("vec_id").count().collect()
+    assert(degrees.forall(_.getLong(1) <= 5), "degree above k")
+    assert(degrees.length == n, "every vector must get neighbors")
+    // ranks are 1..deg dense per vector
+    assert(g.filter(col("rnk") > 5 || col("rnk") < 1).count() == 0)
+    // recall floor: the graph's top-1 neighbor matches exact brute-force
+    // top-1 for most vectors (trained cells, nprobe=3 of 8)
+    val brute = Similarity.bruteTopK(e, e.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), k = 2)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("r2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("r2") === 1)
+      .select(col("q_id"), col("vec_id").as("bnbr"))
+    val top1 = g.filter(col("rnk") === 1).select(col("vec_id").as("q_id"),
+      col("nbr_id").as("gnbr"))
+    val agree = brute.join(top1, "q_id")
+      .filter(col("bnbr") === col("gnbr")).count()
+    assert(agree.toDouble / n >= 0.6, s"top-1 recall $agree/$n below floor")
+    // deterministic under physical layout changes
+    val re = Similarity.knnGraph(e.repartition(13), cents, k = 5, nprobe = 3)
+    assert(re.orderBy("vec_id", "rnk").collect().toSeq ==
+      g.orderBy("vec_id", "rnk").collect().toSeq)
+    g.unpersist()
+  }
+
   test("char diversity: one-pass histogram stats, unicode + edge cases") {
     val rows = Seq(
       (1L, "aabb"),          // n=4, distinct=2, top=2, sumsq=8
