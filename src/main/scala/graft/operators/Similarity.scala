@@ -567,4 +567,51 @@ object Similarity {
         cosine(col("__nv"), col("__v")).as("cos"))
     rankTopK(scored, k, idCol, "nbr_id")
   }
+
+  /** k-NN label propagation: classify every corpus vector by majority
+    * vote among its k nearest LABELED seed vectors — the semi-supervised
+    * bootstrap for quality/domain classifiers (label a few thousand docs,
+    * propagate to the corpus; the embedding-space sibling of the DSIR /
+    * LR-classifier selection passes).
+    *
+    * 100 TB shape: the seed set is cluster-metadata-sized and BROADCASTS;
+    * the corpus is scanned once, scored against every seed in the map
+    * stage, and only k (cos, seed_id) pairs per (vector × partition) reach
+    * the ranking shuffle (bounded heap, no window). Seed labels rejoin by
+    * another broadcast, and the vote is a map-side-partial count argmax —
+    * ties break (votes DESC, label ASC), so the result is deterministic
+    * and SQL-replicable. Output: (idCol, pred_label, votes). */
+  def knnClassify(corpus: DataFrame, seeds: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  seedIdCol: String = "s_id", seedVecCol: String = "s_vec",
+                  seedLabelCol: String = "s_label"): DataFrame = {
+    val s = seeds.select(col(seedIdCol), asDouble(col(seedVecCol)).as("__sv"),
+      col(seedLabelCol))
+    val scored = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(s.select(col(seedIdCol), col("__sv"))))
+      .select(col(idCol), col(seedIdCol), cosine(col("__v"), col("__sv")).as("cos"))
+    val nn = rankTopK(scored, k, idCol, seedIdCol)
+    nn.join(broadcast(s.select(col(seedIdCol), col(seedLabelCol))), seedIdCol)
+      .groupBy(col(idCol), col(seedLabelCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(idCol),
+        struct(col("__n"), (-col(seedLabelCol).cast("long")).as("__negl")).as("__s"))
+      .groupBy(col(idCol)).agg(max(col("__s")).as("__s"))
+      .select(col(idCol), (-col("__s.__negl")).as("pred_label"),
+        col("__s.__n").as("votes"))
+  }
+
+  /** Mutual-kNN edge filter over a [[knnGraph]] result: keep (i, j) only
+    * when j ∈ kNN(i) AND i ∈ kNN(j) — the standard asymmetry cleanup
+    * before graph clustering (one-directional edges are usually hub
+    * artifacts). A self-equi-join on the k·|corpus|-sized edge list —
+    * never touches vectors. Emits each surviving edge once, a < b. */
+  def mutualKnn(graph: DataFrame,
+                idCol: String = "vec_id", nbrCol: String = "nbr_id"): DataFrame = {
+    val fwd = graph.select(col(idCol).as("a"), col(nbrCol).as("b"), col("cos"))
+      .filter(col("a") < col("b"))
+    val rev = graph.select(col(idCol).as("b2"), col(nbrCol).as("a2"))
+      .filter(col("b2") > col("a2"))
+    fwd.join(rev, col("a") === col("a2") && col("b") === col("b2"), "left_semi")
+  }
 }

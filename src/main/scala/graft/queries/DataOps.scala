@@ -910,6 +910,76 @@ object DataOps {
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
       |  FROM scored) WHERE rnk <= 5""".stripMargin
 
+  /** k-NN label propagation: the first 100 embeddings act as the labeled
+    * seed set; every later vector takes the majority label of its 5
+    * nearest seeds — scoring, bounded-heap ranking, label join and the
+    * (votes DESC, label ASC) vote argmax all SQL-replicated. */
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val seeds = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_vec"),
+        col("label").as("s_label"))
+    Similarity.knnClassify(e.filter(col("vec_id") >= 100), seeds, k = 5)
+      .select(col("vec_id"), col("pred_label").cast("int").as("pred_label"),
+        col("votes"))
+  }
+
+  val qKnnClassifySql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id AS s_id, CAST(embedding AS DOUBLE[]) AS sv, label AS s_label
+      |      FROM embeddings WHERE vec_id < 100),
+      |u AS (SELECT vec_id, v FROM e WHERE vec_id >= 100),
+      |nn AS (SELECT vec_id, s_id FROM (
+      |  SELECT u.vec_id, s.s_id,
+      |    row_number() OVER (PARTITION BY u.vec_id ORDER BY
+      |      list_dot_product(u.v, s.sv) /
+      |      (sqrt(list_dot_product(u.v, u.v)) * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+      |      s.s_id) AS rn
+      |  FROM u CROSS JOIN s) WHERE rn <= 5),
+      |votes AS (SELECT nn.vec_id, s.s_label AS label, count(*)::BIGINT AS n
+      |  FROM nn JOIN s ON nn.s_id = s.s_id GROUP BY nn.vec_id, s.s_label)
+      |SELECT vec_id, CAST(label AS INT) AS pred_label, n AS votes FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY n DESC, label) AS r
+      |  FROM votes) WHERE r = 1""".stripMargin
+
+  /** Mutual-kNN edge filter over the [[qKnnGraph]] graph: an edge
+    * survives only when each endpoint ranks the other in its own top-k —
+    * the hub-artifact cleanup before graph clustering. */
+  def qKnnMutual(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 2, maxCell = 100)
+    Similarity.mutualKnn(g).orderBy(col("a"), col("b"))
+  }
+
+  val qKnnMutualSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INT) AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |pr AS (SELECT vec_id, v, cell, rn FROM (
+      |  SELECT e.vec_id, e.v, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn <= 2),
+      |mem AS (SELECT vec_id, v, cell FROM (
+      |  SELECT vec_id, v, cell,
+      |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+      |  FROM pr WHERE rn = 1) WHERE mrn <= 100),
+      |scored AS (SELECT p.vec_id, m.vec_id AS nbr_id,
+      |    list_dot_product(m.v, p.v) /
+      |    (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(p.v, p.v))) AS cos
+      |  FROM pr p JOIN mem m ON p.cell = m.cell AND p.vec_id != m.vec_id),
+      |g AS (SELECT vec_id, nbr_id, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+      |  FROM scored) WHERE rnk <= 5)
+      |SELECT f.vec_id AS a, f.nbr_id AS b, f.cos
+      |FROM g f JOIN g r ON f.vec_id = r.nbr_id AND f.nbr_id = r.vec_id
+      |WHERE f.vec_id < f.nbr_id
+      |ORDER BY a, b""".stripMargin
+
   /** Cluster-balanced sampling with the same FIXED centroids as
     * [[qAnnIvfFixed]] (first 8 embeddings), fully oracle-checked: nearest-
     * cell assignment + exact per-cell md5-ranked quota — the semantic-
@@ -2473,6 +2543,8 @@ object DataOps {
     "q_rand_proj"      -> ((qRandProj _, Some(qRandProjSql))),
     "q_ann_ivf_exact"  -> ((qAnnIvfExact _, Some(qAnnTopkSql))),
     "q_knn_graph"      -> ((qKnnGraph _, Some(qKnnGraphSql))),
+    "q_knn_classify"   -> ((qKnnClassify _, Some(qKnnClassifySql))),
+    "q_knn_mutual"     -> ((qKnnMutual _, Some(qKnnMutualSql))),
     "q_ann_ivf_fixed"  -> ((qAnnIvfFixed _, Some(qAnnIvfFixedSql))),
     "q_cluster_sample" -> ((qClusterSample _, Some(qClusterSampleSql))),
     "q_ann_ivf_indexed" -> ((qAnnIvfIndexed _, Some(qAnnIvfFixedSql))),

@@ -987,6 +987,43 @@ class OperatorsSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("knn classify: self-classification sanity + vote determinism") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeds = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_vec"),
+        col("label").as("s_label"))
+    // k=1 over the seed set itself: nearest seed is the vector itself
+    // (cos = 1), so every prediction must equal the vector's own label
+    val self = Similarity.knnClassify(e.filter(col("vec_id") < 100), seeds, k = 1)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    assert(self.filter(col("pred_label") =!= col("label")).count() == 0,
+      "k=1 self-classification must return the own label")
+    // votes bounded by k; deterministic under repartitioning
+    val out = Similarity.knnClassify(e.filter(col("vec_id") >= 100), seeds, k = 5)
+    assert(out.filter(col("votes") > 5 || col("votes") < 1).count() == 0)
+    val re = Similarity.knnClassify(
+      e.filter(col("vec_id") >= 100).repartition(13), seeds, k = 5)
+    assert(re.orderBy("vec_id").collect().toSeq ==
+      out.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("mutual knn: every surviving edge exists in both directions") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, k = 8, iterations = 1)
+    val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 2).cache()
+    val m = Similarity.mutualKnn(g).cache()
+    assert(m.filter(col("a") >= col("b")).count() == 0, "edges must be a < b")
+    val edges = g.select(col("vec_id"), col("nbr_id"))
+    val fwdMissing = m.join(edges,
+      m("a") === edges("vec_id") && m("b") === edges("nbr_id"), "left_anti").count()
+    val revMissing = m.join(edges,
+      m("b") === edges("vec_id") && m("a") === edges("nbr_id"), "left_anti").count()
+    assert(fwdMissing == 0 && revMissing == 0, "mutual edge not in graph both ways")
+    // one-directional edges are actually filtered: mutual < total forward edges
+    assert(m.count() < g.count(), "filter must drop asymmetric edges")
+    g.unpersist(); m.unpersist()
+  }
+
   test("char diversity: one-pass histogram stats, unicode + edge cases") {
     val rows = Seq(
       (1L, "aabb"),          // n=4, distinct=2, top=2, sumsq=8
