@@ -254,9 +254,21 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the edge list feeds every propagation sweep — persist it or each
     // lazy iteration re-runs the whole upstream pair-discovery pipeline
-    val edges = pairs.select(col("a"), col("b"))
+    val spark = pairs.sparkSession
+    // plan truncation: each sweep composes `labels` into itself ~3×, so the
+    // LOGICAL plan grows exponentially in sweep count (with a large upstream
+    // plan — e.g. a kNN graph — sweep 10+ overflows the 2 GB plan-string
+    // limit and the optimizer re-walks gigabyte trees per action). Rebuild
+    // the frame over the persisted data as a flat LogicalRDD scan: the plan
+    // resets to O(1) per sweep while the RDD lineage keeps full
+    // recompute-on-eviction recoverability (unlike localCheckpoint, which
+    // trades lineage away and dies with an executor).
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val edgesCache = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(MEMORY_AND_DISK)
+    val edges = truncated(edgesCache)
     // labels₀ stays lazy: it is two cheap aggregations over the cached edge
     // list, and the first sweep's materialization doubles as the first
     // convergence check — one action per sweep, none upfront
@@ -290,11 +302,11 @@ object Dedup {
         .head().getLong(0)
       if (cached != null) cached.unpersist(blocking = false)
       cached = next
-      labels = next.select(col("id"), col("rep"))
+      labels = truncated(next.select(col("id"), col("rep")))
       converged = changed == 0
       i += 1
     }
-    edges.unpersist(blocking = false)
+    edgesCache.unpersist(blocking = false)
     labels
   }
 

@@ -980,6 +980,62 @@ object DataOps {
       |WHERE f.vec_id < f.nbr_id
       |ORDER BY a, b""".stripMargin
 
+  /** Semantic clustering: connected components over the MUTUAL-kNN edge
+    * set — the standard embedding-space clustering recipe (build a kNN
+    * graph, drop asymmetric hub edges, take components). Reuses the
+    * pointer-doubling label propagation of the dedup family; the oracle
+    * resolves the same components independently via a recursive-CTE
+    * transitive closure over the SQL-replicated mutual edge set.
+    * Output: (vec_id, cluster) for EVERY vector — singletons keep their
+    * own id. */
+  def qKnnClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        Similarity.asDouble(col("embedding")).as("c_vec"))
+    val g = Similarity.knnGraph(e, cents, k = 5, nprobe = 2, maxCell = 100)
+    val reps = Dedup.representatives(Similarity.mutualKnn(g))
+    e.join(reps, e("vec_id") === reps("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).cast("bigint").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qKnnClustersSql: String =
+    """WITH RECURSIVE
+      |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(vec_id AS INT) AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |pr AS MATERIALIZED (SELECT vec_id, v, cell, rn FROM (
+      |  SELECT e.vec_id, e.v, c.c_id AS cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.c_id) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn <= 2),
+      |mem AS (SELECT vec_id, v, cell FROM (
+      |  SELECT vec_id, v, cell,
+      |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+      |  FROM pr WHERE rn = 1) WHERE mrn <= 100),
+      |scored AS (SELECT p.vec_id, m.vec_id AS nbr_id,
+      |    list_dot_product(m.v, p.v) /
+      |    (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(p.v, p.v))) AS cos
+      |  FROM pr p JOIN mem m ON p.cell = m.cell AND p.vec_id != m.vec_id),
+      |g AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+      |  FROM scored) WHERE rnk <= 5),
+      |mu AS MATERIALIZED (SELECT f.vec_id AS a, f.nbr_id AS b
+      |  FROM g f JOIN g r ON f.vec_id = r.nbr_id AND f.nbr_id = r.vec_id
+      |  WHERE f.vec_id < f.nbr_id),
+      |edges AS (SELECT a, b FROM mu UNION SELECT b AS a, a AS b FROM mu),
+      |reach(id, r) AS (
+      |  SELECT a AS id, b AS r FROM edges
+      |  UNION
+      |  SELECT rc.id, ed.b AS r FROM reach rc JOIN edges ed ON rc.r = ed.a),
+      |rep AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id)
+      |SELECT em.vec_id, COALESCE(rep.rep, em.vec_id)::BIGINT AS cluster
+      |FROM embeddings em LEFT JOIN rep ON em.vec_id = rep.id
+      |ORDER BY vec_id""".stripMargin
+
   /** Cluster-balanced sampling with the same FIXED centroids as
     * [[qAnnIvfFixed]] (first 8 embeddings), fully oracle-checked: nearest-
     * cell assignment + exact per-cell md5-ranked quota — the semantic-
@@ -2545,6 +2601,7 @@ object DataOps {
     "q_knn_graph"      -> ((qKnnGraph _, Some(qKnnGraphSql))),
     "q_knn_classify"   -> ((qKnnClassify _, Some(qKnnClassifySql))),
     "q_knn_mutual"     -> ((qKnnMutual _, Some(qKnnMutualSql))),
+    "q_knn_clusters"   -> ((qKnnClusters _, Some(qKnnClustersSql))),
     "q_ann_ivf_fixed"  -> ((qAnnIvfFixed _, Some(qAnnIvfFixedSql))),
     "q_cluster_sample" -> ((qClusterSample _, Some(qClusterSampleSql))),
     "q_ann_ivf_indexed" -> ((qAnnIvfIndexed _, Some(qAnnIvfFixedSql))),
