@@ -90,6 +90,19 @@ object Pipeline {
                                       dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
                              valFrac: Double, dataType: String) extends Step
+  /** Semantic clustering annotation: mutual-kNN connected components over
+    * the embedding column, written to `outCol` (singletons keep their own
+    * id). Centroids train inline or persist at `centroidsPath`. */
+  final case class ClusterStep(idCol: String, vecCol: String, k: Int,
+                               nprobe: Int, nCentroids: Int, maxCell: Int,
+                               centroidsPath: String, outCol: String,
+                               dataType: String) extends Step
+  /** k-NN label propagation: rows with a non-null `labelCol` act as the
+    * seed set; every row gets `outCol` = its own label when present, else
+    * the majority label of its k nearest seeds. */
+  final case class KnnClassifyStep(idCol: String, vecCol: String,
+                                   labelCol: String, k: Int, outCol: String,
+                                   dataType: String) extends Step
   final case class ChunkStep(idCol: String, textCol: String, maxTokens: Long,
                              stride: Long, dataType: String) extends Step
   final case class PackStep(idCol: String, textCol: String, maxTokens: Int,
@@ -378,6 +391,19 @@ object Pipeline {
         SplitStep(keys,
           if (node.has("train")) node.get("train").asDouble() else 0.8,
           if (node.has("val")) node.get("val").asDouble() else 0.1, dataType)
+      case "cluster" => ClusterStep(
+        idCol = str("id", "id"), vecCol = str("field", "embedding"),
+        k = if (node.has("k")) node.get("k").asInt() else 5,
+        nprobe = if (node.has("nprobe")) node.get("nprobe").asInt() else 2,
+        nCentroids = if (node.has("n_centroids")) node.get("n_centroids").asInt() else 16,
+        maxCell = if (node.has("max_cell")) node.get("max_cell").asInt() else 4096,
+        centroidsPath = str("centroids", ""),
+        outCol = str("output", "cluster"), dataType)
+      case "knn_classify" => KnnClassifyStep(
+        idCol = str("id", "id"), vecCol = str("field", "embedding"),
+        labelCol = str("label_field", "label"),
+        k = if (node.has("k")) node.get("k").asInt() else 5,
+        outCol = str("output", "pred_label"), dataType)
       case "chunk" => ChunkStep(str("id", "id"), str("field", "text"),
         if (node.has("max_tokens")) node.get("max_tokens").asLong() else 512L,
         if (node.has("stride")) node.get("stride").asLong() else 384L, dataType)
@@ -494,6 +520,46 @@ object Pipeline {
     (tagged.filter(col("_error").isNull).drop("_error"),
      tagged.filter(col("_error").isNotNull))
   }
+
+  /** Centroid model resolution shared by the embedding-space steps
+    * (`dedup method=semdedup`, `cluster`, …). Empty path → train inline.
+    * Non-empty `centroids` path: the trained model loads from it, and a
+    * training pass runs ONCE and persists there — reruns of the same
+    * config skip the Lloyd collects entirely (the standard persist-the-
+    * model pattern; delete the path to retrain). The persisted model is
+    * trusted only when its write COMMITTED (_SUCCESS marker) — a bare
+    * exists() would load the partial dir a killed run leaves behind. An
+    * uncommitted dir is cleared and retrained; the fresh model writes to
+    * a temp path and renames in, so no reader ever sees a half-written
+    * model at the canonical path. */
+  private def resolveCentroids(spark: SparkSession, df: DataFrame,
+                               centroidsPath: String, k: Int, iters: Int,
+                               id: String, vec: String): DataFrame =
+    if (centroidsPath.isEmpty)
+      graft.operators.Similarity.trainCentroids(
+        df, k = k, iterations = iters, idCol = id, vecCol = vec)
+    else {
+      val p = new org.apache.hadoop.fs.Path(centroidsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val committed = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      if (fs.exists(committed)) spark.read.parquet(centroidsPath)
+      else {
+        fs.delete(p, true)
+        val trained = graft.operators.Similarity.trainCentroids(
+          df, k = k, iterations = iters, idCol = id, vecCol = vec)
+        val tmp = new org.apache.hadoop.fs.Path(
+          centroidsPath + "__tmp-" + java.util.UUID.randomUUID())
+        trained.write.parquet(tmp.toString)
+        if (!fs.rename(tmp, p)) {
+          // lost a race to a concurrent run: use theirs if committed,
+          // otherwise surface the conflict
+          fs.delete(tmp, true)
+          require(fs.exists(committed),
+            s"centroids path $centroidsPath is contended and uncommitted")
+        }
+        spark.read.parquet(centroidsPath)
+      }
+    }
 
   /** Run a parsed pipeline. Returns the final flow (ok/err streams) so
     * callers (and tests) can inspect results; writers have already written. */
@@ -628,43 +694,8 @@ object Pipeline {
                   .drop("__rep_id", "__rep")
               case "semdedup" =>
                 // `field` names the embedding column; threshold is tau.
-                // `centroids` (optional) is a parquet path: when present and
-                // non-empty the trained model loads from it, and a training
-                // pass runs ONCE and persists there — reruns of the same
-                // config skip the two Lloyd collects entirely (the standard
-                // persist-the-model pattern; delete the path to retrain).
-                val cents =
-                  if (centroidsPath.isEmpty)
-                    graft.operators.Similarity.trainCentroids(
-                      df, k = 16, iterations = 2, idCol = id, vecCol = text)
-                  else {
-                    val p = new org.apache.hadoop.fs.Path(centroidsPath)
-                    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                    // trust the persisted model only when its write COMMITTED
-                    // (_SUCCESS marker) — a bare exists() would load the
-                    // partial dir a killed run leaves behind. An uncommitted
-                    // dir is cleared and retrained; the fresh model writes to
-                    // a temp path and renames in, so no reader ever sees a
-                    // half-written model at the canonical path.
-                    val committed = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-                    if (fs.exists(committed)) spark.read.parquet(centroidsPath)
-                    else {
-                      fs.delete(p, true)
-                      val trained = graft.operators.Similarity.trainCentroids(
-                        df, k = 16, iterations = 2, idCol = id, vecCol = text)
-                      val tmp = new org.apache.hadoop.fs.Path(
-                        centroidsPath + "__tmp-" + java.util.UUID.randomUUID())
-                      trained.write.parquet(tmp.toString)
-                      if (!fs.rename(tmp, p)) {
-                        // lost a race to a concurrent run: use theirs if
-                        // committed, otherwise surface the conflict
-                        fs.delete(tmp, true)
-                        require(fs.exists(committed),
-                          s"centroids path $centroidsPath is contended and uncommitted")
-                      }
-                      spark.read.parquet(centroidsPath)
-                    }
-                  }
+                val cents = resolveCentroids(spark, df, centroidsPath,
+                  k = 16, iters = 2, id = id, vec = text)
                 val kept = graft.operators.Similarity.semDedup(
                     df, cents, threshold, idCol = id, vecCol = text)
                   .select(col(id).as("__keep_id"))
@@ -754,6 +785,37 @@ object Pipeline {
         case SplitStep(keys, train, valF, dt) =>
           flow(dt).map(df => flow.updated(dt,
             graft.queries.DataOps.splitAssign(df, keys, train, valF))).getOrElse(flow)
+        case ClusterStep(id, vec, k, nprobe, nCents, maxCell, centsPath, out, dt) =>
+          flow(dt).map { df =>
+            val cents = resolveCentroids(spark, df, centsPath,
+              k = nCents, iters = 2, id = id, vec = vec)
+            val g = graft.operators.Similarity.knnGraph(
+              df, cents, k = k, nprobe = nprobe, idCol = id, vecCol = vec,
+              maxCell = maxCell)
+            val reps = graft.operators.Dedup.representatives(
+                graft.operators.Similarity.mutualKnn(g))
+              .withColumnRenamed("id", "__cl_id").withColumnRenamed("rep", "__cl_rep")
+            flow.updated(dt, df.join(reps, df(id) === col("__cl_id"), "left")
+              .withColumn(out, coalesce(col("__cl_rep"), df(id).cast("long")))
+              .drop("__cl_id", "__cl_rep"))
+          }.getOrElse(flow)
+        case KnnClassifyStep(id, vec, labelCol, k, out, dt) =>
+          flow(dt).map { df =>
+            val seeds = df.filter(col(labelCol).isNotNull)
+              .select(col(id).as("__s_id"), col(vec).as("__s_vec"),
+                col(labelCol).as("__s_label"))
+            val pred = graft.operators.Similarity.knnClassify(
+                df.filter(col(labelCol).isNull), seeds, k,
+                idCol = id, vecCol = vec,
+                seedIdCol = "__s_id", seedVecCol = "__s_vec",
+                seedLabelCol = "__s_label")
+              .select(col(id).as("__p_id"),
+                col("pred_label").as("__p_label"))
+            flow.updated(dt, df.join(pred, df(id) === col("__p_id"), "left")
+              .withColumn(out,
+                coalesce(col(labelCol).cast("long"), col("__p_label")))
+              .drop("__p_id", "__p_label"))
+          }.getOrElse(flow)
         case ChunkStep(id, field, maxTok, stride, dt) =>
           flow(dt).map(df => flow.updated(dt,
             graft.queries.DataOps.chunkDocs(df, id, field, maxTok, stride))).getOrElse(flow)

@@ -391,6 +391,57 @@ class PipelineSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet))
   }
 
+  test("cluster step annotates mutual-kNN components from config") {
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader",
+         |  "connector":{"type":"local","path":"/root/testdata/sf0.001/embeddings.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"cluster","id":"vec_id","field":"embedding",
+         |  "k":5,"nprobe":2,"n_centroids":8}
+         |]""".stripMargin)
+    val out = flow.ok.get
+    assert(out.columns.contains("cluster"))
+    val total = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(out.count() == total, "annotation must keep every row")
+    assert(out.filter(col("cluster").isNull).count() == 0)
+    val nClusters = out.select("cluster").distinct().count()
+    assert(nClusters > 1 && nClusters < total,
+      s"expected non-trivial clustering, got $nClusters clusters / $total rows")
+    // the cluster label is the min member id of its component
+    val bad = out.groupBy("cluster").agg(min(col("vec_id")).as("mn"))
+      .filter(col("cluster") =!= col("mn")).count()
+    assert(bad == 0, "cluster label must be the component's min id")
+  }
+
+  test("knn_classify step propagates seed labels from config") {
+    // null out labels for vec_id >= 50: those rows must get predictions,
+    // seed rows keep their own label
+    val src = tmp("knnc") + "/emb.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("label", when(col("vec_id") < 50, col("label")))
+      .write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"knn_classify","id":"vec_id","field":"embedding",
+         |  "label_field":"label","k":3,"output":"pred"}
+         |]""".stripMargin)
+    val out = flow.ok.get.cache()
+    assert(out.filter(col("pred").isNull).count() == 0, "every row labeled")
+    val seedMismatch = out.filter(col("vec_id") < 50)
+      .filter(col("pred") =!= col("label").cast("long")).count()
+    assert(seedMismatch == 0, "seed rows keep their own label")
+    val seedLabels = out.filter(col("vec_id") < 50)
+      .select("label").distinct().as[Int].collect().toSet
+    val predLabels = out.filter(col("vec_id") >= 50)
+      .select("pred").distinct().as[Long].collect().toSet
+    assert(predLabels.forall(l => seedLabels.contains(l.toInt)),
+      "predictions must come from the seed label set")
+    out.unpersist()
+  }
+
   test("simhash dedup config method drops hamming-close near-duplicates") {
     // docs 1 and 2 share the same token multiset (reordered) -> identical
     // simhash (hamming 0); doc 3 is disjoint vocabulary
