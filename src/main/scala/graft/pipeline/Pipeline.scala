@@ -80,6 +80,12 @@ object Pipeline {
                                   k: Int, buckets: Int,
                                   dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
+  /** Token-budget sampling (`sample` with a `budget` key): keep the
+    * maximal hash-ordered prefix of each source whose cumulative token
+    * count stays within budget — "N tokens per source". */
+  final case class TokenBudgetStep(sourceCol: String, idCol: String,
+                                   textCol: String, budget: Long,
+                                   dataType: String) extends Step
   final case class MixtureStep(sourceCol: String, idCol: String, alpha: Double,
                                dataType: String) extends Step
   /** CCNet head/middle/tail annotation (per-source quality terciles of
@@ -382,9 +388,15 @@ object Pipeline {
         sourceCol = str("source", "source"), idCol = str("id", "id"),
         alpha = if (node.has("alpha")) node.get("alpha").asDouble() else 0.5,
         dataType)
-      case "sample" => SampleStep(
-        fraction = if (node.has("fraction")) node.get("fraction").asDouble() else 0.1,
-        keyCol = str("key", "id"), dataType)
+      case "sample" =>
+        if (node.has("budget"))
+          TokenBudgetStep(
+            sourceCol = str("source_field", "source"),
+            idCol = str("id", "id"), textCol = str("field", "text"),
+            budget = node.get("budget").asLong(), dataType)
+        else SampleStep(
+          fraction = if (node.has("fraction")) node.get("fraction").asDouble() else 0.1,
+          keyCol = str("key", "id"), dataType)
       case "split" =>
         val keys = Option(node.get("by"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq("id"))
@@ -781,6 +793,13 @@ object Pipeline {
                   lit(math.round(fraction * n)))
               }
             flow.updated(dt, out)
+          }.getOrElse(flow)
+        case TokenBudgetStep(src, id, text, budget, dt) =>
+          flow(dt).map { df =>
+            val kept = graft.queries.DataOps.sampleTokenBudget(
+                df, src, id, text, budget)
+              .select(col(id).as("__tb_id"))
+            flow.updated(dt, df.join(kept, df(id) === col("__tb_id"), "left_semi"))
           }.getOrElse(flow)
         case SplitStep(keys, train, valF, dt) =>
           flow(dt).map(df => flow.updated(dt,

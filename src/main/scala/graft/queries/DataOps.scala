@@ -1579,6 +1579,80 @@ object DataOps {
       |    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rn FROM h)
       |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin
 
+  /** Token-BUDGET sampling: keep the maximal hash-ordered prefix of each
+    * source whose cumulative whitespace-token count stays ≤ `budget` —
+    * "give me N tokens per source", the unit a training-data order is
+    * actually placed in (doc-count mixtures over sources with different
+    * doc lengths mis-deliver token mass). Selection order is the same
+    * deterministic md5 content hash as the other samplers — reproducible
+    * across runs, partitionings and cluster sizes.
+    *
+    * 100 TB shape — the naive form is a per-source running sum, i.e. ONE
+    * window partition per source (a handful of sources ⇒ single-task
+    * funnels over the whole corpus). Two phases instead:
+    *   1. bucket docs by the hash's first 2 hex chars (256 contiguous
+    *      ranges of the selection order) and aggregate per-(source,
+    *      bucket) token mass — a sources×256-row aggregate (broadcast
+    *      back; cluster-metadata-sized, the [[mixtureTemperature]]
+    *      pattern);
+    *   2. buckets wholly under budget keep ALL their docs with no
+    *      ranking at all; only the single straddling bucket per source —
+    *      ~1/256 of that source — runs the exact windowed running sum,
+    *      offset by the mass of the buckets before it.
+    * The kept set is IDENTICAL to the naive single-window form (cum is
+    * non-decreasing and bucket order refines hash order), which is
+    * exactly what the oracle computes. */
+  def sampleTokenBudget(d: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, budget: Long): DataFrame = {
+    val hx = md5(concat(col(sourceCol), lit("-"), col(idCol)).cast("binary"))
+    val base = d.select(col(sourceCol), col(idCol),
+      TextAnalysis.tokenCountWs(col(textCol)).cast("bigint").as("n_tok"),
+      hx.as("__hx"), substring(hx, 1, 2).as("__bk"))
+    val masses = base.groupBy(col(sourceCol), col("__bk"))
+      .agg(sum(col("n_tok")).as("__m"))
+      .collect()
+    // greedy bucket prefix per source: first over-budget bucket = cutoff
+    // ("zz" sentinel sorts after every hex bucket when everything fits)
+    val cuts: Seq[(String, String, Long)] =
+      masses.groupBy(_.get(0).toString).map { case (s, rows) =>
+        val sorted = rows.sortBy(_.getString(1))
+        var acc = 0L
+        var cut: (String, Long) = null
+        val it = sorted.iterator
+        while (cut == null && it.hasNext) {
+          val r = it.next()
+          if (acc + r.getLong(2) > budget) cut = (r.getString(1), acc)
+          else acc += r.getLong(2)
+        }
+        (s, if (cut == null) "zz" else cut._1, if (cut == null) acc else cut._2)
+      }.toSeq
+    val cutDf = broadcast(d.sparkSession.createDataFrame(cuts)
+      .toDF("__cs", "__cut", "__off"))
+    val joined = base.join(cutDf, col(sourceCol) === col("__cs"))
+    val whole = joined.filter(col("__bk") < col("__cut"))
+      .select(col(sourceCol), col(idCol), col("n_tok"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__hx"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val straddle = joined.filter(col("__bk") === col("__cut"))
+      .withColumn("__cum", col("__off") + sum(col("n_tok")).over(w))
+      .filter(col("__cum") <= budget)
+      .select(col(sourceCol), col(idCol), col("n_tok"))
+    whole.unionAll(straddle)
+  }
+
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    sampleTokenBudget(Tables(spark, dir).documents,
+      "source", "doc_id", "text", budget = 800L)
+
+  val qTokenBudgetSql: String =
+    """WITH t AS (SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    md5(source || '-' || doc_id) AS hx FROM documents),
+      |r AS (SELECT source, doc_id, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+      |SELECT source, doc_id, n_tok FROM r WHERE cum <= 800""".stripMargin
+
   /** Sequence packing for training batches: documents pack greedily into
     * ~`maxTokens`-token bins by running token count, SHARD-LOCAL so the
     * packing is embarrassingly parallel — a single global pack order would
@@ -2547,6 +2621,7 @@ object DataOps {
     "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
     "q_stable_ids"     -> ((qStableIds _, Some(qStableIdsSql))),
     "q_sample_per_source" -> ((qSamplePerSource _, Some(qSamplePerSourceSql))),
+    "q_token_budget"   -> ((qTokenBudget _, Some(qTokenBudgetSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
     "q_contamination_bloom" -> ((qContaminationBloom _, Some(qContaminationSql))),

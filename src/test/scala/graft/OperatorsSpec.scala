@@ -1024,6 +1024,39 @@ class OperatorsSpec extends SparkSpec {
     g.unpersist(); m.unpersist()
   }
 
+  test("token budget sampling: equals the naive windowed prefix, budget holds") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val budget = 600L
+    val out = graft.queries.DataOps.sampleTokenBudget(
+      docs, "source", "doc_id", "text", budget).cache()
+    // never over budget, and maximal: adding the next doc in hash order
+    // would overflow (checked via the naive single-window formulation)
+    val naive = {
+      docs.select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(
+          Window.partitionBy(col("source"))
+            .orderBy(md5(concat(col("source"), lit("-"), col("doc_id")).cast("binary")),
+              col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= budget)
+        .select(col("source"), col("doc_id"), col("n_tok"))
+    }
+    assert(out.orderBy("source", "doc_id").collect().toSeq ==
+      naive.orderBy("source", "doc_id").collect().toSeq,
+      "two-phase selection must equal the naive windowed prefix")
+    val over = out.groupBy("source").agg(sum("n_tok").as("t"))
+      .filter(col("t") > budget).count()
+    assert(over == 0, "source over budget")
+    assert(out.count() > 0 && out.count() < docs.count(), "budget must bind")
+    val re = graft.queries.DataOps.sampleTokenBudget(
+      docs.repartition(13), "source", "doc_id", "text", budget)
+    assert(re.orderBy("source", "doc_id").collect().toSeq ==
+      out.orderBy("source", "doc_id").collect().toSeq)
+    out.unpersist()
+  }
+
   test("char diversity: one-pass histogram stats, unicode + edge cases") {
     val rows = Seq(
       (1L, "aabb"),          // n=4, distinct=2, top=2, sumsq=8

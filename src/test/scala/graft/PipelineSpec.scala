@@ -442,6 +442,25 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sample step with budget keeps each source within its token budget") {
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader",
+         |  "connector":{"type":"local","path":"/root/testdata/sf0.001/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sample","budget":600,"source_field":"source","id":"doc_id","field":"text"}
+         |]""".stripMargin)
+    val out = flow.ok.get.cache()
+    val over = out.groupBy("source")
+      .agg(sum(graft.operators.TextAnalysis.tokenCountWs(col("text")).cast("bigint")).as("t"))
+      .filter(col("t") > 600).count()
+    assert(over == 0, "a source exceeded its token budget")
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(out.count() > 0 && out.count() < total, "budget must bind")
+    assert(out.columns.contains("text"), "full rows survive")
+    out.unpersist()
+  }
+
   test("simhash dedup config method drops hamming-close near-duplicates") {
     // docs 1 and 2 share the same token multiset (reordered) -> identical
     // simhash (hamming 0); doc 3 is disjoint vocabulary

@@ -265,6 +265,23 @@ class PlansSpec extends SparkSpec {
     assert(packPlan.contains("windowspecdefinition(shard"))
   }
 
+  test("knn family: broadcast dims, no cartesian, no window over the corpus") {
+    // knn graph: centroids broadcast; candidate join keyed on cell (no
+    // cartesian); ranking is the bounded heap (no Window at all)
+    val gp = planString(queries.DataOps.qKnnGraph(spark, sf))
+    assert(!gp.contains("CartesianProduct"))
+    assert(!gp.contains("Window"))
+    assert(gp.contains("BroadcastNestedLoopJoin") || gp.contains("BroadcastHashJoin"),
+      "centroid join must broadcast")
+    // classify: seeds broadcast twice (scoring + label rejoin), no window
+    val cp = planString(queries.DataOps.qKnnClassify(spark, sf))
+    assert(!cp.contains("CartesianProduct") && !cp.contains("Window"))
+    assert(cp.contains("BroadcastNestedLoopJoin") || cp.contains("BroadcastHashJoin"))
+    // mutual filter: plain equi-join on the edge list, no cartesian
+    val mp = planString(queries.DataOps.qKnnMutual(spark, sf))
+    assert(!mp.contains("CartesianProduct"))
+  }
+
   test("no gate query plans an unpartitioned window (single-task funnel)") {
     // an empty window partitionSpec funnels the whole input through ONE
     // task — the canonical 100 TB scale-killer; every gate plan is checked
