@@ -275,4 +275,37 @@ class PropertiesSpec extends SparkSpec {
     }.toSet
     assert(agg == expected, s"heap top-k diverged from sort top-k")
   }
+
+  test("char diversity one-pass stats equal the explode-groupBy reference") {
+    // random strings over a deliberately nasty alphabet: ASCII, accents,
+    // CJK, and an astral-plane emoji (surrogate pair — one codepoint)
+    val alphabet = "ab z.,é漢字😀"
+    // group the alphabet into codepoints (surrogate pair stays together)
+    val cps: IndexedSeq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < alphabet.length) {
+        val n = Character.charCount(alphabet.codePointAt(i))
+        out += alphabet.substring(i, i + n)
+        i += n
+      }
+      out.toIndexedSeq
+    }
+    val samples = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => cps(rnd.nextInt(cps.size))).mkString)
+    }
+    val df = samples.toDF("id", "s")
+    val fast = df.select(col("id"), graft.operators.TextAnalysis.charStats(col("s")).as("cs"))
+      .select(col("id"), col("cs.n_cp"), col("cs.distinct_cp"),
+        col("cs.top_cp_n"), col("cs.sumsq"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    samples.foreach { case (id, s) =>
+      val counts = s.codePoints().toArray.groupBy(identity).map(_._2.length.toLong)
+      val expected =
+        if (counts.isEmpty) (0L, 0L, 0L, 0L)
+        else (counts.sum, counts.size.toLong, counts.max, counts.map(k => k * k).sum)
+      assert(fast(id) == expected, s"mismatch on id=$id text=${s.take(30)}")
+    }
+  }
 }
