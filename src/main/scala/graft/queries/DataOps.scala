@@ -1268,6 +1268,69 @@ object DataOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"))
 
+  /** Ordered funnel analysis: per user, the earliest timestamps completing
+    * each stage IN ORDER (t_i = first stage-i event strictly after
+    * t_{i-1}) plus the reached depth — the classic product-analytics
+    * question ("view → click → purchase within the corpus").
+    *
+    * 100 TB shape: ONE user-keyed shuffle. Each user's per-stage
+    * timestamps collect into sorted arrays (bounded by that user's event
+    * count — the same per-entity-bounded state sessionization keeps), and
+    * the order-respecting chain of "first element strictly after the
+    * previous stage" evaluates as a per-row array expression — no window,
+    * no self-join per stage, no second pass over the event stream. A
+    * missed stage nulls the rest of the chain (x > NULL filters
+    * everything), exactly the funnel semantics. */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val aggs = stages.zipWithIndex.map { case (s, i) =>
+      sort_array(collect_list(when(col(typeCol) === s, col(tsCol)))).as(s"__a$i")
+    }
+    val g = events.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+    val chain: Seq[Column] = stages.indices.drop(1).scanLeft(
+      try_element_at(col("__a0"), lit(1))) { (prev, i) =>
+      array_min(filter(col(s"__a$i"), x => x > prev))
+    }
+    val depth = stages.indices
+      .map(i => when(chain(i).isNotNull, 1).otherwise(0))
+      .reduce(_ + _).cast("bigint")
+    g.select(col(userCol) +:
+      stages.indices.map(i => chain(i).as(s"t_${stages(i)}")) :+
+      depth.as("depth"): _*)
+  }
+
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val f = funnelStages(Tables(spark, dir).events,
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    f.select(col("user_id"),
+      date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+      date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+      date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+      col("depth"))
+  }
+
+  val qEventFunnelSql: String =
+    """WITH s1 AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id),
+      |s2 AS (SELECT s1.user_id, s1.t1,
+      |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+      |  GROUP BY s1.user_id, s1.t1),
+      |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+      |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+      |  GROUP BY s2.user_id, s2.t1, s2.t2)
+      |SELECT user_id,
+      |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+      |  strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+      |  strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+      |  CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+      |FROM s3""".stripMargin
+
   val qEventSlidingSql: String =
     """SELECT strftime(date_trunc('hour', ts) - INTERVAL (i) HOUR, '%Y-%m-%d %H:%M:%S') AS w_start,
       |  event_type, count(*) AS n
@@ -2689,6 +2752,7 @@ object DataOps {
     "q_event_join"     -> ((qEventJoin _, Some(qEventJoinSql))),
     "q_range_join"     -> ((qRangeJoin _, Some(qRangeJoinSql))),
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
+    "q_event_funnel"   -> ((qEventFunnel _, Some(qEventFunnelSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
     "q_stream_dedup"   -> ((qStreamDedup _, Some(qStreamDedupSql))),

@@ -1057,6 +1057,40 @@ class OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("event funnel: order-respecting chain, missed stages null the rest") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 completes in order
+      (1L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, ts("2026-01-01 11:00:00"), "click"),
+      (1L, ts("2026-01-01 12:00:00"), "purchase"),
+      // u2: click BEFORE the first view — not a valid chain continuation,
+      // but a later click counts
+      (2L, ts("2026-01-01 09:00:00"), "click"),
+      (2L, ts("2026-01-01 10:00:00"), "view"),
+      (2L, ts("2026-01-01 10:30:00"), "click"),
+      // u3: purchase without click — depth stops at view
+      (3L, ts("2026-01-01 10:00:00"), "view"),
+      (3L, ts("2026-01-01 12:00:00"), "purchase"),
+      // u4: click at the SAME instant as view — strictly-after required
+      (4L, ts("2026-01-01 10:00:00"), "view"),
+      (4L, ts("2026-01-01 10:00:00"), "click"),
+      // u5: no view at all
+      (5L, ts("2026-01-01 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.queries.DataOps.funnelStages(
+        ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(4) == 3)
+    assert(out(2L).getLong(4) == 2 &&
+      out(2L).getTimestamp(2) == ts("2026-01-01 10:30:00"),
+      "pre-view click must not count; the later one must")
+    assert(out(3L).getLong(4) == 1 && out(3L).isNullAt(2) && out(3L).isNullAt(3),
+      "skipping a stage nulls everything after it")
+    assert(out(4L).getLong(4) == 1, "same-instant event is not strictly after")
+    assert(out(5L).getLong(4) == 0 && out(5L).isNullAt(1))
+  }
+
   test("char diversity: one-pass histogram stats, unicode + edge cases") {
     val rows = Seq(
       (1L, "aabb"),          // n=4, distinct=2, top=2, sumsq=8
