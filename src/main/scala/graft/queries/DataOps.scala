@@ -1300,6 +1300,40 @@ object DataOps {
       depth.as("depth"): _*)
   }
 
+  /** Cohort retention: users grouped by first-seen week; for each
+    * (cohort, week-offset) the number of cohort members active that week
+    * — the other classic product-analytics matrix. Two keyed shuffles
+    * (per-user aggregate with an in-buffer distinct-week set — bounded by
+    * the observation span, not the event count — then the small
+    * cohort×offset count); no window, events scanned once. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val g = events.groupBy(col(userCol)).agg(
+      date_trunc("week", min(col(tsCol))).as("cohort"),
+      collect_set(date_trunc("week", col(tsCol))).as("__weeks"))
+    g.select(col("cohort"), explode(col("__weeks")).as("__w"))
+      .select(col("cohort"),
+        (datediff(col("__w").cast("date"), col("cohort").cast("date")) / 7)
+          .cast("bigint").as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def qEventRetention(spark: SparkSession, dir: String): DataFrame =
+    retentionCohorts(Tables(spark, dir).events, "user_id", "ts")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("n_users"))
+
+  val qEventRetentionSql: String =
+    """WITH u AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      |SELECT strftime(u.cohort, '%Y-%m-%d') AS cohort,
+      |  CAST(date_diff('day', u.cohort, a.w) / 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM u JOIN a ON u.user_id = a.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
     val f = funnelStages(Tables(spark, dir).events,
       "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
@@ -2753,6 +2787,7 @@ object DataOps {
     "q_range_join"     -> ((qRangeJoin _, Some(qRangeJoinSql))),
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
     "q_event_funnel"   -> ((qEventFunnel _, Some(qEventFunnelSql))),
+    "q_event_retention" -> ((qEventRetention _, Some(qEventRetentionSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
     "q_stream_dedup"   -> ((qStreamDedup _, Some(qStreamDedupSql))),

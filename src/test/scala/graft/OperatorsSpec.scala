@@ -1091,6 +1091,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L).getLong(4) == 0 && out(5L).isNullAt(1))
   }
 
+  test("cohort retention: first-seen week buckets, per-week distinct activity") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2026-01-05 and 2026-01-12 are Mondays (week starts)
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00")), // u1 cohort w0, active w0
+      (1L, ts("2026-01-06 10:00:00")), // same week — counts once
+      (1L, ts("2026-01-14 10:00:00")), // active w1
+      (2L, ts("2026-01-07 10:00:00")), // u2 cohort w0, active w0 only
+      (3L, ts("2026-01-13 10:00:00")), // u3 cohort w1, active w1
+      (3L, ts("2026-01-19 10:00:00"))  // active w2 (relative offset 1)
+    ).toDF("user_id", "ts").withColumn("event_type", lit("x"))
+    val out = graft.queries.DataOps.retentionCohorts(ev, "user_id", "ts")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("c"),
+        col("week_offset"), col("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2026-01-05", 0L) -> 2L,  // u1+u2 active in their first week
+      ("2026-01-05", 1L) -> 1L,  // only u1 returns
+      ("2026-01-12", 0L) -> 1L,  // u3's own cohort week
+      ("2026-01-12", 1L) -> 1L   // u3 returns next week
+    ), s"unexpected retention matrix: $out")
+  }
+
   test("char diversity: one-pass histogram stats, unicode + edge cases") {
     val rows = Seq(
       (1L, "aabb"),          // n=4, distinct=2, top=2, sumsq=8
