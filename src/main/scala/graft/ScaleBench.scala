@@ -40,7 +40,7 @@ object ScaleBench {
     "q_paragraph_dedup", "q_heavy_hitters", "q_bpe_pairs", "q_bpe_train", "q_bm25",
     "q_winnow", "q_stable_ids", "q_sample_per_source", "q_mixture_temperature",
     "q_containment", "q_containment_inc", "q_ccnet_buckets", "q_url_dedup",
-    "q_cap_per_host")
+    "q_cap_per_host", "q_char_diversity", "q_token_budget")
 
   /** Queries whose only input is the embeddings table (eligible for the
     * synthetic 10× embedding corpus). q_semdedup is handled separately:
@@ -50,7 +50,8 @@ object ScaleBench {
   val embOnly: Seq[String] = Seq(
     "q_emb_neardup", "q_emb_neardup_lsh", "q_emb_neardup_lsh_fixed",
     "q_ann_topk", "q_ann_ivf", "q_ann_ivf_exact", "q_ann_ivf_fixed",
-    "q_ann_ivf_indexed", "q_quantize_emb", "q_cluster_sample")
+    "q_ann_ivf_indexed", "q_quantize_emb", "q_cluster_sample",
+    "q_knn_graph", "q_knn_classify", "q_knn_mutual", "q_knn_clusters")
 
   /** Replicate sf documents `copies`× with fresh ids and a BIJECTIVE
     * per-replica token remap (every token gets a replica suffix): within a

@@ -63,6 +63,36 @@ object EventStream {
       }
   }
 
+  /** Per-user funnel progress as a stream: state is just (reached stage,
+    * timestamp of its completion) — O(1) per user however long the stream
+    * runs, the streaming twin of [[graft.queries.DataOps.funnelStages]].
+    * Each micro-batch's events replay in event-time order; an event
+    * advances the funnel when it matches the NEXT stage strictly after
+    * the previous stage's timestamp — identical greedy-earliest semantics
+    * to the batch chain, so on ordered replay the depths agree exactly
+    * (spec-pinned). Emits the user's depth after every batch touching it
+    * (update-mode output). */
+  final case class FunnelProgress(user_id: Long, depth: Int)
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   stages: Seq[String]): org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Int, Long), FunnelProgress](GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[(Int, Long)]) =>
+          var (stage, tPrev) = state.getOption.getOrElse((0, Long.MinValue))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (stage < stages.length && e.event_type == stages(stage) &&
+                (stage == 0 || e.ts.getTime > tPrev)) {
+              tPrev = e.ts.getTime
+              stage += 1
+            }
+          }
+          state.update((stage, tPrev))
+          FunnelProgress(userId, stage)
+      }
+  }
+
   /** Watermarked stream-stream inner join: each click pairs with the views
     * from the same user in the preceding hour. The time-range condition +
     * watermarks bound both sides' join state, so state size is

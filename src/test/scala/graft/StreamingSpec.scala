@@ -116,6 +116,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel depth equals the batch chain on ordered replay") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val ordered = Tables(spark, sfDir).events
+      .orderBy(col("ts"), col("event_id"))
+      .as[EventStream.Event].collect().toSeq
+    val stages = Seq("view", "click", "purchase")
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.funnelStream(spark, input.toDF(), stages)
+      .writeStream.format("memory").queryName("eqfunnel").outputMode("update").start()
+    try {
+      // split mid-stream so funnel state must survive across batches
+      val (b1, b2) = ordered.splitAt(ordered.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // update mode: keep the LAST emitted depth per user
+      val streamed = spark.sql(
+          "SELECT user_id, depth FROM eqfunnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+      val batch = queries.DataOps.funnelStages(Tables(spark, sfDir).events,
+          "user_id", "ts", "event_type", stages)
+        .select(col("user_id"), col("depth"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(streamed == batch,
+        s"streaming funnel diverged: ${streamed.toSet.diff(batch.toSet)}")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup collapses cross-batch dups against the index") {
     implicit val sqlCtx = spark.sqlContext
     spark.sql("DROP TABLE IF EXISTS stream_inc_idx")
