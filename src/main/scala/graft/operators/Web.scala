@@ -157,4 +157,43 @@ object Web {
     * the deterministic common case; a parser is out of scope by design. */
   def htmlLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
+  /** Markdown → plain text (the [[htmlToText]] sibling for the other big
+    * crawl-adjacent format: READMEs, forums, issue trackers, docs sites).
+    * Same contract: a fixed regex/replace chain over codegen'd built-ins
+    * (scan-stage, zero shuffle), every pattern valid and IDENTICAL under
+    * Java regex and RE2 — no backreferences in patterns; `$1`-style group
+    * substitutions in replacements only, which both engines support — so
+    * a DuckDB oracle replays the chain bit-exactly.
+    *
+    * Chain, in rule-dependency order: fenced code blocks drop whole
+    * (their content is code, not prose — the CCNet/RedPajama policy);
+    * inline code keeps its content; images and inline/reference links
+    * keep the alt/anchor text; ATX headers, horizontal rules, blockquote
+    * markers and list bullets strip at line starts (hr BEFORE emphasis,
+    * while its `***`/`---` lines still exist); emphasis/strike markers
+    * strip everywhere (documented naive case: a snake_case underscore is
+    * also stripped — markers are not word-boundary-checked); then the
+    * same whitespace normalization tail as [[htmlToText]]. Null-total. */
+  def markdownToText(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", "\n")
+    val noInlineCode = regexp_replace(noFence, "`([^`\\n]*)`", "$1")
+    val noImages = regexp_replace(noInlineCode, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLinks = regexp_replace(noImages, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noRefLinks = regexp_replace(noLinks, "\\[([^\\]]*)\\]\\[[^\\]]*\\]", "$1")
+    val noHeaders = regexp_replace(noRefLinks, "(?m)^[ \\t]{0,3}#{1,6}[ \\t]*", "")
+    val noHr = regexp_replace(noHeaders, "(?m)^[ \\t]*([-*_][ \\t]*){3,}$", "")
+    val noQuote = regexp_replace(noHr, "(?m)^[ \\t]*>[ \\t]?", "")
+    val noBullets = regexp_replace(noQuote, "(?m)^[ \\t]*([-*+]|[0-9]+\\.)[ \\t]+", "")
+    val noEmph = regexp_replace(noBullets, "\\*{1,3}|_{1,3}|~~", "")
+    val oneSpace = regexp_replace(noEmph, "[ \\t\\r\\f]+", " ")
+    val oneNl = regexp_replace(
+      regexp_replace(oneSpace, " ?\\n ?", "\n"), "\\n+", "\n")
+    regexp_replace(oneNl, "^[ \\n]+|[ \\n]+$", "")
+  }
+
+  /** All inline-link targets of a markdown document, in order (the
+    * [[htmlLinks]] sibling; feeds the URL pass). */
+  def markdownLinks(md: Column): Column =
+    regexp_extract_all(md, lit("\\[[^\\]]*\\]\\(([^)]*)\\)"), lit(1))
 }

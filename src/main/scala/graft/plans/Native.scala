@@ -154,6 +154,10 @@ object GraftExtensions {
       colFn1(graft.operators.Web.htmlToText)),
     ("graft_html_links", info("Web", "href targets of an HTML page, in order"),
       colFn1(graft.operators.Web.htmlLinks)),
+    ("graft_markdown_text", info("Web", "Markdown to plain text (extraction pass)"),
+      colFn1(graft.operators.Web.markdownToText)),
+    ("graft_markdown_links", info("Web", "inline-link targets of a markdown doc, in order"),
+      colFn1(graft.operators.Web.markdownLinks)),
     ("graft_dict_match", info("DictMatch", "dictionary patterns present in a text (Aho-Corasick)"),
       (e: Seq[Expression]) => {
         if (!e(1).foldable) throw new IllegalArgumentException(

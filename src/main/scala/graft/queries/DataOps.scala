@@ -2132,6 +2132,61 @@ object DataOps {
       |  CAST(len(regexp_extract_all(page, '(?i)href\s*=\s*"([^"]*)"', 1)) AS INT) AS n_links
       |FROM t6""".stripMargin
 
+  /** Markdown → text extraction (the [[qHtmlExtract]] sibling): each doc
+    * wraps in a markdown page exercising every chain rule — fence drop,
+    * inline code, image/link/reference-link anchor keep, header / hr /
+    * blockquote / bullet strips, emphasis+strike strip — and the oracle
+    * replays the identical regex chain. */
+  def qMarkdownExtract(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n",
+      concat(lit("# Doc "), col("doc_id").cast("string")),
+      lit("> q"),
+      concat(lit("Some **bold** _em_ ~~gone~~ snake_case: "), col("text")),
+      lit("- [link](https://ex.com/a?x=1) ![alt](https://ex.com/i.png)"),
+      lit("1. `inline code` and [ref][1]"),
+      lit("---"),
+      lit("```"),
+      lit("fenced **code** [x](y)"),
+      lit("```"),
+      lit("end"))
+    Tables(spark, dir).documents.select(col("doc_id"),
+      Web.markdownToText(page).as("clean_text"),
+      array_join(Web.markdownLinks(page), "|").as("links"),
+      size(Web.markdownLinks(page)).as("n_links"))
+  }
+
+  val qMarkdownExtractSql: String =
+    """WITH h AS (SELECT doc_id, text,
+      |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+      |    || '> q' || chr(10)
+      |    || 'Some **bold** _em_ ~~gone~~ snake_case: ' || text || chr(10)
+      |    || '- [link](https://ex.com/a?x=1) ![alt](https://ex.com/i.png)' || chr(10)
+      |    || '1. `inline code` and [ref][1]' || chr(10)
+      |    || '---' || chr(10)
+      |    || '```' || chr(10)
+      |    || 'fenced **code** [x](y)' || chr(10)
+      |    || '```' || chr(10)
+      |    || 'end' AS page
+      |  FROM documents),
+      |t1 AS (SELECT doc_id, page, regexp_replace(page, '(?s)```.*?```', chr(10), 'g') AS x FROM h),
+      |t2 AS (SELECT doc_id, page, regexp_replace(x, '`([^`\n]*)`', '\1', 'g') AS x FROM t1),
+      |t3 AS (SELECT doc_id, page, regexp_replace(x, '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS x FROM t2),
+      |t4 AS (SELECT doc_id, page, regexp_replace(x, '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS x FROM t3),
+      |t5 AS (SELECT doc_id, page, regexp_replace(x, '\[([^\]]*)\]\[[^\]]*\]', '\1', 'g') AS x FROM t4),
+      |t6 AS (SELECT doc_id, page, regexp_replace(x, '(?m)^[ \t]{0,3}#{1,6}[ \t]*', '', 'g') AS x FROM t5),
+      |t7 AS (SELECT doc_id, page, regexp_replace(x, '(?m)^[ \t]*([-*_][ \t]*){3,}$', '', 'g') AS x FROM t6),
+      |t8 AS (SELECT doc_id, page, regexp_replace(x, '(?m)^[ \t]*>[ \t]?', '', 'g') AS x FROM t7),
+      |t9 AS (SELECT doc_id, page, regexp_replace(x, '(?m)^[ \t]*([-*+]|[0-9]+\.)[ \t]+', '', 'g') AS x FROM t8),
+      |t10 AS (SELECT doc_id, page, regexp_replace(x, '\*{1,3}|_{1,3}|~~', '', 'g') AS x FROM t9),
+      |t11 AS (SELECT doc_id, page, regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(x, '[ \t\r\f]+', ' ', 'g'),
+      |    ' ?\n ?', chr(10), 'g'), '\n+', chr(10), 'g'),
+      |    '^[ \n]+|[ \n]+$', '', 'g') AS x FROM t10)
+      |SELECT doc_id, x AS clean_text,
+      |  array_to_string(regexp_extract_all(page, '\[[^\]]*\]\(([^)]*)\)', 1), '|') AS links,
+      |  CAST(len(regexp_extract_all(page, '\[[^\]]*\]\(([^)]*)\)', 1)) AS INT) AS n_links
+      |FROM t11""".stripMargin
+
   /** Dictionary tagging over the documents table (the FlashText / keyword
     * routing pass): which of a fixed phrase list appears in each doc, as a
     * substring — including multi-word phrases, which token-set operators
@@ -2734,6 +2789,7 @@ object DataOps {
     "q_url_dedup"       -> ((qUrlDedup _, Some(qUrlDedupSql))),
     "q_cap_per_host"    -> ((qCapPerHost _, Some(qCapPerHostSql))),
     "q_html_extract"    -> ((qHtmlExtract _, Some(qHtmlExtractSql))),
+    "q_markdown_extract" -> ((qMarkdownExtract _, Some(qMarkdownExtractSql))),
     "q_dict_tag"        -> ((qDictTag _, Some(qDictTagSql))),
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),
     "q_bpe_train"       -> ((qBpeTrain _, None)),

@@ -178,4 +178,33 @@ class WebSpec extends SparkSpec {
         |]""".stripMargin)
     assert(flow.ok.get.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
+
+  test("markdownToText: every rule fires; links extract in order") {
+    val md = Seq(
+      "# Title\n\n> a quote\n\nKeep **bold** _em_ ~~strike~~ words.\n\n" +
+      "- bullet [anchor](https://x.com/a)\n2. num ![alt](https://x.com/i.png)\n\n" +
+      "---\n\n```\ncode **stays out** [l](u)\n```\n\n`kept code` and [r][9] end"
+    ).toDF("md")
+    val out = out1(md.select(graft.operators.Web.markdownToText(col("md"))))
+    assert(out == "Title\na quote\nKeep bold em strike words.\n" +
+      "bullet anchor\nnum alt\nkept code and r end",
+      s"got: <$out>")
+    // links scan the RAW document (fenced code included) — the same
+    // contract as htmlLinks over the raw page
+    val links = md.select(graft.operators.Web.markdownLinks(col("md")))
+      .head().getSeq[String](0)
+    assert(links == Seq("https://x.com/a", "https://x.com/i.png", "u"))
+    // totality
+    val t = Seq[(Option[String], Int)]((None, 0), (Some(""), 1), (Some("plain prose"), 2))
+      .toDF("s", "i")
+      .select(graft.operators.Web.markdownToText(col("s")).as("o"), col("i"))
+      .orderBy("i").collect()
+    assert(t(0).isNullAt(0) && t(1).getString(0) == "" && t(2).getString(0) == "plain prose")
+    // SQL surface
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_markdown_text('# H\\n**b**') AS t").head().getString(0) == "H\nb")
+  }
+
+  private def out1(df: org.apache.spark.sql.DataFrame): String =
+    df.head().getString(0)
 }
