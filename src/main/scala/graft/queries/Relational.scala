@@ -285,6 +285,39 @@ object Relational {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** CUBE: all grouping-set combinations (the rollup sibling — partial
+    * aggregation still map-side; the grouping-set expansion multiplies
+    * rows by 2^dims BEFORE the exchange, a constant factor). */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** PIVOT: per-user event counts widened by event type — Spark's
+    * relational pivot; the oracle states the equivalent conditional
+    * aggregation (one groupBy either way, map-side partials). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Group-wise max (top-1 per group) via row_number — the scalable idiom
     * for "correlated max" subqueries. */
   def qGroupwiseMax(spark: SparkSession, dir: String): DataFrame = {
@@ -418,6 +451,8 @@ object Relational {
     "q_having"            -> ((qHaving _, Some(qHavingSql))),
     "q_agg_stats"         -> ((qAggStats _, Some(qAggStatsSql))),
     "q_rollup"            -> ((qRollup _, Some(qRollupSql))),
+    "q_cube"              -> ((qCube _, Some(qCubeSql))),
+    "q_pivot"             -> ((qPivot _, Some(qPivotSql))),
     "q_groupwise_max"     -> ((qGroupwiseMax _, Some(qGroupwiseMaxSql))),
     "q_percentile"        -> ((qPercentile _, Some(qPercentileSql))),
     "q_order_stats"       -> ((qOrderStats _, Some(qOrderStatsSql))),
