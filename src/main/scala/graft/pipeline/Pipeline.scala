@@ -337,7 +337,11 @@ object Pipeline {
       case "referential" | "ref" =>
         Referential(str("name", "ref"), connector, str("left_on"), str("right_on"), dataType)
       case "generator" | "g" =>
-        Generator(if (node.has("count")) node.get("count").asLong() else 1L, dataType)
+        // reference spells it `size` (examples/generator.rs); accept both
+        Generator(
+          if (node.has("size")) node.get("size").asLong()
+          else if (node.has("count")) node.get("count").asLong()
+          else 1L, dataType)
       case "eraser" | "erase" | "e" => Eraser(connector, dataType)
       case "dedup" => DedupStep(
         method = str("method", "exact"),

@@ -17,4 +17,17 @@ object Bridge {
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     ClassicConversions.castToImpl(spark).sessionState.functionRegistry
+
+  /** Rebuild `df` as a flat scan over its own execution RDD — logical-plan
+    * truncation WITHOUT the Row-conversion round-trip `createDataFrame(df
+    * .rdd, schema)` pays (toRdd yields InternalRows directly). The RDD
+    * lineage is preserved, so eviction recomputes through the original
+    * plan — unlike localCheckpoint, which trades lineage away. Used by
+    * iterative operators whose per-sweep self-composition would otherwise
+    * grow the logical plan exponentially. */
+  def truncatePlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = ClassicConversions.castToImpl(df.sparkSession)
+    classic.internalCreateDataFrame(
+      ClassicConversions.castToImpl(df).queryExecution.toRdd, df.schema)
+  }
 }
