@@ -47,4 +47,36 @@ object AsOfJoin {
     joined.filter(col("__side") === 1)
       .drop((Seq("__t", "__side") ++ payload.map(p => s"__p_$p")): _*)
   }
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` for the same key (the "next event after"
+    * lookup — time-to-next-purchase, next maintenance window, etc.).
+    * Identical union+one-window shape as [[asOf]], scanned in descending
+    * time order; ties on equal timestamps resolve to the right row. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String,
+                  payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumns(payload.map(p => s"__p_$p" -> lit(null).cast(right.schema(p).dataType)).toMap)
+    val rTagged = right.select(
+      (Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        payload.map(p => col(p).as(s"__p_$p"))): _*)
+    val lAligned = lTagged.select(
+      (Seq(col(key), col("__t"), col("__side")) ++
+        payload.map(p => col(s"__p_$p")) ++
+        left.columns.filter(_ != key).map(c => col(c))): _*)
+    val rAligned = left.columns.filter(_ != key)
+      .foldLeft(rTagged)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(lAligned.columns.toIndexedSeq.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = lAligned.unionByName(rAligned)
+      .withColumns(payload.map(p =>
+        s"$prefix$p" -> last(col(s"__p_$p"), ignoreNulls = true).over(w)).toMap)
+    joined.filter(col("__side") === 1)
+      .drop((Seq("__t", "__side") ++ payload.map(p => s"__p_$p")): _*)
+  }
 }

@@ -1443,6 +1443,26 @@ object DataOps {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
+  /** FORWARD as-of: each view paired with the user's NEXT purchase at or
+    * after it ("time-to-conversion" lookup) — same union+window shape,
+    * descending scan; oracle is DuckDB's native forward ASOF (`<=`). */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    AsOfJoin.asOfForward(views, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts", payload = Seq("purchase_id"))
+      .select(col("event_id"), col("asof_purchase_id"))
+  }
+
+  val qAsofForwardSql: String =
+    """SELECT v.event_id, p.event_id AS asof_purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin
+
   /** Salted two-stage aggregation — result must equal the plain groupBy
     * (the oracle IS the plain aggregation), proving the skew-spreading
     * path is correctness-preserving. */
@@ -2770,6 +2790,7 @@ object DataOps {
     "q_chunk_docs"     -> ((qChunkDocs _, Some(qChunkDocsSql))),
     "q_quantize_emb"   -> ((qQuantizeEmb _, Some(qQuantizeEmbSql))),
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
+    "q_asof_forward"   -> ((qAsofForward _, Some(qAsofForwardSql))),
     "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
     "q_stable_ids"     -> ((qStableIds _, Some(qStableIdsSql))),
     "q_sample_per_source" -> ((qSamplePerSource _, Some(qSamplePerSourceSql))),
