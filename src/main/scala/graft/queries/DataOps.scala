@@ -1282,15 +1282,24 @@ object DataOps {
     * missed stage nulls the rest of the chain (x > NULL filters
     * everything), exactly the funnel semantics. */
   def funnelStages(events: DataFrame, userCol: String, tsCol: String,
-                   typeCol: String, stages: Seq[String]): DataFrame = {
+                   typeCol: String, stages: Seq[String],
+                   maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val aggs = stages.zipWithIndex.map { case (s, i) =>
       sort_array(collect_list(when(col(typeCol) === s, col(tsCol)))).as(s"__a$i")
     }
     val g = events.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+    // optional windowed-funnel constraint (the ClickHouse windowFunnel
+    // semantics): each stage must land within maxGap of the PREVIOUS
+    // stage's timestamp — exact integer microsecond comparison
+    def withinGap(x: Column, prev: Column): Column = maxGapSeconds match {
+      case Some(gap) => x > prev &&
+        unix_micros(x) <= unix_micros(prev) + gap * 1000000L
+      case None => x > prev
+    }
     val chain: Seq[Column] = stages.indices.drop(1).scanLeft(
       try_element_at(col("__a0"), lit(1))) { (prev, i) =>
-      array_min(filter(col(s"__a$i"), x => x > prev))
+      array_min(filter(col(s"__a$i"), x => withinGap(x, prev)))
     }
     val depth = stages.indices
       .map(i => when(chain(i).isNotNull, 1).otherwise(0))
@@ -1343,6 +1352,44 @@ object DataOps {
       date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
       col("depth"))
   }
+
+  /** Windowed funnel: the same chain with a 2-hour max gap between
+    * consecutive stages — "purchase within 2h of the click". */
+  def qEventFunnelGap(spark: SparkSession, dir: String): DataFrame = {
+    val f = funnelStages(Tables(spark, dir).events,
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      maxGapSeconds = Some(7200L))
+    f.select(col("user_id"),
+      date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+      date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+      date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+      col("depth"))
+  }
+
+  val qEventFunnelGapSql: String =
+    """WITH s1 AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id),
+      |s2 AS (SELECT s1.user_id, s1.t1,
+      |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+      |             AND epoch_us(e.ts) <= epoch_us(s1.t1) + 7200000000
+      |        THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+      |  GROUP BY s1.user_id, s1.t1),
+      |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+      |             AND epoch_us(e.ts) <= epoch_us(s2.t2) + 7200000000
+      |        THEN e.ts END) AS t3
+      |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+      |  GROUP BY s2.user_id, s2.t1, s2.t2)
+      |SELECT user_id,
+      |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+      |  strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+      |  strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+      |  CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+      |FROM s3""".stripMargin
 
   val qEventFunnelSql: String =
     """WITH s1 AS (SELECT user_id,
@@ -2865,6 +2912,7 @@ object DataOps {
     "q_event_window"   -> ((qEventWindow _, Some(qEventWindowSql))),
     "q_event_funnel"   -> ((qEventFunnel _, Some(qEventFunnelSql))),
     "q_event_retention" -> ((qEventRetention _, Some(qEventRetentionSql))),
+    "q_event_funnel_gap" -> ((qEventFunnelGap _, Some(qEventFunnelGapSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
     "q_stream_dedup"   -> ((qStreamDedup _, Some(qStreamDedupSql))),

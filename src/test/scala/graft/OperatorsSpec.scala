@@ -1089,6 +1089,18 @@ class OperatorsSpec extends SparkSpec {
       "skipping a stage nulls everything after it")
     assert(out(4L).getLong(4) == 1, "same-instant event is not strictly after")
     assert(out(5L).getLong(4) == 0 && out(5L).isNullAt(1))
+    // windowed variant: u1's click is 1h after the view (inside a 2h gap,
+    // outside 30min); the gap re-anchors per stage, not from the start
+    val gapped = graft.queries.DataOps.funnelStages(
+        ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxGapSeconds = Some(1800L))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(gapped(1L) == 1, "30min gap must cut the 1h view->click hop")
+    val gapped2h = graft.queries.DataOps.funnelStages(
+        ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxGapSeconds = Some(7200L))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(gapped2h(1L) == 3, "2h per-hop gap admits 1h hops (gap is per stage)")
   }
 
   test("cohort retention: first-seen week buckets, per-week distinct activity") {
