@@ -94,6 +94,18 @@ class ExamplesSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("upper_word")).toSeq == Seq("HEJ", "HOPP"))
   }
 
+  test("annotate.json attaches quality/lang/diversity columns via SQL fns") {
+    val in = tmp("an-in"); val out = tmp("an-out")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).write.parquet(s"$in/docs.parquet")
+    Pipeline.run(spark, load("annotate.json", in, out))
+    val rows = spark.read.parquet(s"$out/annotated")
+    assert(rows.count() == 50)
+    Seq("lang", "quality", "n_tokens", "diversity", "fp").foreach(c =>
+      assert(rows.filter(col(c).isNull).count() == 0, s"null $c"))
+    assert(rows.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+
   test("psql.json parses; its driver class reaches Spark's JDBC layer") {
     val parsed = Pipeline.parse(load("psql.json", "", tmp("psql")))
     val conn = parsed.steps.collectFirst {
