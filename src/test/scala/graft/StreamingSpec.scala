@@ -147,6 +147,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed heavy-hitters on a stream: MG summary per event-time window") {
+    // trending-terms shape: the bounded Misra-Gries buffer rides inside a
+    // watermarked window aggregation — state per (window) is ≤ k counters
+    // however many events arrive, the only shape that holds on a firehose
+    import org.apache.spark.sql.functions.{col, window, xxhash64}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = Tables(spark, "/root/testdata/sf0.001").events
+      .orderBy(col("ts"), col("event_id"))
+      .as[EventStream.Event].collect().toSeq
+    val input = MemoryStream[EventStream.Event]
+    val q = input.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.plans.Native.misraGries(xxhash64(col("event_type")), 8).as("mg"))
+      .writeStream.format("memory").queryName("mgwin").outputMode("append").start()
+    try {
+      input.addData(ordered)
+      q.processAllAvailable()
+      input.addData(Seq()) // advance watermark bookkeeping
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start AS s, mg FROM mgwin").collect()
+      assert(rows.nonEmpty, "closed windows must emit")
+      // every summary is bounded by k and its counts are positive; with 5
+      // event types and k=8, MG is EXACT — totals must equal window sizes
+      val batch = Tables(spark, "/root/testdata/sf0.001").events
+        .groupBy(window(col("ts"), "6 hours"))
+        .count().select(col("window.start").as("s"), col("count"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      rows.foreach { r =>
+        val mg = r.getSeq[org.apache.spark.sql.Row](1)
+        assert(mg.size <= 8)
+        val total = mg.map(_.getLong(1)).sum
+        assert(batch.get(r.getTimestamp(0)).contains(total),
+          s"window ${r.getTimestamp(0)}: MG total $total != batch count")
+      }
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup collapses cross-batch dups against the index") {
     implicit val sqlCtx = spark.sqlContext
     spark.sql("DROP TABLE IF EXISTS stream_inc_idx")
