@@ -1743,6 +1743,58 @@ object DataOps {
       |    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rn FROM h)
       |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin
 
+  /** Corpus snapshot diff: per doc id, `added` / `removed` / `changed` /
+    * `same` between two corpus versions — the dataset-versioning audit
+    * ("what moved between crawl N and N+1"). ONE full-outer keyed join on
+    * the id; text equality compares 128-bit md5 fingerprints computed in
+    * the scan stage, so the shuffle carries 16 bytes per side, never the
+    * corpus text. */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val a = prev.select(col(idCol).as("__id"), md5(col(textCol).cast("binary")).as("__ha"))
+    val b = cur.select(col(idCol).as("__idb"), md5(col(textCol).cast("binary")).as("__hb"))
+    a.join(b, col("__id") === col("__idb"), "full_outer")
+      .select(coalesce(col("__id"), col("__idb")).as(idCol),
+        when(col("__id").isNull, "added")
+          .when(col("__idb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "same")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Gate derives a second corpus version in-query: every 7th doc edited,
+    * every 5th (non-7th) dropped, and a synthetic block appended. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cur = docs
+      .filter(col("doc_id") % 5 =!= 0 || col("doc_id") % 7 === 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        lit("new doc").as("text"), col("lang"), col("source"), col("n_chars"))
+        .filter(col("doc_id") % 3 === 0))
+    corpusDiff(docs, cur, "doc_id", "text")
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
+  val qCorpusDiffSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 0 OR doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, 'new doc' AS text
+      |  FROM documents WHERE (doc_id + 1000000) % 3 = 0),
+      |d AS (SELECT p.doc_id AS pid, c.doc_id AS cid,
+      |        p.text AS pt, c.text AS ct
+      |      FROM documents p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+      |SELECT CASE WHEN pid IS NULL THEN 'added'
+      |            WHEN cid IS NULL THEN 'removed'
+      |            WHEN md5(pt) = md5(ct) THEN 'same'
+      |            ELSE 'changed' END AS status,
+      |  count(*) AS n
+      |FROM d GROUP BY 1""".stripMargin
+
   /** Token-BUDGET sampling: keep the maximal hash-ordered prefix of each
     * source whose cumulative whitespace-token count stays ≤ `budget` —
     * "give me N tokens per source", the unit a training-data order is
@@ -2842,6 +2894,7 @@ object DataOps {
     "q_stable_ids"     -> ((qStableIds _, Some(qStableIdsSql))),
     "q_sample_per_source" -> ((qSamplePerSource _, Some(qSamplePerSourceSql))),
     "q_token_budget"   -> ((qTokenBudget _, Some(qTokenBudgetSql))),
+    "q_corpus_diff"    -> ((qCorpusDiff _, Some(qCorpusDiffSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),
     "q_contamination_bloom" -> ((qContaminationBloom _, Some(qContaminationSql))),

@@ -1103,6 +1103,14 @@ class OperatorsSpec extends SparkSpec {
     assert(gapped2h(1L) == 3, "2h per-hop gap admits 1h hops (gap is per stage)")
   }
 
+  test("corpus diff: added/removed/changed/same statuses per id") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur  = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")
+    val out = graft.queries.DataOps.corpusDiff(prev, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
   test("cohort retention: first-seen week buckets, per-week distinct activity") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // 2026-01-05 and 2026-01-12 are Mondays (week starts)
