@@ -109,6 +109,37 @@ object ScaleBench {
     spark.read.parquet(s"$outPath/embeddings.parquet").count()
   }
 
+  /** Queries whose only input is the events table (eligible for the
+    * synthetic 10× event stream). */
+  val eventsOnly: Seq[String] = Seq(
+    "q_asof_join", "q_asof_forward", "q_range_join", "q_event_window",
+    "q_event_sliding", "q_event_join", "q_event_funnel", "q_event_funnel_gap",
+    "q_event_retention", "q_sessionize", "q_stream_dedup", "q_pivot")
+
+  /** Replicate sf events `copies`× with fresh event ids and DISJOINT user
+    * spaces per replica: per-user operators (as-of, funnel, sessionize,
+    * retention) see 10× users with unchanged per-user history — exactly
+    * how fresh traffic scales — and time-window aggregates see 10× rows
+    * per window. Timestamps are untouched (a shifted clock would change
+    * window counts, not scale them). */
+  def buildScaledEvents(spark: SparkSession, srcDir: String, outPath: String,
+                        copies: Int): Long = {
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val idStride = 10000000L
+    val userStride = 1000000L
+    val replicas = (0 until copies).map { i =>
+      if (i == 0) ev
+      else ev.select(
+        (col("event_id") + lit(i * idStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    val scaled = replicas.reduce(_.unionByName(_))
+    scaled.repartition(32).write.mode("overwrite").parquet(s"$outPath/events.parquet")
+    spark.read.parquet(s"$outPath/events.parquet").count()
+  }
+
   private def bestOf(runs: Int)(body: => Unit): Double =
     (0 until runs).map { _ =>
       val t0 = System.nanoTime()
@@ -161,8 +192,10 @@ object ScaleBench {
     val scaleDir = "target/scale10x"
     val nScaled = buildScaledDocs(spark, "/root/testdata/sf0.1", scaleDir, copies = 10)
     val nScaledEmb = buildScaledEmb(spark, "/root/testdata/sf0.1", scaleDir, copies = 10)
-    System.err.println(s"scaled corpus: $nScaled docs, $nScaledEmb embeddings at $scaleDir")
-    val x10: Map[String, (Double, Double)] = (docOnly ++ embOnly).map { name =>
+    val nScaledEv = buildScaledEvents(spark, "/root/testdata/sf0.1", scaleDir, copies = 10)
+    System.err.println(
+      s"scaled corpus: $nScaled docs, $nScaledEmb embeddings, $nScaledEv events at $scaleDir")
+    val x10: Map[String, (Double, Double)] = (docOnly ++ embOnly ++ eventsOnly).map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = sfTimes(name)("0.1")
       val t10 = try bestOf(runs)(materialize(fn(spark, scaleDir)))
@@ -191,7 +224,7 @@ object ScaleBench {
       val slope = if (t2 > 0 && t3 > 0) math.log10(t3 / t2) else Double.NaN
       s""""$n":{$m,"slope_tail":${if (slope.isNaN) "null" else fmt(slope)}}"""
     }.mkString("{", ",", "}")
-    val x10Names = docOnly ++ embOnly :+ "q_semdedup"
+    val x10Names = docOnly ++ embOnly ++ eventsOnly :+ "q_semdedup"
     val x10Json = x10Names.map { n =>
       val (t1, t10) = x10(n)
       val ratio = if (t1 > 0 && t10 > 0) t10 / t1 else Double.NaN
@@ -199,7 +232,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"scale_trend","unit":"sec","runs":$runs,"cpus":$cpus,
-         |"scaled_docs":$nScaled,"scaled_emb":$nScaledEmb,"sf_times":$sfJson,"x10":$x10Json}""".stripMargin.replace("\n", "")
+         |"scaled_docs":$nScaled,"scaled_emb":$nScaledEmb,"scaled_events":$nScaledEv,"sf_times":$sfJson,"x10":$x10Json}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stdout: just the headline + any flagged query
