@@ -318,6 +318,46 @@ object Relational {
       |  count(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** INTERSECT (set semantics): nations that appear both as customer and
+    * supplier home nations — Spark plans a left-semi over distincts. */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+  }
+
+  val qIntersectSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  /** EXCEPT (set semantics): customer nations with no supplier. */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .except(t.supplier.select(col("s_nationkey").as("nationkey")))
+  }
+
+  val qExceptSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-status totals, per-priority totals, and the grand total, without
+    * the cross combinations cube would add. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
   /** Group-wise max (top-1 per group) via row_number — the scalable idiom
     * for "correlated max" subqueries. */
   def qGroupwiseMax(spark: SparkSession, dir: String): DataFrame = {
@@ -453,6 +493,9 @@ object Relational {
     "q_rollup"            -> ((qRollup _, Some(qRollupSql))),
     "q_cube"              -> ((qCube _, Some(qCubeSql))),
     "q_pivot"             -> ((qPivot _, Some(qPivotSql))),
+    "q_intersect"         -> ((qIntersect _, Some(qIntersectSql))),
+    "q_except"            -> ((qExcept _, Some(qExceptSql))),
+    "q_grouping_sets"     -> ((qGroupingSets _, Some(qGroupingSetsSql))),
     "q_groupwise_max"     -> ((qGroupwiseMax _, Some(qGroupwiseMaxSql))),
     "q_percentile"        -> ((qPercentile _, Some(qPercentileSql))),
     "q_order_stats"       -> ((qOrderStats _, Some(qOrderStatsSql))),
