@@ -318,6 +318,33 @@ object Relational {
       |  count(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** UNPIVOT (melt — the pivot dual): per-user wide event counts back to
+    * long (user_id, event_type, n) form, dropping the zero-filled cells
+    * the pivot manufactured. Map-side row expansion, no shuffle beyond
+    * the pivot's own aggregation. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir)
+      .unpivot(Array(col("user_id")),
+        Array(col("view"), col("click"), col("purchase"), col("signup"), col("error")),
+        "event_type", "n")
+      .filter(col("n") > 0)
+
+  val qUnpivotSql: String =
+    """WITH p AS (SELECT user_id,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id)
+      |SELECT user_id, event_type, n FROM (
+      |  SELECT user_id, 'view' AS event_type, view AS n FROM p
+      |  UNION ALL SELECT user_id, 'click', click FROM p
+      |  UNION ALL SELECT user_id, 'purchase', purchase FROM p
+      |  UNION ALL SELECT user_id, 'signup', signup FROM p
+      |  UNION ALL SELECT user_id, 'error', error FROM p)
+      |WHERE n > 0""".stripMargin
+
   /** INTERSECT (set semantics): nations that appear both as customer and
     * supplier home nations — Spark plans a left-semi over distincts. */
   def qIntersect(spark: SparkSession, dir: String): DataFrame = {
@@ -494,6 +521,7 @@ object Relational {
     "q_cube"              -> ((qCube _, Some(qCubeSql))),
     "q_pivot"             -> ((qPivot _, Some(qPivotSql))),
     "q_intersect"         -> ((qIntersect _, Some(qIntersectSql))),
+    "q_unpivot"           -> ((qUnpivot _, Some(qUnpivotSql))),
     "q_except"            -> ((qExcept _, Some(qExceptSql))),
     "q_grouping_sets"     -> ((qGroupingSets _, Some(qGroupingSetsSql))),
     "q_groupwise_max"     -> ((qGroupwiseMax _, Some(qGroupwiseMaxSql))),
