@@ -1309,6 +1309,33 @@ object DataOps {
       depth.as("depth"): _*)
   }
 
+  /** Time-weighted average value per user (TWAP — the time-series
+    * summary where a value "holds" until the next observation): Σ vᵢ·Δtᵢ
+    * / Σ Δtᵢ over each user's ordered intervals. One user-partitioned
+    * lead() window (per-entity partitions — never global) + one groupBy;
+    * the denominator is an exact integer-microsecond sum, the weighted
+    * numerator follows the rounded-double-aggregate gate discipline. */
+  def qEventTwap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("__nts", lead(col("ts"), 1).over(w))
+      .filter(col("__nts").isNotNull)
+      .withColumn("__dt", unix_micros(col("__nts")) - unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value") * col("__dt")) / sum(col("__dt")), 2).as("twap"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  val qEventTwapSql: String =
+    """WITH o AS (SELECT user_id, ts, value,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      |  FROM events)
+      |SELECT user_id,
+      |  round(sum(value * (epoch_us(nts) - epoch_us(ts))) /
+      |        sum(epoch_us(nts) - epoch_us(ts)), 2) AS twap,
+      |  count(*) AS n_intervals
+      |FROM o WHERE nts IS NOT NULL GROUP BY user_id""".stripMargin
+
   /** Cohort retention: users grouped by first-seen week; for each
     * (cohort, week-offset) the number of cohort members active that week
     * — the other classic product-analytics matrix. Two keyed shuffles
@@ -2966,6 +2993,7 @@ object DataOps {
     "q_event_funnel"   -> ((qEventFunnel _, Some(qEventFunnelSql))),
     "q_event_retention" -> ((qEventRetention _, Some(qEventRetentionSql))),
     "q_event_funnel_gap" -> ((qEventFunnelGap _, Some(qEventFunnelGapSql))),
+    "q_event_twap"     -> ((qEventTwap _, Some(qEventTwapSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
     "q_stream_dedup"   -> ((qStreamDedup _, Some(qStreamDedupSql))),
