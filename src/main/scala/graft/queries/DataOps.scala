@@ -1309,6 +1309,50 @@ object DataOps {
       depth.as("depth"): _*)
   }
 
+  /** Week-over-week growth per event type: weekly counts with the prior
+    * week's count and the delta alongside — lag() runs over the already-
+    * AGGREGATED weekly frame (cardinality = types × weeks, never the
+    * event stream), so the window is trivially partitioned. */
+  def qEventWow(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables(spark, dir).events
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n"), col("prev_n"), (col("n") - col("prev_n")).as("delta"))
+  }
+
+  val qEventWowSql: String =
+    """WITH w AS (SELECT event_type, date_trunc('week', ts) AS week,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, strftime(week, '%Y-%m-%d') AS week, n,
+      |  lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+      |  n - lag(n) OVER (PARTITION BY event_type ORDER BY week) AS delta
+      |FROM w""".stripMargin
+
+  /** Behavioral transition matrix: counts of consecutive (prev_type →
+    * type) pairs within each user's event-time-ordered stream — the
+    * Markov-chain summary behind "what do users do after X". One
+    * user-partitioned lag() window + one small groupBy on the pair. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH o AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, count(*) AS n
+      |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   /** Time-weighted average value per user (TWAP — the time-series
     * summary where a value "holds" until the next observation): Σ vᵢ·Δtᵢ
     * / Σ Δtᵢ over each user's ordered intervals. One user-partitioned
@@ -2994,6 +3038,8 @@ object DataOps {
     "q_event_retention" -> ((qEventRetention _, Some(qEventRetentionSql))),
     "q_event_funnel_gap" -> ((qEventFunnelGap _, Some(qEventFunnelGapSql))),
     "q_event_twap"     -> ((qEventTwap _, Some(qEventTwapSql))),
+    "q_event_wow"      -> ((qEventWow _, Some(qEventWowSql))),
+    "q_event_transitions" -> ((qEventTransitions _, Some(qEventTransitionsSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
     "q_stream_dedup"   -> ((qStreamDedup _, Some(qStreamDedupSql))),
