@@ -1309,6 +1309,40 @@ object DataOps {
       depth.as("depth"): _*)
   }
 
+  /** Per-source corpus report card (the "dataset datasheet" summary a
+    * curation run ends with): doc and token counts, char mass, mean
+    * quality, distinct languages — one groupBy over scan-stage signals;
+    * the mean quality is a rounded double aggregate over the engineered
+    * IEEE score shape, the integer columns are exact. */
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("__tok"),
+        length(col("text")).cast("bigint").as("__len"),
+        TextAnalysis.qualityScore(col("text")).as("__q"),
+        col("lang"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(col("__len")).as("n_chars"),
+        round(sum(col("__q")) / count(lit(1)), 4).as("mean_quality"),
+        countDistinct(col("lang")).as("n_langs"))
+
+  val qCorpusReportSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  sum(len(string_split(text, ' '))) AS n_tokens,
+      |  sum(length(text)) AS n_chars,
+      |  round(sum(
+      |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      |    + (CASE WHEN (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+      |        THEN 1.0 ELSE 0.5 END) * 0.3
+      |    + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
+      |         greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3
+      |  ) / count(*), 4) AS mean_quality,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Week-over-week growth per event type: weekly counts with the prior
     * week's count and the delta alongside — lag() runs over the already-
     * AGGREGATED weekly frame (cardinality = types × weeks, never the
@@ -3039,6 +3073,7 @@ object DataOps {
     "q_event_funnel_gap" -> ((qEventFunnelGap _, Some(qEventFunnelGapSql))),
     "q_event_twap"     -> ((qEventTwap _, Some(qEventTwapSql))),
     "q_event_wow"      -> ((qEventWow _, Some(qEventWowSql))),
+    "q_corpus_report"  -> ((qCorpusReport _, Some(qCorpusReportSql))),
     "q_event_transitions" -> ((qEventTransitions _, Some(qEventTransitionsSql))),
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
