@@ -48,6 +48,30 @@ object AsOfJoin {
       .drop((Seq("__t", "__side") ++ payload.map(p => s"__p_$p")): _*)
   }
 
+  /** As-of join with a MAX-GAP tolerance (pandas `merge_asof(tolerance=…)`
+    * semantics): the nearest prior right row is matched as in [[asOf]], but
+    * when that match is older than `toleranceMicros` the payload columns are
+    * null — a stale quote/sensor reading must not attach to a trade/event
+    * hours later. Only the NEAREST right row is ever considered; an older
+    * in-tolerance row never substitutes for an out-of-tolerance nearest one.
+    * Same single union+window shuffle as [[asOf]] — the matched right time
+    * rides along as one extra propagated column and the gap test is a
+    * map-stage expression after the window. */
+  def asOfTolerance(left: DataFrame, right: DataFrame, key: String,
+                    leftTime: String, rightTime: String,
+                    payload: Seq[String], toleranceMicros: Long,
+                    prefix: String = "asof_"): DataFrame = {
+    val matchT = s"__matched_$rightTime"
+    val rWithT = right.withColumn(matchT, col(rightTime))
+    val joined = asOf(left, rWithT, key, leftTime, rightTime,
+      payload :+ matchT, prefix)
+    val gapOk = col(s"$prefix$matchT").isNotNull &&
+      unix_micros(col(leftTime)) - unix_micros(col(s"$prefix$matchT")) <= toleranceMicros
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"$prefix$p", when(gapOk, col(s"$prefix$p")))
+    }.drop(s"$prefix$matchT")
+  }
+
   /** FORWARD as-of: for each left row, the EARLIEST right row with
     * `rightTime >= leftTime` for the same key (the "next event after"
     * lookup — time-to-next-purchase, next maintenance window, etc.).

@@ -277,4 +277,31 @@ object Curation {
       .join(broadcast(lr), "b")
       .groupBy(col("doc_id")).agg(sum(col("lr")).as("logw"))
   }
+
+  /** Per-group z-score standardization of an INTEGRAL signal — the step
+    * before combining heterogeneous quality signals (token counts, scores)
+    * across sources whose raw scales differ. Exactness discipline: the
+    * naive (x−μ)/σ runs through order-dependent double sums; here the
+    * moments are EXACT longs (n, S1=Σx, S2=Σx²) from one map-side-combined
+    * groupBy, and z = (n·x − S1) / sqrt(n·S2 − S1²) — algebraically equal
+    * to (x−μ)/σ_pop but a two-op IEEE chain over exactly-representable
+    * integers, so cross-engine bit parity holds. Stats broadcast back
+    * (groups are cluster-metadata-sized); the z itself is map-stage.
+    * Degenerate groups (single row or constant signal) get null. Overflow
+    * note: n·S2 must fit a long — at 100 TB with x ≈ 10⁴ tokens and
+    * 10¹² rows per group, route `value` through a pre-scaled bucket or
+    * DECIMAL(38) sums; at any per-group n·x² < 2⁶³ the longs are exact. */
+  def zscorePerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                     out: String = "z"): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(v).as("__s1"),
+      sum(v * v).as("__s2"))
+    val num = (col("__n") * v - col("__s1")).cast("double")
+    val den = sqrt((col("__n") * col("__s2") - col("__s1") * col("__s1")).cast("double"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn(out, when(den > lit(0.0), num / den))
+      .drop("__n", "__s1", "__s2")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, Similarity, Skew, TextAnalysis, Web}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, FuzzyJoin, Similarity, Skew, TextAnalysis, Web}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,6 +18,26 @@ object DataOps {
 
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir).documents, col("doc_id"), col("text"))
+
+  /** Edit-distance-1 similarity self-join on supplier names
+    * ([[graft.operators.FuzzyJoin]] — FastSS deletion-neighborhood
+    * blocking). The oracle is the NAIVE all-pairs cross-filter, so a green
+    * row proves the blocked equi-join plan recalls every pair (the
+    * deletion-neighborhood completeness theorem at d=1) — on name-shaped
+    * data where the maxBucket skew cap is non-binding (bucket sizes ≈
+    * digit-neighborhood density ≈ 12; the binding-cap behavior is
+    * spec-gated on a fixture). */
+  def qEditdistJoin(spark: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.editDistancePairs(
+      Tables(spark, dir).supplier, "s_suppkey", "s_name")
+
+  val qEditdistJoinSql: String =
+    """WITH s AS (SELECT s_name AS nm, min(s_suppkey) AS id
+      |           FROM supplier GROUP BY 1)
+      |SELECT a.id AS id_a, b.id AS id_b, a.nm AS s_a, b.nm AS s_b,
+      |       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+      |FROM s a JOIN s b ON a.id < b.id
+      |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin
 
   val qDedupExactSql: String =
     """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
@@ -1615,6 +1635,63 @@ object DataOps {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin
 
+  /** As-of with tolerance (pandas merge_asof `tolerance` semantics): each
+    * purchase attaches the user's most recent view, but only when that view
+    * is at most 1 hour old — a session-attribution rule (an overnight-stale
+    * view must not claim the conversion). Oracle = native ASOF join + the
+    * same integer-microsecond gap test. */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    AsOfJoin.asOfTolerance(purchases, views, key = "user_id",
+        leftTime = "ts", rightTime = "ts", payload = Seq("view_id"),
+        toleranceMicros = 3600L * 1000000L)
+      .select(col("event_id"), col("asof_view_id"))
+  }
+
+  val qAsofToleranceSql: String =
+    """SELECT p.event_id,
+      |  CASE WHEN v.ts IS NOT NULL
+      |         AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+      |       THEN v.event_id END AS asof_view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
+
+  /** Trailing time-RANGE window aggregate: per event, the count and exact
+    * cent-sum of the same user's events in the trailing hour (rate limiting,
+    * rolling spend, burst detection). RANGE frames include all timestamp
+    * peers, so the result is order-independent; the sum travels as
+    * floor(value·100) longs (IEEE-exact multiply + floor) and the rolling
+    * mean is derived by one fixed division chain — bit-exact cross-engine
+    * where a double running sum would be association-order-dependent. */
+  def qRollingRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+      .withColumn("__tm", unix_micros(col("ts")))
+      .withColumn("__cents", floor(col("value") * lit(100.0)).cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__tm"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    e.select(col("event_id"),
+        count(lit(1)).over(w).as("trail_n"),
+        sum(col("__cents")).over(w).as("trail_cents"))
+      .withColumn("trail_avg",
+        (col("trail_cents").cast("double") / col("trail_n").cast("double")) / lit(100.0))
+  }
+
+  val qRollingRangeSql: String =
+    """SELECT event_id,
+      |  count(*) OVER w AS trail_n,
+      |  sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS trail_cents,
+      |  (CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS DOUBLE)
+      |     / CAST(count(*) OVER w AS DOUBLE)) / 100.0 AS trail_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Salted two-stage aggregation — result must equal the plain groupBy
     * (the oracle IS the plain aggregation), proving the skew-spreading
     * path is correctness-preserving. */
@@ -2839,6 +2916,34 @@ object DataOps {
   }
 
   /** The all-integer gate flavor: source, n_docs, n_tokens, p50_x2, p95_x20. */
+  /** Per-source z-score normalization of the token-count signal
+    * ([[graft.operators.Curation.zscorePerGroup]]): the cross-source
+    * calibration step before signals combine into one keep/drop score.
+    * Oracle restates the exact-integer-moment algebra
+    * z = (n·x − S1)/sqrt(n·S2 − S1²) — no double accumulation anywhere,
+    * so the doubles are bit-exact cross-engine. */
+  def qZscoreNorm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_n"))
+    Curation.zscorePerGroup(docs, "source", "tok_n")
+      .select(col("doc_id"), col("source"), col("tok_n"), col("z"))
+  }
+
+  val qZscoreNormSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+      |           FROM documents),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(tok_n) AS BIGINT) AS s1,
+      |             CAST(sum(tok_n * tok_n) AS BIGINT) AS s2
+      |      FROM d GROUP BY 1)
+      |SELECT d.doc_id, d.source, d.tok_n,
+      |  CASE WHEN sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) > 0.0
+      |       THEN CAST(s.n * d.tok_n - s.s1 AS DOUBLE)
+      |            / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) END AS z
+      |FROM d JOIN s USING (source)""".stripMargin
+
   def qTokenStats(spark: SparkSession, dir: String): DataFrame =
     tokenStatsCore(spark, dir)
 
@@ -2995,6 +3100,8 @@ object DataOps {
     "q_quantize_emb"   -> ((qQuantizeEmb _, Some(qQuantizeEmbSql))),
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_forward"   -> ((qAsofForward _, Some(qAsofForwardSql))),
+    "q_asof_tolerance" -> ((qAsofTolerance _, Some(qAsofToleranceSql))),
+    "q_rolling_range"  -> ((qRollingRange _, Some(qRollingRangeSql))),
     "q_pack_sequences" -> ((qPackSequences _, Some(qPackSequencesSql))),
     "q_stable_ids"     -> ((qStableIds _, Some(qStableIdsSql))),
     "q_sample_per_source" -> ((qSamplePerSource _, Some(qSamplePerSourceSql))),
@@ -3020,11 +3127,13 @@ object DataOps {
     "q_bpe_pairs"       -> ((qBpePairs _, Some(qBpePairsSql))),
     "q_bpe_train"       -> ((qBpeTrain _, None)),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
+    "q_zscore_norm"    -> ((qZscoreNorm _, Some(qZscoreNormSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
+    "q_editdist_join"  -> ((qEditdistJoin _, Some(qEditdistJoinSql))),
     "q_dedup_incremental" -> ((qDedupIncremental _, Some(qDedupIncrementalSql))),
     "q_dedup_minhash_inc" -> ((qDedupMinhashInc _, Some(qDedupMinhashIncSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),

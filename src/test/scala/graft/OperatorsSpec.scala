@@ -520,6 +520,76 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == 200L)  // equal timestamp counts
   }
 
+  test("asof tolerance nulls a stale nearest match, never substitutes an older one") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, 10L, t(30)), (2L, 10L, t(21)), (3L, 20L, t(50))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, t(0), 100L), (10L, t(20), 101L), (20L, t(10), 200L))
+      .toDF("user_id", "ts", "view_id")
+    val out = AsOfJoin.asOfTolerance(left, right, "user_id", "ts", "ts",
+        Seq("view_id"), toleranceMicros = 10L * 60L * 1000000L) // 10 min
+      .select("event_id", "asof_view_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) == 101L)  // 10 min gap: exactly at tolerance, inclusive
+    assert(out(2L) == 101L)  // 1 min gap
+    // user 20: nearest is 40 min stale -> null; the in-tolerance-of-nothing
+    // older row must NOT be consulted (nearest-only semantics)
+    assert(out(3L) == -1L)
+    // left row count preserved (it is still a left join)
+    assert(AsOfJoin.asOfTolerance(left, right, "user_id", "ts", "ts",
+      Seq("view_id"), toleranceMicros = 1L).count() == 3)
+  }
+
+  test("zscore per group: exact integer moments, degenerate groups null") {
+    val df = Seq((1L, "a", 2L), (2L, "a", 4L), (3L, "a", 6L),
+                 (4L, "b", 5L), (5L, "b", 5L), (6L, "c", 9L)).toDF("id", "g", "x")
+    val out = Curation.zscorePerGroup(df, "g", "x").select("id", "z").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    // group a: n=3 S1=12 S2=56; z = (3x-12)/sqrt(3*56-144) = (3x-12)/sqrt(24)
+    assert(math.abs(out(1L) - (-6.0 / math.sqrt(24.0))) == 0.0)
+    assert(out(2L) == 0.0)
+    assert(math.abs(out(3L) - (6.0 / math.sqrt(24.0))) == 0.0)
+    assert(out(4L).isNaN && out(5L).isNaN, "constant group has no scale")
+    assert(out(6L).isNaN, "singleton group has no scale")
+  }
+
+  test("edit-distance join: blocked pairs equal the naive cross-filter") {
+    // every edit class: substitution (cat/cut), deletion (cat/at),
+    // insertion (cat/cart), identity collapse (two "dog"s), far pair (bird)
+    val df = Seq((1L, "cat"), (2L, "cut"), (3L, "at"), (4L, "cart"),
+                 (5L, "dog"), (6L, "dog"), (7L, "bird"), (8L, ""), (9L, "a"))
+      .toDF("id", "s")
+    val got = FuzzyJoin.editDistancePairs(df, "id", "s")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reps = df.groupBy(col("s")).agg(min(col("id")).as("id"))
+    val naive = reps.as("a").join(reps.as("b"),
+        col("a.id") < col("b.id") &&
+          levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((1L, 4L)))
+    assert(got.contains((8L, 9L)), "empty string is within 1 of any single char")
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+    assert(!got.contains((5L, 6L)), "exact dups collapse, not pair")
+  }
+
+  test("edit-distance join: maxBucket caps a degenerate bucket by smallest id") {
+    // 10 single-char strings all share the deletion variant "" — with
+    // maxBucket=4 only the 4 smallest ids can pair through that bucket
+    val df = (0 until 10).map(i => (i.toLong, ('a' + i).toChar.toString)).toDF("id", "s")
+    val got = FuzzyJoin.editDistancePairs(df, "id", "s", maxBucket = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("edit-distance join plans equi-joins only: no cartesian, no nested loop") {
+    val df = Seq((1L, "cat"), (2L, "cut")).toDF("id", "s")
+    val plan = FuzzyJoin.editDistancePairs(df, "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in fuzzy join plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in fuzzy join plan")
+  }
+
   test("salted join equals plain join") {
     val big = Seq((1, "a", 10.0), (1, "b", 20.0), (2, "c", 30.0)).toDF("k", "u", "v")
     val small = Seq((1, "one"), (2, "two")).toDF("k", "label")
