@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph propagation (PageRank) in EXACT fixed-point integer
+  * arithmetic — authority/centrality scoring over entity graphs (host link
+  * graphs for crawl prioritization, customer–supplier interaction graphs).
+  *
+  * Why integer: float PageRank sums contributions in shuffle order, so no
+  * two runs (or engines) agree bit-for-bit. Here ranks are longs at a
+  * fixed scale; each step is rank div outdeg → exact long sum → damped
+  * integer recombine — every op exact, so the result is REPRODUCIBLE
+  * across partitionings, retries, and engines (the same determinism
+  * discipline as the dedup family's md5 keys). Precision: div truncation
+  * loses < outdeg ulps per node per step at scale 10⁶ — ranking-order
+  * noise far below 1 ppm per iteration.
+  *
+  * Scale shape: the classic Pregel loop — per iteration ONE shuffle
+  * keying ranks by src (the edge join) and ONE re-aggregation by dst.
+  * Edges are the big side and never change: pre-partition (or bucket) the
+  * edge table on src once and the per-iteration exchange moves only the
+  * nodes-sized rank frame. Dangling mass is handled by construction here
+  * (callers pass symmetric edges) or leaks to teleport as in the original
+  * formulation — documented per call site.
+  */
+object Graph {
+
+  /** `iterations` damped PageRank steps over `edges(src: long, dst: long)`.
+    * Returns (id, rank) for every node appearing in the edge list.
+    * rank₀ = scale; rankᵢ₊₁ = (15·scale) div 100 + (85 · Σ_{(s→id)} (rankᵢ(s)
+    * div outdeg(s))) div 100 — the standard d=0.85 update in longs. */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("id")).distinct()
+    val teleport = (15L * scale) / 100L
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 0 until iterations) {
+      // `div` is true integer division (not double-divide-then-truncate,
+      // which goes inexact past 2^53)
+      val contribs = ranks.join(deg, ranks("id") === deg("src"))
+        .select(col("id").as("csrc"), expr("rank div deg").as("contrib"))
+      val incoming = e.join(contribs, e("src") === col("csrc"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
+      ranks = nodes.join(incoming, nodes("id") === incoming("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + expr(s"(85 * coalesce(acc, 0L)) div 100"))
+            .as("rank"))
+    }
+    ranks
+  }
+}

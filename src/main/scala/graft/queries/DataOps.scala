@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, FuzzyJoin, Similarity, Skew, TextAnalysis, Web}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, FuzzyJoin, Graph, Similarity, Skew, TextAnalysis, Web}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2944,6 +2944,40 @@ object DataOps {
       |            / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) END AS z
       |FROM d JOIN s USING (source)""".stripMargin
 
+  /** Integer fixed-point PageRank ([[graft.operators.Graph.pageRank]])
+    * over the symmetric customer↔supplier interaction graph (an edge per
+    * distinct trading pair) — entity-authority scoring with EXACT longs,
+    * so 5 Pregel iterations replay bit-identically in the oracle's five
+    * unrolled CTES. Node ids: customer → 2k, supplier → 2k+1. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pageRank(edges, iterations = 5)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("rank"))
+  }
+
+  val qPagerankSql: String = {
+    val step = (i: Int, prev: Int) =>
+      s"""r$i AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (SELECT e.dst AS id, sum(r.rank // d.deg) AS acc
+         |    FROM r$prev r JOIN d ON r.id = d.src JOIN e ON e.src = r.id
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+       |${(1 to 5).map(i => step(i, i - 1)).mkString(",\n")}
+       |SELECT id % 2 AS kind, id // 2 AS key, rank FROM r5""".stripMargin
+  }
+
   def qTokenStats(spark: SparkSession, dir: String): DataFrame =
     tokenStatsCore(spark, dir)
 
@@ -3128,6 +3162,7 @@ object DataOps {
     "q_bpe_train"       -> ((qBpeTrain _, None)),
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_zscore_norm"    -> ((qZscoreNorm _, Some(qZscoreNormSql))),
+    "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),

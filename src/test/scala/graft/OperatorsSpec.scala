@@ -552,6 +552,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L).isNaN, "singleton group has no scale")
   }
 
+  test("pagerank: exact integer ranks, hub outranks leaves, repartition-stable") {
+    // star: 1 is hub to 2,3,4 (symmetric); 5-6 an isolated dumbbell
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L), "hub must outrank a leaf")
+    assert(r(2L) == r(3L) && r(3L) == r(4L), "symmetric leaves tie exactly")
+    assert(r(5L) == r(6L), "symmetric pair ties exactly")
+    // hand-rolled fixed point for the dumbbell: deg=1 both sides, so each
+    // step is rank' = 150000 + (85*rank) div 100; 5 steps from 1000000
+    val expect56 = (0 until 5).foldLeft(1000000L)((rk, _) => 150000L + (85L * rk) / 100L)
+    assert(r(5L) == expect56, "integer chain must replay exactly")
+    val r2 = Graph.pageRank(edges.repartition(7), iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == r, "partitioning must not change a single ulp")
+  }
+
   test("edit-distance join: blocked pairs equal the naive cross-filter") {
     // every edit class: substitution (cat/cut), deletion (cat/at),
     // insertion (cat/cart), identity collapse (two "dog"s), far pair (bird)
