@@ -304,4 +304,26 @@ object Curation {
       .withColumn(out, when(den > lit(0.0), num / den))
       .drop("__n", "__s1", "__s2")
   }
+
+  /** Per-group Pearson correlation between two INTEGRAL signals with
+    * EXACT moments — "do my quality signals measure the same thing?" is
+    * the question before combining them, and `corr()` answers it with an
+    * order-dependent double accumulation. Here one map-side-combined
+    * groupBy gathers n, Σx, Σy, Σx², Σy², Σxy as exact longs and
+    * r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+    * is a fixed four-op IEEE chain — bit-reproducible anywhere. Degenerate
+    * (constant-signal) groups null. Long-overflow bound: per group
+    * n·Σ|x·y| < 2⁶³. */
+  def pearsonExact(df: DataFrame, groupCol: String,
+                   xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    m.select(col(groupCol), col("n"),
+      when(den > lit(0.0), num / den).as("corr"))
+  }
 }

@@ -178,4 +178,46 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(k.toLong) > lit(n))
   }
+
+  /** Top-k DISTINCTIVE terms per group by chi-squared over-representation
+    * — "what vocabulary sets this source apart" (corpus drift detection,
+    * per-source fingerprinting; the log-free cousin of PMI keyword
+    * extraction, chosen because χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is
+    * a fixed rational IEEE chain over exact long counts where PMI's log
+    * is not bit-portable).
+    *
+    * Shape: one (group, term) count shuffle; term totals join on term;
+    * group totals and the scalar n broadcast; χ² is map-stage; ranking is
+    * [[graft.plans.TopKByScoreStr]] — a bounded k-entry heap per group
+    * with map-side partials, so a 10⁹-term vocabulary never funnels
+    * through a per-group sort. Only over-represented terms (ad > bc)
+    * rank; ties break term-ascending (ASCII ≡ UTF8 binary order).
+    * Long-overflow bound: a·d < 2⁶³ per (group, term) — beyond ~3·10⁹
+    * tokens route the counts through DECIMAL(38). */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int = 5): DataFrame = {
+    val s = docs.select(col(groupCol).as("g"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val a = s.groupBy(col("g"), col("term")).agg(count(lit(1)).as("a"))
+    val tTot = a.groupBy(col("term")).agg(sum(col("a")).as("t"))
+    val gTot = a.groupBy(col("g")).agg(sum(col("a")).as("s"))
+    val nTot = gTot.agg(sum(col("s")).as("n"))
+    val scored = a.join(tTot, "term")
+      .join(broadcast(gTot), "g")
+      .crossJoin(broadcast(nTot))
+      .withColumn("diff",
+        (col("a") * (col("n") - col("t") - col("s") + col("a"))
+          - (col("t") - col("a")) * (col("s") - col("a"))).cast("double"))
+      .filter(col("diff") > 0)
+      .withColumn("chi2",
+        (col("n").cast("double") * (col("diff") * col("diff"))) /
+          ((col("t").cast("double") * (col("n") - col("t")).cast("double")) *
+            (col("s").cast("double") * (col("n") - col("s")).cast("double"))))
+      .filter(col("chi2").isNotNull)
+    scored.groupBy(col("g"))
+      .agg(graft.plans.Native.topKByScoreStr(col("chi2"), col("term"), k).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("g").as(groupCol), (col("i") + 1).cast("long").as("rnk"),
+        col("e.term").as("term"), col("e.score").as("chi2"))
+  }
 }

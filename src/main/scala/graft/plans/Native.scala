@@ -42,6 +42,12 @@ object Native {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     toCol(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 
+  /** Aggregate: best-k (score, string payload) pairs by (score DESC,
+    * payload ASC) — the string-keyed [[topKByScore]] (distinctive terms,
+    * top docs) with the same map-side bounded heap. */
+  def topKByScoreStr(score: Column, payload: Column, k: Int): Column =
+    toCol(TopKByScoreStr(toExpr(score), toExpr(payload), k).toAggregateExpression())
+
   /** Aggregate: the k SMALLEST (key, payload) pairs by key, as a bounded
     * k-entry heap — the LSH bucket cap with the bound inside the buffer. */
   def minKByKey(key: Column, payload: Column, k: Int): Column =

@@ -247,6 +247,105 @@ case class TopKByScore(left: Expression, right: Expression, k: Int,
     copy(left = newLeft, right = newRight)
 }
 
+/** Best-k (score, string-payload) pairs by (score DESC, payload ASC) as a
+  * bounded heap — the [[TopKByScore]] sibling for string-keyed rankings
+  * (distinctive terms per source, top documents by score) where hashing
+  * the payload to a long would make the tie-break irreproducible in SQL.
+  * Payload ties order by UTF8String binary comparison ≡ lexicographic for
+  * ASCII (the tokenizer's output) — the oracle's ORDER BY score DESC,
+  * payload ASC replays it exactly. Partial buffers trim to k map-side, so
+  * a vocabulary-sized grouping never funnels through a per-group sort.
+  */
+case class TopKByScoreStr(left: Expression, right: Expression, k: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, org.apache.spark.unsafe.types.UTF8String)]]
+    with BinaryLike[Expression] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  private type Entry = (Double, org.apache.spark.unsafe.types.UTF8String)
+
+  private def score: Expression = left
+  private def payload: Expression = right
+
+  // dequeue yields the WORST kept pair: lowest score, then largest payload
+  private val worstFirst: Ordering[Entry] = new Ordering[Entry] {
+    override def compare(x: Entry, y: Entry): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else x._2.compareTo(y._2)
+    }
+  }
+
+  override def prettyName: String = "graft_top_k_str"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[Entry] =
+    scala.collection.mutable.PriorityQueue.empty(worstFirst)
+
+  private def push(buf: scala.collection.mutable.PriorityQueue[Entry], e: Entry): Unit = {
+    if (buf.size < k) buf.enqueue(e)
+    else if (worstFirst.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
+  }
+
+  override def update(buf: scala.collection.mutable.PriorityQueue[Entry],
+                      input: InternalRow): scala.collection.mutable.PriorityQueue[Entry] = {
+    val s = score.eval(input)
+    val p = payload.eval(input)
+    if (s != null && p != null)
+      // clone: eval may return a buffer-backed UTF8String that is reused
+      push(buf, (s.asInstanceOf[Double],
+        p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()))
+    buf
+  }
+
+  override def merge(b1: scala.collection.mutable.PriorityQueue[Entry],
+                     b2: scala.collection.mutable.PriorityQueue[Entry]): scala.collection.mutable.PriorityQueue[Entry] = {
+    b2.foreach(push(b1, _))
+    b1
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[Entry]): Any =
+    if (buf.isEmpty) null
+    else new GenericArrayData(buf.toArray.sorted(worstFirst).map { case (s, p) =>
+      new GenericInternalRow(Array[Any](p, s))
+    })
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[Entry]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    buf.foreach { case (s, p) =>
+      out.writeDouble(s)
+      val b = p.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[Entry] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    while (in.available() > 0) {
+      val s = in.readDouble()
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      push(buf, (s, org.apache.spark.unsafe.types.UTF8String.fromBytes(b)))
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScoreStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScoreStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopKByScoreStr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** The k smallest DISTINCT long values — a KMV / bottom-k sketch buffer
   * (Bar-Yossef et al. 2002): duplicates are absorbed on insert, so the
   * buffer is ≤ k longs no matter how heavy the value multiplicity.

@@ -2978,6 +2978,66 @@ object DataOps {
        |SELECT id % 2 AS kind, id // 2 AS key, rank FROM r5""".stripMargin
   }
 
+  /** Per-source exact-moment Pearson correlation between the token-count
+    * and char-count signals ([[graft.operators.Curation.pearsonExact]]) —
+    * the redundancy check before signal combination. */
+  def qSignalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_n"),
+        col("n_chars"))
+    Curation.pearsonExact(docs, "source", "tok_n", "n_chars")
+  }
+
+  val qSignalCorrSql: String =
+    """WITH d AS (SELECT source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+      |             n_chars AS y
+      |           FROM documents),
+      |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(sum(y * y) AS BIGINT) AS syy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy
+      |      FROM d GROUP BY 1)
+      |SELECT source, n,
+      |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0.0
+      |       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr
+      |FROM m""".stripMargin
+
+  /** χ²-distinctive vocabulary per source
+    * ([[graft.operators.TextAnalysis.distinctiveTerms]]): top-5 most
+    * over-represented terms per source — corpus drift / source
+    * fingerprinting. Ranking is the bounded per-group string heap; the
+    * oracle replays counts, the rational χ² chain, and the (χ² DESC,
+    * term ASC) order with a window. */
+  def qChi2Terms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctiveTerms(Tables(spark, dir).documents, "source", "text", k = 5)
+
+  val qChi2TermsSql: String =
+    """WITH st AS (SELECT source AS g, unnest(string_split(lower(text), ' ')) AS term
+      |            FROM documents),
+      |ac AS (SELECT g, term, CAST(count(*) AS BIGINT) AS a FROM st GROUP BY 1, 2),
+      |tc AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM ac GROUP BY 1),
+      |gc AS (SELECT g, CAST(sum(a) AS BIGINT) AS s FROM ac GROUP BY 1),
+      |nc AS (SELECT CAST(sum(s) AS BIGINT) AS n FROM gc),
+      |sc AS (SELECT ac.g, ac.term, tc.t, gc.s, nc.n,
+      |         CAST(ac.a * (nc.n - tc.t - gc.s + ac.a)
+      |              - (tc.t - ac.a) * (gc.s - ac.a) AS DOUBLE) AS diff
+      |       FROM ac JOIN tc USING (term) JOIN gc USING (g) CROSS JOIN nc),
+      |c AS (SELECT g, term,
+      |        (CAST(n AS DOUBLE) * (diff * diff)) /
+      |        ((CAST(t AS DOUBLE) * CAST(n - t AS DOUBLE))
+      |         * (CAST(s AS DOUBLE) * CAST(n - s AS DOUBLE))) AS chi2
+      |      FROM sc WHERE diff > 0)
+      |SELECT g AS source, rnk, term, chi2 FROM (
+      |  SELECT g, term, chi2,
+      |    CAST(row_number() OVER (PARTITION BY g ORDER BY chi2 DESC, term) AS BIGINT) AS rnk
+      |  FROM c) WHERE rnk <= 5""".stripMargin
+
   def qTokenStats(spark: SparkSession, dir: String): DataFrame =
     tokenStatsCore(spark, dir)
 
@@ -3163,6 +3223,8 @@ object DataOps {
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_zscore_norm"    -> ((qZscoreNorm _, Some(qZscoreNormSql))),
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
+    "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
+    "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),

@@ -552,6 +552,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L).isNaN, "singleton group has no scale")
   }
 
+  test("pearson exact: perfect +/-1 on linear signals, null on constants") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+                 ("b", 1L, 9L), ("b", 2L, 6L), ("b", 3L, 3L),
+                 ("c", 5L, 1L), ("c", 5L, 2L)).toDF("g", "x", "y")
+    val out = Curation.pearsonExact(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    // the sqrt(a)·sqrt(b) denominator chain is deterministic but not the
+    // same double as sqrt(a·b), so ±1 lands within an ulp, not exactly on
+    assert(math.abs(out("a") - 1.0) < 1e-14, "y = 10x correlates to +1")
+    assert(math.abs(out("b") + 1.0) < 1e-14, "y = 12-3x correlates to -1")
+    assert(out("c").isNaN, "constant x has no correlation")
+  }
+
+  test("top-k string heap: ranking, tie-break, and partial-merge stability") {
+    val rows = Seq(("g", "beta", 2.0), ("g", "alpha", 3.0), ("g", "delta", 2.0),
+                   ("g", "gamma", 1.0), ("g", "omega", 5.0))
+    val out = rows.toDF("g", "t", "s").repartition(5)
+      .groupBy(col("g"))
+      .agg(graft.plans.Native.topKByScoreStr(col("s"), col("t"), 3).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("e.term")).collect().map(_.getString(0)).toSeq
+    // top-3 by (score DESC, term ASC): omega(5), alpha(3), then the 2.0
+    // tie resolves to beta over delta
+    assert(out == Seq("omega", "alpha", "beta"))
+  }
+
+  test("distinctive terms: the source-exclusive term wins chi2") {
+    val docs = Seq((1L, "sA", "zebra zebra common common"),
+                   (2L, "sA", "zebra common word word"),
+                   (3L, "sB", "common common word word"),
+                   (4L, "sB", "word common other other")).toDF("doc_id", "source", "text")
+    val top = TextAnalysis.distinctiveTerms(docs, "source", "text", k = 1)
+      .select("source", "term").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top("sA") == "zebra", "the sA-only term is the most distinctive")
+    assert(top("sB") == "other")
+  }
+
   test("pagerank: exact integer ranks, hub outranks leaves, repartition-stable") {
     // star: 1 is hub to 2,3,4 (symmetric); 5-6 an isolated dumbbell
     val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
