@@ -96,6 +96,17 @@ object Pipeline {
                                       dataType: String) extends Step
   final case class SplitStep(keyCols: Seq[String], trainFrac: Double,
                              valFrac: Double, dataType: String) extends Step
+  /** Per-group z-score normalization of an integral signal column
+    * ([[graft.operators.Curation.zscorePerGroup]]), annotated to `outCol`
+    * — the cross-source calibration step before signals combine. */
+  final case class ZscoreStep(groupCol: String, valueCol: String,
+                              outCol: String, dataType: String) extends Step
+  /** Exact fixed-point integer PageRank over edge records (`src`, `dst`)
+    * — [[graft.operators.Graph.pageRank]]; replaces the flow with
+    * (id, rank) node scores. `symmetric` unions reversed edges first. */
+  final case class PageRankStep(srcCol: String, dstCol: String,
+                                iterations: Int, symmetric: Boolean,
+                                dataType: String) extends Step
   /** Semantic clustering annotation: mutual-kNN connected components over
     * the embedding column, written to `outCol` (singletons keep their own
     * id). Centroids train inline or persist at `centroidsPath`. */
@@ -415,6 +426,12 @@ object Pipeline {
         maxCell = if (node.has("max_cell")) node.get("max_cell").asInt() else 4096,
         centroidsPath = str("centroids", ""),
         outCol = str("output", "cluster"), dataType)
+      case "normalize" | "zscore" => ZscoreStep(str("group_by", "source"),
+        str("field", "n_chars"), str("output", "z"), dataType)
+      case "pagerank" => PageRankStep(str("src", "src"), str("dst", "dst"),
+        iterations = if (node.has("iterations")) node.get("iterations").asInt() else 5,
+        symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
+        dataType)
       case "knn_classify" => KnnClassifyStep(
         idCol = str("id", "id"), vecCol = str("field", "embedding"),
         labelCol = str("label_field", "label"),
@@ -651,6 +668,23 @@ object Pipeline {
                 // canonical URL (C4's web pass — case/scheme/www/default
                 // port/fragment/tracking-param/param-order insensitive)
                 graft.operators.Web.dedupByUrl(df, id, text)
+              case "editdist" =>
+                // collapse near-identical short strings (names, titles,
+                // SKUs) within Levenshtein 1 — FastSS-blocked pairs →
+                // connected components → min-id representative; exact
+                // dups ride their string group to the same rep
+                val pairs = graft.operators.FuzzyJoin.editDistancePairs(
+                    df, id, text, maxBucket = maxBucket)
+                  .select(col("id_a").as("a"), col("id_b").as("b"))
+                val strRep = df.groupBy(col(text).as("__s"))
+                  .agg(min(col(id).cast("long")).as("__rep0"))
+                val ccReps = graft.operators.Dedup.representatives(pairs)
+                  .withColumnRenamed("id", "__cc_id")
+                  .withColumnRenamed("rep", "__cc")
+                df.join(strRep, df(text) === col("__s"))
+                  .join(ccReps, col("__rep0") === col("__cc_id"), "left")
+                  .filter(df(id).cast("long") === coalesce(col("__cc"), col("__rep0")))
+                  .drop("__s", "__rep0", "__cc_id", "__cc")
               case "minhash" =>
                 // hashes/bands/max_bucket expose the LSH operating point:
                 // rows-per-band r=hashes/bands sets chance-collision decay
@@ -838,6 +872,18 @@ object Pipeline {
               .withColumn(out,
                 coalesce(col(labelCol).cast("long"), col("__p_label")))
               .drop("__p_id", "__p_label"))
+          }.getOrElse(flow)
+        case ZscoreStep(g, v, out, dt) =>
+          flow(dt).map(df => flow.updated(dt,
+            graft.operators.Curation.zscorePerGroup(df, g, v, out))).getOrElse(flow)
+        case PageRankStep(src, dst, iters, symmetric, dt) =>
+          flow(dt).map { df =>
+            val fwd = df.select(col(src).cast("long").as("src"),
+              col(dst).cast("long").as("dst"))
+            val edges = if (symmetric)
+              fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+            else fwd
+            flow.updated(dt, graft.operators.Graph.pageRank(edges, iters))
           }.getOrElse(flow)
         case ChunkStep(id, field, maxTok, stride, dt) =>
           flow(dt).map(df => flow.updated(dt,

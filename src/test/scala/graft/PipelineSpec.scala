@@ -414,6 +414,55 @@ class PipelineSpec extends SparkSpec {
     assert(bad == 0, "cluster label must be the component's min id")
   }
 
+  test("normalize step annotates per-group z-scores from config") {
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader",
+        |  "connector":{"type":"local","path":"/root/testdata/sf0.001/documents.parquet"},
+        |  "document":{"type":"parquet"}},
+        | {"type":"normalize","group_by":"source","field":"n_chars","output":"z"}
+        |]""".stripMargin)
+    val out = flow.ok.get
+    assert(out.columns.contains("z"))
+    assert(out.count() ==
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count())
+    // z-scores sum to ~0 within every group (exact-moment centering)
+    val worst = out.groupBy("source").agg(abs(sum(col("z"))).as("s"))
+      .agg(max(col("s"))).head().getDouble(0)
+    assert(worst < 1e-9, s"per-source z sum should center on 0, worst=$worst")
+  }
+
+  test("pagerank step ranks an edge flow from config") {
+    val src = tmp("pr") + "/edges.parquet"
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("src", "dst")
+      .write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"pagerank","src":"src","dst":"dst","iterations":5}
+         |]""".stripMargin)
+    val r = flow.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 6, "every node in the (symmetric) edge set gets a rank")
+    assert(r(1L) > r(2L), "hub must outrank a leaf")
+    assert(r(2L) == r(3L) && r(3L) == r(4L))
+  }
+
+  test("dedup method=editdist collapses near-identical names from config") {
+    val src = tmp("ed") + "/names.parquet"
+    Seq((1L, "alpha"), (2L, "alphb"), (3L, "alpha"), (4L, "beta"), (5L, "betb"))
+      .toDF("id", "name").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"dedup","method":"editdist","id":"id","field":"name"}
+         |]""".stripMargin)
+    val kept = flow.ok.get.select("id").as[Long].collect().toSet
+    // {alpha#1, alphb#2, alpha#3} -> 1; {beta#4, betb#5} -> 4
+    assert(kept == Set(1L, 4L))
+  }
+
   test("knn_classify step propagates seed labels from config") {
     // null out labels for vec_id >= 50: those rows must get predictions,
     // seed rows keep their own label
