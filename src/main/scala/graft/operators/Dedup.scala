@@ -217,6 +217,62 @@ object Dedup {
     size(array_intersect(ta, tb)).cast("double") /
       size(array_union(ta, tb)).cast("double")
 
+  /** EXACT set-similarity self-join: every pair with token-set Jaccard
+    * ≥ tNum/tDen, by AllPairs/PPJoin prefix filtering (Chaudhuri 2006,
+    * Bayardo et al. WWW'07) — the 100%-recall complement to the MinHash
+    * path (which trades recall for candidate volume). The threshold is a
+    * RATIONAL so the verify is integer-exact: keep iff
+    * tDen·|x∩y| ≥ tNum·|x∪y| — no float ever decides a pair.
+    *
+    * Prefix principle: under one global token order (ascending document
+    * frequency, rarest first, ties lexicographic), if J(x,y) ≥ t then the
+    * smallest common token w of x∩y sits within the first
+    * |x| − ⌈t·|x|⌉ + 1 tokens of x AND of y (tokens before w are disjoint,
+    * so the tail from w must hold the whole ⌈t·|x|⌉-sized intersection).
+    * So an ordinary shuffled equi-join on PREFIX tokens is complete, and
+    * rarest-first ordering makes prefix buckets the smallest available.
+    *
+    * Shape: one vocabulary count, one token-rank join, one per-doc
+    * re-collect (per-doc bounded state), prefix explode → capped bucket
+    * pairs (bounded min-k buffer, the LSH discipline) → verify on the two
+    * joined token sets. ⌈t·n⌉ is computed as (tNum·n + tDen − 1) div tDen
+    * — all integer, so prefix lengths are reproducible anywhere. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  tNum: Int, tDen: Int, maxBucket: Int = 4096): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
+    val sets = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(split(trim(lower(col(textCol))), "\\s+")).as("toks"))
+    val toks = sets.select(col("id"), explode(col("toks")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val sorted = toks.join(freq, "tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
+      .select(col("id"), transform(col("st"), e => e.getField("tok")).as("toks"),
+        size(col("st")).cast("long").as("n"))
+    val prefix = sorted.select(col("id"),
+      explode(slice(col("toks"), lit(1),
+        (col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1).cast("int")))
+        .as("tok"))
+    val buckets = prefix.groupBy(col("tok"))
+      .agg(graft.plans.Native.minKByKey(col("id"), col("id"), maxBucket).as("ks"))
+      .select(transform(col("ks"), e => e.getField("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = buckets.select(explode(flatten(transform(col("ids"),
+        (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
+      .filter(lit(tDen.toLong) * col("inter") >= lit(tNum.toLong) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jd"))
+  }
+
   /** Verified near-duplicate pairs: LSH candidates filtered by true
     * shingle-set Jaccard ≥ threshold. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,

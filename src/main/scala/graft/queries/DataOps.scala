@@ -19,6 +19,29 @@ object DataOps {
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir).documents, col("doc_id"), col("text"))
 
+  /** EXACT set-similarity self-join at Jaccard ≥ 19/20 over document token
+    * sets ([[graft.operators.Dedup.jaccardJoin]] — AllPairs prefix
+    * filtering). The oracle is the NAIVE all-pairs cross-filter with the
+    * same integer-rational threshold, so a green row proves the
+    * prefix-blocked plan recalls every pair — 100% recall where MinHash
+    * is probabilistic. */
+  def qJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoin(Tables(spark, dir).documents, "doc_id", "text",
+      tNum = 19, tDen = 20)
+
+  val qJaccardJoinSql: String =
+    """WITH s AS (SELECT doc_id AS id,
+      |             list_distinct(string_split(trim(lower(text)), ' ')) AS t
+      |           FROM documents)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+      |  CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS BIGINT) AS uni,
+      |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+      |    / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) AS jd
+      |FROM s a JOIN s b ON a.id < b.id
+      |WHERE 20 * len(list_intersect(a.t, b.t))
+      |      >= 19 * (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))""".stripMargin
+
   /** Edit-distance-1 similarity self-join on supplier names
     * ([[graft.operators.FuzzyJoin]] — FastSS deletion-neighborhood
     * blocking). The oracle is the NAIVE all-pairs cross-filter, so a green
@@ -3231,6 +3254,7 @@ object DataOps {
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_editdist_join"  -> ((qEditdistJoin _, Some(qEditdistJoinSql))),
+    "q_jaccard_join"   -> ((qJaccardJoin _, Some(qJaccardJoinSql))),
     "q_dedup_incremental" -> ((qDedupIncremental _, Some(qDedupIncrementalSql))),
     "q_dedup_minhash_inc" -> ((qDedupMinhashInc _, Some(qDedupMinhashIncSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),

@@ -552,6 +552,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L).isNaN, "singleton group has no scale")
   }
 
+  test("jaccard join: prefix-blocked pairs equal the naive cross-filter") {
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"),   // J = 4/6 = 2/3 (>= 3/5)
+      (3L, "a b c d e"),                       // dup of 1: J = 1
+      (4L, "a b x y z"),                       // vs 1: J = 2/8 (< 3/5)
+      (5L, "p q r"), (6L, "p q r s")           // J = 3/4 (>= 3/5)
+    ).toDF("id", "t")
+    val got = Dedup.jaccardJoin(df, "id", "t", tNum = 3, tDen = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = df.select(col("id"),
+      array_distinct(split(col("t"), " ")).as("s"))
+    val naive = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .withColumn("i", size(array_intersect(col("a.s"), col("b.s"))))
+      .withColumn("u", size(col("a.s")) + size(col("b.s")) - col("i"))
+      .filter(col("i") * 5 >= col("u") * 3)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+    // exactly-at-threshold pairs are kept (integer-rational >=, no float)
+    val edge = Seq((1L, "a b c"), (2L, "a b c d e")).toDF("id", "t") // J = 3/5
+    assert(Dedup.jaccardJoin(edge, "id", "t", 3, 5).count() == 1)
+    val plan = Dedup.jaccardJoin(df, "id", "t", 3, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pearson exact: perfect +/-1 on linear signals, null on constants") {
     val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
                  ("b", 1L, 9L), ("b", 2L, 6L), ("b", 3L, 3L),
