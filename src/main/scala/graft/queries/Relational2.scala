@@ -432,7 +432,59 @@ object Relational2 {
       |  array_to_string(st[1:3], ',') AS top3
       |FROM s""".stripMargin
 
+  /** Correlated SCALAR subquery through the SQL path — orders costing more
+    * than twice their customer's average — exercising Catalyst's subquery
+    * decorrelation (RewriteCorrelatedScalarSubquery → agg + join), which
+    * the DataFrame-built gates never touch. The comparison is restated in
+    * exact integer cents (price·100 longs; cnt·cents vs 2·sum) so no
+    * per-group double average decides a row. */
+  def qCorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey
+        |FROM orders o
+        |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |      > 2 * (SELECT sum(CAST(floor(o2.o_totalprice * 100) AS BIGINT))
+        |             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val qCorrelatedScalarSql: String =
+    """SELECT o_orderkey
+      |FROM orders o
+      |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) *
+      |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |      > 2 * (SELECT sum(CAST(floor(o2.o_totalprice * 100) AS BIGINT))
+      |             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  /** EXISTS + NOT EXISTS correlated predicates through the SQL path
+    * (decorrelated to semi + anti joins): customers who have ordered but
+    * never above 400k. */
+  def qExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)""".stripMargin)
+  }
+
+  val qExistsSubquerySql: String =
+    """SELECT c_custkey
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 400000.0)""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_correlated_scalar" -> ((qCorrelatedScalar _, Some(qCorrelatedScalarSql))),
+    "q_exists_subquery"   -> ((qExistsSubquery _, Some(qExistsSubquerySql))),
     "q11_concentration" -> ((q11Concentration _, Some(q11Sql))),
     "q16_supplier_reach" -> ((q16SupplierReach _, Some(q16Sql))),
     "q_window_family"   -> ((qWindowFamily _, Some(qWindowFamilySql))),
