@@ -482,9 +482,33 @@ object Relational2 {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_totalprice > 400000.0)""".stripMargin
 
+  /** Correlated LATERAL subquery — per nation, its two wealthiest
+    * customers through the SQL front door (the top-n-per-group shape as a
+    * lateral join rather than a window; Spark plans a decorrelated
+    * rank-filtered join). Deterministic order: (acctbal DESC, custkey). */
+  def qLateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation.createOrReplaceTempView("nation")
+    t.customer.createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin)
+  }
+
+  val qLateralTopnSql: String =
+    """SELECT n.n_name, c.c_custkey, c.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |         WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_correlated_scalar" -> ((qCorrelatedScalar _, Some(qCorrelatedScalarSql))),
     "q_exists_subquery"   -> ((qExistsSubquery _, Some(qExistsSubquerySql))),
+    "q_lateral_topn"      -> ((qLateralTopn _, Some(qLateralTopnSql))),
     "q11_concentration" -> ((q11Concentration _, Some(q11Sql))),
     "q16_supplier_reach" -> ((q16SupplierReach _, Some(q16Sql))),
     "q_window_family"   -> ((qWindowFamily _, Some(qWindowFamilySql))),
