@@ -249,18 +249,30 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
       .select(col("id"), transform(col("st"), e => e.getField("tok")).as("toks"),
         size(col("st")).cast("long").as("n"))
+    // the set size rides the bucket in the payload's high bits (id < 2^40,
+    // n < 2^23) so the LENGTH filter — J ≥ t forces tDen·min(n_a,n_b) ≥
+    // tNum·max(n_a,n_b), sets >5% apart in size at t=19/20 can never pair
+    // — prunes BEFORE the pair stream shuffles to distinct/verify. Pure
+    // pruning: the predicate is implied by the verify, results unchanged.
     val prefix = sorted.select(col("id"),
+      (shiftleft(col("n"), 40) + col("id")).as("packed"),
       explode(slice(col("toks"), lit(1),
         (col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1).cast("int")))
         .as("tok"))
     val buckets = prefix.groupBy(col("tok"))
-      .agg(graft.plans.Native.minKByKey(col("id"), col("id"), maxBucket).as("ks"))
-      .select(transform(col("ks"), e => e.getField("id")).as("ids"))
+      .agg(graft.plans.Native.minKByKey(col("id"), col("packed"), maxBucket).as("ks"))
+      .select(transform(col("ks"), e => e.getField("p")).as("ids"))
       .filter(size(col("ids")) > 1)
     val cands = buckets.select(explode(flatten(transform(col("ids"),
         (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
           b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("p.a").as("pa"), col("p.b").as("pb"))
+      .withColumn("na", shiftright(col("pa"), 40))
+      .withColumn("nb", shiftright(col("pb"), 40))
+      .filter(lit(tDen.toLong) * least(col("na"), col("nb")) >=
+        lit(tNum.toLong) * greatest(col("na"), col("nb")))
+      .select((col("pa") - shiftleft(col("na"), 40)).as("id_a"),
+        (col("pb") - shiftleft(col("nb"), 40)).as("id_b"))
       .distinct()
     cands
       .join(sets.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
