@@ -131,4 +131,52 @@ object Quantiles {
     }
     rows.toDF("which", "rank", "value").orderBy("which")
   }
+
+  /** Per-GROUP exact percentiles over an INTEGRAL value domain — the
+    * latency-bands-per-endpoint query (p50/p95/p99 of a measure per key).
+    *
+    * Dual regime to [[orderStatistics]]: that path serves few groups over
+    * a continuous domain (driver-held histograms); this one serves ANY
+    * group cardinality when the value domain is integral — the per-group
+    * distinct-VALUE histogram is what shuffles (bounded by domain size,
+    * never corpus rows), cumulative ranks run in a per-group window over
+    * that bounded frame, and linear interpolation is held integer
+    * (numerator ×den) so the result is bit-exact cross-engine with no
+    * double arithmetic at all. Continuous measures enter by fixed-point
+    * pre-scaling (floor(v·100) cents etc. — exact IEEE multiply+floor).
+    *
+    * specs: (name, num, den) → the ×den numerator of the interpolated
+    * 0-indexed rank num·(n−1)/den, emitted as `<name>_x<den>`:
+    * v[i]·(den−r) + v[i+1]·r with i = num(n−1) div den, r = num(n−1) mod
+    * den. Nulls excluded per group. */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       specs: Seq[(String, Long, Long)]): DataFrame = {
+    require(specs.nonEmpty, "need at least one rank spec")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+    val wAll = Window.partitionBy("g")
+    var cum = hist
+      .withColumn("hi", sum(col("c")).over(w))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+    specs.foreach { case (nm, num, den) =>
+      cum = cum
+        .withColumn(s"i_$nm", expr(s"($num * (n - 1)) div $den"))
+        .withColumn(s"r_$nm", expr(s"($num * (n - 1)) % $den"))
+    }
+    def at(i: Column) = max(when(i >= col("lo") && i < col("hi"), col("v")))
+    val aggCols = specs.flatMap { case (nm, _, _) => Seq(
+      at(col(s"i_$nm")).as(s"vlo_$nm"),
+      at(col(s"i_$nm") + when(col(s"r_$nm") > 0, 1).otherwise(0)).as(s"vhi_$nm")) }
+    val keyCols = col("g") +: col("n") +: specs.map(s => col(s"r_${s._1}"))
+    val grouped = cum.groupBy(keyCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val outCols = specs.map { case (nm, _, den) =>
+      (col(s"vlo_$nm") * (lit(den) - col(s"r_$nm"))
+        + col(s"vhi_$nm") * col(s"r_$nm")).cast("long").as(s"${nm}_x$den") }
+    grouped.select((col("g").as(groupCol) +: col("n") +: outCols): _*)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, FuzzyJoin, Graph, Similarity, Skew, TextAnalysis, Web}
+import graft.operators.{AsOfJoin, Bpe, Curation, Dedup, FuzzyJoin, Graph, Quantiles, Similarity, Skew, TextAnalysis, Web}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3061,6 +3061,57 @@ object DataOps {
       |    CAST(row_number() OVER (PARTITION BY g ORDER BY chi2 DESC, term) AS BIGINT) AS rnk
       |  FROM c) WHERE rnk <= 5""".stripMargin
 
+  /** Per-group exact percentile bands — p50/p95/p99 of the event value per
+    * event type ([[graft.operators.Quantiles.groupPercentiles]], the
+    * latency-bands-per-endpoint query). The continuous measure enters as
+    * exact cents (floor(v·100)); interpolation numerators stay integer
+    * (×den) and the user-facing doubles derive by fixed division chains. */
+  def qGroupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("cents"))
+    Quantiles.groupPercentiles(e, "event_type", "cents",
+        Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L)))
+      .withColumn("p50", (col("p50_x2").cast("double") / lit(2.0)) / lit(100.0))
+      .withColumn("p95", (col("p95_x20").cast("double") / lit(20.0)) / lit(100.0))
+      .withColumn("p99", (col("p99_x100").cast("double") / lit(100.0)) / lit(100.0))
+  }
+
+  val qGroupPercentilesSql: String =
+    """WITH d AS (SELECT event_type AS g,
+      |             CAST(floor(value * 100.0) AS BIGINT) AS v FROM events),
+      |h AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (SELECT g, v,
+      |        sum(c) OVER (PARTITION BY g ORDER BY v) AS hi,
+      |        sum(c) OVER (PARTITION BY g ORDER BY v) - c AS lo,
+      |        sum(c) OVER (PARTITION BY g) AS n FROM h),
+      |j AS (SELECT cum.*,
+      |        (1 * (n - 1)) // 2 AS i50, (1 * (n - 1)) % 2 AS r50,
+      |        (19 * (n - 1)) // 20 AS i95, (19 * (n - 1)) % 20 AS r95,
+      |        (99 * (n - 1)) // 100 AS i99, (99 * (n - 1)) % 100 AS r99
+      |      FROM cum),
+      |p AS (SELECT g, n, r50, r95, r99,
+      |        max(CASE WHEN i50 >= lo AND i50 < hi THEN v END) AS v50lo,
+      |        max(CASE WHEN i50 + (CASE WHEN r50 > 0 THEN 1 ELSE 0 END) >= lo
+      |                  AND i50 + (CASE WHEN r50 > 0 THEN 1 ELSE 0 END) < hi
+      |             THEN v END) AS v50hi,
+      |        max(CASE WHEN i95 >= lo AND i95 < hi THEN v END) AS v95lo,
+      |        max(CASE WHEN i95 + (CASE WHEN r95 > 0 THEN 1 ELSE 0 END) >= lo
+      |                  AND i95 + (CASE WHEN r95 > 0 THEN 1 ELSE 0 END) < hi
+      |             THEN v END) AS v95hi,
+      |        max(CASE WHEN i99 >= lo AND i99 < hi THEN v END) AS v99lo,
+      |        max(CASE WHEN i99 + (CASE WHEN r99 > 0 THEN 1 ELSE 0 END) >= lo
+      |                  AND i99 + (CASE WHEN r99 > 0 THEN 1 ELSE 0 END) < hi
+      |             THEN v END) AS v99hi
+      |      FROM j GROUP BY 1, 2, 3, 4, 5)
+      |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(v50lo * (2 - r50) + v50hi * r50 AS BIGINT) AS p50_x2,
+      |  CAST(v95lo * (20 - r95) + v95hi * r95 AS BIGINT) AS p95_x20,
+      |  CAST(v99lo * (100 - r99) + v99hi * r99 AS BIGINT) AS p99_x100,
+      |  (CAST(v50lo * (2 - r50) + v50hi * r50 AS DOUBLE) / 2.0) / 100.0 AS p50,
+      |  (CAST(v95lo * (20 - r95) + v95hi * r95 AS DOUBLE) / 20.0) / 100.0 AS p95,
+      |  (CAST(v99lo * (100 - r99) + v99hi * r99 AS DOUBLE) / 100.0) / 100.0 AS p99
+      |FROM p""".stripMargin
+
   def qTokenStats(spark: SparkSession, dir: String): DataFrame =
     tokenStatsCore(spark, dir)
 
@@ -3248,6 +3299,7 @@ object DataOps {
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
+    "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),

@@ -61,4 +61,23 @@ class QuantilesSpec extends SparkSpec {
       .select("which", "value").as[(String, Double)].collect().toMap
     assert(a === b && a === groundTruth(vs))
   }
+
+  test("group percentiles: hand-computed interpolation per group, negatives") {
+    // g=a: sorted [-10, 0, 10, 20] (n=4): p50 rank 1.5 -> x2 numerator
+    // 0*(2-1) + 10*1 = 10; p95 rank 2.85 -> i=2,r=17: 10*3 + 20*17 = 370
+    // g=b: [5, 5, 5] (n=3): p50 rank 1 exactly -> 5*2 = 10; p95 -> i=1,r=18
+    // over ties: 5*2+5*18 = 100... all collapse to value 5 numerators
+    val df = Seq(("a", 20L), ("a", -10L), ("a", 0L), ("a", 10L),
+                 ("b", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val out = Quantiles.groupPercentiles(df, "g", "v",
+        Seq(("p50", 1L, 2L), ("p95", 19L, 20L))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((4L, 10L, 370L)))
+    assert(out("b") == ((3L, 10L, 100L)))
+    // repartition must not change a single numerator
+    val out7 = Quantiles.groupPercentiles(df.repartition(7), "g", "v",
+        Seq(("p50", 1L, 2L), ("p95", 19L, 20L))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out7 == out)
+  }
 }
