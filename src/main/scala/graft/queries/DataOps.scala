@@ -1410,6 +1410,40 @@ object DataOps {
       |  n - lag(n) OVER (PARTITION BY event_type ORDER BY week) AS delta
       |FROM w""".stripMargin
 
+  /** Volume-anomaly detection on the weekly series: per event type, each
+    * week's count z-scored against that type's own weekly history
+    * ([[graft.operators.Curation.zscorePerGroup]] over the AGGREGATED
+    * frame — types × weeks rows, never the event stream) and flagged at
+    * |z| ≥ 2 — the data-drift alert behind "did ingestion break this
+    * week". Counts are integral so the moments are exact longs; the flag
+    * compares a deterministic double chain to a literal. */
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables(spark, dir).events
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n"))
+    Curation.zscorePerGroup(weekly, "event_type", "n")
+      .select(col("event_type"), date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n"), col("z"),
+        (abs(col("z")) >= lit(2.0)).as("anomaly"))
+  }
+
+  val qEventAnomalySql: String =
+    """WITH w AS (SELECT event_type, date_trunc('week', ts) AS week,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |             CAST(sum(n) AS BIGINT) AS s1,
+      |             CAST(sum(n * n) AS BIGINT) AS s2
+      |      FROM w GROUP BY 1),
+      |z AS (SELECT w.event_type, strftime(w.week, '%Y-%m-%d') AS week, w.n,
+      |        CASE WHEN sqrt(CAST(s.m * s.s2 - s.s1 * s.s1 AS DOUBLE)) > 0.0
+      |             THEN CAST(s.m * w.n - s.s1 AS DOUBLE)
+      |                  / sqrt(CAST(s.m * s.s2 - s.s1 * s.s1 AS DOUBLE)) END AS z
+      |      FROM w JOIN s USING (event_type))
+      |SELECT event_type, week, n, z,
+      |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) >= 2.0 END AS anomaly
+      |FROM z""".stripMargin
+
   /** Behavioral transition matrix: counts of consecutive (prev_type →
     * type) pairs within each user's event-time-ordered stream — the
     * Markov-chain summary behind "what do users do after X". One
@@ -3300,6 +3334,7 @@ object DataOps {
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
+    "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),
