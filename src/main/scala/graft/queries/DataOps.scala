@@ -1444,6 +1444,51 @@ object DataOps {
       |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) >= 2.0 END AS anomaly
       |FROM z""".stripMargin
 
+  /** Session-based first-touch attribution: each purchase is credited to
+    * the FIRST view of its own 30-minute-gap session — the multi-touch
+    * attribution primitive. One user-keyed ordered window builds session
+    * ids (gap > 30 min starts a session, the sessionization identity),
+    * one (user, session) aggregate finds the first view (min (ts,
+    * event_id) — deterministic under timestamp ties), purchases join back
+    * by (user, session). Everything shuffles on user/session keys; the
+    * event stream is scanned once. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables(spark, dir).events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+    val firstView = sess.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("fv_user"), col("sess").as("fv_sess"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fv"))
+      .select(col("fv_user"), col("fv_sess"), col("fv.event_id").as("first_view_id"))
+    sess.filter(col("event_type") === "purchase")
+      .join(firstView,
+        col("user_id") === col("fv_user") && col("sess") === col("fv_sess"), "left")
+      .select(col("event_id"), col("user_id"), col("sess"), col("first_view_id"))
+  }
+
+  val qAttributionSql: String =
+    """WITH s AS (
+      |  SELECT *,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS BIGINT) AS sess FROM s),
+      |fv AS (SELECT user_id, sess, event_id AS first_view_id FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY user_id, sess
+      |                   ORDER BY ts, event_id) AS rn
+      |        FROM t WHERE event_type = 'view') WHERE rn = 1)
+      |SELECT p.event_id, p.user_id, p.sess, fv.first_view_id
+      |FROM t p LEFT JOIN fv USING (user_id, sess)
+      |WHERE p.event_type = 'purchase'""".stripMargin
+
   /** Behavioral transition matrix: counts of consecutive (prev_type →
     * type) pairs within each user's event-time-ordered stream — the
     * Markov-chain summary behind "what do users do after X". One
@@ -1999,6 +2044,56 @@ object DataOps {
           .when(col("__ha") === col("__hb"), "same")
           .otherwise("changed").as("status"))
   }
+
+  /** CDC MERGE apply: fold a change batch (`op` ∈ upsert|delete, keyed by
+    * id) into a corpus snapshot — the Delta-style MERGE INTO shape as ONE
+    * keyed full-outer join (bucket both sides on the id and the nightly
+    * apply is exchange-free). delete drops the id, upsert
+    * replaces-or-inserts the payload, untouched snapshot rows pass
+    * through. The batch must be one row per id (resolve CDC sequence
+    * numbers upstream — max-seq-wins is a groupBy away). */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, idCol: String,
+                   opCol: String = "op"): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val ch = changes.select(
+      (col(idCol).as("__cid") +: col(opCol).as("__op") +:
+        cols.filterNot(_ == idCol).map(c => col(c).as(s"__c_$c"))): _*)
+    snapshot.join(ch, snapshot(idCol) === col("__cid"), "full_outer")
+      .filter(coalesce(col("__op"), lit("")) =!= "delete")
+      .select(cols.map {
+        case c if c == idCol => coalesce(snapshot(idCol), col("__cid")).as(idCol)
+        case c => when(col("__op") === "upsert", col(s"__c_$c"))
+          .otherwise(snapshot(c)).as(c)
+      }: _*)
+  }
+
+  /** MERGE-apply gate: the same derived change series as [[qCorpusDiff]]
+    * expressed as a CDC batch (updates on %7, deletes on %5∖%7, inserts
+    * beyond 10⁶) — the oracle states the closed-form result corpus, so a
+    * green row proves the full-outer merge semantics end to end. */
+  def qCorpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .withColumn("op", lit("upsert"))
+    val deletes = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+      .withColumn("op", lit("delete"))
+    val inserts = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        lit("new doc").as("text"), col("lang"), col("source"), col("n_chars"))
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("op", lit("upsert"))
+    applyChanges(docs, updates.unionByName(deletes).unionByName(inserts), "doc_id")
+  }
+
+  val qCorpusMergeSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+      |  lang, source, n_chars
+      |FROM documents WHERE doc_id % 5 <> 0 OR doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, 'new doc' AS text,
+      |  lang, source, n_chars
+      |FROM documents WHERE (doc_id + 1000000) % 3 = 0""".stripMargin
 
   /** Gate derives a second corpus version in-query: every 7th doc edited,
     * every 5th (non-7th) dropped, and a synthetic block appended. */
@@ -3335,6 +3430,8 @@ object DataOps {
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
     "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
+    "q_attribution"    -> ((qAttribution _, Some(qAttributionSql))),
+    "q_corpus_merge"   -> ((qCorpusMerge _, Some(qCorpusMergeSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),

@@ -552,6 +552,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L).isNaN, "singleton group has no scale")
   }
 
+  test("merge apply: upsert-update, upsert-insert, delete, no-op delete, pass-through") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val batch = Seq((2L, "B", "upsert"),   // update
+                    (4L, "d", "upsert"),   // insert
+                    (3L, null.asInstanceOf[String], "delete"), // delete
+                    (9L, null.asInstanceOf[String], "delete")  // delete of absent id: no-op
+      ).toDF("id", "t", "op")
+    val out = graft.queries.DataOps.applyChanges(snap, batch, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
   test("jaccard join: prefix-blocked pairs equal the naive cross-filter") {
     val df = Seq(
       (1L, "a b c d e"), (2L, "a b c d f"),   // J = 4/6 = 2/3 (>= 3/5)
