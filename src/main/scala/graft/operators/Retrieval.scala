@@ -257,4 +257,59 @@ object Retrieval {
           .as("score"))
     rankTopK(fused, k, qIdCol, idCol, "score")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * '98): greedily pick argmax λ·relevance − (1−λ)·max-cosine-to-already-
+    * selected — the context-diversification pass a RAG pipeline runs after
+    * top-k retrieval so near-duplicate passages don't crowd the prompt.
+    *
+    * Scale shape: the per-query candidate list is ALREADY top-N-bounded by
+    * the upstream retriever, so the greedy O(k·N) quadratic runs inside a
+    * flatMapGroups over that bounded state — the sessionize/funnel
+    * discipline, nothing corpus-sized ever gathers. Deterministic: input
+    * order fixed (score DESC, id ASC), objective ties resolve to the
+    * smaller doc id, all arithmetic fixed-shape IEEE. Spec-gated (greedy
+    * selection over cosines is not SQL-expressible; the input rankings it
+    * consumes are the oracle-checked retrieval gates). */
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double = 0.7,
+                qIdCol: String = "q_id", idCol: String = "doc_id",
+                scoreCol: String = "score", vecCol: String = "vec"): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col(qIdCol).cast("long"), col(idCol).cast("long"),
+        col(scoreCol).cast("double"), col(vecCol).cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val arr = it.toArray.sortBy(t => (-t._3, t._2))
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[Int]()
+        while (selected.size < math.min(k, arr.length)) {
+          var best = -1; var bestObj = Double.NegativeInfinity
+          var i = 0
+          while (i < arr.length) {
+            if (!selected.contains(i)) {
+              var ms = 0.0
+              selected.foreach { j => val s = cos(arr(i)._4, arr(j)._4); if (s > ms) ms = s }
+              val obj = lambda * arr(i)._3 - (1.0 - lambda) * ms
+              if (obj > bestObj ||
+                  (obj == bestObj && (best < 0 || arr(i)._2 < arr(best)._2))) {
+                best = i; bestObj = obj
+              }
+            }
+            i += 1
+          }
+          selected += best
+        }
+        selected.iterator.zipWithIndex.map { case (i, r) =>
+          (q, arr(i)._2, (r + 1).toLong, arr(i)._3)
+        }
+      }
+      .toDF(qIdCol, idCol, "rnk", scoreCol)
+  }
 }

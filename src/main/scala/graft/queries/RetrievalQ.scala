@@ -166,7 +166,25 @@ object RetrievalQ {
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
   }
 
+  /** MMR-diversified retrieval ([[Retrieval.mmrRerank]]): brute cosine
+    * top-20 per query re-ranked to a diversified top-5. Rows-only by
+    * design (greedy selection over cosines is not SQL-expressible); the
+    * input ranking is the oracle-checked q_ann_topk machinery and the
+    * greedy semantics are spec-gated on fixtures. */
+  def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cands = Similarity.bruteTopK(t.embeddings, queries, k = 20)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("cos").as("score"))
+      .join(t.embeddings.select(col("vec_id").as("doc_id"),
+        col("embedding").as("vec")), "doc_id")
+    Retrieval.mmrRerank(cands, k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_mmr_rerank"   -> ((qMmrRerank _, None)),
     "q_bm25"         -> ((qBm25 _, Some(qBm25Sql))),
     "q_bm25_indexed" -> ((qBm25Indexed _, Some(qBm25Sql))),
     "q_bm25_inc"     -> ((qBm25Inc _, Some(qBm25Sql))),

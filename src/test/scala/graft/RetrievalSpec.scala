@@ -152,4 +152,22 @@ class RetrievalSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long, Long)].toDF("q_id", "doc_id", "rnk")
     assert(Retrieval.rrfFuse(empty, empty, k = 3).count() == 0)
   }
+
+  test("mmr rerank diversifies: a near-dup of the leader loses to a distinct doc") {
+    // docs 10 and 11 point the same way (cos = 1), doc 12 is orthogonal;
+    // pure relevance would rank 10, 11 — MMR at lambda 0.7 must swap in 12:
+    // obj(11) = .7*.89 - .3*1 = .323 < obj(12) = .7*.5 - .3*0 = .35
+    val cands = Seq(
+      (1L, 10L, 0.90, Array(1f, 0f)),
+      (1L, 11L, 0.89, Array(2f, 0f)),
+      (1L, 12L, 0.50, Array(0f, 1f))).toDF("q_id", "doc_id", "score", "vec")
+    val out = Retrieval.mmrRerank(cands, k = 3)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(10L, 12L, 11L))
+    val out2 = Retrieval.mmrRerank(cands.repartition(5), k = 3)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    assert(out2 == out, "partitioning must not change the greedy selection")
+    // k larger than the candidate list returns everything, once
+    assert(Retrieval.mmrRerank(cands, k = 99).count() == 3)
+  }
 }
