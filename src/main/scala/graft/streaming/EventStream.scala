@@ -167,4 +167,52 @@ object EventStream {
           write(kept)
         }
       }.start()
+
+  /** Streaming volume-anomaly scoring — the arrival-time twin of the
+    * batch gate (graft.queries.DataOps.qEventAnomaly): per event type,
+    * each COMPLETED week's count is z-scored against the running exact
+    * moments (m, Σn, Σn²) of the weeks closed BEFORE it, then folded in.
+    * State per type is five longs — O(1) however long the stream runs.
+    * Weeks close on rollover (an event from a later week arrives), so the
+    * current partial week never scores; z uses the same exact-integer
+    * algebra as the batch z-score (null until two prior weeks exist).
+    * Emission on ordered replay is deterministic (spec-pinned). */
+  final case class WeekAnomaly(event_type: String, week_start_us: Long,
+                               n: Long, z: Option[Double])
+  def weeklyAnomalyStream(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[WeekAnomaly] = {
+    import spark.implicits._
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    // ISO week alignment: epoch (1970-01-01) was a Thursday; shift by
+    // 3 days so buckets start on Mondays like date_trunc('week')
+    val mondayShiftUs = 3L * 24 * 3600 * 1000000L
+    events.as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), WeekAnomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, it, state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (week, n, m, s1, s2) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[WeekAnomaly]()
+          def close(): Unit = if (week != Long.MinValue) {
+            val z =
+              if (m >= 2) {
+                val den = math.sqrt((m * s2 - s1 * s1).toDouble)
+                if (den > 0.0) Some((m * n - s1).toDouble / den) else None
+              } else None
+            out += WeekAnomaly(tpe, week * weekUs - mondayShiftUs, n, z)
+            m += 1; s1 += n; s2 += n * n
+          }
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val w = Math.floorDiv(e.ts.getTime * 1000L + mondayShiftUs, weekUs)
+            if (week == Long.MinValue) { week = w; n = 0L }
+            else if (w > week) { close(); week = w; n = 0L }
+            // w < week: a straggler from an already-closed week — dropped
+            // (the implicit watermark of close-on-rollover)
+            if (w >= week) n += 1
+          }
+          state.update((week, n, m, s1, s2))
+          out.iterator
+      }
+  }
 }

@@ -147,6 +147,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weekly anomaly: closed weeks z-score against prior history only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, day: Int, hour: Int): EventStream.Event =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(
+        f"2024-01-${day}%02d $hour%02d:00:00"), 1L, "a", 1.0, "{}")
+    // 2024-01-01 is a Monday: weeks are Jan 1-7, 8-14, 15-21, 22-28
+    var id = 0L
+    def week(day0: Int, count: Int): Seq[EventStream.Event] =
+      (0 until count).map { i => id += 1; ev(id, day0 + i % 7, i % 24) }
+    val w1 = week(1, 10); val w2 = week(8, 20); val w3 = week(15, 40)
+    val w4 = week(22, 1)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.weeklyAnomalyStream(spark, input.toDF())
+      .writeStream.format("memory").queryName("wkanom").outputMode("append").start()
+    try {
+      input.addData(w1 ++ w2); q.processAllAvailable()
+      input.addData(w3 ++ w4); q.processAllAvailable()
+      val rows = spark.sql("SELECT week_start_us, n, z FROM wkanom ORDER BY week_start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(rows.length == 3, s"only CLOSED weeks emit (partial week 4 must not): $rows")
+      assert(rows.map(_._2).toSeq == Seq(10L, 20L, 40L))
+      assert(rows(0)._3.isEmpty && rows(1)._3.isEmpty,
+        "fewer than two prior weeks -> no z")
+      // week 3 scores against history [10, 20]: m=2, s1=30, s2=500,
+      // den=sqrt(2*500-900)=10, z=(2*40-30)/10 = 5.0 exactly
+      assert(rows(2)._3.contains(5.0))
+      val start = rows.map(_._1)
+      assert(start(1) - start(0) == 7L * 24 * 3600 * 1000000L)
+    } finally q.stop()
+  }
+
   test("windowed heavy-hitters on a stream: MG summary per event-time window") {
     // trending-terms shape: the bounded Misra-Gries buffer rides inside a
     // watermarked window aggregation — state per (window) is ≤ k counters
