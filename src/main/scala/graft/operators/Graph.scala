@@ -51,4 +51,32 @@ object Graph {
     }
     ranks
   }
+
+  /** Weighted PageRank over `edges(src, dst, w)` — interaction STRENGTH
+    * (order counts, link multiplicity) steers the walk: each edge carries
+    * contrib = (rank·w) div Σw(src), the per-edge integer division making
+    * the result exactly reproducible like [[pageRank]]. Overflow bound:
+    * rank·w < 2⁶³ (at scale 10⁶, weights up to ~9·10¹² — route heavier
+    * multiplicities through a pre-normalized weight). */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
+                       scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val nodes = e.select(col("src").as("id")).distinct()
+    val teleport = (15L * scale) / 100L
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 0 until iterations) {
+      val r = ranks.join(deg, ranks("id") === deg("src"))
+        .select(col("id").as("rsrc"), col("rank"), col("wsum"))
+      val incoming = e.join(r, e("src") === col("rsrc"))
+        .select(col("dst"), expr("(rank * w) div wsum").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
+      ranks = nodes.join(incoming, nodes("id") === incoming("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + expr(s"(85 * coalesce(acc, 0L)) div 100"))
+            .as("rank"))
+    }
+    ranks
+  }
 }

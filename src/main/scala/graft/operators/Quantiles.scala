@@ -179,4 +179,36 @@ object Quantiles {
         + col(s"vhi_$nm") * col(s"r_$nm")).cast("long").as(s"${nm}_x$den") }
     grouped.select((col("g").as(groupCol) +: col("n") +: outCols): _*)
   }
+
+  /** Per-group WINSORIZATION of an integral signal: clip each value into
+    * its own group's [pLo, pHi] nearest-lower-rank percentile VALUES —
+    * the outlier-taming step before moment-based statistics (a single
+    * 10⁶-token doc otherwise owns its source's mean). Bounds are exact
+    * STORED values at floor rank num·(n−1) div den (no interpolation ⇒
+    * all integer, clip = least/greatest), computed by the same bounded
+    * distinct-value histogram as [[groupPercentiles]]; one-row-per-group
+    * bounds broadcast back and the clip is map-stage. */
+  def winsorizePerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                        lo: (Long, Long), hi: (Long, Long),
+                        out: String = "w"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+    val wAll = Window.partitionBy("g")
+    val cum = hist
+      .withColumn("hi_", sum(col("c")).over(w))
+      .withColumn("lo_", col("hi_") - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("ilo", expr(s"(${lo._1} * (n - 1)) div ${lo._2}"))
+      .withColumn("ihi", expr(s"(${hi._1} * (n - 1)) div ${hi._2}"))
+    val bounds = cum.groupBy(col("g")).agg(
+      max(when(col("ilo") >= col("lo_") && col("ilo") < col("hi_"), col("v"))).as("__blo"),
+      max(when(col("ihi") >= col("lo_") && col("ihi") < col("hi_"), col("v"))).as("__bhi"))
+    df.join(broadcast(bounds), df(groupCol) === bounds("g"))
+      .withColumn(out,
+        least(greatest(col(valueCol).cast("long"), col("__blo")), col("__bhi")))
+      .drop("g", "__blo", "__bhi")
+  }
 }

@@ -179,6 +179,16 @@ object TextAnalysis {
       .filter(col("cnt") * lit(k.toLong) > lit(n))
   }
 
+  /** Within-document repeated-LINE removal — the boilerplate cleanup that
+    * drops navigation bars / cookie banners repeated inside one page
+    * (C4's "deduplicate lines within a document" rule, scan-stage and
+    * map-only at any corpus size): split on newline, keep each line's
+    * FIRST occurrence in order (Spark's array_distinct preserves
+    * first-occurrence order), re-join. Cross-document line dedup is
+    * [[graft.operators.Dedup]] paragraph dedup; this is the per-row rule. */
+  def dedupLines(c: Column): Column =
+    concat_ws("\n", array_distinct(split(c, "\n")))
+
   /** Top-k DISTINCTIVE terms per group by chi-squared over-representation
     * — "what vocabulary sets this source apart" (corpus drift detection,
     * per-source fingerprinting; the log-free cousin of PMI keyword

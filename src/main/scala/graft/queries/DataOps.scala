@@ -42,6 +42,39 @@ object DataOps {
       |WHERE 20 * len(list_intersect(a.t, b.t))
       |      >= 19 * (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))""".stripMargin
 
+  /** Within-doc repeated-line removal ([[TextAnalysis.dedupLines]] — the
+    * C4 per-document line rule). The gate derives a 3-line page whose
+    * first and last lines repeat (the nav-bar shape) and asserts the
+    * dedup keeps first occurrences in order — fingerprinted so the whole
+    * reconstructed text is compared, not just counts. */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val derived = Tables(spark, dir).documents
+      .select(col("doc_id"), concat_ws("\n",
+        substring(col("text"), 1, 40), col("text"),
+        substring(col("text"), 1, 40)).as("t"))
+    derived.select(col("doc_id"),
+      size(split(col("t"), "\n")).cast("long").as("lines_before"),
+      TextAnalysis.dedupLines(col("t")).as("dd"))
+      .select(col("doc_id"), col("lines_before"),
+        size(split(col("dd"), "\n")).cast("long").as("lines_after"),
+        md5(col("dd").cast("binary")).as("fp"))
+  }
+
+  val qLineDedupSql: String =
+    """WITH d0 AS (SELECT doc_id,
+      |    substr(text, 1, 40) || chr(10) || text || chr(10)
+      |      || substr(text, 1, 40) AS t
+      |  FROM documents),
+      |d1 AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d0),
+      |d2 AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS lines_before,
+      |    array_to_string(
+      |      list_filter(l, (x, i) -> list_position(l, x) = i), chr(10)) AS dd
+      |  FROM d1)
+      |SELECT doc_id, lines_before,
+      |  CAST(len(string_split(dd, chr(10))) AS BIGINT) AS lines_after,
+      |  md5(dd) AS fp
+      |FROM d2""".stripMargin
+
   /** Edit-distance-1 similarity self-join on supplier names
     * ([[graft.operators.FuzzyJoin]] — FastSS deletion-neighborhood
     * blocking). The oracle is the NAIVE all-pairs cross-filter, so a green
@@ -3114,6 +3147,41 @@ object DataOps {
         col("rank"))
   }
 
+  /** Weighted PageRank: the same trading graph with lineitem counts as
+    * edge weights — heavy trading pairs steer the walk. Same unrolled
+    * integer oracle with per-edge (rank·w) div Σw contributions. */
+  def qPagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    Graph.pageRankWeighted(edges, iterations = 5)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("rank"))
+  }
+
+  val qPagerankWeightedSql: String = {
+    val step = (i: Int, prev: Int) =>
+      s"""r$i AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (SELECT e.dst AS id, sum((r.rank * e.w) // d.wsum) AS acc
+         |    FROM r$prev r JOIN d ON r.id = d.src JOIN e ON e.src = r.id
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+       |             CAST(count(*) AS BIGINT) AS w
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |           GROUP BY 1, 2),
+       |e AS (SELECT a AS src, b AS dst, w FROM p
+       |      UNION ALL SELECT b, a, w FROM p),
+       |d AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY 1),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+       |${(1 to 5).map(i => step(i, i - 1)).mkString(",\n")}
+       |SELECT id % 2 AS kind, id // 2 AS key, rank FROM r5""".stripMargin
+  }
+
   val qPagerankSql: String = {
     val step = (i: Int, prev: Int) =>
       s"""r$i AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS rank
@@ -3240,6 +3308,36 @@ object DataOps {
       |  (CAST(v95lo * (20 - r95) + v95hi * r95 AS DOUBLE) / 20.0) / 100.0 AS p95,
       |  (CAST(v99lo * (100 - r99) + v99hi * r99 AS DOUBLE) / 100.0) / 100.0 AS p99
       |FROM p""".stripMargin
+
+  /** Per-source winsorization of the token-count signal at [p1, p99]
+    * ([[graft.operators.Quantiles.winsorizePerGroup]]) — outlier taming
+    * before the moment-based statistics (q_zscore_norm / q_signal_corr)
+    * run over the same signal. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_n"))
+    Quantiles.winsorizePerGroup(docs, "source", "tok_n",
+      lo = (1L, 100L), hi = (99L, 100L))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH d AS (SELECT doc_id, source AS g,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |           FROM documents),
+      |h AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (SELECT g, v,
+      |        sum(c) OVER (PARTITION BY g ORDER BY v) AS hi_,
+      |        sum(c) OVER (PARTITION BY g ORDER BY v) - c AS lo_,
+      |        sum(c) OVER (PARTITION BY g) AS n FROM h),
+      |j AS (SELECT *, (1 * (n - 1)) // 100 AS ilo,
+      |        (99 * (n - 1)) // 100 AS ihi FROM cum),
+      |b AS (SELECT g, max(CASE WHEN ilo >= lo_ AND ilo < hi_ THEN v END) AS blo,
+      |             max(CASE WHEN ihi >= lo_ AND ihi < hi_ THEN v END) AS bhi
+      |      FROM j GROUP BY 1)
+      |SELECT d.doc_id, d.g AS source, d.v AS tok_n,
+      |  least(greatest(d.v, b.blo), b.bhi) AS w
+      |FROM d JOIN b USING (g)""".stripMargin
 
   def qTokenStats(spark: SparkSession, dir: String): DataFrame =
     tokenStatsCore(spark, dir)
@@ -3426,12 +3524,15 @@ object DataOps {
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_zscore_norm"    -> ((qZscoreNorm _, Some(qZscoreNormSql))),
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
+    "q_pagerank_weighted" -> ((qPagerankWeighted _, Some(qPagerankWeightedSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
     "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
     "q_attribution"    -> ((qAttribution _, Some(qAttributionSql))),
     "q_corpus_merge"   -> ((qCorpusMerge _, Some(qCorpusMergeSql))),
+    "q_line_dedup"     -> ((qLineDedup _, Some(qLineDedupSql))),
+    "q_winsorize"      -> ((qWinsorize _, Some(qWinsorizeSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),

@@ -628,6 +628,28 @@ class OperatorsSpec extends SparkSpec {
     assert(top("sB") == "other")
   }
 
+  test("dedup lines keeps first occurrences in order") {
+    val df = Seq((1L, "nav\nbody one\nnav\nbody two\nnav"),
+                 (2L, "only line")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.dedupLines(col("t")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "nav\nbody one\nbody two")
+    assert(out(2L) == "only line")
+  }
+
+  test("weighted pagerank: a heavier edge pulls more rank than a light one") {
+    // node 1 links to 2 (weight 9) and 3 (weight 1): 2 must outrank 3;
+    // in the UNWEIGHTED walk they would tie exactly
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 9L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankWeighted(e, iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(3L))
+    val unw = Graph.pageRank(e.select("src", "dst"), iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(unw(2L) == unw(3L), "unweighted twin ties the leaves")
+  }
+
   test("pagerank: exact integer ranks, hub outranks leaves, repartition-stable") {
     // star: 1 is hub to 2,3,4 (symmetric); 5-6 an isolated dumbbell
     val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))

@@ -80,4 +80,16 @@ class QuantilesSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(out7 == out)
   }
+
+  test("winsorize clips to per-group nearest-lower-rank bounds") {
+    // g=a: 11 values 0..9 and 1000 (the outlier). p10 lower-rank value at
+    // i = (1*10) div 10 = 1 -> v=1; p90 at i = (9*10) div 10 = 9 -> v=9.
+    val df = ((0 to 9).map(v => ("a", v.toLong)) :+ ("a", 1000L))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    val out = Quantiles.winsorizePerGroup(df, "g", "v", lo = (1L, 10L), hi = (9L, 10L))
+      .select("v", "w").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 1L, "below p10 clips up")
+    assert(out(1000L) == 9L, "the outlier clips to p90's stored value")
+    assert(out(5L) == 5L, "in-range values pass through")
+  }
 }
