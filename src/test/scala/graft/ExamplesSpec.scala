@@ -106,6 +106,40 @@ class ExamplesSpec extends SparkSpec {
     assert(rows.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
 
+  test("graph_rank.json ranks an edge list into parquet node scores") {
+    val in = tmp("gr-in"); val out = tmp("gr-out")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/edges.jsonl"),
+      """{"src":1,"dst":2}
+        |{"src":1,"dst":3}
+        |{"src":2,"dst":1}
+        |{"src":3,"dst":1}
+        |""".stripMargin)
+    Pipeline.run(spark, load("graph_rank.json", in, out))
+    val ranks = spark.read.parquet(s"$out/ranks").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 3)
+    assert(ranks(1L) > ranks(2L) && ranks(2L) == ranks(3L))
+  }
+
+  test("clean_names.json dedups near-identical names and z-scores ages") {
+    val in = tmp("cn-in"); val out = tmp("cn-out")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/people.jsonl"),
+      """{"id":1,"name":"Ada Lovelace","country":"uk","age":36}
+        |{"id":2,"name":"Ada Lovelece","country":"uk","age":30}
+        |{"id":3,"name":"Alan Turing","country":"uk","age":41}
+        |{"id":4,"name":"Grace Hopper","country":"us","age":85}
+        |{"id":5,"name":"Grace Hoppre","country":"us","age":79}
+        |""".stripMargin)
+    Pipeline.run(spark, load("clean_names.json", in, out))
+    val rows = spark.read.json(s"$out/clean").collect()
+      .map(r => r.getAs[Long]("id")).toSet
+    // Lovelace/Lovelece is one substitution (collapses to id 1);
+    // Hopper/Hoppre is a transposition = Levenshtein 2 (both kept)
+    assert(rows == Set(1L, 3L, 4L, 5L))
+    val z = spark.read.json(s"$out/clean")
+    assert(z.columns.contains("age_z"))
+  }
+
   test("psql.json parses; its driver class reaches Spark's JDBC layer") {
     val parsed = Pipeline.parse(load("psql.json", "", tmp("psql")))
     val conn = parsed.steps.collectFirst {
