@@ -40,7 +40,13 @@ object ScaleBench {
     "q_paragraph_dedup", "q_heavy_hitters", "q_bpe_pairs", "q_bpe_train", "q_bm25",
     "q_winnow", "q_stable_ids", "q_sample_per_source", "q_mixture_temperature",
     "q_containment", "q_containment_inc", "q_ccnet_buckets", "q_url_dedup",
-    "q_cap_per_host", "q_char_diversity", "q_token_budget")
+    "q_cap_per_host", "q_char_diversity", "q_token_budget",
+    "q_line_dedup", "q_winsorize", "q_zscore_norm", "q_chi2_terms",
+    "q_signal_corr", "q_corpus_diff", "q_corpus_merge", "q_corpus_report")
+  // q_jaccard_join is deliberately NOT in the x10 set: the word-soup
+  // corpus is near-worst-case for set-similarity (the TRUE pair set is
+  // quadratic in replica count at J>=19/20), so its x10 time measures the
+  // answer's size, not the plan; its scaling evidence is the sf decade.
 
   /** Queries whose only input is the embeddings table (eligible for the
     * synthetic 10× embedding corpus). q_semdedup is handled separately:
@@ -51,7 +57,8 @@ object ScaleBench {
     "q_emb_neardup", "q_emb_neardup_lsh", "q_emb_neardup_lsh_fixed",
     "q_ann_topk", "q_ann_ivf", "q_ann_ivf_exact", "q_ann_ivf_fixed",
     "q_ann_ivf_indexed", "q_quantize_emb", "q_cluster_sample",
-    "q_knn_graph", "q_knn_classify", "q_knn_mutual", "q_knn_clusters")
+    "q_knn_graph", "q_knn_classify", "q_knn_mutual", "q_knn_clusters",
+    "q_mmr_rerank")
 
   /** Replicate sf documents `copies`× with fresh ids and a BIJECTIVE
     * per-replica token remap (every token gets a replica suffix): within a
@@ -114,7 +121,10 @@ object ScaleBench {
   val eventsOnly: Seq[String] = Seq(
     "q_asof_join", "q_asof_forward", "q_range_join", "q_event_window",
     "q_event_sliding", "q_event_join", "q_event_funnel", "q_event_funnel_gap",
-    "q_event_retention", "q_sessionize", "q_stream_dedup", "q_pivot")
+    "q_event_retention", "q_sessionize", "q_stream_dedup", "q_pivot",
+    "q_rolling_range", "q_asof_tolerance", "q_event_anomaly",
+    "q_attribution", "q_group_percentiles", "q_event_twap", "q_event_wow",
+    "q_event_transitions")
 
   /** Replicate sf events `copies`× with fresh event ids and DISJOINT user
     * spaces per replica: per-user operators (as-of, funnel, sessionize,
