@@ -211,4 +211,26 @@ object Quantiles {
         least(greatest(col(valueCol).cast("long"), col("__blo")), col("__bhi")))
       .drop("g", "__blo", "__bhi")
   }
+
+  /** Per-group MEDIAN and MAD (median absolute deviation) — the robust
+    * location/scale pair that a single pathological document can't move
+    * (unlike the mean/stddev feeding 52d's z-score). Exactness without
+    * doubles: medians interpolate on integral domains, so they live as
+    * ×2 numerators — median_x2 = 2·median, deviations |2·x − median_x2|
+    * are exact longs, and the median of THOSE carries one more ×2 ⇒
+    * mad_x4 = 4·MAD. Two applications of the same bounded distinct-value
+    * histogram machinery as [[groupPercentiles]]; robust z-scores derive
+    * downstream as (2·(2x − median_x2)) / mad_x4 — all integer until one
+    * final division. */
+  def madPerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = groupPercentiles(df, groupCol, valueCol, Seq(("med", 1L, 2L)))
+      .select(col(groupCol).as("__g"), col("n"), col("med_x2"))
+    val dev = df.join(broadcast(med), df(groupCol) === col("__g"))
+      .select(col(groupCol),
+        abs(lit(2L) * col(valueCol).cast("long") - col("med_x2")).as("__dev"))
+    val mad = groupPercentiles(dev, groupCol, "__dev", Seq(("mad", 1L, 2L)))
+      .select(col(groupCol).as("__g2"), col("mad_x2").as("mad_x4"))
+    med.join(mad, col("__g") === col("__g2"))
+      .select(col("__g").as(groupCol), col("n"), col("med_x2"), col("mad_x4"))
+  }
 }

@@ -3339,6 +3339,75 @@ object DataOps {
       |  least(greatest(d.v, b.blo), b.bhi) AS w
       |FROM d JOIN b USING (g)""".stripMargin
 
+  /** Robust per-source location/scale: median and MAD of the token count
+    * ([[graft.operators.Quantiles.madPerGroup]] — ×2/×4 integer
+    * numerators, no doubles anywhere), the outlier-immune counterpart of
+    * q_zscore_norm's mean/stddev. */
+  def qRobustStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok_n"))
+    Quantiles.madPerGroup(docs, "source", "tok_n")
+  }
+
+  val qRobustStatsSql: String =
+    """WITH d AS (SELECT source AS g,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |           FROM documents),
+      |h1 AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |c1 AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS hi,
+      |        sum(c) OVER (PARTITION BY g ORDER BY v) - c AS lo,
+      |        sum(c) OVER (PARTITION BY g) AS n FROM h1),
+      |j1 AS (SELECT *, (n - 1) // 2 AS i, (n - 1) % 2 AS r FROM c1),
+      |m1 AS (SELECT g, n, r,
+      |        max(CASE WHEN i >= lo AND i < hi THEN v END) AS vlo,
+      |        max(CASE WHEN i + (CASE WHEN r > 0 THEN 1 ELSE 0 END) >= lo
+      |                  AND i + (CASE WHEN r > 0 THEN 1 ELSE 0 END) < hi
+      |             THEN v END) AS vhi
+      |      FROM j1 GROUP BY 1, 2, 3),
+      |med AS (SELECT g, n, CAST(vlo * (2 - r) + vhi * r AS BIGINT) AS med_x2
+      |        FROM m1),
+      |dv AS (SELECT d.g, abs(2 * d.v - med.med_x2) AS v
+      |       FROM d JOIN med USING (g)),
+      |h2 AS (SELECT g, v, count(*) AS c FROM dv GROUP BY 1, 2),
+      |c2 AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS hi,
+      |        sum(c) OVER (PARTITION BY g ORDER BY v) - c AS lo,
+      |        sum(c) OVER (PARTITION BY g) AS n FROM h2),
+      |j2 AS (SELECT *, (n - 1) // 2 AS i, (n - 1) % 2 AS r FROM c2),
+      |m2 AS (SELECT g, r,
+      |        max(CASE WHEN i >= lo AND i < hi THEN v END) AS vlo,
+      |        max(CASE WHEN i + (CASE WHEN r > 0 THEN 1 ELSE 0 END) >= lo
+      |                  AND i + (CASE WHEN r > 0 THEN 1 ELSE 0 END) < hi
+      |             THEN v END) AS vhi
+      |      FROM j2 GROUP BY 1, 2),
+      |mad AS (SELECT g, CAST(vlo * (2 - r) + vhi * r AS BIGINT) AS mad_x4
+      |        FROM m2)
+      |SELECT med.g AS source, med.n, med.med_x2, mad.mad_x4
+      |FROM med JOIN mad USING (g)""".stripMargin
+
+  /** Per-group MODE of the token-count signal (most frequent value, ties
+    * to the smallest — deterministic): one (group, value) count + one
+    * lexicographic min-struct argmax, no window over data rows. */
+  def qGroupMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).documents
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(min(struct((-col("c")).as("nc"), col("v"))).as("m"))
+      .select(col("source"), col("m.v").as("mode"), (-col("m.nc")).as("cnt"))
+  }
+
+  val qGroupModeSql: String =
+    """WITH d AS (SELECT source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |           FROM documents),
+      |c AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM d GROUP BY 1, 2)
+      |SELECT source, v AS mode, c AS cnt FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |             ORDER BY c DESC, v) AS rn FROM c) WHERE rn = 1""".stripMargin
+
   def qTokenStats(spark: SparkSession, dir: String): DataFrame =
     tokenStatsCore(spark, dir)
 
@@ -3533,6 +3602,8 @@ object DataOps {
     "q_corpus_merge"   -> ((qCorpusMerge _, Some(qCorpusMergeSql))),
     "q_line_dedup"     -> ((qLineDedup _, Some(qLineDedupSql))),
     "q_winsorize"      -> ((qWinsorize _, Some(qWinsorizeSql))),
+    "q_robust_stats"   -> ((qRobustStats _, Some(qRobustStatsSql))),
+    "q_group_mode"     -> ((qGroupMode _, Some(qGroupModeSql))),
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),

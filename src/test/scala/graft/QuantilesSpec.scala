@@ -92,4 +92,17 @@ class QuantilesSpec extends SparkSpec {
     assert(out(1000L) == 9L, "the outlier clips to p90's stored value")
     assert(out(5L) == 5L, "in-range values pass through")
   }
+
+  test("mad per group: outlier-immune where the mean is not") {
+    // g=a: [1,2,3,4,1000] -> median 3 (med_x2=6); devs*2 = |2v-6| =
+    // [4,2,0,2,1994] -> sorted [0,2,2,4,1994], median 2 -> mad_x4 = 4
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 1000L),
+                 ("b", 7L), ("b", 9L)).toDF("g", "v")
+    val out = Quantiles.madPerGroup(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((5L, 6L, 4L)))
+    // g=b: median 8 (x2=16), devs*2 = [2,2] -> mad_x4 = 4... deviations
+    // |14-16|=2 and |18-16|=2, median 2 -> x2 -> 4
+    assert(out("b") == ((2L, 16L, 4L)))
+  }
 }
