@@ -32,7 +32,14 @@ object Graph {
     * div outdeg(s))) div 100 — the standard d=0.85 update in longs. */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000L): DataFrame = {
+    // the edge list feeds deg, the node set, AND every iteration's join —
+    // without a persist the (possibly join-shaped) upstream plan would
+    // re-execute 2 + iterations times; materialize it once (the
+    // representatives() precedent — at cluster scale a bucketed edge
+    // table on `src` additionally makes the per-iteration join
+    // exchange-free on the edge side)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("id")).distinct()
     val teleport = (15L * scale) / 100L
@@ -62,6 +69,7 @@ object Graph {
                        scale: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     val nodes = e.select(col("src").as("id")).distinct()
     val teleport = (15L * scale) / 100L
