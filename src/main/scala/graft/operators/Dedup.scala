@@ -240,9 +240,16 @@ object Dedup {
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   tNum: Int, tDen: Int, maxBucket: Int = 4096): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
+    // strings never leave the scan: tokens become xxhash64 longs at the
+    // explode (the MinHash-family precedent — hashed-set Jaccard equals
+    // string-set Jaccard absent 2⁻⁶⁴ collisions), so the frequency join,
+    // the per-doc re-collect, the prefix keys, and the verify intersects
+    // all run on longs. The global order becomes (df, hash) — any
+    // consistent total order satisfies the prefix principle.
     val sets = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(split(trim(lower(col(textCol))), "\\s+")).as("toks"))
-    val toks = sets.select(col("id"), explode(col("toks")).as("tok"))
+      array_distinct(split(trim(lower(col(textCol))), "\\s+")).as("stoks"))
+    val toks = sets.select(col("id"), explode(col("stoks")).as("stok"))
+      .select(col("id"), xxhash64(col("stok")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     val sorted = toks.join(freq, "tok")
       .groupBy(col("id"))
@@ -275,8 +282,8 @@ object Dedup {
         (col("pb") - shiftleft(col("nb"), 40)).as("id_b"))
       .distinct()
     cands
-      .join(sets.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
+      .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .withColumn("uni",
         (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
