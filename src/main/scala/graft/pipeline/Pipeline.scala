@@ -101,6 +101,12 @@ object Pipeline {
     * — the cross-source calibration step before signals combine. */
   final case class ZscoreStep(groupCol: String, valueCol: String,
                               outCol: String, dataType: String) extends Step
+  /** Per-group winsorization ([[graft.operators.Quantiles.winsorizePerGroup]]):
+    * clip `valueCol` into its group's [lo, hi] nearest-lower-rank
+    * percentile values, annotated to `outCol`. */
+  final case class WinsorizeStep(groupCol: String, valueCol: String,
+                                 lo: (Long, Long), hi: (Long, Long),
+                                 outCol: String, dataType: String) extends Step
   /** Exact fixed-point integer PageRank over edge records (`src`, `dst`)
     * — [[graft.operators.Graph.pageRank]]; replaces the flow with
     * (id, rank) node scores. `symmetric` unions reversed edges first. */
@@ -428,6 +434,18 @@ object Pipeline {
         outCol = str("output", "cluster"), dataType)
       case "normalize" | "zscore" => ZscoreStep(str("group_by", "source"),
         str("field", "n_chars"), str("output", "z"), dataType)
+      case "winsorize" =>
+        // lo/hi are rational percentile ranks written "num/den"
+        def frac(key: String, dflt: (Long, Long)): (Long, Long) =
+          if (!node.has(key)) dflt
+          else node.get(key).asText().split("/") match {
+            case Array(n, d) => (n.trim.toLong, d.trim.toLong)
+            case _ => throw new IllegalArgumentException(
+              s"winsorize $key wants \"num/den\", got ${node.get(key).asText()}")
+          }
+        WinsorizeStep(str("group_by", "source"), str("field", "n_chars"),
+          frac("lo", (1L, 100L)), frac("hi", (99L, 100L)),
+          str("output", "w"), dataType)
       case "pagerank" => PageRankStep(str("src", "src"), str("dst", "dst"),
         iterations = if (node.has("iterations")) node.get("iterations").asInt() else 5,
         symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
@@ -668,6 +686,21 @@ object Pipeline {
                 // canonical URL (C4's web pass — case/scheme/www/default
                 // port/fragment/tracking-param/param-order insensitive)
                 graft.operators.Web.dedupByUrl(df, id, text)
+              case "jaccard" =>
+                // EXACT token-set Jaccard dedup (AllPairs prefix join —
+                // 100% recall where minhash is probabilistic; prefer
+                // minhash when candidate volume matters more than
+                // exactness). threshold rationalizes to percents.
+                val tNum = math.max(1, math.round(threshold * 100).toInt)
+                val pairs = graft.operators.Dedup.jaccardJoin(df, id, text,
+                    tNum = tNum, tDen = 100, maxBucket = maxBucket)
+                  .select(col("id_a").as("a"), col("id_b").as("b"))
+                val reps = graft.operators.Dedup.representatives(pairs)
+                  .withColumnRenamed("id", "__rep_id")
+                  .withColumnRenamed("rep", "__rep")
+                df.join(reps, df(id) === col("__rep_id"), "left")
+                  .filter(col("__rep").isNull || col("__rep") === df(id))
+                  .drop("__rep_id", "__rep")
               case "editdist" =>
                 // collapse near-identical short strings (names, titles,
                 // SKUs) within Levenshtein 1 — FastSS-blocked pairs →
@@ -876,6 +909,9 @@ object Pipeline {
         case ZscoreStep(g, v, out, dt) =>
           flow(dt).map(df => flow.updated(dt,
             graft.operators.Curation.zscorePerGroup(df, g, v, out))).getOrElse(flow)
+        case WinsorizeStep(g, v, lo, hi, out, dt) =>
+          flow(dt).map(df => flow.updated(dt,
+            graft.operators.Quantiles.winsorizePerGroup(df, g, v, lo, hi, out))).getOrElse(flow)
         case PageRankStep(src, dst, iters, symmetric, dt) =>
           flow(dt).map { df =>
             val fwd = df.select(col(src).cast("long").as("src"),

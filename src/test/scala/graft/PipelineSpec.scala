@@ -463,6 +463,41 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("winsorize step clips a signal to per-group percentile values from config") {
+    val src = tmp("wz") + "/vals.parquet"
+    ((0 to 9).map(v => ("a", v.toLong)) :+ ("a", 1000L))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"winsorize","group_by":"g","field":"v",
+         |  "lo":"1/10","hi":"9/10","output":"vw"}
+         |]""".stripMargin)
+    val out = flow.ok.get.select("v", "vw").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1000L) == 9L && out(0L) == 1L && out(5L) == 5L)
+  }
+
+  test("dedup method=jaccard collapses exact-jaccard components from config") {
+    val src = tmp("jd") + "/docs.parquet"
+    Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b c d e"),
+        (4L, "p q r s t"), (5L, "x y z w u"))
+      .toDF("id", "text").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"dedup","method":"jaccard","id":"id","field":"text",
+         |  "threshold":0.6,"max_bucket":1024}
+         |]""".stripMargin)
+    val kept = flow.ok.get.select("id").as[Long].collect().toSet
+    // {1,2,3} are one J>=0.6 component (2/3 pairwise, 1 for the dup);
+    // 4 and 5 are singletons
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("knn_classify step propagates seed labels from config") {
     // null out labels for vec_id >= 50: those rows must get predictions,
     // seed rows keep their own label
