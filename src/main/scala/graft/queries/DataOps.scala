@@ -3182,6 +3182,29 @@ object DataOps {
        |SELECT id % 2 AS kind, id // 2 AS key, rank FROM r5""".stripMargin
   }
 
+  /** PageRank through the persisted bucketed edge index
+    * ([[Graph.buildEdgeIndex]]/[[Graph.pageRankFromIndex]]) — same oracle
+    * as q_pagerank: three physical layouts (inline, weighted, indexed),
+    * one integer dynamics. Build-once-per-(session, dir) like the BM25
+    * index gates, so the bench's best-of-N times the rank loop alone. */
+  def qPagerankIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = s"graft_pr_gate_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+    if (!spark.catalog.tableExists(prefix)) {
+      dropGateTable(spark, prefix)
+      val t = Tables(spark, dir)
+      val pairs = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graph.buildEdgeIndex(edges, prefix, buckets = 8)
+    }
+    Graph.pageRankFromIndex(spark, prefix, iterations = 5)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("rank"))
+  }
+
   val qPagerankSql: String = {
     val step = (i: Int, prev: Int) =>
       s"""r$i AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS rank
@@ -3594,6 +3617,7 @@ object DataOps {
     "q_zscore_norm"    -> ((qZscoreNorm _, Some(qZscoreNormSql))),
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
     "q_pagerank_weighted" -> ((qPagerankWeighted _, Some(qPagerankWeightedSql))),
+    "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),

@@ -335,6 +335,38 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("persisted edge index: rank iterations read the graph exchange-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val fromIdx = queries.DataOps.qPagerankIndexed(spark, sf)
+    val direct = queries.DataOps.qPagerank(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(fromIdx) == rows(direct),
+      "layout must change the plan, never the ranks")
+    // every iteration joins ranks to the bucketed edge table; the join
+    // child holding the edge scan (and no aggregate — that side is the
+    // rank lineage) must contain NO exchange: the graph never re-shuffles
+    val plan = executed(fromIdx)
+    val joins = nodes(plan).flatMap {
+      case j: SortMergeJoinExec => j.children
+      case j: ShuffledHashJoinExec => j.children
+      case j: BroadcastHashJoinExec => j.children
+      case _ => Nil
+    }
+    val edgeSides = joins.filter { ch =>
+      val sub = nodes(ch)
+      sub.exists { case f: FileSourceScanExec => f.bucketedScan; case _ => false } &&
+        !sub.exists { case _: BaseAggregateExec => true; case _ => false }
+    }
+    assert(edgeSides.nonEmpty, "expected bucketed edge-scan join sides")
+    edgeSides.foreach { ch =>
+      val ex = nodes(ch).collect { case s: ShuffleExchangeExec => s }
+      assert(ex.isEmpty, s"edge side of a rank join re-shuffles the graph:\n$ch")
+    }
+  }
+
   test("persisted IVF index: probe is corpus-exchange-free and bucket-pruned") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec
