@@ -1522,6 +1522,61 @@ object DataOps {
       |FROM t p LEFT JOIN fv USING (user_id, sess)
       |WHERE p.event_type = 'purchase'""".stripMargin
 
+  /** Kept-anchored DEBOUNCE (rate limiting): keep an event only when it is
+    * more than `gapMicros` after the last KEPT event of the same key —
+    * the alert/notification throttle. This is NOT expressible with lag()
+    * (a burst 0s/4s/8s at gap 5: lag drops 4 AND 8, the throttle keeps 8
+    * because 4 was never kept — the anchor is the kept chain, a
+    * sequential fold). Runs in flatMapGroups over per-key bounded state
+    * (the sessionize discipline); ties at the same instant keep the
+    * smallest event id. */
+  def debounceKeep(events: DataFrame, keyCol: String, tsCol: String,
+                   idCol: String, gapMicros: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
+        col(idCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u, it) =>
+        val arr = it.toArray.sortBy(e => (e._2, e._3))
+        var last = Long.MinValue
+        arr.iterator.filter { e =>
+          if (last == Long.MinValue || e._2 - last > gapMicros) {
+            last = e._2; true
+          } else false
+        }.map(e => (u, e._3, e._2))
+      }.toDF(keyCol, idCol, "t_us")
+  }
+
+  /** 1-hour per-user debounce gate. The oracle replays the sequential
+    * kept-chain from first principles with a recursive CTE (each step
+    * selects the next event strictly more than the gap after the last
+    * KEPT time) — the same independent-reimplementation discipline as
+    * q_dedup_corpus's transitive closure. */
+  def qEventDebounce(spark: SparkSession, dir: String): DataFrame =
+    debounceKeep(Tables(spark, dir).events, "user_id", "ts", "event_id",
+      gapMicros = 3600L * 1000000L)
+
+  val qEventDebounceSql: String =
+    """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+      |                     FROM events),
+      |k AS (
+      |  SELECT user_id, min(t) AS t FROM e GROUP BY 1
+      |  UNION ALL
+      |  SELECT k.user_id,
+      |         (SELECT min(t) FROM e
+      |          WHERE e.user_id = k.user_id AND e.t > k.t + 3600000000)
+      |  FROM k
+      |  WHERE EXISTS (SELECT 1 FROM e
+      |                WHERE e.user_id = k.user_id
+      |                  AND e.t > k.t + 3600000000))
+      |SELECT k.user_id,
+      |  (SELECT min(event_id) FROM e
+      |   WHERE e.user_id = k.user_id AND e.t = k.t) AS event_id,
+      |  k.t AS t_us
+      |FROM k""".stripMargin
+
   /** Behavioral transition matrix: counts of consecutive (prev_type →
     * type) pairs within each user's event-time-ordered stream — the
     * Markov-chain summary behind "what do users do after X". One
@@ -3622,6 +3677,7 @@ object DataOps {
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
     "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
+    "q_event_debounce" -> ((qEventDebounce _, Some(qEventDebounceSql))),
     "q_attribution"    -> ((qAttribution _, Some(qAttributionSql))),
     "q_corpus_merge"   -> ((qCorpusMerge _, Some(qCorpusMergeSql))),
     "q_line_dedup"     -> ((qLineDedup _, Some(qLineDedupSql))),

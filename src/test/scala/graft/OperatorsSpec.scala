@@ -552,6 +552,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L).isNaN, "singleton group has no scale")
   }
 
+  test("debounce anchors on the KEPT chain, not the previous event") {
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${s}%02d")
+    // burst at 0s/4s/8s with 5s gap: 4s drops (4 <= 5 after kept 0s) but
+    // 8s KEEPS (8 > 5 after kept 0s) — a lag()-based filter would drop it
+    // (8-4 <= 5); plus a same-instant tie keeping the smaller id
+    val e = Seq((1L, t(0), 10L), (1L, t(4), 11L), (1L, t(8), 12L),
+                (1L, t(8), 13L), (2L, t(0), 20L)).toDF("u", "ts", "eid")
+    val kept = graft.queries.DataOps.debounceKeep(e, "u", "ts", "eid", 5L * 1000000L)
+      .select("eid").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 20L))
+  }
+
   test("merge apply: upsert-update, upsert-insert, delete, no-op delete, pass-through") {
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
     val batch = Seq((2L, "B", "upsert"),   // update
