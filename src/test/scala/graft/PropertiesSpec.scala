@@ -30,6 +30,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance join equals the naive cross-filter on random short strings") {
+    // a dense random dictionary over a 4-letter alphabet maximizes
+    // accidental distance-1 pairs (and duplicate strings) — the regime
+    // that stresses the deletion-neighborhood blocking
+    def shortWord(): String =
+      (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val df = (1L to 120L).map(i => (i, shortWord())).toDF("id", "s")
+    val got = operators.FuzzyJoin.editDistancePairs(df, "id", "s", maxBucket = 4096)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reps = df.groupBy(col("s")).agg(min(col("id")).as("id"))
+    val naive = reps.as("a").join(reps.as("b"),
+        col("a.id") < col("b.id") && levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"blocked=${got.size} naive=${naive.size}")
+    assert(naive.nonEmpty, "fixture must generate distance-1 pairs")
+  }
+
+  test("jaccard join equals the naive cross-filter on random token sets") {
+    // 6-word vocabulary, 3-8 token docs: high accidental overlap, ties at
+    // the threshold, duplicate sets — worst-case-ish for prefix blocking
+    val vocab = Seq("ar", "be", "cu", "do", "el", "fi")
+    def doc(): String =
+      (1 to (3 + rnd.nextInt(6))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val df = (1L to 80L).map(i => (i, doc())).toDF("id", "t")
+    val got = operators.Dedup.jaccardJoin(df, "id", "t", tNum = 3, tDen = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = df.select(col("id"), array_distinct(split(col("t"), " ")).as("s"))
+    val naive = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .withColumn("i", size(array_intersect(col("a.s"), col("b.s"))))
+      .withColumn("u", size(col("a.s")) + size(col("b.s")) - col("i"))
+      .filter(col("i") * 5 >= col("u") * 3)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"blocked=${got.size} naive=${naive.size}")
+    assert(naive.nonEmpty, "fixture must generate similar pairs")
+  }
+
   test("simhash hamming is within [0,64]; 0 for reordered token multiset") {
     val samples = Seq.fill(40)((text(), text()))
     val rows = samples.toDF("a", "b")
