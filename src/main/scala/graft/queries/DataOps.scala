@@ -1477,14 +1477,15 @@ object DataOps {
       |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) >= 2.0 END AS anomaly
       |FROM z""".stripMargin
 
-  /** Session-based first-touch attribution: each purchase is credited to
-    * the FIRST view of its own 30-minute-gap session — the multi-touch
-    * attribution primitive. One user-keyed ordered window builds session
-    * ids (gap > 30 min starts a session, the sessionization identity),
-    * one (user, session) aggregate finds the first view (min (ts,
-    * event_id) — deterministic under timestamp ties), purchases join back
-    * by (user, session). Everything shuffles on user/session keys; the
-    * event stream is scanned once. */
+  /** Session-based CAUSAL first-touch attribution: each purchase is
+    * credited to the first view of its own 30-minute-gap session AMONG
+    * THOSE SEEN BEFORE THE PURCHASE — a view later in the session must
+    * not claim a conversion that already happened (and this is exactly
+    * what a streaming attributor can know at arrival time — the
+    * streaming twin replays to identical pairs, spec-pinned). Two
+    * user-keyed ordered windows (session ids via the gap rule, then a
+    * running first-view with ignoreNulls), zero joins; the event stream
+    * is scanned once. */
   def qAttribution(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val sess = Tables(spark, dir).events
@@ -1494,13 +1495,14 @@ object DataOps {
           unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("sess", sum(col("new_sess")).over(w))
-    val firstView = sess.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("fv_user"), col("sess").as("fv_sess"))
-      .agg(min(struct(col("ts"), col("event_id"))).as("fv"))
-      .select(col("fv_user"), col("fv_sess"), col("fv.event_id").as("first_view_id"))
-    sess.filter(col("event_type") === "purchase")
-      .join(firstView,
-        col("user_id") === col("fv_user") && col("sess") === col("fv_sess"), "left")
+    val w2 = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess
+      .withColumn("first_view_id",
+        first(when(col("event_type") === "view", col("event_id")),
+          ignoreNulls = true).over(w2))
+      .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("sess"), col("first_view_id"))
   }
 
@@ -1514,13 +1516,15 @@ object DataOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |t AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
       |        ORDER BY ts, event_id) AS BIGINT) AS sess FROM s),
-      |fv AS (SELECT user_id, sess, event_id AS first_view_id FROM (
-      |        SELECT *, row_number() OVER (PARTITION BY user_id, sess
-      |                   ORDER BY ts, event_id) AS rn
-      |        FROM t WHERE event_type = 'view') WHERE rn = 1)
-      |SELECT p.event_id, p.user_id, p.sess, fv.first_view_id
-      |FROM t p LEFT JOIN fv USING (user_id, sess)
-      |WHERE p.event_type = 'purchase'""".stripMargin
+      |f AS (SELECT *,
+      |        first_value(CASE WHEN event_type = 'view' THEN event_id END
+      |                    IGNORE NULLS)
+      |          OVER (PARTITION BY user_id, sess ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS first_view_id
+      |      FROM t)
+      |SELECT event_id, user_id, sess, first_view_id
+      |FROM f WHERE event_type = 'purchase'""".stripMargin
 
   /** Kept-anchored DEBOUNCE (rate limiting): keep an event only when it is
     * more than `gapMicros` after the last KEPT event of the same key —

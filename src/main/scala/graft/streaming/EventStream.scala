@@ -168,6 +168,43 @@ object EventStream {
         }
       }.start()
 
+  /** Streaming first-touch attribution — the arrival-time twin of the
+    * batch gate (graft.queries.DataOps.qAttribution): per user the state
+    * is three longs (last event time, session counter, first view of the
+    * current session) — O(1) forever; a gap > `gapMicros` starts a new
+    * session and clears the first-view anchor; each purchase emits its
+    * session's first view the moment it arrives. On ordered replay the
+    * (purchase → first view) pairs equal the batch window chain exactly
+    * (spec-pinned). */
+  final case class Attribution(event_id: Long, user_id: Long, sess: Long,
+                               first_view_id: Long)
+  def attributionStream(spark: SparkSession, events: DataFrame,
+                        gapMicros: Long = 1800L * 1000000L)
+      : org.apache.spark.sql.Dataset[Attribution] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (u, it, state: GroupState[(Long, Long, Long)]) =>
+          var (lastTs, sess, firstView) =
+            state.getOption.getOrElse((Long.MinValue, 0L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer[Attribution]()
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime * 1000L
+            if (lastTs == Long.MinValue || t - lastTs > gapMicros) {
+              sess += 1L; firstView = -1L
+            }
+            lastTs = t
+            if (e.event_type == "view" && firstView < 0L) firstView = e.event_id
+            if (e.event_type == "purchase")
+              out += Attribution(e.event_id, u, sess, firstView)
+          }
+          state.update((lastTs, sess, firstView))
+          out.iterator
+      }
+  }
+
   /** Streaming volume-anomaly scoring — the arrival-time twin of the
     * batch gate (graft.queries.DataOps.qEventAnomaly): per event type,
     * each COMPLETED week's count is z-scored against the running exact

@@ -147,6 +147,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution equals the batch session chain on ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val ordered = Tables(spark, sfDir).events
+      .orderBy(col("ts"), col("event_id"))
+      .as[EventStream.Event].collect().toSeq
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.attributionStream(spark, input.toDF())
+      .writeStream.format("memory").queryName("sattr").outputMode("append").start()
+    try {
+      val (b1, b2) = ordered.splitAt(ordered.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = spark.sql("SELECT event_id, sess, first_view_id FROM sattr")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.getLong(2) < 0) -1L else r.getLong(2))).toMap
+      val batch = queries.DataOps.qAttribution(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(streamed == batch,
+        s"diverged on ${streamed.toSet.diff(batch.toSet).take(3)}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming weekly anomaly: closed weeks z-score against prior history only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
