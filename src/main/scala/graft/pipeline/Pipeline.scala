@@ -101,6 +101,17 @@ object Pipeline {
     * — the cross-source calibration step before signals combine. */
   final case class ZscoreStep(groupCol: String, valueCol: String,
                               outCol: String, dataType: String) extends Step
+  /** Gap-rule sessionization annotation: a new session starts when the
+    * same key's inter-event gap exceeds `gapMinutes`; session ids are
+    * tie-order independent (a zero gap never starts a session). */
+  final case class SessionizeStep(keyCol: String, tsCol: String,
+                                  gapMinutes: Long, outCol: String,
+                                  dataType: String) extends Step
+  /** Kept-anchored debounce ([[graft.queries.DataOps.debounceKeep]] —
+    * rate limiting): keep a record only when > `gapSeconds` after the
+    * last KEPT record of the same key. */
+  final case class DebounceStep(keyCol: String, tsCol: String, idCol: String,
+                                gapSeconds: Long, dataType: String) extends Step
   /** Per-group winsorization ([[graft.operators.Quantiles.winsorizePerGroup]]):
     * clip `valueCol` into its group's [lo, hi] nearest-lower-rank
     * percentile values, annotated to `outCol`. */
@@ -434,6 +445,14 @@ object Pipeline {
         outCol = str("output", "cluster"), dataType)
       case "normalize" | "zscore" => ZscoreStep(str("group_by", "source"),
         str("field", "n_chars"), str("output", "z"), dataType)
+      case "sessionize" => SessionizeStep(str("key", "user_id"),
+        str("ts_field", "ts"),
+        if (node.has("gap_minutes")) node.get("gap_minutes").asLong() else 30L,
+        str("output", "sess"), dataType)
+      case "debounce" => DebounceStep(str("key", "user_id"),
+        str("ts_field", "ts"), str("id", "event_id"),
+        if (node.has("gap_seconds")) node.get("gap_seconds").asLong() else 60L,
+        dataType)
       case "winsorize" =>
         // lo/hi are rational percentile ranks written "num/den"
         def frac(key: String, dflt: (Long, Long)): (Long, Long) =
@@ -909,6 +928,26 @@ object Pipeline {
         case ZscoreStep(g, v, out, dt) =>
           flow(dt).map(df => flow.updated(dt,
             graft.operators.Curation.zscorePerGroup(df, g, v, out))).getOrElse(flow)
+        case SessionizeStep(key, ts, gapMin, out, dt) =>
+          flow(dt).map { df =>
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col(key)).orderBy(col(ts))
+            flow.updated(dt, df
+              .withColumn("__prev_ts", lag(col(ts), 1).over(w))
+              .withColumn(out, sum(
+                when(col("__prev_ts").isNull ||
+                  unix_micros(col(ts)) - unix_micros(col("__prev_ts")) >
+                    gapMin * 60000000L, 1L).otherwise(0L)).over(w))
+              .drop("__prev_ts"))
+          }.getOrElse(flow)
+        case DebounceStep(key, ts, id, gapSec, dt) =>
+          flow(dt).map { df =>
+            val kept = graft.queries.DataOps.debounceKeep(df, key, ts, id,
+                gapSec * 1000000L)
+              .select(col(id).as("__keep_id"))
+            flow.updated(dt,
+              df.join(kept, df(id).cast("long") === col("__keep_id"), "left_semi"))
+          }.getOrElse(flow)
         case WinsorizeStep(g, v, lo, hi, out, dt) =>
           flow(dt).map(df => flow.updated(dt,
             graft.operators.Quantiles.winsorizePerGroup(df, g, v, lo, hi, out))).getOrElse(flow)

@@ -463,6 +463,27 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("sessionize and debounce steps lift the event ops onto config flows") {
+    val src = tmp("sd") + "/events.parquet"
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq((1L, 7L, t(0)), (2L, 7L, t(10)), (3L, 7L, t(50)), (4L, 8L, t(5)))
+      .toDF("event_id", "user_id", "ts").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sessionize","key":"user_id","ts_field":"ts",
+         |  "gap_minutes":30,"output":"sess"},
+         | {"type":"debounce","key":"user_id","ts_field":"ts",
+         |  "id":"event_id","gap_seconds":900}
+         |]""".stripMargin)
+    val rows = flow.ok.get.select("event_id", "sess").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sessions: user 7 {1,2} then {3} (40-min gap); debounce at 15 min
+    // keeps 1 (anchor), drops 2 (10 min after kept 1), keeps 3 and 4
+    assert(rows == Map(1L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("winsorize step clips a signal to per-group percentile values from config") {
     val src = tmp("wz") + "/vals.parquet"
     ((0 to 9).map(v => ("a", v.toLong)) :+ ("a", 1000L))
