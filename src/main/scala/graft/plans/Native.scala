@@ -160,6 +160,10 @@ object GraftExtensions {
       colFn1(graft.operators.Web.htmlToText)),
     ("graft_html_links", info("Web", "href targets of an HTML page, in order"),
       colFn1(graft.operators.Web.htmlLinks)),
+    ("graft_dedup_lines", info("TextAnalysis", "drop repeated lines within a document (C4 line rule)"),
+      colFn1(graft.operators.TextAnalysis.dedupLines)),
+    ("graft_scrub_pii", info("TextAnalysis", "mask emails/phones/ips/ssns in a text"),
+      colFn1(graft.operators.TextAnalysis.scrubPii)),
     ("graft_markdown_text", info("Web", "Markdown to plain text (extraction pass)"),
       colFn1(graft.operators.Web.markdownToText)),
     ("graft_markdown_links", info("Web", "inline-link targets of a markdown doc, in order"),

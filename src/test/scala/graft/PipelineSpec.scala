@@ -1440,12 +1440,16 @@ class PipelineSpec extends SparkSpec {
         | {"type":"transformer","actions":[
         |   {"field":"name","pattern":"graft_fake_first_name(id)"},
         |   {"field":"email","pattern":"graft_fake_email(id)"},
-        |   {"field":"slug","pattern":"graft_slugify('Hello World!')"}]}
+        |   {"field":"slug","pattern":"graft_slugify('Hello World!')"},
+        |   {"field":"clean","pattern":"graft_dedup_lines(concat('x', chr(10), 'y', chr(10), 'x'))"},
+        |   {"field":"masked","pattern":"graft_scrub_pii('mail a@b.com now')"}]}
         |]""".stripMargin)
     val rows = flow.ok.get.orderBy("id").collect()
     assert(rows.length == 3)
     assert(rows.forall(_.getAs[String]("email").endsWith("@example.com")))
     assert(rows.forall(_.getAs[String]("slug") == "hello-world"))
+    assert(rows.forall(_.getAs[String]("clean") == "x\ny"))
+    assert(rows.forall(!_.getAs[String]("masked").contains("a@b.com")))
     // deterministic across runs
     val again = Pipeline.run(spark,
       """[
