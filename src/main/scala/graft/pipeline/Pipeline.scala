@@ -107,6 +107,12 @@ object Pipeline {
   final case class SessionizeStep(keyCol: String, tsCol: String,
                                   gapMinutes: Long, outCol: String,
                                   dataType: String) extends Step
+  /** Ordered-funnel analysis ([[graft.queries.DataOps.funnelStages]]):
+    * replaces the flow with per-key stage timestamps + reached depth;
+    * optional per-hop max gap (ClickHouse windowFunnel semantics). */
+  final case class FunnelStep(keyCol: String, tsCol: String, typeCol: String,
+                              stages: Seq[String], maxGapSeconds: Option[Long],
+                              dataType: String) extends Step
   /** Kept-anchored debounce ([[graft.queries.DataOps.debounceKeep]] —
     * rate limiting): keep a record only when > `gapSeconds` after the
     * last KEPT record of the same key. */
@@ -449,6 +455,14 @@ object Pipeline {
         str("ts_field", "ts"),
         if (node.has("gap_minutes")) node.get("gap_minutes").asLong() else 30L,
         str("output", "sess"), dataType)
+      case "funnel" =>
+        val stages = Option(node.get("stages"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(throw new IllegalArgumentException("funnel needs \"stages\""))
+        FunnelStep(str("key", "user_id"), str("ts_field", "ts"),
+          str("type_field", "event_type"), stages,
+          if (node.has("max_gap_seconds")) Some(node.get("max_gap_seconds").asLong())
+          else None, dataType)
       case "debounce" => DebounceStep(str("key", "user_id"),
         str("ts_field", "ts"), str("id", "event_id"),
         if (node.has("gap_seconds")) node.get("gap_seconds").asLong() else 60L,
@@ -936,10 +950,15 @@ object Pipeline {
               .withColumn("__prev_ts", lag(col(ts), 1).over(w))
               .withColumn(out, sum(
                 when(col("__prev_ts").isNull ||
-                  unix_micros(col(ts)) - unix_micros(col("__prev_ts")) >
+                  unix_micros(col(ts).cast("timestamp")) -
+                    unix_micros(col("__prev_ts").cast("timestamp")) >
                     gapMin * 60000000L, 1L).otherwise(0L)).over(w))
               .drop("__prev_ts"))
           }.getOrElse(flow)
+        case FunnelStep(key, ts, tpe, stages, maxGap, dt) =>
+          flow(dt).map(df => flow.updated(dt,
+            graft.queries.DataOps.funnelStages(df, key, ts, tpe, stages, maxGap)))
+            .getOrElse(flow)
         case DebounceStep(key, ts, id, gapSec, dt) =>
           flow(dt).map { df =>
             val kept = graft.queries.DataOps.debounceKeep(df, key, ts, id,

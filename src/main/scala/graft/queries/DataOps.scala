@@ -1370,7 +1370,8 @@ object DataOps {
     // stage's timestamp — exact integer microsecond comparison
     def withinGap(x: Column, prev: Column): Column = maxGapSeconds match {
       case Some(gap) => x > prev &&
-        unix_micros(x) <= unix_micros(prev) + gap * 1000000L
+        unix_micros(x.cast("timestamp")) <=
+          unix_micros(prev.cast("timestamp")) + gap * 1000000L
       case None => x > prev
     }
     val chain: Seq[Column] = stages.indices.drop(1).scanLeft(
@@ -1538,7 +1539,10 @@ object DataOps {
                    idCol: String, gapMicros: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
+    // cast: raw parquet may load timestamps as TIMESTAMP_NTZ, which
+    // unix_micros rejects (config readers bypass Tables' normalization)
+    events.select(col(keyCol).cast("long"),
+        unix_micros(col(tsCol).cast("timestamp")),
         col(idCol).cast("long"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)

@@ -106,6 +106,19 @@ class ExamplesSpec extends SparkSpec {
     assert(rows.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
 
+  test("events_analytics.json runs debounce -> sessionize -> funnel on real events") {
+    val in = tmp("ev-in"); val out = tmp("ev-out")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.parquet(s"$in/events.parquet")
+    Pipeline.run(spark, load("events_analytics.json", in, out))
+    val funnel = spark.read.parquet(s"$out/funnel")
+    assert(funnel.columns.contains("depth"))
+    assert(funnel.count() > 0)
+    val depths = funnel.select("depth").as[Long].collect()
+    assert(depths.forall(d => d >= 0 && d <= 3))
+    assert(depths.exists(_ > 0), "some user should progress past stage 0")
+  }
+
   test("graph_rank.json ranks an edge list into parquet node scores") {
     val in = tmp("gr-in"); val out = tmp("gr-out")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/edges.jsonl"),
