@@ -118,6 +118,14 @@ object Pipeline {
     * last KEPT record of the same key. */
   final case class DebounceStep(keyCol: String, tsCol: String, idCol: String,
                                 gapSeconds: Long, dataType: String) extends Step
+  /** Causal first-touch attribution
+    * ([[graft.queries.DataOps.firstTouchAttribution]]): conversions
+    * credited to the first touch earlier in their own gap-rule session;
+    * replaces the flow with (id, key, sess, first_touch_id). */
+  final case class AttributionStep(keyCol: String, tsCol: String,
+                                   idCol: String, typeCol: String,
+                                   touchType: String, convType: String,
+                                   gapMinutes: Long, dataType: String) extends Step
   /** Per-group winsorization ([[graft.operators.Quantiles.winsorizePerGroup]]):
     * clip `valueCol` into its group's [lo, hi] nearest-lower-rank
     * percentile values, annotated to `outCol`. */
@@ -466,6 +474,12 @@ object Pipeline {
       case "debounce" => DebounceStep(str("key", "user_id"),
         str("ts_field", "ts"), str("id", "event_id"),
         if (node.has("gap_seconds")) node.get("gap_seconds").asLong() else 60L,
+        dataType)
+      case "attribution" => AttributionStep(str("key", "user_id"),
+        str("ts_field", "ts"), str("id", "event_id"),
+        str("type_field", "event_type"),
+        touchType = str("touch", "view"), convType = str("conversion", "purchase"),
+        gapMinutes = if (node.has("gap_minutes")) node.get("gap_minutes").asLong() else 30L,
         dataType)
       case "winsorize" =>
         // lo/hi are rational percentile ranks written "num/den"
@@ -959,6 +973,10 @@ object Pipeline {
           flow(dt).map(df => flow.updated(dt,
             graft.queries.DataOps.funnelStages(df, key, ts, tpe, stages, maxGap)))
             .getOrElse(flow)
+        case AttributionStep(key, ts, id, tpe, touch, conv, gapMin, dt) =>
+          flow(dt).map(df => flow.updated(dt,
+            graft.queries.DataOps.firstTouchAttribution(df, key, ts, id, tpe,
+              touch, conv, gapMin * 60000000L))).getOrElse(flow)
         case DebounceStep(key, ts, id, gapSec, dt) =>
           flow(dt).map { df =>
             val kept = graft.queries.DataOps.debounceKeep(df, key, ts, id,

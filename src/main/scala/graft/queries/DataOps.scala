@@ -1487,25 +1487,38 @@ object DataOps {
     * user-keyed ordered windows (session ids via the gap rule, then a
     * running first-view with ignoreNulls), zero joins; the event stream
     * is scanned once. */
-  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = Tables(spark, dir).events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+  /** Reusable causal first-touch chain (see [[qAttribution]] for the
+    * semantics discussion): conversions of `convType` credited to the
+    * first `touchType` earlier in their own gap-rule session. */
+  def firstTouchAttribution(events: DataFrame, keyCol: String, tsCol: String,
+                            idCol: String, typeCol: String,
+                            touchType: String, convType: String,
+                            gapMicros: Long): DataFrame = {
+    val ts = col(tsCol).cast("timestamp")
+    val w = Window.partitionBy(col(keyCol)).orderBy(ts, col(idCol))
+    val sess = events
+      .withColumn("__prev_ts", lag(ts, 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_ts").isNull ||
+          unix_micros(ts) - unix_micros(col("__prev_ts")) > gapMicros, 1L)
           .otherwise(0L))
-      .withColumn("sess", sum(col("new_sess")).over(w))
-    val w2 = Window.partitionBy(col("user_id"), col("sess"))
-      .orderBy(col("ts"), col("event_id"))
+      .withColumn("sess", sum(col("__new_sess")).over(w))
+    val w2 = Window.partitionBy(col(keyCol), col("sess"))
+      .orderBy(ts, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess
-      .withColumn("first_view_id",
-        first(when(col("event_type") === "view", col("event_id")),
+      .withColumn("first_touch_id",
+        first(when(col(typeCol) === touchType, col(idCol)),
           ignoreNulls = true).over(w2))
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("sess"), col("first_view_id"))
+      .filter(col(typeCol) === convType)
+      .select(col(idCol), col(keyCol), col("sess"), col("first_touch_id"))
   }
+
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    firstTouchAttribution(Tables(spark, dir).events, "user_id", "ts",
+        "event_id", "event_type", touchType = "view", convType = "purchase",
+        gapMicros = 1800L * 1000000L)
+      .withColumnRenamed("first_touch_id", "first_view_id")
 
   val qAttributionSql: String =
     """WITH s AS (

@@ -484,6 +484,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows == Map(1L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("attribution step credits conversions to the causal session first-touch") {
+    val src = tmp("attr") + "/events.parquet"
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq((1L, 7L, t(0), "view"), (2L, 7L, t(5), "purchase"),
+        (3L, 7L, t(10), "view"),                       // later view: no claim on 2
+        (4L, 7L, t(50), "purchase"),                   // new session, no view first
+        (5L, 8L, t(0), "purchase"))                    // no view at all
+      .toDF("event_id", "user_id", "ts", "event_type").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"attribution","key":"user_id","ts_field":"ts",
+         |  "id":"event_id","type_field":"event_type",
+         |  "touch":"view","conversion":"purchase","gap_minutes":30}
+         |]""".stripMargin)
+    val rows = flow.ok.get.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(rows == Map(2L -> 1L, 4L -> -1L, 5L -> -1L))
+  }
+
   test("winsorize step clips a signal to per-group percentile values from config") {
     val src = tmp("wz") + "/vals.parquet"
     ((0 to 9).map(v => ("a", v.toLong)) :+ ("a", 1000L))
