@@ -1598,6 +1598,37 @@ object DataOps {
       |  k.t AS t_us
       |FROM k""".stripMargin
 
+  /** Engagement rollup: per day, distinct active users (DAU), the
+    * trailing distinct-user count of that day's ISO week (WAU), and the
+    * DAU/WAU stickiness ratio — the product-analytics staple. Exact
+    * distinct counts (deterministic), two keyed aggregates over the
+    * (day, user) / (week, user) dedup frames — never a distinct over raw
+    * events twice; the ratio is one fixed division over exact longs. */
+  def qEventDau(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(date_trunc("day", col("ts")).as("day"),
+        date_trunc("week", col("ts")).as("week"), col("user_id"))
+    val dau = e.select(col("day"), col("week"), col("user_id")).distinct()
+      .groupBy(col("day"), col("week")).agg(count(lit(1)).as("dau"))
+    val wau = e.select(col("week"), col("user_id")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "week")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
+  val qEventDauSql: String =
+    """WITH e AS (SELECT date_trunc('day', ts) AS day,
+      |             date_trunc('week', ts) AS week, user_id FROM events),
+      |dau AS (SELECT day, week, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |        FROM e GROUP BY 1, 2),
+      |wau AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |        FROM e GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau USING (week)""".stripMargin
+
   /** Behavioral transition matrix: counts of consecutive (prev_type →
     * type) pairs within each user's event-time-ordered stream — the
     * Markov-chain summary behind "what do users do after X". One
@@ -3699,6 +3730,7 @@ object DataOps {
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
     "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
     "q_event_debounce" -> ((qEventDebounce _, Some(qEventDebounceSql))),
+    "q_event_dau"      -> ((qEventDau _, Some(qEventDauSql))),
     "q_attribution"    -> ((qAttribution _, Some(qAttributionSql))),
     "q_corpus_merge"   -> ((qCorpusMerge _, Some(qCorpusMergeSql))),
     "q_line_dedup"     -> ((qLineDedup _, Some(qLineDedupSql))),
