@@ -1629,6 +1629,72 @@ object DataOps {
       |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
       |FROM dau JOIN wau USING (week)""".stripMargin
 
+  /** Weekly growth accounting — the startup-metrics decomposition of
+    * active users into NEW (first-ever week), RETAINED (also active the
+    * previous calendar week) and RESURRECTED (returning after a gap),
+    * plus CHURNED-from-previous (last week's actives who went silent:
+    * prev actives − retained). One user-keyed shuffle builds the distinct
+    * (user, week) frame with first-week and lag-week per user (integer
+    * microsecond week arithmetic); the classification rollup and the
+    * churn lag run over the weeks-sized aggregate, never the stream. */
+  def qGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val uw = Tables(spark, dir).events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val tagged = uw
+      .withColumn("first_week", min(col("week")).over(
+        Window.partitionBy(col("user_id"))))
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("status",
+        when(col("week") === col("first_week"), "new")
+          .when(unix_micros(col("week")) - unix_micros(col("prev_week")) === weekUs,
+            "retained")
+          .otherwise("resurrected"))
+    val weekly = tagged.groupBy(col("week")).agg(
+      count(lit(1)).as("active"),
+      sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    // churn = previous CALENDAR week's actives minus this week's retained
+    // — a self-join on week−7d over the weeks-sized frame (an ordered lag
+    // here would be an unpartitioned window; the join keeps the plan free
+    // of single-task stages even if the frame ever grew)
+    val prev = weekly.select((unix_micros(col("week")) + weekUs).as("next_us"),
+      col("active").as("prev_active"))
+    weekly
+      .join(prev, unix_micros(col("week")) === col("next_us"), "left")
+      .withColumn("n_churned", col("prev_active") - col("n_retained"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+  }
+
+  val qGrowthAccountingSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      |            FROM events),
+      |t AS (SELECT user_id, week,
+      |        min(week) OVER (PARTITION BY user_id) AS first_week,
+      |        lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+      |      FROM uw),
+      |s AS (SELECT week,
+      |        CASE WHEN week = first_week THEN 'new'
+      |             WHEN epoch_us(week) - epoch_us(prev_week) = 604800000000
+      |             THEN 'retained' ELSE 'resurrected' END AS status
+      |      FROM t),
+      |wk AS (SELECT week, CAST(count(*) AS BIGINT) AS active,
+      |         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |         CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |         CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |       FROM s GROUP BY 1)
+      |SELECT strftime(week, '%Y-%m-%d') AS week, active, n_new, n_retained,
+      |  n_resurrected,
+      |  CASE WHEN epoch_us(week) - epoch_us(lag(week) OVER (ORDER BY week))
+      |            = 604800000000
+      |       THEN lag(active) OVER (ORDER BY week) - n_retained END AS n_churned
+      |FROM wk""".stripMargin
+
   /** Behavioral transition matrix: counts of consecutive (prev_type →
     * type) pairs within each user's event-time-ordered stream — the
     * Markov-chain summary behind "what do users do after X". One
@@ -3731,6 +3797,7 @@ object DataOps {
     "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
     "q_event_debounce" -> ((qEventDebounce _, Some(qEventDebounceSql))),
     "q_event_dau"      -> ((qEventDau _, Some(qEventDauSql))),
+    "q_growth_accounting" -> ((qGrowthAccounting _, Some(qGrowthAccountingSql))),
     "q_attribution"    -> ((qAttribution _, Some(qAttributionSql))),
     "q_corpus_merge"   -> ((qCorpusMerge _, Some(qCorpusMergeSql))),
     "q_line_dedup"     -> ((qLineDedup _, Some(qLineDedupSql))),
