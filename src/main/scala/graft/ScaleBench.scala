@@ -124,7 +124,8 @@ object ScaleBench {
     "q_event_retention", "q_sessionize", "q_stream_dedup", "q_pivot",
     "q_rolling_range", "q_asof_tolerance", "q_event_anomaly",
     "q_attribution", "q_group_percentiles", "q_event_twap", "q_event_wow",
-    "q_event_transitions")
+    "q_event_transitions", "q_event_debounce", "q_event_dau",
+    "q_growth_accounting")
 
   /** Replicate sf events `copies`× with fresh event ids and DISJOINT user
     * spaces per replica: per-user operators (as-of, funnel, sessionize,
