@@ -1402,21 +1402,25 @@ object DataOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__tok")).as("n_tokens"),
         sum(col("__len")).as("n_chars"),
-        round(sum(col("__q")) / count(lit(1)), 4).as("mean_quality"),
+        // Quantize the per-doc IEEE score to nano-units BEFORE summing so the
+        // aggregate travels as an exact long — order-independent across any
+        // partitioning (a raw double sum is association-order-dependent).
+        round(sum(floor(col("__q") * lit(1e9)).cast("long")).cast("double")
+          / lit(1e9) / count(lit(1)), 4).as("mean_quality"),
         countDistinct(col("lang")).as("n_langs"))
 
   val qCorpusReportSql: String =
     """SELECT source, count(*) AS n_docs,
-      |  sum(len(string_split(text, ' '))) AS n_tokens,
-      |  sum(length(text)) AS n_chars,
-      |  round(sum(
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  round(CAST(sum(CAST(floor((
       |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
       |    + (CASE WHEN (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
       |         CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 3.0 AND 10.0
       |        THEN 1.0 ELSE 0.5 END) * 0.3
       |    + greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) /
       |         greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0) * 0.3
-      |  ) / count(*), 4) AS mean_quality,
+      |  ) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9 / count(*), 4) AS mean_quality,
       |  count(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY source""".stripMargin
 
@@ -1993,7 +1997,7 @@ object DataOps {
   val qRollingRangeSql: String =
     """SELECT event_id,
       |  count(*) OVER w AS trail_n,
-      |  sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS trail_cents,
+      |  CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS trail_cents,
       |  (CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS DOUBLE)
       |     / CAST(count(*) OVER w AS DOUBLE)) / 100.0 AS trail_avg
       |FROM events
@@ -3578,7 +3582,7 @@ object DataOps {
       |      FROM j2 GROUP BY 1, 2),
       |mad AS (SELECT g, CAST(vlo * (2 - r) + vhi * r AS BIGINT) AS mad_x4
       |        FROM m2)
-      |SELECT med.g AS source, med.n, med.med_x2, mad.mad_x4
+      |SELECT med.g AS source, CAST(med.n AS BIGINT) AS n, med.med_x2, mad.mad_x4
       |FROM med JOIN mad USING (g)""".stripMargin
 
   /** Per-group MODE of the token-count signal (most frequent value, ties

@@ -6,6 +6,34 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Output column types an oracle query may emit. The driver's hasher is
+# TYPE-AWARE: repr()-level value equality is NOT enough (r11 lesson: an
+# uncast DuckDB sum(BIGINT) yields HUGEINT, value-equal to Spark's BIGINT
+# but hash-distinct). Any oracle emitting a type outside this set is a
+# latent driver hash-FAIL even when values match.
+PORTABLE_TYPES = {
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE", "BLOB",
+}
+
+def type_audit(con, oracle):
+    """Fail any oracle whose DuckDB result schema leaves the portable set."""
+    bad = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)
+            for c, t in zip(rel.columns, rel.types):
+                ts = str(t)
+                base = ts.split("(")[0].strip()
+                if ts not in PORTABLE_TYPES and base not in PORTABLE_TYPES:
+                    bad.append((name, c, ts))
+        except Exception as e:
+            bad.append((name, "<query>", f"error: {e}"))
+    for name, c, ts in bad:
+        print(f"TYPE-FAIL {name}.{c}: {ts} not portable")
+    return len(bad)
+
 def canon(rows, cols):
     # driver sorts columns by name before hashing values; emulate + row sort.
     # floats compare EXACTLY (repr) — every oracle gate is engineered for
@@ -23,6 +51,7 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
+    fail += type_audit(con, oracle)
     names = sorted(d.split('/')[-1] for d in glob.glob(f"{out_dir}/*") if not d.endswith('.json'))
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
