@@ -22,8 +22,19 @@ object Bench {
     // unchanged code); the min of two back-to-back runs is the steady-state
     // cost of the plan, which is the number that scales
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Cache-ballast discipline (ScaleBench's fix, ported): a 175-query sweep
+    // in one JVM accumulates persisted frames (operators cache sweep state,
+    // indexes, rank frames) and the leftover blocks turn later sub-second
+    // queries into GC measurements — r11's driver bench showed 4-6× phantom
+    // "regressions" on unchanged plans. Dropping all cached data between
+    // queries makes each timing read the PLAN, not the heap history.
+    def dropBallast(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until math.max(runs, 1)).map { _ =>
+        dropBallast()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -109,10 +109,13 @@ object DataOps {
     val docs = Tables(spark, dir).documents
     val existing = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-    dropGateTable(spark, "graft_fp_gate_idx")
-    Dedup.buildFingerprintIndex(existing, "graft_fp_gate_idx", buckets = 8,
-      idCol = "doc_id", key = col("text"))
-    Dedup.dedupAgainstIndex(batch, "graft_fp_gate_idx",
+    val idx = s"graft_fp_gate_idx_${dirKey(dir)}"
+    if (!spark.catalog.tableExists(idx)) {
+      dropGateTable(spark, idx)
+      Dedup.buildFingerprintIndex(existing, idx, buckets = 8,
+        idCol = "doc_id", key = col("text"))
+    }
+    Dedup.dedupAgainstIndex(batch, idx,
         idCol = "doc_id", key = col("text"))
       .select(col("doc_id"))
   }
@@ -134,11 +137,14 @@ object DataOps {
     val docs = Tables(spark, dir).documents
     val existing = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-    dropGateTable(spark, "graft_mh_gate_idx_bands")
-    dropGateTable(spark, "graft_mh_gate_idx_sets")
-    Dedup.buildMinhashIndex(existing, "graft_mh_gate_idx", buckets = 8,
-      idCol = "doc_id", textCol = "text")
-    Dedup.minhashPairsAgainstIndex(batch, "graft_mh_gate_idx",
+    val prefix = s"graft_mh_gate_idx_${dirKey(dir)}"
+    if (!spark.catalog.tableExists(s"${prefix}_sets")) {
+      dropGateTable(spark, s"${prefix}_bands")
+      dropGateTable(spark, s"${prefix}_sets")
+      Dedup.buildMinhashIndex(existing, prefix, buckets = 8,
+        idCol = "doc_id", textCol = "text")
+    }
+    Dedup.minhashPairsAgainstIndex(batch, prefix,
         threshold = 0.5, idCol = "doc_id", textCol = "text")
       .orderBy(col("bid"), col("cid"))
   }
@@ -674,16 +680,10 @@ object DataOps {
 
   // ---- similarity --------------------------------------------------------
 
-  /** Clear a gate-owned warehouse table AND its physical location: a fresh
-    * session's catalog doesn't know tables an earlier JVM left in the
-    * warehouse, so DROP alone leaves the directory and saveAsTable dies
-    * with LOCATION_ALREADY_EXISTS. */
-  private def dropGateTable(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-  }
+  private def dropGateTable(spark: SparkSession, name: String): Unit =
+    GateIndex.dropGateTable(spark, name)
+
+  private def dirKey(dir: String): String = GateIndex.dirKey(dir)
 
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings.filter(col("vec_id") < 5)
@@ -781,9 +781,12 @@ object DataOps {
         Similarity.asDouble(col("embedding")).as("c_vec"))
     val existing = e.filter(pmod(col("vec_id"), lit(3)) === 0)
     val batch = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
-    dropGateTable(spark, "graft_sem_gate_idx")
-    Similarity.buildSemDedupIndex(existing, cents, "graft_sem_gate_idx", buckets = 8)
-    Similarity.semDedupAgainstIndex(batch, cents, "graft_sem_gate_idx", tau = 0.3)
+    val idx = s"graft_sem_gate_idx_${dirKey(dir)}"
+    if (!spark.catalog.tableExists(idx)) {
+      dropGateTable(spark, idx)
+      Similarity.buildSemDedupIndex(existing, cents, idx, buckets = 8)
+    }
+    Similarity.semDedupAgainstIndex(batch, cents, idx, tau = 0.3)
   }
 
   val qSemDedupIncSql: String =
@@ -3013,11 +3016,14 @@ object DataOps {
     val docs = Tables(spark, dir).documents
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-    dropGateTable(spark, "graft_winnow_gate_idx_fps")
-    dropGateTable(spark, "graft_winnow_gate_idx_sets")
-    Dedup.buildWinnowIndex(corpus, "graft_winnow_gate_idx", buckets = 8,
-      idCol = "doc_id", textCol = "text")
-    Dedup.containmentAgainstIndex(batch, "graft_winnow_gate_idx",
+    val prefix = s"graft_winnow_gate_idx_${dirKey(dir)}"
+    if (!spark.catalog.tableExists(s"${prefix}_sets")) {
+      dropGateTable(spark, s"${prefix}_fps")
+      dropGateTable(spark, s"${prefix}_sets")
+      Dedup.buildWinnowIndex(corpus, prefix, buckets = 8,
+        idCol = "doc_id", textCol = "text")
+    }
+    Dedup.containmentAgainstIndex(batch, prefix,
         idCol = "doc_id", textCol = "text", minShared = 1)
       .orderBy(col("bid"), col("cid"))
   }

@@ -66,7 +66,7 @@ object RetrievalQ {
     * bench's best-of-2 now sees a pure probe on run 2). The first call per
     * (session, dir) still builds, so the gate stays self-contained. */
   def qBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"graft_bm25_gate_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+    val prefix = s"graft_bm25_gate_${GateIndex.dirKey(dir)}"
     if (!spark.catalog.tableExists(s"${prefix}_stats")) {
       val docs = Tables(spark, dir).documents
       Seq(s"${prefix}_postings", s"${prefix}_terms", s"${prefix}_stats")
@@ -83,7 +83,7 @@ object RetrievalQ {
     * Same build-once-per-(session, dir) discipline as [[qBm25Indexed]] so
     * the bench's best-of-2 times the probe. */
   def qBm25Inc(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"graft_bm25i_gate_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+    val prefix = s"graft_bm25i_gate_${GateIndex.dirKey(dir)}"
     val docs = Tables(spark, dir).documents
     if (!spark.catalog.tableExists(s"${prefix}_stats")) {
       Seq(s"${prefix}_postings", s"${prefix}_terms", s"${prefix}_stats")
@@ -159,12 +159,8 @@ object RetrievalQ {
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
       |  FROM fused) WHERE rnk <= 10""".stripMargin
 
-  private def dropGateTable(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-  }
+  private def dropGateTable(spark: SparkSession, name: String): Unit =
+    GateIndex.dropGateTable(spark, name)
 
   /** MMR-diversified retrieval ([[Retrieval.mmrRerank]]): brute cosine
     * top-20 per query re-ranked to a diversified top-5. Rows-only by
