@@ -294,8 +294,10 @@ object Curation {
   def zscorePerGroup(df: DataFrame, groupCol: String, valueCol: String,
                      out: String = "z"): DataFrame = {
     val v = col(valueCol).cast("long")
+    // count(v), not count(*): n must cover exactly the rows the sums cover,
+    // or any group containing nulls gets an inflated n and silently wrong z.
     val stats = df.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("__n"),
+      count(v).as("__n"),
       sum(v).as("__s1"),
       sum(v * v).as("__s2"))
     val num = (col("__n") * v - col("__s1")).cast("double")
@@ -317,7 +319,11 @@ object Curation {
   def pearsonExact(df: DataFrame, groupCol: String,
                    xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
-    val m = df.groupBy(col(groupCol)).agg(
+    // Pairwise-complete observations: every moment (including n) counts
+    // only rows where BOTH signals are present, so nulls in either column
+    // can't skew the moments against each other.
+    val both = df.filter(x.isNotNull && y.isNotNull)
+    val m = both.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
       sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")

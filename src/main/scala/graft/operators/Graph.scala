@@ -27,9 +27,16 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** `iterations` damped PageRank steps over `edges(src: long, dst: long)`.
-    * Returns (id, rank) for every node appearing in the edge list.
+    * Returns (id, rank) for every node appearing in the edge list — src OR
+    * dst, so sink nodes (incoming edges only) keep their incoming mass; a
+    * sink's outgoing mass leaks to teleport as in the original formulation.
     * rank₀ = scale; rankᵢ₊₁ = (15·scale) div 100 + (85 · Σ_{(s→id)} (rankᵢ(s)
-    * div outdeg(s))) div 100 — the standard d=0.85 update in longs. */
+    * div outdeg(s))) div 100 — the standard d=0.85 update in longs.
+    *
+    * The RETURNED frame is persisted (and forced): that lets this method
+    * release the edge cache before returning instead of leaking an
+    * edges-sized cached dataset per invocation — callers ranking many
+    * graphs in one session should `unpersist()` the result when done. */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000L): DataFrame = {
     // the edge list feeds deg, the node set, AND every iteration's join —
@@ -41,7 +48,8 @@ object Graph {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
     val teleport = (15L * scale) / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 0 until iterations) {
@@ -56,7 +64,18 @@ object Graph {
           (lit(teleport) + expr(s"(85 * coalesce(acc, 0L)) div 100"))
             .as("rank"))
     }
-    ranks
+    finishRanks(ranks, e)
+  }
+
+  /** Materialize the final node-sized rank frame, then release the
+    * edges-sized cache: the result's lineage references the edge frame
+    * 2+iterations times, so the edge cache must outlive the first (and
+    * only) evaluation — persist+count the ranks, THEN unpersist edges. */
+  private def finishRanks(ranks: DataFrame, e: DataFrame): DataFrame = {
+    val out = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist(false)
+    out
   }
 
   /** Persist the edge list as a table bucketed on `src`, out-degree
@@ -81,7 +100,8 @@ object Graph {
                         table: String, iterations: Int = 5,
                         scale: Long = 1000000L): DataFrame = {
     val e = Bucketing.readBucketed(spark, table)
-    val nodes = e.select(col("src").as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
     val teleport = (15L * scale) / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 0 until iterations) {
@@ -108,7 +128,8 @@ object Graph {
       col("w").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val nodes = e.select(col("src").as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
     val teleport = (15L * scale) / 100L
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 0 until iterations) {
@@ -122,6 +143,6 @@ object Graph {
           (lit(teleport) + expr(s"(85 * coalesce(acc, 0L)) div 100"))
             .as("rank"))
     }
-    ranks
+    finishRanks(ranks, e)
   }
 }

@@ -192,24 +192,31 @@ object Quantiles {
                         lo: (Long, Long), hi: (Long, Long),
                         out: String = "w"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    // The bounds key lives under a RESERVED name (__wg): dropping a column
+    // literally named "g" after the join would also delete the caller's
+    // group column if it happens to be called "g". Left join so groups
+    // whose values are all null (no histogram row) pass through unclipped
+    // instead of being silently dropped.
+    val hist = df.select(col(groupCol).as("__wg"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("g").orderBy("v")
-    val wAll = Window.partitionBy("g")
+      .groupBy(col("__wg"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("__wg").orderBy("v")
+    val wAll = Window.partitionBy("__wg")
     val cum = hist
       .withColumn("hi_", sum(col("c")).over(w))
       .withColumn("lo_", col("hi_") - col("c"))
       .withColumn("n", sum(col("c")).over(wAll))
       .withColumn("ilo", expr(s"(${lo._1} * (n - 1)) div ${lo._2}"))
       .withColumn("ihi", expr(s"(${hi._1} * (n - 1)) div ${hi._2}"))
-    val bounds = cum.groupBy(col("g")).agg(
+    val bounds = cum.groupBy(col("__wg")).agg(
       max(when(col("ilo") >= col("lo_") && col("ilo") < col("hi_"), col("v"))).as("__blo"),
       max(when(col("ihi") >= col("lo_") && col("ihi") < col("hi_"), col("v"))).as("__bhi"))
-    df.join(broadcast(bounds), df(groupCol) === bounds("g"))
+    df.join(broadcast(bounds), df(groupCol) === bounds("__wg"), "left")
       .withColumn(out,
-        least(greatest(col(valueCol).cast("long"), col("__blo")), col("__bhi")))
-      .drop("g", "__blo", "__bhi")
+        when(col("__blo").isNotNull && col("__bhi").isNotNull,
+          least(greatest(col(valueCol).cast("long"), col("__blo")), col("__bhi")))
+          .otherwise(col(valueCol).cast("long")))
+      .drop("__wg", "__blo", "__bhi")
   }
 
   /** Per-group MEDIAN and MAD (median absolute deviation) — the robust

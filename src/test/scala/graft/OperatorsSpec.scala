@@ -552,6 +552,56 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6L).isNaN, "singleton group has no scale")
   }
 
+  test("zscore per group: null values excluded from n, S1, and S2 alike") {
+    // group a has two real values and one null: n must be 2, not 3 —
+    // counting the null row would inflate n and silently skew every z.
+    val df = Seq((1L, "a", Some(2L)), (2L, "a", Some(4L)), (3L, "a", None))
+      .toDF("id", "g", "x")
+    val out = Curation.zscorePerGroup(df, "g", "x").select("id", "z").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    // n=2 S1=6 S2=20: z(2) = (2·2-6)/sqrt(2·20-36) = -2/2 = -1, z(4) = +1
+    assert(out(1L) == -1.0 && out(2L) == 1.0)
+    assert(out(3L).isNaN, "the null row itself gets null z")
+  }
+
+  test("pearson exact: rows with a null in either signal are excluded") {
+    // pairwise-complete: only (1,10) and (3,30) count → perfect +1 on n=2;
+    // if the null rows leaked into any moment the result would differ.
+    val df = Seq(("a", Some(1L), Some(10L)), ("a", None, Some(99L)),
+                 ("a", Some(7L), None), ("a", Some(3L), Some(30L)))
+      .toDF("g", "x", "y")
+    val row = Curation.pearsonExact(df, "g", "x", "y").collect().head
+    assert(row.getLong(1) == 2L, "n counts pairwise-complete rows only")
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-14)
+  }
+
+  test("pagerank: dst-only sink nodes get ranked, incoming mass kept") {
+    // asymmetric chain 1→2→3: 3 never appears as src. It must still be in
+    // the output, and with MORE than teleport-only rank (it receives 2's
+    // mass); 2 receives 1's. Dangling mass (3's outflow) leaks to teleport.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L), "every node in the edge list ranks")
+    val teleportOnly = (0 until 5).foldLeft(1000000L)((rk, _) => 150000L)
+    assert(r(1L) == 150000L, "source-only node converges to teleport")
+    assert(r(3L) > teleportOnly, "sink keeps its incoming mass")
+    assert(r(2L) > teleportOnly)
+  }
+
+  test("pagerank releases its edge cache; only the result stays persisted") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val e0 = Seq((1L, 2L), (2L, 1L))
+    val out = Graph.pageRank(e0.toDF("src", "dst"), iterations = 3)
+    // finishRanks persisted + forced the node-sized result and dropped the
+    // edges-sized cache — exactly one persisted dataset may remain.
+    assert(sc.getPersistentRDDs.size <= 1,
+      s"edge cache leaked: ${sc.getPersistentRDDs.size} persisted RDDs")
+    out.unpersist()
+  }
+
   test("debounce anchors on the KEPT chain, not the previous event") {
     def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${s}%02d")
     // burst at 0s/4s/8s with 5s gap: 4s drops (4 <= 5 after kept 0s) but

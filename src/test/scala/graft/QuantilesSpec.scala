@@ -93,6 +93,29 @@ class QuantilesSpec extends SparkSpec {
     assert(out(5L) == 5L, "in-range values pass through")
   }
 
+  test("winsorize keeps the group column even when it is named g") {
+    // the bounds join key lives under a reserved name (__wg); a bounds
+    // column literally named "g" would make drop("g") delete the caller's
+    // group column too.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "v")
+    val out = Quantiles.winsorizePerGroup(df, "g", "v", lo = (1L, 10L), hi = (9L, 10L))
+    assert(out.columns.contains("g"), "caller's group column must survive")
+    assert(out.select("g").distinct().collect().map(_.getString(0)).toSet == Set("a"))
+  }
+
+  test("winsorize passes all-null groups through unclipped") {
+    // group b has only null values: no histogram row exists, so an inner
+    // join would drop its rows entirely — they must pass through with w
+    // null instead.
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(100L)),
+                 ("b", None), ("b", None)).toDF("g", "v")
+    val out = Quantiles.winsorizePerGroup(df, "g", "v", lo = (1L, 10L), hi = (9L, 10L))
+      .select("g", "v", "w").collect()
+    assert(out.length == 5, "all-null group rows must not vanish")
+    val bRows = out.filter(_.getString(0) == "b")
+    assert(bRows.length == 2 && bRows.forall(_.isNullAt(2)))
+  }
+
   test("mad per group: outlier-immune where the mean is not") {
     // g=a: [1,2,3,4,1000] -> median 3 (med_x2=6); devs*2 = |2v-6| =
     // [4,2,0,2,1994] -> sorted [0,2,2,4,1994], median 2 -> mad_x4 = 4
