@@ -2166,8 +2166,13 @@ object DataOps {
     * the output is deterministic for a UNIQUE key at any partition
     * count / cluster size (ties would order by physical placement —
     * callers append a unique tiebreaker column, as q_stable_ids does).
-    * The frame is persisted across the two passes (count + emit) and
-    * unpersisted before returning. */
+    * Cache ownership: the frame is persisted across the two passes
+    * (count + emit) and the RETURNED frame still rides that cache — the
+    * operator cannot release it without forcing a data-sized
+    * materialization of its own. Callers that rank many frames in one
+    * session should unpersist (or clearCache) after materializing; the
+    * blocks are LRU-evictable and recomputation is deterministic for a
+    * unique key, so an early eviction is safe either way. */
   def stableRanks(df: DataFrame, keyCols: Seq[Column],
                   rankCol: String = "rank", partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

@@ -304,6 +304,31 @@ class PlansSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
+  test("cache discipline: no gate leaks unbounded persists; ballast drop empties") {
+    // Operators may hand back a persisted frame (pageRank ranks,
+    // stableRanks) or own a documented session cache, but a single gate
+    // must never strand more than a few persisted datasets — an iteration
+    // loop that persists per sweep without releasing would. And the
+    // Bench/Verify ballast drop must return the JVM to zero persisted
+    // blocks, or a 175-gate sweep times GC pressure instead of plans.
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val leaks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r = scala.util.Try(fn(spark, sf).count())
+      val n = sc.getPersistentRDDs.size
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+      (name, n, r.isSuccess)
+    }
+    val broken = leaks.collect { case (n, _, false) => n }
+    assert(broken.isEmpty, s"gates failing execution: ${broken.mkString(", ")}")
+    val heavy = leaks.filter(_._2 > 4)
+    assert(heavy.isEmpty,
+      s"gates stranding >4 persisted datasets: ${heavy.map(t => s"${t._1}=${t._2}").mkString(", ")}")
+    assert(sc.getPersistentRDDs.isEmpty, "ballast drop must empty the block manager")
+  }
+
   test("bucketed tables: co-located join and agg run with zero shuffles") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sf)
