@@ -32,7 +32,12 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-loop filter (driver never sets it): comma-separated gate names,
+    // same contract as Verify's SPARK_GRAFT_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val times = (0 until math.max(runs, 1)).map { _ =>
         dropBallast()
         val t0 = System.nanoTime()

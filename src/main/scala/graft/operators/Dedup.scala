@@ -353,16 +353,43 @@ object Dedup {
     var cached: DataFrame = null // the persisted handle backing `labels`
     var converged = false
     var i = 1
+    // Right-size the loop's exchanges to the GRAPH, not the corpus: the
+    // label frames are nodes-sized, and every sweep schedules ~6
+    // sequential AQE stages whose per-stage submission cost exceeds the
+    // data they move when the session's shuffle-partition setting is
+    // sized for corpus-scale scans (measured ~2× on the kNN-cluster gate:
+    // 32 partitions over a 2k-node graph doubled per-sweep wall time vs
+    // 4). ~1M edge rows (~16 MB) per partition, never above the session
+    // setting — a billion-edge dup graph still gets the full width. The
+    // count is free: it materializes the edge cache the first sweep
+    // needs anyway. Conf is restored after the loop.
+    val nEdges = edgesCache.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L,
+      math.min(sessionParts.toLong, nEdges / 1000000L + 1L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     while (!converged && i < maxIterations) {
-      // hop: take the min label among neighbours (prev label rides along so
-      // the convergence check below is a scan of the cached result, not a
-      // second join job)
-      val viaEdges = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("id")).agg(min(col("rep")).as("rep"))
-      val hopped = labels.withColumnRenamed("rep", "prev")
-        .join(viaEdges.withColumnRenamed("rep", "repNew"), Seq("id"), "left")
-        .select(col("id"), col("prev"),
-          least(col("prev"), coalesce(col("repNew"), col("prev"))).as("rep"))
+      val t0 = System.nanoTime()
+      // hop twice: take the min label among neighbours AND self. Label
+      // FLOODING is the convergence limiter on chain-shaped components —
+      // a pointer jump only shortcuts already-discovered label trees —
+      // so a second edge hop halves the sweep count where a second jump
+      // measurably does not. Each hop is ONE join + ONE aggregation: the
+      // node's own label enters the contribution stream as a self-loop
+      // row, so min(contrib) covers self without a second join back
+      // (every sequential AQE stage a sweep schedules costs more than
+      // the nodes-sized data it moves). prev rides the self-loop row
+      // (max ignores the edge rows' nulls) so the convergence check
+      // below is a scan of the cached result, not a second join job.
+      def hop(l: DataFrame): DataFrame =
+        edges.join(l, edges("b") === l("id"))
+          .select(edges("a").as("id"), col("rep"), lit(null).cast("long").as("prev"))
+          .unionByName(l.select(col("id"), col("rep"), col("prev")))
+          .groupBy(col("id"))
+          .agg(min(col("rep")).as("rep"), max(col("prev")).as("prev"))
+      val hopped = hop(hop(labels.select(col("id"), col("rep"),
+        col("rep").as("prev"))))
       // double: follow the label's own label (path-halving)
       val reps = hopped.select(col("id").as("rid"), col("rep").as("rrep"))
       val next = hopped.join(reps, hopped("rep") === reps("rid"), "left")
@@ -378,16 +405,18 @@ object Dedup {
         .head().getLong(0)
       if (cached != null) cached.unpersist(blocking = false)
       cached = next
-      // truncate every 3rd sweep: between truncations the plan grows ≤3³×
-      // a KB-sized sweep plan (bounded), and the Row-conversion cost of
-      // the rebuild is paid a third as often — measured 2.8× on the
-      // dedup-corpus gate when every sweep truncated
-      labels =
-        if (i % 3 == 0) truncated(next.select(col("id"), col("rep")))
-        else next.select(col("id"), col("rep"))
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] sweep $i changed=$changed t=${(System.nanoTime() - t0) / 1e9}")
+      // truncate every sweep: the label frame is nodes-sized (the scan of
+      // the just-persisted cache costs microseconds), while an untruncated
+      // plan grows 3× per sweep and Catalyst re-optimizes the whole
+      // composed tree on every action — at 8 sweeps that's the dominant
+      // cost of the loop, not the data
+      labels = truncated(next.select(col("id"), col("rep")))
       converged = changed == 0
       i += 1
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     edgesCache.unpersist(blocking = false)
     labels
   }
