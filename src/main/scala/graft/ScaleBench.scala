@@ -42,11 +42,14 @@ object ScaleBench {
     "q_containment", "q_containment_inc", "q_ccnet_buckets", "q_url_dedup",
     "q_cap_per_host", "q_char_diversity", "q_token_budget",
     "q_line_dedup", "q_winsorize", "q_zscore_norm", "q_chi2_terms",
-    "q_signal_corr", "q_corpus_diff", "q_corpus_merge", "q_corpus_report")
+    "q_signal_corr", "q_corpus_diff", "q_corpus_merge", "q_corpus_report",
+    "q_jaccard_join_nat")
   // q_jaccard_join is deliberately NOT in the x10 set: the word-soup
   // corpus is near-worst-case for set-similarity (the TRUE pair set is
   // quadratic in replica count at J>=19/20), so its x10 time measures the
   // answer's size, not the plan; its scaling evidence is the sf decade.
+  // q_jaccard_join_nat is the natural-vocabulary companion (linear true
+  // pair set) and IS in the x10 set.
 
   /** Queries whose only input is the embeddings table (eligible for the
     * synthetic 10× embedding corpus). q_semdedup is handled separately:

@@ -42,6 +42,47 @@ object DataOps {
       |WHERE 20 * len(list_intersect(a.t, b.t))
       |      >= 19 * (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))""".stripMargin
 
+  /** [[qJaccardJoin]] on a NATURAL-vocabulary corpus. The raw fixture is
+    * 31-word soup — every document shares tokens with every other, so the
+    * TRUE pair set is quadratic and the gate's cost measures the answer's
+    * size, not the plan (documented near-worst-case). This companion
+    * derives a realistic shape: each consecutive doc pair gets a private
+    * vocabulary (tokens salted with doc_id div 2) plus a 4-stopword global
+    * tail — a large power-law-ish vocabulary where prefix filtering prunes
+    * hard, candidate buckets stay tiny (each private token appears in ≤2
+    * docs, so the maxBucket cap is never binding), and the true pair set
+    * is LINEAR in corpus size. Same full-recall naive oracle. */
+  def qJaccardJoinNatural(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "join", "data")
+    val derived = Tables(spark, dir).documents
+      .withColumn("grp", expr("doc_id div 2"))
+      .select(col("doc_id"),
+        array_join(transform(split(trim(lower(col("text"))), "\\s+"),
+          t => when(t.isin(stop: _*), t)
+            .otherwise(concat(t, lit("_g"), col("grp").cast("string")))), " ")
+          .as("text"))
+    Dedup.jaccardJoin(derived, "doc_id", "text", tNum = 1, tDen = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qJaccardJoinNaturalSql: String =
+    """WITH d AS (SELECT doc_id AS id, doc_id // 2 AS grp,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |           FROM documents),
+      |s AS (SELECT id, list_distinct(list_transform(toks,
+      |        t -> CASE WHEN t IN ('the','a','join','data') THEN t
+      |                  ELSE t || '_g' || CAST(grp AS VARCHAR) END)) AS t
+      |      FROM d)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+      |  CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS BIGINT) AS uni,
+      |  CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+      |    / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) AS jd
+      |FROM s a JOIN s b ON a.id < b.id
+      |WHERE 2 * len(list_intersect(a.t, b.t))
+      |      >= len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Within-doc repeated-line removal ([[TextAnalysis.dedupLines]] — the
     * C4 per-document line rule). The gate derives a 3-line page whose
     * first and last lines repeat (the nav-bar shape) and asserts the
@@ -3829,6 +3870,7 @@ object DataOps {
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_editdist_join"  -> ((qEditdistJoin _, Some(qEditdistJoinSql))),
     "q_jaccard_join"   -> ((qJaccardJoin _, Some(qJaccardJoinSql))),
+    "q_jaccard_join_nat" -> ((qJaccardJoinNatural _, Some(qJaccardJoinNaturalSql))),
     "q_dedup_incremental" -> ((qDedupIncremental _, Some(qDedupIncrementalSql))),
     "q_dedup_minhash_inc" -> ((qDedupMinhashInc _, Some(qDedupMinhashIncSql))),
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
