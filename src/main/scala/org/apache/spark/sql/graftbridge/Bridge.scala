@@ -30,4 +30,28 @@ object Bridge {
     classic.internalCreateDataFrame(
       ClassicConversions.castToImpl(df).queryExecution.toRdd, df.schema)
   }
+
+  /** A clone of `spark` (same SparkContext, SharedState — so the cache
+    * manager, catalog and temp views carry over) with the given runtime
+    * confs overridden. The conf-mutation-free way for an iterative
+    * operator to right-size ITS OWN shuffle width (or disable AQE for a
+    * fixed small loop) without racing concurrent queries on the caller's
+    * session — the defect ADVICE r12 flagged in the session-global conf
+    * flip representatives() used. */
+  def sessionWithConf(spark: SparkSession,
+                      confs: Map[String, String]): SparkSession = {
+    val c = ClassicConversions.castToImpl(spark).cloneSession()
+    confs.foreach { case (k, v) => c.conf.set(k, v) }
+    c
+  }
+
+  /** Rebind `df`'s logical plan to another session of the same context:
+    * operations and actions on the result plan/execute under `spark`'s
+    * conf. Persisted data is shared (one CacheManager per SharedState),
+    * so a frame persisted in one session is a cache hit in the other. */
+  def rebind(df: org.apache.spark.sql.DataFrame,
+             spark: SparkSession): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      ClassicConversions.castToImpl(spark),
+      ClassicConversions.castToImpl(df).queryExecution.logical)
 }
