@@ -330,29 +330,9 @@ object Dedup {
     // the edge list feeds every propagation sweep — persist it or each
     // lazy iteration re-runs the whole upstream pair-discovery pipeline
     val spark = pairs.sparkSession
-    // plan truncation: each sweep composes `labels` into itself ~3×, so the
-    // LOGICAL plan grows exponentially in sweep count (with a large upstream
-    // plan — e.g. a kNN graph — sweep 10+ overflows the 2 GB plan-string
-    // limit and the optimizer re-walks gigabyte trees per action). Rebuild
-    // the frame over the persisted data as a flat scan of its execution
-    // RDD (InternalRows — no Row conversion): the plan resets to O(1) per
-    // sweep while the RDD lineage keeps full recompute-on-eviction
-    // recoverability (unlike localCheckpoint, which trades lineage away
-    // and dies with an executor).
-    def truncated(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(df)
     val edgesCache = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(MEMORY_AND_DISK)
-    val edges = truncated(edgesCache)
-    // labels₀ stays lazy: it is two cheap aggregations over the cached edge
-    // list, and the first sweep's materialization doubles as the first
-    // convergence check — one action per sweep, none upfront
-    var labels = edges.groupBy(col("a").as("id"))
-      .agg(least(min(col("b")), first(col("a"))).as("rep"))
-    var cached: DataFrame = null // the persisted handle backing `labels`
-    var converged = false
-    var i = 1
     // Right-size the loop's exchanges to the GRAPH, not the corpus: the
     // label frames are nodes-sized, and every sweep schedules ~6
     // sequential AQE stages whose per-stage submission cost exceeds the
@@ -362,13 +342,62 @@ object Dedup {
     // 4). ~1M edge rows (~16 MB) per partition, never above the session
     // setting — a billion-edge dup graph still gets the full width. The
     // count is free: it materializes the edge cache the first sweep
-    // needs anyway. Conf is restored after the loop.
+    // needs anyway.
+    //
+    // The width lives in a CLONED session (shared SparkContext, cache
+    // manager, catalog), not a session-global conf flip: a flip would
+    // silently down-size every concurrent query on the caller's session
+    // for the duration of the loop (ADVICE r12). The clone also turns
+    // AQE off for the sweeps — each sweep's shapes are fixed and tiny,
+    // and AQE's per-exchange materialize-and-replan latency (not the
+    // data) dominated the per-sweep cost; with a convergence action per
+    // sweep there is nothing for AQE to adapt that the explicit width
+    // doesn't already set.
     val nEdges = edgesCache.count()
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
     val loopParts = math.max(1L,
-      math.min(sessionParts.toLong, nEdges / 1000000L + 1L)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
+      math.min(sessionParts, nEdges / 1000000L + 1L))
+    val loopSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
+      spark, Map(
+        "spark.sql.shuffle.partitions" -> loopParts.toString,
+        "spark.sql.adaptive.enabled" -> "false",
+        // a sweep's 3 joins are all label-sized: a broadcast would pay a
+        // driver collect + rebuild per join per sweep, a sort-merge pays
+        // per-sweep sorts — the hash-shuffle join at loop width does
+        // neither, and the build sides are nodes-sized by construction
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.join.preferSortMergeJoin" -> "false") ++
+        // every sweep is a FRESH plan over a fresh truncation RDD, so
+        // whole-stage codegen Janino-compiles each sweep anew — on a
+        // SMALL graph that compile dwarfs evaluating a label-sized frame
+        // interpreted (the classic iterative-small-data tradeoff); a
+        // corpus-scale dup graph amortizes compiles over real data and
+        // keeps codegen
+        (if (nEdges <= 10000000L)
+          Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
+    // plan truncation: each sweep composes `labels` into itself ~3×, so the
+    // LOGICAL plan grows exponentially in sweep count (with a large upstream
+    // plan — e.g. a kNN graph — sweep 10+ overflows the 2 GB plan-string
+    // limit and the optimizer re-walks gigabyte trees per action). Rebuild
+    // the frame over the persisted data as a flat scan of its execution
+    // RDD (InternalRows — no Row conversion): the plan resets to O(1) per
+    // sweep while the RDD lineage keeps full recompute-on-eviction
+    // recoverability (unlike localCheckpoint, which trades lineage away
+    // and dies with an executor). Truncating INTO the loop session also
+    // rebinds each sweep's execution to the loop conf.
+    def truncated(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.rebind(
+        org.apache.spark.sql.graftbridge.Bridge.truncatePlan(df), loopSession)
+    val edges = truncated(edgesCache)
+    // labels₀ stays lazy: it is two cheap aggregations over the cached edge
+    // list, and the first sweep's materialization doubles as the first
+    // convergence check — one action per sweep, none upfront
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), first(col("a"))).as("rep"))
+    var cached: DataFrame = null // the persisted handle backing `labels`
+    var converged = false
+    var i = 1
     while (!converged && i < maxIterations) {
       val t0 = System.nanoTime()
       // hop twice: take the min label among neighbours AND self. Label
@@ -398,11 +427,23 @@ object Dedup {
         .persist(MEMORY_AND_DISK)
       // materialize the WHOLE sweep into the cache before releasing its
       // predecessor — a limit(1) probe here short-circuits, leaving the
-      // persist partial so deep graphs recompute lineage quadratically;
-      // the full-scan aggregate doubles as the convergence signal
-      val changed = next
-        .agg(count(when(col("rep") =!= col("prev"), lit(1))).as("c"))
-        .head().getLong(0)
+      // persist partial so deep graphs recompute lineage quadratically.
+      // The convergence count runs as a raw RDD job over the SAME
+      // execution RDD the truncation wraps: one full-scan action both
+      // populates the persist and yields the signal, with no second
+      // QueryExecution (analyze + optimize an aggregate plan) per sweep —
+      // on a small graph that plan work, not the data, dominated sweeps.
+      // Row layout is select(id, prev, rep) → ordinals (0, 1, 2).
+      val (nextT, nextRdd) =
+        org.apache.spark.sql.graftbridge.Bridge.truncatePlanWithRdd(next)
+      val changed = nextRdd.mapPartitions { it =>
+        var c = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.isNullAt(1) || r.getLong(1) != r.getLong(2)) c += 1
+        }
+        Iterator.single(c)
+      }.fold(0L)(_ + _)
       if (cached != null) cached.unpersist(blocking = false)
       cached = next
       if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -412,13 +453,14 @@ object Dedup {
       // plan grows 3× per sweep and Catalyst re-optimizes the whole
       // composed tree on every action — at 8 sweeps that's the dominant
       // cost of the loop, not the data
-      labels = truncated(next.select(col("id"), col("rep")))
+      labels = nextT.select(col("id"), col("rep"))
       converged = changed == 0
       i += 1
     }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     edgesCache.unpersist(blocking = false)
-    labels
+    // hand back a caller-session view: the labels themselves are the
+    // (still-persisted) final sweep cache, shared across sessions
+    org.apache.spark.sql.graftbridge.Bridge.rebind(labels, spark)
   }
 
   // ---- exact repeated-substring removal -----------------------------------

@@ -211,9 +211,13 @@ object Quantiles {
     val bounds = cum.groupBy(col("__wg")).agg(
       max(when(col("ilo") >= col("lo_") && col("ilo") < col("hi_"), col("v"))).as("__blo"),
       max(when(col("ihi") >= col("lo_") && col("ihi") < col("hi_"), col("v"))).as("__bhi"))
+    // The value-null guard matters in MIXED groups: Spark's greatest/least
+    // SKIP nulls, so without it a null value in a group that has bounds
+    // would clip to __blo instead of staying null.
     df.join(broadcast(bounds), df(groupCol) === bounds("__wg"), "left")
       .withColumn(out,
-        when(col("__blo").isNotNull && col("__bhi").isNotNull,
+        when(col(valueCol).isNotNull &&
+            col("__blo").isNotNull && col("__bhi").isNotNull,
           least(greatest(col(valueCol).cast("long"), col("__blo")), col("__bhi")))
           .otherwise(col(valueCol).cast("long")))
       .drop("__wg", "__blo", "__bhi")

@@ -150,7 +150,7 @@ object DataOps {
     val docs = Tables(spark, dir).documents
     val existing = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-    val idx = s"graft_fp_gate_idx_${dirKey(dir)}"
+    val idx = GateIndex.gatePrefix(spark, "graft_fp_gate_idx", dir)
     if (!spark.catalog.tableExists(idx)) {
       dropGateTable(spark, idx)
       Dedup.buildFingerprintIndex(existing, idx, buckets = 8,
@@ -178,7 +178,7 @@ object DataOps {
     val docs = Tables(spark, dir).documents
     val existing = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-    val prefix = s"graft_mh_gate_idx_${dirKey(dir)}"
+    val prefix = GateIndex.gatePrefix(spark, "graft_mh_gate_idx", dir)
     if (!spark.catalog.tableExists(s"${prefix}_sets")) {
       dropGateTable(spark, s"${prefix}_bands")
       dropGateTable(spark, s"${prefix}_sets")
@@ -724,7 +724,6 @@ object DataOps {
   private def dropGateTable(spark: SparkSession, name: String): Unit =
     GateIndex.dropGateTable(spark, name)
 
-  private def dirKey(dir: String): String = GateIndex.dirKey(dir)
 
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings.filter(col("vec_id") < 5)
@@ -822,7 +821,7 @@ object DataOps {
         Similarity.asDouble(col("embedding")).as("c_vec"))
     val existing = e.filter(pmod(col("vec_id"), lit(3)) === 0)
     val batch = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
-    val idx = s"graft_sem_gate_idx_${dirKey(dir)}"
+    val idx = GateIndex.gatePrefix(spark, "graft_sem_gate_idx", dir)
     if (!spark.catalog.tableExists(idx)) {
       dropGateTable(spark, idx)
       Similarity.buildSemDedupIndex(existing, cents, idx, buckets = 8)
@@ -1195,7 +1194,7 @@ object DataOps {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("c_id"),
         Similarity.asDouble(col("embedding")).as("c_vec"))
-    val idx = s"graft_ivf_gate_idx_${dirKey(dir)}"
+    val idx = GateIndex.gatePrefix(spark, "graft_ivf_gate_idx", dir)
     if (!spark.catalog.tableExists(idx)) {
       dropGateTable(spark, idx)
       Similarity.buildIvfIndex(e, cents, idx, buckets = 8)
@@ -3065,7 +3064,7 @@ object DataOps {
     val docs = Tables(spark, dir).documents
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-    val prefix = s"graft_winnow_gate_idx_${dirKey(dir)}"
+    val prefix = GateIndex.gatePrefix(spark, "graft_winnow_gate_idx", dir)
     if (!spark.catalog.tableExists(s"${prefix}_sets")) {
       dropGateTable(spark, s"${prefix}_fps")
       dropGateTable(spark, s"${prefix}_sets")
@@ -3420,7 +3419,7 @@ object DataOps {
     * one integer dynamics. Build-once-per-(session, dir) like the BM25
     * index gates, so the bench's best-of-N times the rank loop alone. */
   def qPagerankIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"graft_pr_gate_${dirKey(dir)}"
+    val prefix = GateIndex.gatePrefix(spark, "graft_pr_gate", dir)
     if (!spark.catalog.tableExists(prefix)) {
       dropGateTable(spark, prefix)
       val t = Tables(spark, dir)

@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * when the index for that key already exists: the bench's best-of-2 then
   * times the probe plan — the production shape, where a daily batch never
   * rebuilds the corpus index — instead of re-timing saveAsTable
-  * construction on every invocation.
+  * construction on every invocation. [[gatePrefix]] additionally
+  * garbage-collects superseded keys so regenerated datasets don't grow
+  * the warehouse unboundedly.
   */
 object GateIndex {
 
@@ -18,25 +20,67 @@ object GateIndex {
     * than the bare path means a REGENERATED dataset at the same path gets
     * a fresh key — a stale persisted index can never silently serve rows
     * from a previous corpus generation. Stat-only (no data read), so the
-    * stamp costs microseconds even on a large directory. */
+    * stamp costs microseconds even on a large directory.
+    *
+    * Stats through the Hadoop FileSystem API, so the stamp covers every
+    * scheme Spark can read (hdfs://, s3a://, file:) — a java.nio stat
+    * would silently degrade remote dirs to a bare path hash,
+    * reintroducing the stale-index-after-regeneration hazard. A path
+    * that doesn't exist (yet) keeps the path-only hash: no data means no
+    * stale-serving risk, and the key changes as soon as content appears. */
   def dirKey(dir: String): String = {
-    import java.nio.file.{Files, Paths}
     var acc = dir.hashCode.toLong
-    val p = Paths.get(dir)
-    if (Files.isDirectory(p)) {
-      val s = Files.walk(p)
-      // Commutative per-file mix: directory walk order is filesystem-
-      // dependent, so the stamp must not depend on iteration order.
-      try {
-        s.forEach { f =>
-          if (Files.isRegularFile(f)) {
-            acc += (f.getFileName.toString.hashCode.toLong * 1000003L) ^
-              (Files.size(f) * 31L) ^ Files.getLastModifiedTime(f).toMillis
+    try {
+      // the active session's Hadoop conf carries cluster fs settings;
+      // outside a session (unit tests) the default conf still serves file:
+      val hconf = SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) {
+        // Commutative per-file mix: listing order is filesystem-dependent,
+        // so the stamp must not depend on iteration order.
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile) {
+            acc += (f.getPath.getName.hashCode.toLong * 1000003L) ^
+              (f.getLen * 31L) ^ f.getModificationTime
           }
         }
-      } finally s.close()
-    }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     java.lang.Long.toHexString(acc)
+  }
+
+  /** The content-keyed table-name prefix for a gate family, with stale-key
+    * GARBAGE COLLECTION: any catalog table or warehouse directory carrying
+    * the same family prefix but a different (superseded) key is dropped —
+    * without this, every dataset regeneration mints a new key while the
+    * old content-stamped index tables accumulate forever. */
+  def gatePrefix(spark: SparkSession, family: String, dir: String): String = {
+    val key = dirKey(dir)
+    val current = s"${family}_$key"
+    try {
+      // catalog entries from this or earlier sessions
+      spark.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => n.startsWith(s"${family}_") && !n.startsWith(current))
+        .foreach(n => dropGateTable(spark, n))
+      // orphaned warehouse dirs no catalog knows (earlier JVMs)
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) {
+        fs.listStatus(wh).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"${family}_") && !n.startsWith(current))
+            fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    current
   }
 
   /** Clear a gate-owned warehouse table AND its physical location: a fresh

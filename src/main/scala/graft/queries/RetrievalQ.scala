@@ -66,7 +66,7 @@ object RetrievalQ {
     * bench's best-of-2 now sees a pure probe on run 2). The first call per
     * (session, dir) still builds, so the gate stays self-contained. */
   def qBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"graft_bm25_gate_${GateIndex.dirKey(dir)}"
+    val prefix = GateIndex.gatePrefix(spark, "graft_bm25_gate", dir)
     if (!spark.catalog.tableExists(s"${prefix}_stats")) {
       val docs = Tables(spark, dir).documents
       Seq(s"${prefix}_postings", s"${prefix}_terms", s"${prefix}_stats")
@@ -83,7 +83,7 @@ object RetrievalQ {
     * Same build-once-per-(session, dir) discipline as [[qBm25Indexed]] so
     * the bench's best-of-2 times the probe. */
   def qBm25Inc(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"graft_bm25i_gate_${GateIndex.dirKey(dir)}"
+    val prefix = GateIndex.gatePrefix(spark, "graft_bm25i_gate", dir)
     val docs = Tables(spark, dir).documents
     if (!spark.catalog.tableExists(s"${prefix}_stats")) {
       Seq(s"${prefix}_postings", s"${prefix}_terms", s"${prefix}_stats")

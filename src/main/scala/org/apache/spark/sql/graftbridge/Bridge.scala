@@ -31,6 +31,19 @@ object Bridge {
       ClassicConversions.castToImpl(df).queryExecution.toRdd, df.schema)
   }
 
+  /** [[truncatePlan]] exposing the raw execution RDD alongside the
+    * truncated frame: an iterative operator can run its per-sweep
+    * convergence scan as ONE RDD job over InternalRows instead of paying
+    * a second full QueryExecution (analyze + optimize + codegen of an
+    * aggregate plan) per sweep. */
+  def truncatePlanWithRdd(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val classic = ClassicConversions.castToImpl(df.sparkSession)
+    val rdd = ClassicConversions.castToImpl(df).queryExecution.toRdd
+    (classic.internalCreateDataFrame(rdd, df.schema), rdd)
+  }
+
   /** A clone of `spark` (same SparkContext, SharedState — so the cache
     * manager, catalog and temp views carry over) with the given runtime
     * confs overridden. The conf-mutation-free way for an iterative

@@ -61,4 +61,32 @@ class GateIndexSpec extends AnyFunSuite {
     Files.write(d.resolve("a.parquet"), Array[Byte](9, 9))
     assert(GateIndex.dirKey(d.toString).matches("[0-9a-f]+"))
   }
+
+  test("gatePrefix garbage-collects superseded keys, keeps the current one") {
+    // Regenerating a dataset mints a new key; the old content-stamped
+    // index tables (and their warehouse dirs) must be dropped, or the
+    // warehouse grows by one index family per regeneration forever.
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val d = tmpDir()
+    Files.write(d.resolve("a.parquet"), Array[Byte](1, 2, 3))
+    val fam = "graft_gc_spec_gate"
+    val p1 = GateIndex.gatePrefix(spark, fam, d.toString)
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(p1)
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(s"${p1}_sets")
+    // regenerate: same path, new bytes -> new key
+    Files.write(d.resolve("a.parquet"), Array[Byte](1, 2, 3, 4))
+    val p2 = GateIndex.gatePrefix(spark, fam, d.toString)
+    assert(p2 != p1)
+    assert(!spark.catalog.tableExists(p1), "stale key's table must be dropped")
+    assert(!spark.catalog.tableExists(s"${p1}_sets"),
+      "stale key's suffixed tables must be dropped too")
+    // an unrelated family with a shared word-prefix must survive
+    val other = s"${fam}x_${GateIndex.dirKey(d.toString)}"
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(other)
+    GateIndex.gatePrefix(spark, fam, d.toString)
+    assert(spark.catalog.tableExists(other), "prefix match must be family-exact")
+    GateIndex.dropGateTable(spark, other)
+    GateIndex.dropGateTable(spark, p2)
+  }
 }

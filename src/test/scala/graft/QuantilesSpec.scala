@@ -116,6 +116,22 @@ class QuantilesSpec extends SparkSpec {
     assert(bRows.length == 2 && bRows.forall(_.isNullAt(2)))
   }
 
+  test("winsorize keeps null values null in mixed groups") {
+    // group a HAS bounds (non-null values exist): a null value row must
+    // still come out null — greatest/least skip nulls, so an unguarded
+    // clip would return __blo for it.
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(100L)),
+                 ("a", None), ("b", Some(5L))).toDF("g", "v")
+    val out = Quantiles.winsorizePerGroup(df, "g", "v", lo = (1L, 10L), hi = (9L, 10L))
+      .select("g", "v", "w").collect()
+    assert(out.length == 5)
+    val nullRow = out.filter(r => r.getString(0) == "a" && r.isNullAt(1))
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(2),
+      "null value in a bounded group must stay null, not clip to the lower bound")
+    // and non-null rows in the same group still clip
+    assert(out.filter(r => r.getString(0) == "a" && !r.isNullAt(1)).forall(!_.isNullAt(2)))
+  }
+
   test("mad per group: outlier-immune where the mean is not") {
     // g=a: [1,2,3,4,1000] -> median 3 (med_x2=6); devs*2 = |2v-6| =
     // [4,2,0,2,1994] -> sorted [0,2,2,4,1994], median 2 -> mad_x4 = 4
