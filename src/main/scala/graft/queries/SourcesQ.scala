@@ -112,6 +112,11 @@ object SourcesQ {
     docRoundtrip(spark, dir, "toml")
   def qXmlRoundtrip(spark: SparkSession, dir: String): DataFrame =
     docRoundtrip(spark, dir, "xml")
+  /** Avro container encode → decode roundtrip through the hand-rolled
+    * avro-core codec ([[graft.sources.Avro]]) — same aggregate shape and
+    * oracle as the other document roundtrips. */
+  def qAvroRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    docRoundtrip(spark, dir, "avro")
 
   /** JSON-lines encode → decode roundtrip, then aggregate. */
   def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -135,6 +140,7 @@ object SourcesQ {
     "q_yaml_roundtrip" -> ((qYamlRoundtrip _, Some(docRoundtripSql))),
     "q_toml_roundtrip" -> ((qTomlRoundtrip _, Some(docRoundtripSql))),
     "q_xml_roundtrip" -> ((qXmlRoundtrip _, Some(docRoundtripSql))),
+    "q_avro_roundtrip" -> ((qAvroRoundtrip _, Some(docRoundtripSql))),
     "q_json_roundtrip" -> ((qJsonRoundtrip _, Some(qJsonRoundtripSql))),
   )
 }

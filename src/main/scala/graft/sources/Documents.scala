@@ -77,6 +77,7 @@ object Documents {
       .option("valueTag", opts.valueTag).load(path)
     case "yaml"    => Yaml.read(spark, path)
     case "toml"    => Toml.read(spark, path)
+    case "avro"    => Avro.read(spark, path)
     case "byte" | "binary" => spark.read.format("binaryFile").load(path)
     case other     => throw new IllegalArgumentException(s"unknown document type: $other")
   }
@@ -137,6 +138,7 @@ object Documents {
         .option("valueTag", opts.valueTag).save(path)
       case "yaml" => Yaml.write(sorted, path, mode)
       case "toml" => Toml.write(sorted, path, mode)
+      case "avro" => Avro.write(sorted, path, mode)
       case "byte" | "binary" => Binary.write(sorted, path, mode)
       case other  => throw new IllegalArgumentException(s"unknown document type: $other")
     }
@@ -197,6 +199,110 @@ object Binary {
           try out.write(bytes) finally out.close()
           i += 1
         }
+    }
+  }
+}
+
+/** Avro container-file document, hand-rolled over avro-core (this image
+  * ships no spark-avro connector jar; the Avro Java library is on the
+  * Spark classpath). Read: binaryFile → per-partition DataFileStream →
+  * records re-encoded as JSON lines → Spark JSON inference, the same
+  * parallel no-driver-loop shape as the yaml/toml codecs. Write: one
+  * container file per partition through DataFileWriter with a schema
+  * derived from the frame (nullable unions over primitives). Container
+  * files load whole-file per task, so this is an INTERCHANGE format
+  * here — corpus-scale columnar data belongs in parquet/orc. */
+object Avro {
+  import org.apache.avro.Schema
+  import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+  private def avroSchema(st: org.apache.spark.sql.types.StructType): Schema = {
+    import org.apache.spark.sql.types._
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      val base = f.dataType match {
+        case StringType => Schema.create(Schema.Type.STRING)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case DateType => Schema.create(Schema.Type.STRING)      // ISO text
+        case TimestampType => Schema.create(Schema.Type.STRING) // ISO text
+        case _: DecimalType => Schema.create(Schema.Type.STRING) // exact text
+        case other => throw new IllegalArgumentException(
+          s"avro document: unsupported column type ${other.simpleString} (${f.name})")
+      }
+      val nullable = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), base))
+      fields.add(new Schema.Field(f.name, nullable, null, Schema.Field.NULL_DEFAULT_VALUE))
+    }
+    Schema.createRecord("row", null, "graft", false, fields)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(s"$path")
+      .select(col("content"))
+    val lines = files.as[Array[Byte]].mapPartitions { it =>
+      it.flatMap { bytes =>
+        val in = new org.apache.avro.file.SeekableByteArrayInput(bytes)
+        val reader = org.apache.avro.file.DataFileReader.openReader(
+          in, new GenericDatumReader[GenericRecord]())
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        // GenericData's toString IS the JSON rendering of a record (keys
+        // quoted, strings escaped, no union wrappers — unlike jsonEncoder,
+        // which wraps every nullable union as {"type": value})
+        try { while (reader.hasNext) buf += reader.next().toString }
+        finally reader.close()
+        buf
+      }
+    }
+    spark.read.json(lines)
+  }
+
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.hadoop.fs.Path
+    val st = df.schema
+    avroSchema(st) // validate types up front, on the driver
+    val target = new Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (mode == SaveMode.Overwrite && fs.exists(target)) fs.delete(target, true)
+    fs.mkdirs(target)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val confB = df.sparkSession.sparkContext.broadcast(serConf)
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val schema = avroSchema(st)
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val tfs = new Path(path).getFileSystem(confB.value.value)
+        val out = tfs.create(new Path(path, f"part-$pid%05d.avro"), true)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, out)
+        try {
+          it.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            st.fields.zipWithIndex.foreach { case (f, i) =>
+              val v: AnyRef =
+                if (r.isNullAt(i)) null
+                else f.dataType match {
+                  case org.apache.spark.sql.types.BinaryType =>
+                    java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+                  case org.apache.spark.sql.types.DateType |
+                       org.apache.spark.sql.types.TimestampType |
+                       _: org.apache.spark.sql.types.DecimalType =>
+                    r.get(i).toString
+                  case _ => r.get(i).asInstanceOf[AnyRef]
+                }
+              rec.put(f.name, v)
+            }
+            w.append(rec)
+          }
+        } finally w.close()
+      }
     }
   }
 }

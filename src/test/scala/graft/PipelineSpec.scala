@@ -104,6 +104,34 @@ class PipelineSpec extends SparkSpec {
       == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("avro document roundtrip with nulls, booleans and JSON-hostile strings") {
+    val dir = tmp("avro") + "/data"
+    val df = Seq(
+      (1L, Some("""quote " backslash \ newline
+tab	end"""), Some(1.5), Some(true)),
+      (2L, None, None, Some(false)),
+      (3L, Some("plain"), Some(-0.25), None))
+      .toDF("id", "name", "score", "flag")
+    Documents.write(df, "avro", dir)
+    val back = Documents.read(spark, "avro", dir)
+    val rows = back.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), Option(r.getAs[String]("name")),
+        if (r.isNullAt(r.fieldIndex("score"))) None else Some(r.getAs[Double]("score")),
+        if (r.isNullAt(r.fieldIndex("flag"))) None else Some(r.getAs[Boolean]("flag")))).toSeq
+    assert(rows == Seq(
+      (1L, Some("quote \" backslash \\ newline\ntab\tend"), Some(1.5), Some(true)),
+      (2L, None, None, Some(false)),
+      (3L, Some("plain"), Some(-0.25), None)))
+  }
+
+  test("avro document rejects unsupported column types up front") {
+    val dir = tmp("avro_bad") + "/data"
+    val df = Seq((1L, Seq(1, 2))).toDF("id", "xs")
+    intercept[IllegalArgumentException] {
+      Documents.write(df, "avro", dir)
+    }
+  }
+
   test("xml document roundtrip") {
     val dir = tmp("xml") + "/data"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
