@@ -1954,6 +1954,112 @@ object DataOps {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Streaming funnel EXECUTED as a stream (58h promoted to a driver
+    * gate): the events table replays through a file-source stream into
+    * [[graft.streaming.EventStream.funnelStream]]'s mapGroupsWithState
+    * path and a memory sink; the oracle recomputes the greedy stage
+    * chain relationally. Single-trigger replay = total per-user order
+    * (the operator sorts within each group-batch), so the streaming
+    * result must equal the batch chain exactly — this moves the REAL
+    * streaming operator under the DuckDB oracle, where before only a
+    * spec pinned the stream ≡ batch equivalence. */
+  def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // events.parquet is a single file and the file-source stream requires
+    // a directory: stage a symlink (zero-copy) in a temp dir
+    val stage = java.nio.file.Files.createTempDirectory("graft_sfunnel")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src0 = spark.readStream.schema(raw.schema).parquet(stage.toString)
+    // same ts normalisation as Tables.events (BIGINT nanos → micros)
+    val src = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => src0
+      case _ => src0.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }).select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value"), col("props"))
+    val sink = "graft_stream_funnel_sink"
+    spark.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStream
+      .funnelStream(spark, src, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max(col("depth")).cast("bigint").as("depth"))
+  }
+
+  val qStreamFunnelSql: String =
+    """WITH s1 AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id),
+      |s2 AS (SELECT s1.user_id, s1.t1,
+      |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+      |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+      |  GROUP BY s1.user_id, s1.t1),
+      |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+      |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+      |  GROUP BY s2.user_id, s2.t1, s2.t2)
+      |SELECT user_id,
+      |  CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+      |FROM s3""".stripMargin
+
+  /** Streaming incremental dedup EXECUTED as a stream (58e promoted to a
+    * driver gate): documents arrive as three id-range batches through a
+    * file-source stream (maxFilesPerTrigger=1, batch order pinned by
+    * explicit file mtimes), and
+    * [[graft.streaming.EventStream.dedupStreamAgainstIndex]]'s
+    * foreachBatch loop builds/probes/appends the bucketed fingerprint
+    * index across batches. Because batches are ordered id ranges and
+    * both the in-batch and against-index dedups keep min id, the union
+    * of kept rows is exactly "the min-doc_id row per distinct text" —
+    * which the oracle states in one aggregate. */
+  def qStreamDedupInc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+    val inDir = s"$stage/in"
+    val outDir = s"$stage/out"
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(mx / 3, 2 * mx / 3, Long.MaxValue)
+    val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(inDir))
+    var lo = Long.MinValue
+    cuts.zipWithIndex.foreach { case (hi, k) =>
+      val tmp = s"$stage/b$k"
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dest = new Path(inDir, f"batch$k%02d.parquet")
+      fs.rename(part, dest)
+      // pin arrival order: the file source schedules by modification time
+      fs.setTimes(dest, 1000000000000L + k * 60000L, -1)
+      lo = hi
+    }
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val idx = GateIndex.gatePrefix(spark, "graft_sdi_gate", dir) + "_run"
+    GateIndex.dropGateTable(spark, idx)
+    val q = graft.streaming.EventStream.dedupStreamAgainstIndex(
+      src, idx, indexBuckets = 8, idCol = "doc_id", keyCol = "text",
+      checkpoint = s"$stage/ckpt") { kept =>
+      kept.select(col("doc_id")).write.mode("append").parquet(outDir)
+    }
+    try q.processAllAvailable() finally q.stop()
+    GateIndex.dropGateTable(spark, idx)
+    spark.read.parquet(outDir).select(col("doc_id"))
+  }
+
+  val qStreamDedupIncSql: String =
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
   /** As-of join: each purchase event picks up the user's most recent view
     * at-or-before it. Oracle: DuckDB's native ASOF JOIN. */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -3923,5 +4029,7 @@ object DataOps {
     "q_event_sliding"  -> ((qEventSliding _, Some(qEventSlidingSql))),
     "q_sessionize"     -> ((qSessionize _, Some(qSessionizeSql))),
     "q_stream_dedup"   -> ((qStreamDedup _, Some(qStreamDedupSql))),
+    "q_stream_funnel"  -> ((qStreamFunnel _, Some(qStreamFunnelSql))),
+    "q_stream_dedup_inc" -> ((qStreamDedupInc _, Some(qStreamDedupIncSql))),
   )
 }
