@@ -149,12 +149,19 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions.col
+        // each batch's localCheckpoint scratch is released once consumed:
+        // a stream runs unboundedly, so anything left in the block manager
+        // per batch is a leak that grows with stream lifetime (the
+        // StreamingSpec 3-batch ballast audit pins this)
         if (!spark.catalog.tableExists(indexTable)) {
           val first = graft.operators.Dedup.exact(batch, idCol, col(keyCol))
             .localCheckpoint()
-          graft.operators.Dedup.buildFingerprintIndex(
-            first, indexTable, indexBuckets, idCol, col(keyCol))
-          write(first)
+          try {
+            graft.operators.Dedup.buildFingerprintIndex(
+              first, indexTable, indexBuckets, idCol, col(keyCol))
+            write(first)
+          } finally org.apache.spark.sql.graftbridge.Bridge
+            .releaseLocalCheckpoint(first)
         } else {
           // localCheckpoint BEFORE the append: the table write invalidates
           // caches referencing the index, and a recompute would dedup the
@@ -162,9 +169,12 @@ object EventStream {
           val kept = graft.operators.Dedup.dedupAgainstIndex(
               batch, indexTable, idCol, col(keyCol))
             .localCheckpoint()
-          graft.operators.Dedup.appendToIndex(
-            kept, indexTable, indexBuckets, idCol, col(keyCol))
-          write(kept)
+          try {
+            graft.operators.Dedup.appendToIndex(
+              kept, indexTable, indexBuckets, idCol, col(keyCol))
+            write(kept)
+          } finally org.apache.spark.sql.graftbridge.Bridge
+            .releaseLocalCheckpoint(kept)
         }
       }.start()
 

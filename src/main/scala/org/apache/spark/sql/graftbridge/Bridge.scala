@@ -44,6 +44,18 @@ object Bridge {
     (classic.internalCreateDataFrame(rdd, df.schema), rdd)
   }
 
+  /** Release the block-manager storage behind a localCheckpoint'd frame
+    * (Dataset.unpersist only covers CacheManager entries; a local
+    * checkpoint persists its RDD directly). Call ONLY when the frame is
+    * fully consumed — the checkpoint's lineage is truncated, so the data
+    * cannot be recomputed afterwards. */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    ClassicConversions.castToImpl(df).queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** A clone of `spark` (same SparkContext, SharedState — so the cache
     * manager, catalog and temp views carry over) with the given runtime
     * confs overridden. The conf-mutation-free way for an iterative

@@ -279,6 +279,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming paths hold no block-manager ballast across a 3-batch replay") {
+    // The PlansSpec cache-discipline audit covers batch gates; streaming
+    // operators hold state ACROSS batches (state store, index tables,
+    // foreachBatch scratch), so a replay must not accumulate persisted
+    // RDDs batch over batch — a leak here grows with stream lifetime,
+    // which is unbounded in production.
+    implicit val sqlCtx = spark.sqlContext
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.sql("DROP TABLE IF EXISTS stream_ballast_idx")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "stream_ballast_idx")
+    loc.getFileSystem(sc.hadoopConfiguration).delete(loc, true)
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ballast-ckpt").toString
+    // (a) foreachBatch incremental dedup: localCheckpoint scratch must die
+    // with its batch
+    val input = MemoryStream[(Long, String)]
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = EventStream.dedupStreamAgainstIndex(
+      input.toDF().toDF("doc_id", "text"), "stream_ballast_idx",
+      indexBuckets = 4, idCol = "doc_id", keyCol = "text", checkpoint = ckpt) {
+      kept => kept.count(): Unit
+    }
+    try {
+      Seq(Seq((1L, "aa"), (2L, "bb")), Seq((3L, "aa"), (4L, "cc")),
+          Seq((5L, "dd"))).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        counts += sc.getPersistentRDDs.size
+      }
+      assert(counts.forall(_ == 0),
+        s"persisted RDDs accumulate across streaming batches: $counts")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_ballast_idx")
+    }
+    // (b) stateful EventStream twin (funnel via mapGroupsWithState): state
+    // lives in the state store, never the block manager
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val ev = MemoryStream[EventStream.Event]
+    def e(id: Long, u: Long, t: String, ms: Long) =
+      EventStream.Event(id, new java.sql.Timestamp(ms), u, t, 0.0, "{}")
+    val fq = EventStream.funnelStream(spark, ev.toDF(), Seq("view", "click"))
+      .writeStream.format("memory").queryName("ballast_funnel")
+      .outputMode("update").start()
+    try {
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      Seq(Seq(e(1, 1, "view", 1000)), Seq(e(2, 1, "click", 2000)),
+          Seq(e(3, 2, "view", 3000))).foreach { batch =>
+        ev.addData(batch: _*)
+        fq.processAllAvailable()
+        sizes += sc.getPersistentRDDs.size
+      }
+      assert(sizes.forall(_ == 0),
+        s"stateful streaming op persisted RDDs in the block manager: $sizes")
+    } finally fq.stop()
+  }
+
   test("config-driven streaming pipeline: stream reader -> transform -> parquet sink") {
     val dir = java.nio.file.Files.createTempDirectory("streamcfg").toString
     val in = dir + "/in"
