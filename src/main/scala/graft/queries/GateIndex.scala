@@ -59,9 +59,16 @@ object GateIndex {
     * the same family prefix but a different (superseded) key is dropped —
     * without this, every dataset regeneration mints a new key while the
     * old content-stamped index tables accumulate forever. */
+  private val gcDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def gatePrefix(spark: SparkSession, family: String, dir: String): String = {
     val key = dirKey(dir)
     val current = s"${family}_$key"
+    // GC once per (family, key) per JVM: catalog listTables on the
+    // Derby-backed metastore costs real milliseconds, and a re-probe of
+    // an unchanged dataset has nothing to collect
+    if (!gcDone.add(current)) return current
     try {
       // catalog entries from this or earlier sessions
       spark.catalog.listTables().collect()
