@@ -19,6 +19,13 @@ object EventStream {
 
   final case class SessionSummary(user_id: Long, n_events: Int, n_sessions: Int)
 
+  /** Exact event-time microseconds: Timestamp.getTime truncates to
+    * milliseconds, so an operator comparing getTime against a batch twin
+    * that compares full timestamps diverges on sub-millisecond data —
+    * rebuild micros from the seconds part plus the nanos field. */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** File-based stream over a directory of JSON events. */
   def readJsonStream(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -52,9 +59,9 @@ object EventStream {
           val (lastTs0, nEvents0, nSessions0) =
             state.getOption.getOrElse((Long.MinValue, 0, 0))
           var lastTs = lastTs0; var nEvents = nEvents0; var nSessions = nSessions0
-          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
+          it.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val t = micros(e.ts)
+            if (lastTs == Long.MinValue || t - lastTs > gapMs * 1000L) nSessions += 1
             nEvents += 1
             lastTs = t
           }
@@ -81,10 +88,10 @@ object EventStream {
       .mapGroupsWithState[(Int, Long), FunnelProgress](GroupStateTimeout.NoTimeout()) {
         case (userId, it, state: GroupState[(Int, Long)]) =>
           var (stage, tPrev) = state.getOption.getOrElse((0, Long.MinValue))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             if (stage < stages.length && e.event_type == stages(stage) &&
-                (stage == 0 || e.ts.getTime > tPrev)) {
-              tPrev = e.ts.getTime
+                (stage == 0 || micros(e.ts) > tPrev)) {
+              tPrev = micros(e.ts)
               stage += 1
             }
           }
@@ -200,8 +207,8 @@ object EventStream {
           var (lastTs, sess, firstView) =
             state.getOption.getOrElse((Long.MinValue, 0L, -1L))
           val out = scala.collection.mutable.ArrayBuffer[Attribution]()
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime * 1000L
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
             if (lastTs == Long.MinValue || t - lastTs > gapMicros) {
               sess += 1L; firstView = -1L
             }
@@ -250,8 +257,8 @@ object EventStream {
             out += WeekAnomaly(tpe, week * weekUs - mondayShiftUs, n, z)
             m += 1; s1 += n; s2 += n * n
           }
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val w = Math.floorDiv(e.ts.getTime * 1000L + mondayShiftUs, weekUs)
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val w = Math.floorDiv(micros(e.ts) + mondayShiftUs, weekUs)
             if (week == Long.MinValue) { week = w; n = 0L }
             else if (w > week) { close(); week = w; n = 0L }
             // w < week: a straggler from an already-closed week — dropped
