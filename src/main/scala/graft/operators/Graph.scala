@@ -163,21 +163,30 @@ object Graph {
   def pageRankFromIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, iterations: Int = 5,
                         scale: Long = 1000000L): DataFrame = {
+    val (ranks, nd) = indexRankPlan(spark, table, iterations, scale)
+    finishRanks(ranks, Seq(nd))
+  }
+
+  /** The composed (unmaterialized) loop plan over a [[buildEdgeIndex]]
+    * table plus the persisted node frame backing it — the public
+    * [[pageRankFromIndex]] materializes and releases; plan-shape audits
+    * read the composed tree directly (a materialized result is just a
+    * cache scan and hides the loop). Callers of THIS method own the
+    * returned node frame's unpersist. */
+  private[graft] def indexRankPlan(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, iterations: Int,
+                                   scale: Long): (DataFrame, DataFrame) = {
     val e = Bucketing.readBucketed(spark, table)
     // deg already rides the edge rows; the node frame only needs ids, and
     // the contribution join pulls deg from the edge side
     val nd = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .persist(MEMORY_AND_DISK)
-    // returned COMPOSED (not materialized): the index already holds the
-    // edges-sized state on disk and nd is nodes-sized, so there is
-    // nothing corpus-scale to release — and the caller's one action sees
-    // the whole loop plan (the PlansSpec exchange audit reads it)
-    loopRanks(nd, ranks => {
+    (loopRanks(nd, ranks => {
       val r = ranks.select(col("id").as("csrc"), col("rank").as("crank"))
       e.join(r, e("src") === col("csrc"))
         .select(col("dst"), expr("crank div deg").as("contrib"))
-    }, iterations, scale)
+    }, iterations, scale), nd)
   }
 
   /** Weighted PageRank over `edges(src, dst, w)` — interaction STRENGTH

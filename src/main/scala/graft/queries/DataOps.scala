@@ -1967,7 +1967,7 @@ object DataOps {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // events.parquet is a single file and the file-source stream requires
     // a directory: stage a symlink (zero-copy) in a temp dir
-    val stage = java.nio.file.Files.createTempDirectory("graft_sfunnel")
+    val stage = java.nio.file.Paths.get(TempDirs.create("graft_sfunnel"))
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -2023,7 +2023,7 @@ object DataOps {
   def qStreamDedupInc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
-    val stage = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+    val stage = TempDirs.create("graft_sdi")
     val inDir = s"$stage/in"
     val outDir = s"$stage/out"
     val mx = docs.agg(max(col("doc_id"))).head().getLong(0)

@@ -5,13 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Shared plumbing for the build-once/probe-many index gates (BM25
   * postings, fingerprint/minhash/winnow dedup indexes, SemDeDup anchors).
   *
-  * The gate keys its warehouse tables to [[dirKey]] and skips the build
-  * when the index for that key already exists: the bench's best-of-2 then
-  * times the probe plan — the production shape, where a daily batch never
-  * rebuilds the corpus index — instead of re-timing saveAsTable
-  * construction on every invocation. [[gatePrefix]] additionally
-  * garbage-collects superseded keys so regenerated datasets don't grow
-  * the warehouse unboundedly.
+  * The gate keys its warehouse tables to [[gatePrefix]] and skips the
+  * build when the index for that key already exists: the bench's
+  * best-of-2 then times the probe plan — the production shape, where a
+  * daily batch never rebuilds the corpus index — instead of re-timing
+  * saveAsTable construction on every invocation. [[gatePrefix]]
+  * additionally garbage-collects keys superseded by a regeneration of
+  * the SAME data directory, so regenerated datasets don't grow the
+  * warehouse unboundedly.
   */
 object GateIndex {
 
@@ -24,47 +25,60 @@ object GateIndex {
     *
     * Stats through the Hadoop FileSystem API, so the stamp covers every
     * scheme Spark can read (hdfs://, s3a://, file:) — a java.nio stat
-    * would silently degrade remote dirs to a bare path hash,
-    * reintroducing the stale-index-after-regeneration hazard. A path
-    * that doesn't exist (yet) keeps the path-only hash: no data means no
-    * stale-serving risk, and the key changes as soon as content appears. */
-  def dirKey(dir: String): String = {
+    * would silently degrade remote dirs to a bare path hash. A LISTING
+    * FAILURE on an existing path propagates instead of degrading: a
+    * silently path-hashed key would both stop tracking regenerations
+    * (stale-index hazard) and churn the GC. A path that doesn't exist
+    * (yet) keeps the path-only hash: no data means no stale-serving risk,
+    * and the key changes as soon as content appears. */
+  def dirKey(dir: String): String =
+    java.lang.Long.toHexString(contentStamp(dir))
+
+  private def contentStamp(dir: String): Long = {
     var acc = dir.hashCode.toLong
-    try {
-      // the active session's Hadoop conf carries cluster fs settings;
-      // outside a session (unit tests) the default conf still serves file:
-      val hconf = SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration())
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(hconf)
-      if (fs.exists(p)) {
-        // Commutative per-file mix: listing order is filesystem-dependent,
-        // so the stamp must not depend on iteration order.
-        val it = fs.listFiles(p, true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.isFile) {
-            acc += (f.getPath.getName.hashCode.toLong * 1000003L) ^
-              (f.getLen * 31L) ^ f.getModificationTime
-          }
+    // the active session's Hadoop conf carries cluster fs settings;
+    // outside a session (unit tests) the default conf still serves file:
+    val hconf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) {
+      // Commutative per-file mix: listing order is filesystem-dependent,
+      // so the stamp must not depend on iteration order.
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile) {
+          acc += (f.getPath.getName.hashCode.toLong * 1000003L) ^
+            (f.getLen * 31L) ^ f.getModificationTime
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
-    java.lang.Long.toHexString(acc)
+    }
+    acc
   }
 
-  /** The content-keyed table-name prefix for a gate family, with stale-key
-    * GARBAGE COLLECTION: any catalog table or warehouse directory carrying
-    * the same family prefix but a different (superseded) key is dropped —
-    * without this, every dataset regeneration mints a new key while the
-    * old content-stamped index tables accumulate forever. */
+  /** Path-only component, independent of content: two datasets at
+    * different paths NEVER share it, so the GC can scope deletions to
+    * "same family, same directory, different content". */
+  private def pathKey(dir: String): String =
+    java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+
   private val gcDone =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The content-keyed table-name prefix for a gate family, with stale-key
+    * GARBAGE COLLECTION: the name is `family_p<pathKey>_<contentKey>`, and
+    * any catalog table or warehouse directory with the same family AND
+    * path component but a different content key is — by construction — a
+    * superseded generation of this same dataset, so it is dropped. Tables
+    * the family built for OTHER directories have a different path
+    * component and are never touched. Without the GC, every dataset
+    * regeneration mints a new key while the old content-stamped index
+    * tables accumulate forever. */
   def gatePrefix(spark: SparkSession, family: String, dir: String): String = {
-    val key = dirKey(dir)
-    val current = s"${family}_$key"
+    val scope = s"${family}_p${pathKey(dir)}"
+    val current = s"${scope}_${dirKey(dir)}"
     // GC once per (family, key) per JVM: catalog listTables on the
     // Derby-backed metastore costs real milliseconds, and a re-probe of
     // an unchanged dataset has nothing to collect
@@ -73,7 +87,7 @@ object GateIndex {
       // catalog entries from this or earlier sessions
       spark.catalog.listTables().collect()
         .map(_.name)
-        .filter(n => n.startsWith(s"${family}_") && !n.startsWith(current))
+        .filter(n => n.startsWith(s"${scope}_") && !n.startsWith(current))
         .foreach(n => dropGateTable(spark, n))
       // orphaned warehouse dirs no catalog knows (earlier JVMs)
       val wh = new org.apache.hadoop.fs.Path(
@@ -82,7 +96,7 @@ object GateIndex {
       if (fs.exists(wh)) {
         fs.listStatus(wh).foreach { st =>
           val n = st.getPath.getName
-          if (n.startsWith(s"${family}_") && !n.startsWith(current))
+          if (n.startsWith(s"${scope}_") && !n.startsWith(current))
             fs.delete(st.getPath, true)
         }
       }

@@ -10,8 +10,7 @@ import org.apache.spark.sql.functions._
   * document layer — proving encode/decode, not just the read path. */
 object SourcesQ {
 
-  private def tempDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tempDir(prefix: String): String = TempDirs.create(prefix)
 
   /** Full config-driven pipeline: read parquet → transform (computed
     * column) → validate (split ok/err) → return the ok stream. */

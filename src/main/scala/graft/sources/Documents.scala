@@ -227,10 +227,13 @@ object Avro {
         case DoubleType => Schema.create(Schema.Type.DOUBLE)
         case FloatType => Schema.create(Schema.Type.FLOAT)
         case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
         case DateType => Schema.create(Schema.Type.STRING)      // ISO text
         case TimestampType => Schema.create(Schema.Type.STRING) // ISO text
         case _: DecimalType => Schema.create(Schema.Type.STRING) // exact text
+        // BinaryType deliberately rejected: the read side goes through a
+        // JSON rendering, which cannot restore bytes losslessly — binary
+        // payloads belong to the `byte` document, and a loud error here
+        // beats a silent bytes→mojibake-string roundtrip
         case other => throw new IllegalArgumentException(
           s"avro document: unsupported column type ${other.simpleString} (${f.name})")
       }
@@ -289,12 +292,16 @@ object Avro {
               val v: AnyRef =
                 if (r.isNullAt(i)) null
                 else f.dataType match {
-                  case org.apache.spark.sql.types.BinaryType =>
-                    java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
                   case org.apache.spark.sql.types.DateType |
                        org.apache.spark.sql.types.TimestampType |
                        _: org.apache.spark.sql.types.DecimalType =>
                     r.get(i).toString
+                  // short/byte ride the Avro INT branch: union resolution
+                  // matches on the exact Integer class, so the narrower
+                  // boxes must widen here or the row write throws
+                  case org.apache.spark.sql.types.ShortType |
+                       org.apache.spark.sql.types.ByteType =>
+                    Int.box(r.getAs[Number](i).intValue())
                   case _ => r.get(i).asInstanceOf[AnyRef]
                 }
               rec.put(f.name, v)

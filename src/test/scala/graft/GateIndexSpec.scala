@@ -62,10 +62,12 @@ class GateIndexSpec extends AnyFunSuite {
     assert(GateIndex.dirKey(d.toString).matches("[0-9a-f]+"))
   }
 
-  test("gatePrefix garbage-collects superseded keys, keeps the current one") {
+  test("gatePrefix garbage-collects superseded keys, keeps other dirs' indexes") {
     // Regenerating a dataset mints a new key; the old content-stamped
     // index tables (and their warehouse dirs) must be dropped, or the
-    // warehouse grows by one index family per regeneration forever.
+    // warehouse grows by one index family per regeneration forever. The
+    // GC must be scoped to (family, directory): the same family's index
+    // for a DIFFERENT data directory is live state, not garbage.
     val spark = SparkSpec.session
     import spark.implicits._
     val d = tmpDir()
@@ -74,19 +76,29 @@ class GateIndexSpec extends AnyFunSuite {
     val p1 = GateIndex.gatePrefix(spark, fam, d.toString)
     Seq((1L, "x")).toDF("id", "v").write.saveAsTable(p1)
     Seq((1L, "x")).toDF("id", "v").write.saveAsTable(s"${p1}_sets")
-    // regenerate: same path, new bytes -> new key
+    // same family, DIFFERENT directory — must survive every GC below
+    val d2 = tmpDir()
+    Files.write(d2.resolve("a.parquet"), Array[Byte](9))
+    val pOther = GateIndex.gatePrefix(spark, fam, d2.toString)
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(pOther)
+    // regenerate: same path, new bytes -> new key; GC drops p1 (+suffixes)
     Files.write(d.resolve("a.parquet"), Array[Byte](1, 2, 3, 4))
     val p2 = GateIndex.gatePrefix(spark, fam, d.toString)
     assert(p2 != p1)
     assert(!spark.catalog.tableExists(p1), "stale key's table must be dropped")
     assert(!spark.catalog.tableExists(s"${p1}_sets"),
       "stale key's suffixed tables must be dropped too")
-    // an unrelated family with a shared word-prefix must survive
-    val other = s"${fam}x_${GateIndex.dirKey(d.toString)}"
-    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(other)
-    GateIndex.gatePrefix(spark, fam, d.toString)
-    assert(spark.catalog.tableExists(other), "prefix match must be family-exact")
-    GateIndex.dropGateTable(spark, other)
-    GateIndex.dropGateTable(spark, p2)
+    assert(spark.catalog.tableExists(pOther),
+      "same family for another directory is live, not garbage")
+    // regenerate AGAIN so a fresh GC (new key, no memo hit) re-checks the
+    // scoping live — guards against a regression widening the prefix filter
+    Seq((2L, "y")).toDF("id", "v").write.saveAsTable(p2)
+    Files.write(d.resolve("a.parquet"), Array[Byte](5, 6))
+    val p3 = GateIndex.gatePrefix(spark, fam, d.toString)
+    assert(p3 != p2 && !spark.catalog.tableExists(p2))
+    assert(spark.catalog.tableExists(pOther),
+      "GC scoping must hold on every fresh key, not just the first")
+    GateIndex.dropGateTable(spark, pOther)
+    GateIndex.dropGateTable(spark, p3)
   }
 }

@@ -130,6 +130,23 @@ tab	end"""), Some(1.5), Some(true)),
     intercept[IllegalArgumentException] {
       Documents.write(df, "avro", dir)
     }
+    // binary is rejected too: the JSON-rendered read path cannot restore
+    // bytes losslessly, and a loud error beats silent mojibake
+    intercept[IllegalArgumentException] {
+      Documents.write(Seq((1L, Array[Byte](1, 2))).toDF("id", "bin"), "avro",
+        tmp("avro_bin") + "/data")
+    }
+  }
+
+  test("avro document widens short/byte columns onto the int branch") {
+    // Avro union resolution matches the exact Integer box; unwidened
+    // Short/Byte values throw inside executors despite the driver-side
+    // schema validation passing.
+    val dir = tmp("avro_sb") + "/data"
+    val df = Seq((1L, 7.toShort, 3.toByte)).toDF("id", "s", "b")
+    Documents.write(df, "avro", dir)
+    val back = Documents.read(spark, "avro", dir).collect().head
+    assert(back.getAs[Long]("s") == 7L && back.getAs[Long]("b") == 3L)
   }
 
   test("xml document roundtrip") {

@@ -372,8 +372,16 @@ class PlansSpec extends SparkSpec {
       "layout must change the plan, never the ranks")
     // every iteration joins ranks to the bucketed edge table; the join
     // child holding the edge scan (and no aggregate — that side is the
-    // rank lineage) must contain NO exchange: the graph never re-shuffles
-    val plan = executed(fromIdx)
+    // rank lineage) must contain NO exchange: the graph never re-shuffles.
+    // The gate result is a materialized cache scan, so audit the COMPOSED
+    // loop plan directly (the gate above guarantees the table exists) —
+    // and clear the cache first, or the canonical-plan match against the
+    // gate's persisted result replaces the whole tree with a cache scan.
+    spark.catalog.clearCache()
+    val table = queries.GateIndex.gatePrefix(spark, "graft_pr_gate", sf)
+    val (loopPlan, nd) = operators.Graph.indexRankPlan(spark, table, 5, 1000000L)
+    val plan = executed(loopPlan)
+    nd.unpersist(blocking = false)
     val joins = nodes(plan).flatMap {
       case j: SortMergeJoinExec => j.children
       case j: ShuffledHashJoinExec => j.children
