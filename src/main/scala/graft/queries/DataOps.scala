@@ -1963,17 +1963,19 @@ object DataOps {
     * result must equal the batch chain exactly — this moves the REAL
     * streaming operator under the DuckDB oracle, where before only a
     * spec pinned the stream ≡ batch equivalence. */
-  def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage `events.parquet` behind a file-source stream: the table is a
+    * single file and the source requires a directory, so a symlink
+    * (zero-copy) lands in a temp dir; ts is normalised exactly as
+    * Tables.events (BIGINT nanos → micros). Shared by every promoted
+    * streaming gate. */
+  private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // events.parquet is a single file and the file-source stream requires
-    // a directory: stage a symlink (zero-copy) in a temp dir
-    val stage = java.nio.file.Paths.get(TempDirs.create("graft_sfunnel"))
+    val stage = java.nio.file.Paths.get(TempDirs.create("graft_sevents"))
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val src0 = spark.readStream.schema(raw.schema).parquet(stage.toString)
-    // same ts normalisation as Tables.events (BIGINT nanos → micros)
-    val src = (raw.schema("ts").dataType match {
+    (raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => src0
@@ -1981,6 +1983,10 @@ object DataOps {
         col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }).select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
       col("value"), col("props"))
+  }
+
+  def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedEventsStream(spark, dir)
     val sink = "graft_stream_funnel_sink"
     spark.catalog.dropTempView(sink)
     val q = graft.streaming.EventStream
@@ -2059,6 +2065,138 @@ object DataOps {
 
   val qStreamDedupIncSql: String =
     "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+  /** Streaming first-touch attribution EXECUTED as a stream (58q promoted
+    * to a driver gate): events replay through a file-source stream into
+    * [[graft.streaming.EventStream.attributionStream]]'s three-longs-per-
+    * user flatMapGroupsWithState path and a memory sink. Single-trigger
+    * replay = total per-user order (the operator sorts within each
+    * group-batch), so the emitted (purchase → session, first view) pairs
+    * equal the batch window chain exactly; the -1 no-view sentinel maps
+    * to the oracle's NULL. */
+  def qStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedEventsStream(spark, dir)
+    val sink = "graft_stream_attr_sink"
+    spark.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStream.attributionStream(spark, src)
+      .toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink).select(col("event_id"), col("user_id"), col("sess"),
+      when(col("first_view_id") < 0, lit(null).cast("long"))
+        .otherwise(col("first_view_id")).as("first_view_id"))
+  }
+
+  // same session chain as qAttributionSql — the streaming operator must
+  // reproduce the batch semantics event-for-event on ordered replay
+  val qStreamAttributionSql: String = qAttributionSql
+
+  /** Streaming weekly volume-anomaly EXECUTED as a stream (58o promoted
+    * to a driver gate): [[graft.streaming.EventStream.weeklyAnomalyStream]]
+    * holds five longs per event type (current week, its count, and the
+    * exact moments m/Σn/Σn² of CLOSED weeks); a week emits when a later
+    * week's event closes it, z-scored against the weeks closed BEFORE it.
+    * On ordered replay every week except each type's LAST (still open)
+    * emits — the oracle states exactly that with a cumulative window over
+    * the weekly counts, using the identical integer-moment algebra. */
+  def qStreamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedEventsStream(spark, dir)
+    val sink = "graft_stream_anomaly_sink"
+    spark.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStream.weeklyAnomalyStream(spark, src)
+      .toDF()
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink).select(col("event_type"),
+      date_format(timestamp_micros(col("week_start_us")), "yyyy-MM-dd").as("week"),
+      col("n"), col("z"))
+  }
+
+  val qStreamAnomalySql: String =
+    """WITH w AS (SELECT event_type, date_trunc('week', ts) AS week,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    CAST(row_number() OVER win - 1 AS BIGINT) AS m,
+      |    CAST(coalesce(sum(n) OVER winp, 0) AS BIGINT) AS s1,
+      |    CAST(coalesce(sum(n * n) OVER winp, 0) AS BIGINT) AS s2,
+      |    max(week) OVER (PARTITION BY event_type) AS maxweek
+      |  FROM w
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY week),
+      |    winp AS (PARTITION BY event_type ORDER BY week
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, strftime(week, '%Y-%m-%d') AS week, n,
+      |  CASE WHEN m >= 2 AND sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)) > 0.0
+      |       THEN CAST(m * n - s1 AS DOUBLE)
+      |            / sqrt(CAST(m * s2 - s1 * s1 AS DOUBLE)) END AS z
+      |FROM c WHERE week < maxweek""".stripMargin
+
+  /** Streaming windowed heavy hitters EXECUTED as a stream (58i promoted
+    * to a driver gate): the bounded Misra-Gries aggregate rides inside a
+    * watermarked 6-hour event-time window — per-window state ≤ k counters
+    * however many events arrive, the only summary shape that holds on a
+    * firehose. Append mode only emits windows the WATERMARK has closed,
+    * and the watermark only advances between micro-batches, so the replay
+    * stages events as two mtime-ordered files (all-but-last-instant, then
+    * the last instant) with maxFilesPerTrigger=1: batch 1 sets the
+    * watermark to max(ts<max) - 2h and batch 2 flushes every window whose
+    * end precedes it. With k=8 above the event-type cardinality MG is
+    * EXACT, so each emitted window's (type, count) entries — hashes joined
+    * back to names through a broadcast dim — must equal the plain
+    * per-window counts the oracle computes over the same closed-window
+    * set (watermark floor-to-millisecond semantics included). */
+  def qStreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val events = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val stage = TempDirs.create("graft_shh")
+    val inDir = s"$stage/in"
+    val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(inDir))
+    val mx = events.agg(max(col("ts"))).head().getTimestamp(0)
+    Seq(("a", col("ts") < lit(mx)), ("b", col("ts") >= lit(mx)))
+      .zipWithIndex.foreach { case ((nm, pred), k) =>
+        val tmp = s"$stage/t$nm"
+        events.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val dest = new Path(inDir, s"$nm.parquet")
+        fs.rename(part, dest)
+        // pin arrival order: the file source schedules by modification time
+        fs.setTimes(dest, 1000000000000L + k * 60000L, -1)
+      }
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val sink = "graft_stream_hh_sink"
+    spark.catalog.dropTempView(sink)
+    val q = src.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.plans.Native.misraGries(xxhash64(col("event_type")), 8).as("mg"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // hash → name through the (tiny) type dim; broadcast by size
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("h", xxhash64(col("event_type")))
+    spark.table(sink)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
+        explode(col("mg")).as("e"))
+      .select(col("win"), col("e.id").as("h"), col("e.c").as("n"))
+      .join(broadcast(dim), "h")
+      .select(col("win"), col("event_type"), col("n"))
+  }
+
+  val qStreamHeavyHittersSql: String =
+    """WITH mx AS (SELECT max(ts) AS m1 FROM events),
+      |m2 AS (SELECT max(ts) AS m2 FROM events, mx WHERE ts < m1),
+      |wm AS (SELECT (epoch_us(m2) // 1000) * 1000 - 7200000000 AS w_us FROM m2)
+      |SELECT strftime(make_timestamp(
+      |    (epoch_us(ts) // 21600000000) * 21600000000),
+      |    '%Y-%m-%d %H:%M:%S') AS win,
+      |  event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events, wm
+      |WHERE (epoch_us(ts) // 21600000000 + 1) * 21600000000 <= w_us
+      |GROUP BY 1, 2""".stripMargin
 
   /** As-of join: each purchase event picks up the user's most recent view
     * at-or-before it. Oracle: DuckDB's native ASOF JOIN. */
@@ -4031,5 +4169,8 @@ object DataOps {
     "q_stream_dedup"   -> ((qStreamDedup _, Some(qStreamDedupSql))),
     "q_stream_funnel"  -> ((qStreamFunnel _, Some(qStreamFunnelSql))),
     "q_stream_dedup_inc" -> ((qStreamDedupInc _, Some(qStreamDedupIncSql))),
+    "q_stream_attribution" -> ((qStreamAttribution _, Some(qStreamAttributionSql))),
+    "q_stream_anomaly" -> ((qStreamAnomaly _, Some(qStreamAnomalySql))),
+    "q_stream_heavy_hitters" -> ((qStreamHeavyHitters _, Some(qStreamHeavyHittersSql))),
   )
 }

@@ -32,6 +32,39 @@ object SourcesQ {
     flow.ok.get.select(col("o_orderkey"), col("price_band"))
   }
 
+  /** Config-driven STREAMING pipeline (58c promoted to a driver gate):
+    * the SAME config dialect as [[qPipelineE2e]] with `"stream": true` on
+    * the reader runs the real documents table through readStream → the
+    * transformer machinery → the AvailableNow parquet sink, and the gate
+    * returns the sink's contents — so the whole config-to-stream lift
+    * (schema from one static pass, stateless transforms on the stream,
+    * file sink commit protocol) sits under the DuckDB oracle instead of a
+    * fixture spec. */
+  def qStreamPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val stage = TempDirs.create("graft_spipe")
+    // single-file table behind a directory source: symlink (zero-copy)
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(stage, "documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val out = s"$stage/out"
+    val config =
+      s"""[
+         | {"type": "reader", "stream": true,
+         |  "connector": {"type": "local", "path": "$stage"},
+         |  "document": {"type": "parquet"}},
+         | {"type": "transformer", "actions": [
+         |   {"field": "n_chars", "pattern": "CAST(length(text) AS BIGINT)",
+         |    "type": "merge"}]},
+         | {"type": "writer", "connector": {"type": "local", "path": "$out"},
+         |  "document": {"type": "parquet"}}
+         |]""".stripMargin
+    Pipeline.run(spark, config)
+    spark.read.parquet(out).select(col("doc_id"), col("n_chars"))
+  }
+
+  val qStreamPipelineSql: String =
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+
   val qPipelineE2eSql: String =
     """SELECT o_orderkey,
       |  CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END AS price_band
@@ -134,6 +167,7 @@ object SourcesQ {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_pipeline_e2e"  -> ((qPipelineE2e _, Some(qPipelineE2eSql))),
+    "q_stream_pipeline" -> ((qStreamPipeline _, Some(qStreamPipelineSql))),
     "q_csv_roundtrip" -> ((qCsvRoundtrip _, Some(qCsvRoundtripSql))),
     "q_orc_roundtrip" -> ((qOrcRoundtrip _, Some(qOrcRoundtripSql))),
     "q_yaml_roundtrip" -> ((qYamlRoundtrip _, Some(docRoundtripSql))),
