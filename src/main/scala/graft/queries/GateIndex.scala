@@ -83,11 +83,20 @@ object GateIndex {
     // Derby-backed metastore costs real milliseconds, and a re-probe of
     // an unchanged dataset has nothing to collect
     if (!gcDone.add(current)) return current
+    // Collectable: a superseded generation of THIS directory, or a table
+    // in a pre-path-component legacy format (`family_<contentKey>` or the
+    // bare family name) — content keys are hex, so the `_p` marker is
+    // unambiguous and another directory's live `family_p<other>_…` index
+    // never matches either arm.
+    def stale(n: String): Boolean =
+      (n.startsWith(s"${scope}_") && !n.startsWith(current)) ||
+        (n.startsWith(s"${family}_") && !n.startsWith(s"${family}_p")) ||
+        n == family
     try {
       // catalog entries from this or earlier sessions
       spark.catalog.listTables().collect()
         .map(_.name)
-        .filter(n => n.startsWith(s"${scope}_") && !n.startsWith(current))
+        .filter(stale)
         .foreach(n => dropGateTable(spark, n))
       // orphaned warehouse dirs no catalog knows (earlier JVMs)
       val wh = new org.apache.hadoop.fs.Path(
@@ -95,9 +104,7 @@ object GateIndex {
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) {
         fs.listStatus(wh).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith(s"${scope}_") && !n.startsWith(current))
-            fs.delete(st.getPath, true)
+          if (stale(st.getPath.getName)) fs.delete(st.getPath, true)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -101,4 +101,31 @@ class GateIndexSpec extends AnyFunSuite {
     GateIndex.dropGateTable(spark, pOther)
     GateIndex.dropGateTable(spark, p3)
   }
+
+  test("gatePrefix sweeps legacy pre-path-component table formats") {
+    // Before the per-directory scope, tables were named family_<contentKey>
+    // (or the bare family name, earlier still). The new GC filter is keyed
+    // to family_p<pathKey>_, so without an explicit legacy arm those
+    // orphans would survive every sweep forever.
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val d = tmpDir()
+    Files.write(d.resolve("a.parquet"), Array[Byte](4, 2))
+    val fam = "graft_gc_legacy_gate"
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(fam) // bare-family era
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(s"${fam}_ffffffffcafe1234")
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(s"${fam}_ffffffffcafe1234_sets")
+    val cur = GateIndex.gatePrefix(spark, fam, d.toString)
+    assert(!spark.catalog.tableExists(fam), "bare legacy table must be swept")
+    assert(!spark.catalog.tableExists(s"${fam}_ffffffffcafe1234"),
+      "content-only legacy key must be swept")
+    assert(!spark.catalog.tableExists(s"${fam}_ffffffffcafe1234_sets"),
+      "legacy suffixed tables must be swept too")
+    // and the current-format name itself is of course not legacy
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(cur)
+    Files.write(d.resolve("b.parquet"), Array[Byte](7))
+    val cur2 = GateIndex.gatePrefix(spark, fam, d.toString)
+    assert(cur2 != cur && !spark.catalog.tableExists(cur))
+    GateIndex.dropGateTable(spark, cur2)
+  }
 }
