@@ -2135,42 +2135,22 @@ object DataOps {
     * to a driver gate): the bounded Misra-Gries aggregate rides inside a
     * watermarked 6-hour event-time window — per-window state ≤ k counters
     * however many events arrive, the only summary shape that holds on a
-    * firehose. Append mode only emits windows the WATERMARK has closed,
-    * and the watermark only advances between micro-batches, so the replay
-    * stages events as two mtime-ordered files (all-but-last-instant, then
-    * the last instant) with maxFilesPerTrigger=1: batch 1 sets the
-    * watermark to max(ts<max) - 2h and batch 2 flushes every window whose
-    * end precedes it. With k=8 above the event-type cardinality MG is
-    * EXACT, so each emitted window's (type, count) entries — hashes joined
-    * back to names through a broadcast dim — must equal the plain
-    * per-window counts the oracle computes over the same closed-window
-    * set (watermark floor-to-millisecond semantics included). */
+    * firehose. Append mode only emits windows the WATERMARK has closed;
+    * Spark's trailing no-data micro-batch (noDataMicroBatches, on by
+    * default) advances the final watermark to max(ts) − 2h after the data
+    * batch and flushes every window ending at or before it, so a plain
+    * single-file replay suffices — the emitted set is exactly the windows
+    * the FINAL watermark closed, which is what the oracle's wm CTE models
+    * (floor-to-millisecond event-time tracking included). With k=8 above
+    * the event-type cardinality MG is EXACT, so each emitted window's
+    * (type, count) entries — hashes joined back to names through a
+    * broadcast dim — must equal the plain per-window counts the oracle
+    * computes over the same closed-window set. */
   def qStreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val events = Tables(spark, dir).events
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"))
-    val stage = TempDirs.create("graft_shh")
-    val inDir = s"$stage/in"
-    val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(inDir))
-    val mx = events.agg(max(col("ts"))).head().getTimestamp(0)
-    Seq(("a", col("ts") < lit(mx)), ("b", col("ts") >= lit(mx)))
-      .zipWithIndex.foreach { case ((nm, pred), k) =>
-        val tmp = s"$stage/t$nm"
-        events.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-        val dest = new Path(inDir, s"$nm.parquet")
-        fs.rename(part, dest)
-        // pin arrival order: the file source schedules by modification time
-        fs.setTimes(dest, 1000000000000L + k * 60000L, -1)
-      }
-    val src = spark.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
     val sink = "graft_stream_hh_sink"
     spark.catalog.dropTempView(sink)
-    val q = src.withWatermark("ts", "2 hours")
+    val q = stagedEventsStream(spark, dir).withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "6 hours"))
       .agg(graft.plans.Native.misraGries(xxhash64(col("event_type")), 8).as("mg"))
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
@@ -2188,8 +2168,7 @@ object DataOps {
 
   val qStreamHeavyHittersSql: String =
     """WITH mx AS (SELECT max(ts) AS m1 FROM events),
-      |m2 AS (SELECT max(ts) AS m2 FROM events, mx WHERE ts < m1),
-      |wm AS (SELECT (epoch_us(m2) // 1000) * 1000 - 7200000000 AS w_us FROM m2)
+      |wm AS (SELECT (epoch_us(m1) // 1000) * 1000 - 7200000000 AS w_us FROM mx)
       |SELECT strftime(make_timestamp(
       |    (epoch_us(ts) // 21600000000) * 21600000000),
       |    '%Y-%m-%d %H:%M:%S') AS win,

@@ -43,14 +43,18 @@ object SourcesQ {
   def qStreamPipeline(spark: SparkSession, dir: String): DataFrame = {
     val stage = TempDirs.create("graft_spipe")
     // single-file table behind a directory source: symlink (zero-copy)
+    // into a dedicated in/ dir — the sink and its checkpoint must live
+    // OUTSIDE the watched directory, not beside the symlink
+    val in = java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(stage, "in"))
     java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(stage, "documents.parquet"),
+      in.resolve("documents.parquet"),
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
     val out = s"$stage/out"
     val config =
       s"""[
          | {"type": "reader", "stream": true,
-         |  "connector": {"type": "local", "path": "$stage"},
+         |  "connector": {"type": "local", "path": "$in"},
          |  "document": {"type": "parquet"}},
          | {"type": "transformer", "actions": [
          |   {"field": "n_chars", "pattern": "CAST(length(text) AS BIGINT)",

@@ -27,6 +27,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode window emission: end-at-watermark windows DO emit (<= not <)") {
+    // Pins the closed-window set q_stream_heavy_hitters's oracle models:
+    // the trailing no-data micro-batch advances the final watermark to
+    // max(ts) − delay, and a window whose end equals that watermark
+    // EXACTLY is emitted — the oracle's `win_end <= wm` must not be `<`.
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, m: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[EventStream.Event]
+    input.addData(
+      EventStream.Event(1, at(1), 1, "a", 0.0, "{}"),   // window [00,06)
+      EventStream.Event(2, at(5), 1, "a", 0.0, "{}"),   // window [00,06)
+      EventStream.Event(3, at(8), 1, "a", 0.0, "{}"))   // window [06,12)
+    // max(ts)=08:00 → final wm = 06:00 == [00,06)'s end exactly
+    val q = input.toDF().withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours")).count()
+      .writeStream.format("memory").queryName("wmedge").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ends = spark.sql("SELECT window.end AS e, count FROM wmedge").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(ends == Map("2024-01-01 06:00:00.0" -> 2L),
+        s"expected exactly the end-at-watermark window, got $ends")
+    } finally q.stop()
+  }
+
   test("stateful sessionization counts sessions per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
