@@ -178,9 +178,10 @@ object Graph {
                                    scale: Long): (DataFrame, DataFrame) = {
     val e = Bucketing.readBucketed(spark, table)
     // deg already rides the edge rows; the node frame only needs ids, and
-    // the contribution join pulls deg from the edge side
-    val nd = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
+    // the contribution join pulls deg from the edge side. explode, not a
+    // union of two projections: the union scans the edge table once per
+    // branch, the explode emits both endpoints from one scan
+    val nd = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
       .persist(MEMORY_AND_DISK)
     (loopRanks(nd, ranks => {
       val r = ranks.select(col("id").as("csrc"), col("rank").as("crank"))

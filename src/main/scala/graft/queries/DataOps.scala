@@ -3588,15 +3588,24 @@ object DataOps {
     * distinct trading pair) — entity-authority scoring with EXACT longs,
     * so 5 Pregel iterations replay bit-identically in the oracle's five
     * unrolled CTES. Node ids: customer → 2k, supplier → 2k+1. */
+  /** Both directions of an undirected pair frame in ONE pass: a union of
+    * two projections re-executes the (corpus-scale) upstream join per
+    * branch, while an explode emits a→b and b→a from the same row inside
+    * the producing stage. `carry` columns ride both directions. */
+  private def bothDirections(pairs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    def dir(s: Column, d: Column) =
+      struct(s.as("src") +: d.as("dst") +: carry.map(col): _*)
+    pairs.select(explode(array(dir(col("a"), col("b")),
+      dir(col("b"), col("a")))).as("e")).select(col("e.*"))
+  }
+
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val pairs = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    Graph.pageRank(edges, iterations = 5)
+    Graph.pageRank(bothDirections(pairs), iterations = 5)
       .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
         col("rank"))
   }
@@ -3610,9 +3619,7 @@ object DataOps {
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .agg(count(lit(1)).as("w"))
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    Graph.pageRankWeighted(edges, iterations = 5)
+    Graph.pageRankWeighted(bothDirections(pairs, Seq("w")), iterations = 5)
       .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
         col("rank"))
   }
@@ -3650,9 +3657,7 @@ object DataOps {
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      Graph.buildEdgeIndex(edges, prefix, buckets = 8)
+      Graph.buildEdgeIndex(bothDirections(pairs), prefix, buckets = 8)
     }
     Graph.pageRankFromIndex(spark, prefix, iterations = 5)
       .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
