@@ -147,12 +147,18 @@ object Graph {
     * (exchange-free), so only the nodes-sized rank frame moves per
     * iteration, and a nightly re-rank never re-shuffles the graph. */
   def buildEdgeIndex(edges: DataFrame, table: String, buckets: Int): Unit = {
+    // e feeds BOTH the deg aggregation and the probe side of the join:
+    // unpersisted, the (possibly join-shaped) upstream edge plan would
+    // execute twice inside the one build action
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val deg = e.groupBy(col("src").as("dsrc")).agg(count(lit(1)).as("deg"))
-    Bucketing.writeBucketed(
-      e.join(deg, e("src") === col("dsrc"))
-        .select(col("src"), col("dst"), col("deg")),
-      table, buckets, keys = Seq("src"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      val deg = e.groupBy(col("src").as("dsrc")).agg(count(lit(1)).as("deg"))
+      Bucketing.writeBucketed(
+        e.join(deg, e("src") === col("dsrc"))
+          .select(col("src"), col("dst"), col("deg")),
+        table, buckets, keys = Seq("src"))
+    } finally e.unpersist(blocking = false)
   }
 
   /** [[pageRank]] over a [[buildEdgeIndex]] table — identical integer
