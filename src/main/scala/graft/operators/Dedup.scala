@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
 /** Deduplication operators (SURVEY §2.5 #44-47): exact, MinHash+LSH,
   * SimHash, n-gram Jaccard verification.
@@ -248,14 +249,26 @@ object Dedup {
     // consistent total order satisfies the prefix principle.
     val sets = df.select(col(idCol).cast("long").as("id"),
       array_distinct(split(trim(lower(col(textCol))), "\\s+")).as("stoks"))
+    // toks feeds the frequency agg AND the probe side of the rank join,
+    // and `sorted` below is referenced three times (prefix keys + both
+    // verify joins): left lazy, Catalyst does NOT reuse the common
+    // subtrees (no ReusedExchange fires across the differently-aliased
+    // branches), so the corpus scan+tokenize ran SIX times per execution.
+    // Persist both, materialize in dependency order, release as soon as
+    // the last consumer is materialized — 100 TB cost: one tokenize pass
+    // + cached (spillable) reads, instead of six corpus scans.
     val toks = sets.select(col("id"), explode(col("stoks")).as("stok"))
       .select(col("id"), xxhash64(col("stok")).as("tok"))
+      .persist(MEMORY_AND_DISK)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     val sorted = toks.join(freq, "tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
       .select(col("id"), transform(col("st"), e => e.getField("tok")).as("toks"),
         size(col("st")).cast("long").as("n"))
+      .persist(MEMORY_AND_DISK)
+    sorted.count()
+    toks.unpersist(blocking = false)
     // the set size rides the bucket in the payload's high bits (id < 2^40,
     // n < 2^23) so the LENGTH filter — J ≥ t forces tDen·min(n_a,n_b) ≥
     // tNum·max(n_a,n_b), sets >5% apart in size at t=19/20 can never pair
@@ -281,7 +294,7 @@ object Dedup {
       .select((col("pa") - shiftleft(col("na"), 40)).as("id_a"),
         (col("pb") - shiftleft(col("nb"), 40)).as("id_b"))
       .distinct()
-    cands
+    val out = cands
       .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
@@ -290,6 +303,11 @@ object Dedup {
       .filter(lit(tDen.toLong) * col("inter") >= lit(tNum.toLong) * col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni").cast("double")).as("jd"))
+      .persist(MEMORY_AND_DISK)
+    // pairs-sized; materializing it lets the corpus-sized sorted cache go
+    out.count()
+    sorted.unpersist(blocking = false)
+    out
   }
 
   /** Verified near-duplicate pairs: LSH candidates filtered by true
