@@ -89,26 +89,38 @@ object Retrieval {
                qIdCol: String = "q_id", qTextCol: String = "q_text",
                k1: Double = 1.25, b: Double = 0.75,
                scale: Double = 1048576.0): DataFrame = {
+    // the tokenized corpus feeds the length stats, the scoring join's
+    // length side, AND the postings explode: left lazy, the corpus
+    // scan+tokenize executes three times per run. Persist it, materialize
+    // the (k per query)-sized result, release — the index path
+    // ([[buildBm25Index]]) remains the build-once answer at 100 TB; this
+    // keeps the direct path one-pass too.
     val t = docs.select(col(idCol), toks(col(textCol)).as("__t"))
-    val lens = t.select(col(idCol), size(col("__t")).cast("bigint").as("dl"))
-    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-    val qt = queryTerms(queries, qIdCol, qTextCol)
-    val termSet = qt.select(col("term")).distinct()
-    // scan-stage prefilter: only query-term occurrences survive the explode
-    val stream = t.select(col(idCol), explode(col("__t")).as("term"))
-      .join(broadcast(termSet), "term")
-    val tf = stream.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
-    // tf has one row per (term, doc) ⇒ count(*) per term IS the doc frequency
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(qt), "term")
-      .join(broadcast(dfT), "term")
-      .join(lens, idCol)
-      .crossJoin(broadcast(stats))
-      .select(col(qIdCol), col(idCol), termScore(k1, b, scale).as("__ts"))
-    val perDoc = scored.groupBy(col(qIdCol), col(idCol))
-      .agg(sum(col("__ts")).as("score"))
-    rankTopK(perDoc, k, qIdCol, idCol, "score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lens = t.select(col(idCol), size(col("__t")).cast("bigint").as("dl"))
+      val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+      val qt = queryTerms(queries, qIdCol, qTextCol)
+      val termSet = qt.select(col("term")).distinct()
+      // scan-stage prefilter: only query-term occurrences survive the explode
+      val stream = t.select(col(idCol), explode(col("__t")).as("term"))
+        .join(broadcast(termSet), "term")
+      val tf = stream.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      // tf has one row per (term, doc) ⇒ count(*) per term IS the doc frequency
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(qt), "term")
+        .join(broadcast(dfT), "term")
+        .join(lens, idCol)
+        .crossJoin(broadcast(stats))
+        .select(col(qIdCol), col(idCol), termScore(k1, b, scale).as("__ts"))
+      val perDoc = scored.groupBy(col(qIdCol), col(idCol))
+        .agg(sum(col("__ts")).as("score"))
+      val out = rankTopK(perDoc, k, qIdCol, idCol, "score")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally t.unpersist(blocking = false)
   }
 
   /** Paper-faithful BM25 (natural-log idf, double scores) — NOT

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY §2.5 #48-50):
@@ -139,11 +140,23 @@ object Similarity {
     * against the signature frame (the SemDeDup anchor pattern,
     * [[semDedup]]), and the rebuild collect below is bounded by
     * construction because its input is pre-capped. */
-  private def bandedCosinePairs(sig: DataFrame, threshold: Double,
+  private def bandedCosinePairs(sig0: DataFrame, threshold: Double,
                                 bands: Int, bandBits: Int,
                                 maxBucket: Int): DataFrame = {
+    val idType = sig0.schema("id").dataType
+    // the signature frame feeds the banding explode AND the capped-id
+    // vector fetch-back join — and callers hand in (possibly join-shaped)
+    // signature plans that would re-execute per reference. Persist here,
+    // materialize the pairs-sized result, release.
+    val sig = sig0.persist(MEMORY_AND_DISK)
+    try bandedCosinePairsOn(sig, threshold, bands, bandBits, maxBucket, idType)
+    finally sig.unpersist(blocking = false)
+  }
+
+  private def bandedCosinePairsOn(sig: DataFrame, threshold: Double,
+                                  bands: Int, bandBits: Int, maxBucket: Int,
+                                  idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val idType = sig.schema("id").dataType
     val banded = sig.select(col("id"), col("v"),
       posexplode(array((0 until bands).map(bi =>
         shiftrightunsigned(col("sig"), bi * bandBits).bitwiseAND(lit(mask))): _*))
@@ -166,13 +179,16 @@ object Similarity {
     val buckets = cappedIds.join(sig.select(col("id"), col("v")), "id")
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
-    buckets.select(explode(flatten(transform(col("ms"),
+    val out = buckets.select(explode(flatten(transform(col("ms"),
         (a, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
           b => struct(a.getField("id").as("a"), b.getField("id").as("b"),
             cosine(a.getField("v"), b.getField("v")).as("cos")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
+      .persist(MEMORY_AND_DISK)
+    out.count()
+    out
   }
 
   /** Train coarse centroids with Lloyd iterations, all distributed:
@@ -291,18 +307,30 @@ object Similarity {
   def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
                idCol: String = "vec_id", vecCol: String = "embedding",
                maxCell: Int = 4096): DataFrame = {
-    val cents = broadcast(centroids)
-    val cells = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .join(cents)
-      .select(col("id"), struct(cosine(col("v"), col("c_vec")).as("d"),
-        (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
-      .groupBy(col("id")).agg(max(col("s")).as("s"))
-      .select(col("id"), col("s.vv").as("v"), (-col("s.negc")).as("cell"))
+    // the assigned-cell frame is referenced four times below (anchor agg,
+    // anchor vector fetch, candidate side, final anti-join): left lazy,
+    // Catalyst re-executes the corpus-scale assign per reference — at
+    // 100 TB that is four corpus scans plus four broadcast-join+argmax
+    // passes. Persist, hand to the shared on-cells pass, release.
+    val cells = assignCells(corpus, broadcast(centroids), idCol, vecCol)
+      .select(col(idCol).as("id"), col("__v").as("v"), col("cell"))
+      .persist(MEMORY_AND_DISK)
+    try semDedupOnCells(cells, tau, maxCell,
+      corpus.schema(idCol).dataType, idCol)
+    finally cells.unpersist(blocking = false)
+  }
+
+  /** Keep-first SemDeDup over an ALREADY-ASSIGNED `(id, v, cell)` frame
+    * (callers persist it — every stage here references it). Returns the
+    * MATERIALIZED (idCol, cell) kept frame, so callers can release the
+    * cell cache on return. */
+  private def semDedupOnCells(cells: DataFrame, tau: Double, maxCell: Int,
+                              idT: org.apache.spark.sql.types.DataType,
+                              idCol: String): DataFrame = {
     // anchor ids: capped sorted prefix per cell (ids only, cap inside the
     // bounded min-k heap buffer — ≤ maxCell entries even on a one-cell
     // corpus; the vectors are fetched back by an equi-join so no buffer
     // ever holds a cell's worth of embeddings)
-    val idT = corpus.schema(idCol).dataType
     val anchorIds =
       if (Seq("byte", "short", "int", "bigint").contains(idT.simpleString))
         cells.groupBy(col("cell"))
@@ -320,8 +348,11 @@ object Similarity {
     val dropped = b.join(anchors, "cell")
       .filter(col("a") < col("b") && cosine(col("va"), col("vb")) >= tau)
       .select(col("b")).distinct()
-    cells.join(dropped, cells("id") === dropped("b"), "left_anti")
+    val out = cells.join(dropped, cells("id") === dropped("b"), "left_anti")
       .select(col("id").as(idCol), col("cell").cast("bigint").as("cell"))
+      .persist(MEMORY_AND_DISK)
+    out.count()
+    out
   }
 
   /** Persist a SemDeDup anchor index for incremental SEMANTIC dedup (the
@@ -335,13 +366,12 @@ object Similarity {
   def buildSemDedupIndex(corpus: DataFrame, centroids: DataFrame, table: String,
                          buckets: Int, idCol: String = "vec_id",
                          vecCol: String = "embedding", maxCell: Int = 4096): Unit = {
-    val cents = broadcast(centroids)
-    val cells = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .join(cents)
-      .select(col("id"), struct(cosine(col("v"), col("c_vec")).as("d"),
-        (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
-      .groupBy(col("id")).agg(max(col("s")).as("s"))
-      .select(col("id"), col("s.vv").as("v"), (-col("s.negc")).as("cell"))
+    // referenced by the anchor agg AND the vector fetch-back join inside
+    // the one build action: persist or the corpus assign runs twice
+    val cells = assignCells(corpus, broadcast(centroids), idCol, vecCol)
+      .select(col(idCol).as("id"), col("__v").as("v"), col("cell"))
+      .persist(MEMORY_AND_DISK)
+    try {
     val anchorIds = cells.groupBy(col("cell"))
       .agg(graft.plans.Native.minKByKey(
         col("id").cast("long"), col("id").cast("long"), maxCell).as("ks"))
@@ -351,6 +381,7 @@ object Similarity {
       cells.join(anchorIds, cells("id").cast("long") === col("aid"))
         .select(col("cell"), col("id"), col("v")),
       table, buckets, keys = Seq("cell"))
+    } finally cells.unpersist(blocking = false)
   }
 
   /** Incremental semantic dedup: drop batch vectors tau-similar to ANY
@@ -358,26 +389,48 @@ object Similarity {
     * [[semDedup]] within the surviving batch. `centroids` must be the
     * frame the index was built with. Returns (idCol, cell) of kept batch
     * rows — the same shape as [[semDedup]]. */
+  /** The COMPOSED cross-drop probe plan (batch cells ⋈ bucketed anchors)
+    * for plan-shape audits: the public [[semDedupAgainstIndex]]
+    * materializes its result, so its plan is just a cache scan that hides
+    * the probe. Mirrors the first join inside the public method. */
+  private[graft] def semDedupProbePlan(batch: DataFrame, centroids: DataFrame,
+                                       table: String, tau: Double,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding"): DataFrame = {
+    val anchors = Bucketing.readBucketed(batch.sparkSession, table)
+      .select(col("cell"), col("id").as("a"), col("v").as("va"))
+    assignCells(batch, broadcast(centroids), idCol, vecCol)
+      .select(col(idCol).as("id"), col("__v").as("v"), col("cell"))
+      .join(anchors, "cell")
+      .filter(cosine(col("va"), col("v")) >= tau)
+      .select(col("id")).distinct()
+  }
+
   def semDedupAgainstIndex(batch: DataFrame, centroids: DataFrame, table: String,
                            tau: Double, idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            maxCell: Int = 4096): DataFrame = {
     val spark = batch.sparkSession
-    val cents = broadcast(centroids)
     val anchors = Bucketing.readBucketed(spark, table)
       .select(col("cell"), col("id").as("a"), col("v").as("va"))
-    val cells = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .join(cents)
-      .select(col("id"), struct(cosine(col("v"), col("c_vec")).as("d"),
-        (-col("c_id")).as("negc"), col("v").as("vv")).as("s"))
-      .groupBy(col("id")).agg(max(col("s")).as("s"))
-      .select(col("id"), col("s.vv").as("v"), (-col("s.negc")).as("cell"))
-    val dropped = cells.join(anchors, "cell")
-      .filter(cosine(col("va"), col("v")) >= tau)
-      .select(col("id")).distinct()
-    val fresh = batch.join(dropped,
-      batch(idCol) === dropped("id"), "left_anti")
-    semDedup(fresh, centroids, tau, idCol, vecCol, maxCell)
+    // assign the batch ONCE and persist: the cross-drop, the anti-join,
+    // and every stage of the intra-batch keep-first pass reuse the same
+    // assignment (it is row-local and deterministic) — re-deriving it per
+    // stage would rescan the batch embeddings several more times
+    val cells = assignCells(batch, broadcast(centroids), idCol, vecCol)
+      .select(col(idCol).as("id"), col("__v").as("v"), col("cell"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      val dropped = cells.join(anchors, "cell")
+        .filter(cosine(col("va"), col("v")) >= tau)
+        .select(col("id").as("dropid")).distinct()
+      val freshCells = cells.join(dropped,
+          cells("id") === dropped("dropid"), "left_anti")
+        .persist(MEMORY_AND_DISK)
+      try semDedupOnCells(freshCells, tau, maxCell,
+        batch.schema(idCol).dataType, idCol)
+      finally freshCells.unpersist(blocking = false)
+    } finally cells.unpersist(blocking = false)
   }
 
   /** IVF-style ANN with trained coarse centroids: every corpus vector is
@@ -541,6 +594,13 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding",
                maxCell: Int = 4096): DataFrame = {
     val cents = broadcast(centroids)
+    // the probe-ranked frame feeds the member side (twice: cap agg +
+    // fetch-back join) AND the probe side — persist or the corpus-scale
+    // broadcast-join + heap aggregation executes three times per run.
+    // The returned edge list is MATERIALIZED so this cache can be
+    // released on return (the finishRanks discipline); callers doing
+    // further passes over the graph (mutual filter, clustering sweeps)
+    // then read the k·|corpus| edge cache, never the vectors again.
     val ranked = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .join(cents)
       .select(col(idCol), col("__v"),
@@ -549,23 +609,28 @@ object Similarity {
       .agg(graft.plans.Native.topKByScore(col("__d"), col("c_id").cast("long"), nprobe)
              .as("__tk"),
            first(col("__v")).as("__v"))
-    val members = ranked.select(col(idCol).as("__nid"), col("__v").as("__nv"),
-      col("__tk").getItem(0).getField("id").cast("int").as("cell"))
-    val memberIds = members.groupBy(col("cell"))
-      .agg(graft.plans.Native.minKByKey(
-        col("__nid").cast("long"), col("__nid").cast("long"), maxCell).as("ks"))
-      .select(explode(col("ks")).as("e"))
-      .select(col("e.id").as("__aid"))
-    val cappedMembers = members.join(memberIds,
-      members("__nid").cast("long") === col("__aid"))
-    val probes = ranked.select(col(idCol), col("__v"),
-      explode(org.apache.spark.sql.functions.transform(col("__tk"),
-        e => e.getField("id").cast("int"))).as("cell"))
-    val scored = probes.join(cappedMembers, "cell")
-      .filter(col(idCol) =!= col("__nid"))
-      .select(col(idCol), col("__nid").as("nbr_id"),
-        cosine(col("__nv"), col("__v")).as("cos"))
-    rankTopK(scored, k, idCol, "nbr_id")
+      .persist(MEMORY_AND_DISK)
+    try {
+      val members = ranked.select(col(idCol).as("__nid"), col("__v").as("__nv"),
+        col("__tk").getItem(0).getField("id").cast("int").as("cell"))
+      val memberIds = members.groupBy(col("cell"))
+        .agg(graft.plans.Native.minKByKey(
+          col("__nid").cast("long"), col("__nid").cast("long"), maxCell).as("ks"))
+        .select(explode(col("ks")).as("e"))
+        .select(col("e.id").as("__aid"))
+      val cappedMembers = members.join(memberIds,
+        members("__nid").cast("long") === col("__aid"))
+      val probes = ranked.select(col(idCol), col("__v"),
+        explode(org.apache.spark.sql.functions.transform(col("__tk"),
+          e => e.getField("id").cast("int"))).as("cell"))
+      val scored = probes.join(cappedMembers, "cell")
+        .filter(col(idCol) =!= col("__nid"))
+        .select(col(idCol), col("__nid").as("nbr_id"),
+          cosine(col("__nv"), col("__v")).as("cos"))
+      val out = rankTopK(scored, k, idCol, "nbr_id").persist(MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally ranked.unpersist(blocking = false)
   }
 
   /** k-NN label propagation: classify every corpus vector by majority

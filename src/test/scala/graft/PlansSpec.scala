@@ -304,6 +304,55 @@ class PlansSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
+  test("no gate re-scans a source table beyond its documented pass budget") {
+    // A lazy frame referenced from several plan branches re-executes its
+    // whole corpus-scale subtree per reference (Catalyst does not reuse
+    // common subtrees across differently-aliased branches) — the defect
+    // class that had jaccardJoin scanning the corpus 6×, knnGraph+mutual
+    // 12×, and the semdedup index probe 16× before r13's persist pass.
+    // Budget: ≤2 live (non-cached) scans of any one table per gate —
+    // one data pass plus one derived dim/stats pass. The exceptions below
+    // are measured multi-pass algorithms where persisting the would-be
+    // shared frame (an exploded token/gram stream, a CDC change series)
+    // costs MORE than the extra scan at 100 TB; each lists its current
+    // count so any regression upward still fails.
+    val allowance: Map[String, Int] = Map(
+      "q_ann_ivf_fixed" -> 4, "q_chi2_terms" -> 4, "q_corpus_merge" -> 4,
+      "q_dsir_select" -> 4, "q_quality_lr" -> 4,
+      "q_bm25_inc" -> 3, "q_bm25_indexed" -> 3, "q_boilerplate" -> 3,
+      "q_containment" -> 3, "q_corpus_diff" -> 3, "q_correlated_scalar" -> 3,
+      "q_dedup_minhash" -> 3, "q_editdist_join" -> 3, "q_knn_classify" -> 3,
+      "q_mixture_resample" -> 3, "q_mixture_temperature" -> 3,
+      "q_mmr_rerank" -> 3, "q_paragraph_dedup" -> 3, "q_robust_stats" -> 3,
+      "q_substring_dedup" -> 3, "q_tfidf" -> 3)
+    def liveScans(p: SparkPlan): Seq[String] = p match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => Nil
+      case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.getName)
+      case other =>
+        other.children.flatMap(liveScans) ++ other.subqueries.flatMap(liveScans)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val res = scala.util.Try {
+        val counts = liveScans(fn(spark, sf).queryExecution.executedPlan)
+          .groupBy(identity).view.mapValues(_.size)
+        counts.filter(_._2 > allowance.getOrElse(name, 2)).toMap
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      res match {
+        case scala.util.Success(hot) if hot.nonEmpty =>
+          Seq(s"$name: ${hot.map { case (t, n) => s"$t x$n" }.mkString(", ")}")
+        case scala.util.Failure(e) =>
+          Seq(s"$name FAILED ${e.getClass.getSimpleName}")
+        case _ => Nil
+      }
+    }
+    assert(offenders.isEmpty,
+      s"gates over their table-scan budget:\n${offenders.mkString("\n")}")
+  }
+
   test("cache discipline: no gate leaks unbounded persists; ballast drop empties") {
     // Operators may hand back a persisted frame (pageRank ranks,
     // stableRanks) or own a documented session cache, but a single gate
@@ -511,7 +560,10 @@ class PlansSpec extends SparkSpec {
       buckets = 4)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val out = operators.Similarity.semDedupAgainstIndex(
+      // audit the COMPOSED probe plan: the public method materializes its
+      // result (cache scan), which would hide the anchor join
+      spark.catalog.clearCache()
+      val out = operators.Similarity.semDedupProbePlan(
         emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), cents, "sem_plan_idx",
         tau = 0.3)
       val plan = executed(out)
