@@ -14,8 +14,18 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Drop all cached data before every run (same discipline as Bench):
+    // operators that MATERIALIZE their result (pageRank, jaccardJoin, the
+    // ANN/BM25 family) otherwise make runs 2-3 CacheManager canonical-plan
+    // hits — "best" would time a cache scan, not the query. Set
+    // SPARK_GRAFT_KEEP_CACHE=1 to deliberately probe the cache-warm path.
+    val keepCache = sys.env.get("SPARK_GRAFT_KEEP_CACHE").contains("1")
     args.foreach { n =>
       val times = (0 until 3).map { _ =>
+        if (!keepCache) {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        }
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, dir)
         if (noop) df.write.format("noop").mode("overwrite").save() else df.count()

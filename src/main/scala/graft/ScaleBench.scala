@@ -154,8 +154,15 @@ object ScaleBench {
     spark.read.parquet(s"$outPath/events.parquet").count()
   }
 
-  private def bestOf(runs: Int)(body: => Unit): Double =
+  /** Best of `runs` timings; `prep` runs UNTIMED before each run — the
+    * call sites pass the ballast drop so every timing reads the plan with
+    * cold caches, not this JVM's heap history (operators that materialize
+    * their result would otherwise make later runs cache-scan reads and
+    * later QUERIES GC-pressure measurements — the exact noise that
+    * flagged q_text_quality 12.1x on the x10 corpus vs 5.8x isolated). */
+  private def bestOf(runs: Int, prep: () => Unit = () => ())(body: => Unit): Double =
     (0 until runs).map { _ =>
+      prep()
       val t0 = System.nanoTime()
       body
       (System.nanoTime() - t0) / 1e9
@@ -181,13 +188,17 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () } // JVM warmup
+    val dropBallast: () => Unit = () => {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
 
     val sfs = Seq("0.001", "0.01", "0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val sfTimes: Map[String, Map[String, Double]] = names.map { name =>
       val fn = SparkEntry.queries(name)
       name -> sfs.map { sf =>
-        val t = try bestOf(runs)(materialize(fn(spark, s"/root/testdata/sf$sf")))
+        val t = try bestOf(runs, dropBallast)(materialize(fn(spark, s"/root/testdata/sf$sf")))
                 catch { case _: Throwable => -1.0 }
         sf -> t
       }.toMap
@@ -212,7 +223,7 @@ object ScaleBench {
     val x10: Map[String, (Double, Double)] = (docOnly ++ embOnly ++ eventsOnly).map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = sfTimes(name)("0.1")
-      val t10 = try bestOf(runs)(materialize(fn(spark, scaleDir)))
+      val t10 = try bestOf(runs, dropBallast)(materialize(fn(spark, scaleDir)))
                 catch { case _: Throwable => -1.0 }
       name -> (t1, t10)
     }.toMap ++ {
@@ -223,7 +234,7 @@ object ScaleBench {
       val cents = e10.filter(col("vec_id") < 80)
         .select(col("vec_id").cast("int").as("c_id"),
           graft.operators.Similarity.asDouble(col("embedding")).as("c_vec"))
-      val t10 = try bestOf(runs)(materialize(
+      val t10 = try bestOf(runs, dropBallast)(materialize(
           graft.operators.Similarity.semDedup(e10, cents, tau = 0.3)))
         catch { case _: Throwable => -1.0 }
       Map("q_semdedup" -> (sfTimes("q_semdedup")("0.1"), t10))

@@ -260,15 +260,19 @@ object Dedup {
     val toks = sets.select(col("id"), explode(col("stoks")).as("stok"))
       .select(col("id"), xxhash64(col("stok")).as("tok"))
       .persist(MEMORY_AND_DISK)
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    val sorted = toks.join(freq, "tok")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
-      .select(col("id"), transform(col("st"), e => e.getField("tok")).as("toks"),
-        size(col("st")).cast("long").as("n"))
-      .persist(MEMORY_AND_DISK)
-    sorted.count()
-    toks.unpersist(blocking = false)
+    val sorted =
+      try {
+        val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        val s = toks.join(freq, "tok")
+          .groupBy(col("id"))
+          .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
+          .select(col("id"), transform(col("st"), e => e.getField("tok")).as("toks"),
+            size(col("st")).cast("long").as("n"))
+          .persist(MEMORY_AND_DISK)
+        s.count()
+        s
+      } finally toks.unpersist(blocking = false)
+    try {
     // the set size rides the bucket in the payload's high bits (id < 2^40,
     // n < 2^23) so the LENGTH filter — J ≥ t forces tDen·min(n_a,n_b) ≥
     // tNum·max(n_a,n_b), sets >5% apart in size at t=19/20 can never pair
@@ -306,8 +310,8 @@ object Dedup {
       .persist(MEMORY_AND_DISK)
     // pairs-sized; materializing it lets the corpus-sized sorted cache go
     out.count()
-    sorted.unpersist(blocking = false)
     out
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Verified near-duplicate pairs: LSH candidates filtered by true

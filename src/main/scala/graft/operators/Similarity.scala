@@ -389,30 +389,37 @@ object Similarity {
     * [[semDedup]] within the surviving batch. `centroids` must be the
     * frame the index was built with. Returns (idCol, cell) of kept batch
     * rows — the same shape as [[semDedup]]. */
-  /** The COMPOSED cross-drop probe plan (batch cells ⋈ bucketed anchors)
-    * for plan-shape audits: the public [[semDedupAgainstIndex]]
-    * materializes its result, so its plan is just a cache scan that hides
-    * the probe. Mirrors the first join inside the public method. */
-  private[graft] def semDedupProbePlan(batch: DataFrame, centroids: DataFrame,
-                                       table: String, tau: Double,
-                                       idCol: String = "vec_id",
-                                       vecCol: String = "embedding"): DataFrame = {
-    val anchors = Bucketing.readBucketed(batch.sparkSession, table)
+  /** The cross-drop probe over an assigned `(id, v, cell)` frame and a
+    * [[buildSemDedupIndex]] table: ids of batch rows tau-similar to any
+    * indexed anchor in their cell. ONE definition serves the public
+    * [[semDedupAgainstIndex]] AND [[semDedupProbePlan]], so the audited
+    * plan cannot drift from the shipped one. */
+  private def crossDropIds(cells: DataFrame, table: String,
+                           tau: Double): DataFrame = {
+    val anchors = Bucketing.readBucketed(cells.sparkSession, table)
       .select(col("cell"), col("id").as("a"), col("v").as("va"))
-    assignCells(batch, broadcast(centroids), idCol, vecCol)
-      .select(col(idCol).as("id"), col("__v").as("v"), col("cell"))
-      .join(anchors, "cell")
+    cells.join(anchors, "cell")
       .filter(cosine(col("va"), col("v")) >= tau)
       .select(col("id")).distinct()
   }
+
+  /** The COMPOSED cross-drop probe plan (batch cells ⋈ bucketed anchors)
+    * for plan-shape audits: the public [[semDedupAgainstIndex]]
+    * materializes its result, so its plan is just a cache scan that hides
+    * the probe. Same builder as the public method, unpersisted cells. */
+  private[graft] def semDedupProbePlan(batch: DataFrame, centroids: DataFrame,
+                                       table: String, tau: Double,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding"): DataFrame =
+    crossDropIds(
+      assignCells(batch, broadcast(centroids), idCol, vecCol)
+        .select(col(idCol).as("id"), col("__v").as("v"), col("cell")),
+      table, tau)
 
   def semDedupAgainstIndex(batch: DataFrame, centroids: DataFrame, table: String,
                            tau: Double, idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            maxCell: Int = 4096): DataFrame = {
-    val spark = batch.sparkSession
-    val anchors = Bucketing.readBucketed(spark, table)
-      .select(col("cell"), col("id").as("a"), col("v").as("va"))
     // assign the batch ONCE and persist: the cross-drop, the anti-join,
     // and every stage of the intra-batch keep-first pass reuse the same
     // assignment (it is row-local and deterministic) — re-deriving it per
@@ -421,9 +428,8 @@ object Similarity {
       .select(col(idCol).as("id"), col("__v").as("v"), col("cell"))
       .persist(MEMORY_AND_DISK)
     try {
-      val dropped = cells.join(anchors, "cell")
-        .filter(cosine(col("va"), col("v")) >= tau)
-        .select(col("id").as("dropid")).distinct()
+      val dropped = crossDropIds(cells, table, tau)
+        .select(col("id").as("dropid"))
       val freshCells = cells.join(dropped,
           cells("id") === dropped("dropid"), "left_anti")
         .persist(MEMORY_AND_DISK)

@@ -660,7 +660,16 @@ object Pipeline {
     }
 
   /** Run a parsed pipeline. Returns the final flow (ok/err streams) so
-    * callers (and tests) can inspect results; writers have already written. */
+    * callers (and tests) can inspect results; writers have already written.
+    *
+    * Cache lifecycle: dedup/cluster/retrieval steps call operators that
+    * return PERSISTED frames (they materialize once and release their
+    * internals; the result cache is what downstream steps consume without
+    * recomputing). A CLI run exits with the process; a long-lived session
+    * embedding many runs should `spark.catalog.clearCache()` (or
+    * unpersist the returned flow's frames) once a run's outputs are no
+    * longer consumed, or one result-sized cache per operator call
+    * accumulates for the session's lifetime. */
   def run(spark: SparkSession, parsed: Parsed): Flow = {
     // make the graft SQL surface available to config patterns
     try graft.plans.GraftExtensions.register(spark) catch { case _: Throwable => () }

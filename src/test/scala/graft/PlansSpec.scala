@@ -285,22 +285,49 @@ class PlansSpec extends SparkSpec {
   test("no gate query plans an unpartitioned window (single-task funnel)") {
     // an empty window partitionSpec funnels the whole input through ONE
     // task — the canonical 100 TB scale-killer; every gate plan is checked
-    // so one can't sneak in behind a refactor
+    // so one can't sneak in behind a refactor.
+    // Operators that MATERIALIZE their result return a cache-scan whose
+    // optimizedPlan is an InMemoryRelation LEAF — a logical collect sees
+    // nothing inside it. So the audit also walks the PHYSICAL tree and
+    // descends into each cached relation's plan (deduped: one cache =
+    // one execution), and clears caches between gates so the eager gates
+    // this sweep now executes don't pile their results into one JVM.
+    def physWindows(name: String, p: SparkPlan,
+                    seen: java.util.IdentityHashMap[AnyRef, AnyRef]): Seq[String] =
+      p match {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seen.put(m.relation, m.relation) == null)
+            physWindows(name, m.relation.cachedPlan, seen)
+          else Nil
+        case a: AdaptiveSparkPlanExec => physWindows(name, a.executedPlan, seen)
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty =>
+          name +: w.children.flatMap(physWindows(name, _, seen))
+        case other =>
+          other.children.flatMap(physWindows(name, _, seen)) ++
+            other.subqueries.flatMap(physWindows(name, _, seen))
+      }
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val r = name -> scala.util.Try {
+        val qe = fn(spark, sf).queryExecution
+        val logical = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => name
+        }
+        logical ++ physWindows(name, qe.executedPlan,
+          new java.util.IdentityHashMap[AnyRef, AnyRef]())
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      r
+    }
     // a gate that fails analysis must name itself rather than abort the
     // whole sweep (which would mask the window audit for every other gate)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> scala.util.Try(fn(spark, sf).queryExecution.optimizedPlan)
-    }
     val broken = results.collect { case (name, scala.util.Failure(e)) =>
       s"$name (${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)})"
     }
     assert(broken.isEmpty, s"gates failing analysis: ${broken.mkString("; ")}")
-    val offenders = results.flatMap { case (name, t) =>
-      t.toOption.toSeq.flatMap(_.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => name
-      })
-    }.distinct
+    val offenders = results.flatMap(_._2.getOrElse(Nil)).distinct
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
@@ -325,17 +352,29 @@ class PlansSpec extends SparkSpec {
       "q_mixture_resample" -> 3, "q_mixture_temperature" -> 3,
       "q_mmr_rerank" -> 3, "q_paragraph_dedup" -> 3, "q_robust_stats" -> 3,
       "q_substring_dedup" -> 3, "q_tfidf" -> 3)
-    def liveScans(p: SparkPlan): Seq[String] = p match {
-      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => Nil
-      case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.rootPaths.map(_.getName)
-      case other =>
-        other.children.flatMap(liveScans) ++ other.subqueries.flatMap(liveScans)
-    }
+    // Descends into each cached relation's plan ONCE (a cache executes
+    // once however many times it is referenced): operators that
+    // materialize their result would otherwise hide their internal scans
+    // behind an InMemoryRelation leaf and blind this audit to exactly the
+    // regressions it exists to catch.
+    def liveScans(p: SparkPlan,
+                  seen: java.util.IdentityHashMap[AnyRef, AnyRef]): Seq[String] =
+      p match {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seen.put(m.relation, m.relation) == null)
+            liveScans(m.relation.cachedPlan, seen)
+          else Nil
+        case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan, seen)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.getName)
+        case other =>
+          other.children.flatMap(liveScans(_, seen)) ++
+            other.subqueries.flatMap(liveScans(_, seen))
+      }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val res = scala.util.Try {
-        val counts = liveScans(fn(spark, sf).queryExecution.executedPlan)
+        val counts = liveScans(fn(spark, sf).queryExecution.executedPlan,
+            new java.util.IdentityHashMap[AnyRef, AnyRef]())
           .groupBy(identity).view.mapValues(_.size)
         counts.filter(_._2 > allowance.getOrElse(name, 2)).toMap
       }
