@@ -28,10 +28,7 @@ object Bench {
     // queries into GC measurements — r11's driver bench showed 4-6× phantom
     // "regressions" on unchanged plans. Dropping all cached data between
     // queries makes each timing read the PLAN, not the heap history.
-    def dropBallast(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    }
+    def dropBallast(): Unit = BenchUtil.dropBallast(spark)
     // Dev-loop filter (driver never sets it): comma-separated gate names,
     // same contract as Verify's SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

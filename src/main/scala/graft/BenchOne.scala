@@ -22,10 +22,7 @@ object BenchOne {
     val keepCache = sys.env.get("SPARK_GRAFT_KEEP_CACHE").contains("1")
     args.foreach { n =>
       val times = (0 until 3).map { _ =>
-        if (!keepCache) {
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        }
+        if (!keepCache) BenchUtil.dropBallast(spark)
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, dir)
         if (noop) df.write.format("noop").mode("overwrite").save() else df.count()

@@ -188,10 +188,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () } // JVM warmup
-    val dropBallast: () => Unit = () => {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    }
+    val dropBallast: () => Unit = () => BenchUtil.dropBallast(spark)
 
     val sfs = Seq("0.001", "0.01", "0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -209,8 +206,7 @@ object ScaleBench {
     // pressure instead of plans (r11: q_dedup_minhash measured 20s here vs
     // 1.0s in a fresh JVM on the SAME scaled corpus). Drop the ballast
     // before the section that feeds the super-linearity flags.
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    dropBallast()
     System.gc()
 
     // synthetic 10× corpora from sf0.1 (50k docs, 20k embeddings)

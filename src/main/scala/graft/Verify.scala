@@ -43,8 +43,7 @@ object Verify {
       // drop cache ballast between gates (same discipline as Bench): a
       // 175-gate sweep otherwise accumulates operator-owned persisted
       // frames for the whole JVM lifetime
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      BenchUtil.dropBallast(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -263,14 +263,11 @@ object Dedup {
     val sorted =
       try {
         val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
-        val s = toks.join(freq, "tok")
+        CacheOps.persistMaterialized(toks.join(freq, "tok")
           .groupBy(col("id"))
           .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
           .select(col("id"), transform(col("st"), e => e.getField("tok")).as("toks"),
-            size(col("st")).cast("long").as("n"))
-          .persist(MEMORY_AND_DISK)
-        s.count()
-        s
+            size(col("st")).cast("long").as("n")))
       } finally toks.unpersist(blocking = false)
     try {
     // the set size rides the bucket in the payload's high bits (id < 2^40,
@@ -298,7 +295,8 @@ object Dedup {
       .select((col("pa") - shiftleft(col("na"), 40)).as("id_a"),
         (col("pb") - shiftleft(col("nb"), 40)).as("id_b"))
       .distinct()
-    val out = cands
+    // pairs-sized; materializing it lets the corpus-sized sorted cache go
+    CacheOps.persistMaterialized(cands
       .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
@@ -306,11 +304,7 @@ object Dedup {
         (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
       .filter(lit(tDen.toLong) * col("inter") >= lit(tNum.toLong) * col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-        (col("inter").cast("double") / col("uni").cast("double")).as("jd"))
-      .persist(MEMORY_AND_DISK)
-    // pairs-sized; materializing it lets the corpus-sized sorted cache go
-    out.count()
-    out
+        (col("inter").cast("double") / col("uni").cast("double")).as("jd")))
     } finally sorted.unpersist(blocking = false)
   }
 

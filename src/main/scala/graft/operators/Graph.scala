@@ -133,12 +133,9 @@ object Graph {
     * the result's lineage references the edge frame `iterations` times, so
     * those caches must outlive the first (and only) evaluation — persist+
     * count the node-sized ranks, THEN unpersist the inputs. */
-  private def finishRanks(ranks: DataFrame, release: Seq[DataFrame]): DataFrame = {
-    val out = ranks.persist(MEMORY_AND_DISK)
-    out.count()
-    release.foreach(_.unpersist(blocking = false))
-    out
-  }
+  private def finishRanks(ranks: DataFrame, release: Seq[DataFrame]): DataFrame =
+    try CacheOps.persistMaterialized(ranks)
+    finally release.foreach(_.unpersist(blocking = false))
 
   /** Persist the edge list as a table bucketed on `src`, out-degree
     * embedded per edge row — build ONCE, rank many (the graph analogue of

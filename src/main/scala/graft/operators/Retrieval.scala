@@ -116,10 +116,7 @@ object Retrieval {
         .select(col(qIdCol), col(idCol), termScore(k1, b, scale).as("__ts"))
       val perDoc = scored.groupBy(col(qIdCol), col(idCol))
         .agg(sum(col("__ts")).as("score"))
-      val out = rankTopK(perDoc, k, qIdCol, idCol, "score")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      out
+      CacheOps.persistMaterialized(rankTopK(perDoc, k, qIdCol, idCol, "score"))
     } finally t.unpersist(blocking = false)
   }
 

@@ -179,16 +179,14 @@ object Similarity {
     val buckets = cappedIds.join(sig.select(col("id"), col("v")), "id")
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
-    val out = buckets.select(explode(flatten(transform(col("ms"),
-        (a, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
-          b => struct(a.getField("id").as("a"), b.getField("id").as("b"),
-            cosine(a.getField("v"), b.getField("v")).as("cos")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos"))
-      .filter(col("cos") >= threshold)
-      .distinct()
-      .persist(MEMORY_AND_DISK)
-    out.count()
-    out
+    CacheOps.persistMaterialized(
+      buckets.select(explode(flatten(transform(col("ms"),
+          (a, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
+            b => struct(a.getField("id").as("a"), b.getField("id").as("b"),
+              cosine(a.getField("v"), b.getField("v")).as("cos")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cos").as("cos"))
+        .filter(col("cos") >= threshold)
+        .distinct())
   }
 
   /** Train coarse centroids with Lloyd iterations, all distributed:
@@ -348,11 +346,9 @@ object Similarity {
     val dropped = b.join(anchors, "cell")
       .filter(col("a") < col("b") && cosine(col("va"), col("vb")) >= tau)
       .select(col("b")).distinct()
-    val out = cells.join(dropped, cells("id") === dropped("b"), "left_anti")
-      .select(col("id").as(idCol), col("cell").cast("bigint").as("cell"))
-      .persist(MEMORY_AND_DISK)
-    out.count()
-    out
+    CacheOps.persistMaterialized(
+      cells.join(dropped, cells("id") === dropped("b"), "left_anti")
+        .select(col("id").as(idCol), col("cell").cast("bigint").as("cell")))
   }
 
   /** Persist a SemDeDup anchor index for incremental SEMANTIC dedup (the
@@ -384,11 +380,6 @@ object Similarity {
     } finally cells.unpersist(blocking = false)
   }
 
-  /** Incremental semantic dedup: drop batch vectors tau-similar to ANY
-    * indexed corpus anchor in their assigned cell, then run keep-first
-    * [[semDedup]] within the surviving batch. `centroids` must be the
-    * frame the index was built with. Returns (idCol, cell) of kept batch
-    * rows — the same shape as [[semDedup]]. */
   /** The cross-drop probe over an assigned `(id, v, cell)` frame and a
     * [[buildSemDedupIndex]] table: ids of batch rows tau-similar to any
     * indexed anchor in their cell. ONE definition serves the public
@@ -416,6 +407,11 @@ object Similarity {
         .select(col(idCol).as("id"), col("__v").as("v"), col("cell")),
       table, tau)
 
+  /** Incremental semantic dedup: drop batch vectors tau-similar to ANY
+    * indexed corpus anchor in their assigned cell, then run keep-first
+    * [[semDedup]] within the surviving batch. `centroids` must be the
+    * frame the index was built with. Returns (idCol, cell) of kept batch
+    * rows — the same shape as [[semDedup]]. */
   def semDedupAgainstIndex(batch: DataFrame, centroids: DataFrame, table: String,
                            tau: Double, idCol: String = "vec_id",
                            vecCol: String = "embedding",
@@ -633,9 +629,7 @@ object Similarity {
         .filter(col(idCol) =!= col("__nid"))
         .select(col(idCol), col("__nid").as("nbr_id"),
           cosine(col("__nv"), col("__v")).as("cos"))
-      val out = rankTopK(scored, k, idCol, "nbr_id").persist(MEMORY_AND_DISK)
-      out.count()
-      out
+      CacheOps.persistMaterialized(rankTopK(scored, k, idCol, "nbr_id"))
     } finally ranked.unpersist(blocking = false)
   }
 

@@ -292,14 +292,22 @@ class PlansSpec extends SparkSpec {
     // descends into each cached relation's plan (deduped: one cache =
     // one execution), and clears caches between gates so the eager gates
     // this sweep now executes don't pile their results into one JVM.
+    // CacheManager mints a fresh InMemoryRelation per reference
+    // (withOutput), so the one-cache-one-visit dedup must key on the
+    // shared cacheBuilder, not the relation instance; and cached plans
+    // are AQE-wrapped with QueryStageExec LEAVES whose subtree lives in
+    // q.plan — without that case the walk dead-ends at ResultQueryStage
+    // and sees nothing inside any materialized cache.
     def physWindows(name: String, p: SparkPlan,
                     seen: java.util.IdentityHashMap[AnyRef, AnyRef]): Seq[String] =
       p match {
         case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          if (seen.put(m.relation, m.relation) == null)
+          if (seen.put(m.relation.cacheBuilder, m.relation.cacheBuilder) == null)
             physWindows(name, m.relation.cachedPlan, seen)
           else Nil
         case a: AdaptiveSparkPlanExec => physWindows(name, a.executedPlan, seen)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          physWindows(name, q.plan, seen)
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty =>
           name +: w.children.flatMap(physWindows(name, _, seen))
@@ -317,8 +325,7 @@ class PlansSpec extends SparkSpec {
         logical ++ physWindows(name, qe.executedPlan,
           new java.util.IdentityHashMap[AnyRef, AnyRef]())
       }
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      BenchUtil.dropBallast(spark)
       r
     }
     // a gate that fails analysis must name itself rather than abort the
@@ -346,6 +353,15 @@ class PlansSpec extends SparkSpec {
     val allowance: Map[String, Int] = Map(
       "q_ann_ivf_fixed" -> 4, "q_chi2_terms" -> 4, "q_corpus_merge" -> 4,
       "q_dsir_select" -> 4, "q_quality_lr" -> 4,
+      // the per-iteration joins read the bucketed edge INDEX from disk by
+      // design (the index IS the materialization; caching an edges-sized
+      // table is what the index path exists to avoid): one scan per
+      // Pregel iteration plus the node-set pass
+      "q_pagerank_indexed" -> 6,
+      // gate fixtures derive their query/plane dims from the corpus table
+      // itself (tiny filtered projections; production passes a separate
+      // small frame), which costs extra pruned scans of the same file
+      "q_bm25" -> 3, "q_hybrid_rrf" -> 3, "q_emb_neardup_lsh_fixed" -> 3,
       "q_bm25_inc" -> 3, "q_bm25_indexed" -> 3, "q_boilerplate" -> 3,
       "q_containment" -> 3, "q_corpus_diff" -> 3, "q_correlated_scalar" -> 3,
       "q_dedup_minhash" -> 3, "q_editdist_join" -> 3, "q_knn_classify" -> 3,
@@ -357,14 +373,21 @@ class PlansSpec extends SparkSpec {
     // materialize their result would otherwise hide their internal scans
     // behind an InMemoryRelation leaf and blind this audit to exactly the
     // regressions it exists to catch.
+    // Same traversal rules as the window audit: dedup caches by their
+    // shared cacheBuilder (one cache = one execution however many
+    // InMemoryRelation copies reference it) and descend through AQE
+    // QueryStageExec leaves, or the walk sees nothing inside any
+    // materialized operator's cached plan.
     def liveScans(p: SparkPlan,
                   seen: java.util.IdentityHashMap[AnyRef, AnyRef]): Seq[String] =
       p match {
         case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          if (seen.put(m.relation, m.relation) == null)
+          if (seen.put(m.relation.cacheBuilder, m.relation.cacheBuilder) == null)
             liveScans(m.relation.cachedPlan, seen)
           else Nil
         case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan, seen)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          liveScans(q.plan, seen)
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.map(_.getName)
         case other =>
@@ -378,8 +401,7 @@ class PlansSpec extends SparkSpec {
           .groupBy(identity).view.mapValues(_.size)
         counts.filter(_._2 > allowance.getOrElse(name, 2)).toMap
       }
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      BenchUtil.dropBallast(spark)
       res match {
         case scala.util.Success(hot) if hot.nonEmpty =>
           Seq(s"$name: ${hot.map { case (t, n) => s"$t x$n" }.mkString(", ")}")
