@@ -199,6 +199,56 @@ object Graph {
     * the result exactly reproducible like [[pageRank]]. Overflow bound:
     * rank·w < 2⁶³ (at scale 10⁶, weights up to ~9·10¹² — route heavier
     * multiplicities through a pre-normalized weight). */
+  /** Per-node triangle participation counts over an undirected graph —
+    * the standard cohesion / clustering signal (community density in a
+    * similarity graph, link-farm detection in a host graph). Input:
+    * canonical distinct edges `(a: long, b: long)` with a < b, no
+    * self-loops; ids must fit 40 bits and degrees 23 bits (the packed
+    * degree-order key below). Returns (id, tri) for every node in ≥1
+    * triangle.
+    *
+    * Scale shape is the degree-ordering algorithm (the MapReduce
+    * triangle-count formulation of Suri & Vassilvitskii, WWW'11 — see
+    * also Cohen, "Graph Twiddling in a MapReduce World"): orient every
+    * edge from its lower-(degree, id) endpoint to the higher one, so
+    * every node's OUT-degree is O(√m) and the wedge self-join — the only
+    * super-linear step — is Σ outdeg² ≤ m^1.5 instead of the Σ deg²
+    * hub blow-up of naive adjacency joins. All steps are keyed shuffles
+    * (edges⋈degree twice, the wedge self-join on the apex, the closing
+    * join on (y, z)); nothing is collected, no windows, no cartesians.
+    * The edge frame feeds four plan branches, so it is persisted and
+    * released after the (triangle-sized) result materializes. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e0 = CacheOps.persistMaterialized(
+      edges.select(col("a").cast("long"), col("b").cast("long")))
+    try {
+      val deg = e0.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      // total-order key packing (deg, id) into one long: orientation and
+      // every downstream comparison become plain integer < on kk
+      val kmap = deg.select(col("id"),
+        (col("deg") * lit(1099511627776L) + col("id")).as("kk"))
+      val ek = e0
+        .join(kmap.select(col("id").as("a"), col("kk").as("ka")), "a")
+        .join(kmap.select(col("id").as("b"), col("kk").as("kb")), "b")
+        .select(least(col("ka"), col("kb")).as("ks"),
+          greatest(col("ka"), col("kb")).as("kd"))
+      // oriented edges feed the wedge join twice + the closing probe
+      val ekp = CacheOps.persistMaterialized(ek)
+      try {
+        val wedges = ekp.select(col("ks").as("x"), col("kd").as("y"))
+          .join(ekp.select(col("ks").as("x"), col("kd").as("z")), "x")
+          .filter(col("y") < col("z"))
+        val tri = wedges.join(
+          ekp.select(col("ks").as("y"), col("kd").as("z")), Seq("y", "z"))
+        CacheOps.persistMaterialized(
+          tri.select(explode(array(col("x"), col("y"), col("z"))).as("kk"))
+            .groupBy(col("kk")).agg(count(lit(1)).as("tri"))
+            .select(pmod(col("kk"), lit(1099511627776L)).as("id"), col("tri")))
+      } finally ekp.unpersist(blocking = false)
+    } finally e0.unpersist(blocking = false)
+  }
+
   def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
                        scale: Long = 1000000L): DataFrame = {
     // same layout discipline as [[pageRank]]: src-partitioned edge persist

@@ -679,4 +679,58 @@ object Similarity {
       .filter(col("b2") > col("a2"))
     fwd.join(rev, col("a") === col("a2") && col("b") === col("b2"), "left_semi")
   }
+
+  /** Pearson correlation between every pair of embedding DIMENSIONS —
+    * the embedding-health diagnostic (dimension collapse / redundant
+    * axes show up as |corr| → 1 bands; an isotropic space reads near
+    * zero everywhere). Returns (i, j, n, corr) for all i < j.
+    *
+    * Exactness discipline: components quantize to integers up front
+    * (floor(v·quantScale), the exact-cents pattern), all moments are
+    * exact long sums, and the only floats are the final sqrt/divide
+    * chain — the q_signal_corr recipe, applied D² times. Overflow
+    * bound: rows · (rows · q²) < 2⁶³ — for unit-norm embeddings at
+    * scale 10³ that is ~10⁷ rows; past that, widen the moment sums to
+    * decimal(38,0) (both engines sum decimals exactly).
+    *
+    * Scale shape: ONE map-only pass explodes each row's D(D+1)/2
+    * ordered component pairs (diagonal included — it carries Σq²), and
+    * the hash aggregation's map-side partials collapse every partition
+    * to ≤ D(D+1)/2 moment rows before the single tiny shuffle; the
+    * 64-row diagonal frame broadcast-joins back for the variance terms.
+    * No windows, no self-join of the corpus, nothing row-count-sized
+    * ever shuffles. */
+  def dimCorrelations(d: DataFrame, vecCol: String = "embedding",
+                      quantScale: Double = 1000.0): DataFrame = {
+    val qs = transform(asDouble(col(vecCol)),
+      v => floor(v * lit(quantScale)).cast("long"))
+    val pairRows = d.select(qs.as("qs"))
+      .select(explode(flatten(transform(col("qs"), (qi, i) =>
+        transform(slice(col("qs"), i + 1, size(col("qs"))),
+          (qj, k) => struct(i.as("i"), (i + k).as("j"),
+            qi.as("qi"), qj.as("qj")))))).as("p"))
+      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+        col("p.qi").as("qi"), col("p.qj").as("qj"))
+    // the moment frame feeds three plan branches (off-diagonal rows +
+    // both diagonal variance sides) — lazy, each reference re-runs the
+    // corpus-sized pair pass; persisted it is ≤ D(D+1)/2 rows
+    val m = CacheOps.persistMaterialized(
+      pairRows.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
+          sum(col("qj")).as("sj"), sum(col("qi") * col("qj")).as("sij")))
+    try {
+      val diag = m.filter(col("i") === col("j"))
+        .select(col("i").as("dd"), col("sij").as("ss"))
+      val withVar = m.filter(col("i") < col("j"))
+        .join(broadcast(diag.select(col("dd").as("i"), col("ss").as("sii"))), "i")
+        .join(broadcast(diag.select(col("dd").as("j"), col("ss").as("sjj"))), "j")
+      val den = sqrt((col("n") * col("sii") - col("si") * col("si")).cast("double")) *
+        sqrt((col("n") * col("sjj") - col("sj") * col("sj")).cast("double"))
+      CacheOps.persistMaterialized(
+        withVar.select(col("i"), col("j"), col("n"),
+          when(den > lit(0.0),
+            (col("n") * col("sij") - col("si") * col("sj")).cast("double") / den)
+            .as("corr")))
+    } finally m.unpersist(blocking = false)
+  }
 }

@@ -298,6 +298,42 @@ object DataOps {
        |WHERE rep.id IS NULL OR rep.rep = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware near-dup removal — the RefinedWeb/CCNet keep-longest
+    * policy: within each near-dup cluster keep the member with the MOST
+    * content (n_chars; ties to the smaller id) instead of [[qDedupCorpus]]'s
+    * min-id representative — dedup should discard the truncated copies,
+    * not the canonical one. Same pairs → components machinery; the
+    * per-cluster argmax is ONE struct-max aggregation (quality packed
+    * with the negated id so max() is the deterministic argmax — the
+    * groupwise-max discipline, no per-cluster window, no re-join). */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val reps = Dedup.representatives(pairs)
+    docs.join(reps, docs("doc_id") === reps("id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("comp"),
+        col("n_chars"))
+      .groupBy(col("comp"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("m"))
+      .select((-col("m.negid")).as("doc_id"), col("m.n_chars").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""WITH RECURSIVE $exactPairCte,
+       |edges AS (SELECT a, b FROM pj UNION SELECT b AS a, a AS b FROM pj),
+       |reach(id, r) AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT rc.id, e.b AS r FROM reach rc JOIN edges e ON rc.r = e.a),
+       |rep AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id),
+       |mem AS (SELECT d.doc_id, COALESCE(rep.rep, d.doc_id) AS comp, d.n_chars
+       |        FROM documents d LEFT JOIN rep ON d.doc_id = rep.id)
+       |SELECT doc_id, n_chars FROM (
+       |  SELECT doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM mem) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs — rows-only gate (xxhash64 token hashes have
     * no DuckDB equivalent; the construction + blocking machinery is
     * oracle-checked by [[qDedupSimhashExact]] instead). */
@@ -2511,6 +2547,53 @@ object DataOps {
       |    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rn FROM h)
       |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin
 
+  /** Deterministic WEIGHTED sampling without replacement, k per group —
+    * priority sampling (Duffield–Lund–Thorup, JACM 2007): each row gets
+    * priority u/w with u uniform from its content hash, and the k
+    * smallest priorities win, so heavier rows are proportionally more
+    * likely to be kept yet the draw is a pure function of content
+    * (rerun/repartition/engine stable — the replayable form of weighted
+    * reservoir sampling used to carve length-balanced eval sets).
+    * Priorities stay INTEGER: u is the portable 60-bit md5 value and the
+    * priority its floor-quotient by the weight, so both engines rank
+    * identical longs — no float ordering anywhere. Same bounded-heap
+    * shape as [[samplePerGroup]]: ≤ k 16-byte entries per aggregation
+    * buffer, partial map-side, shuffle carries k pairs per (group ×
+    * partition). Weights clamp to ≥ 1; ids must fit a long. */
+  def weightedSamplePerGroup(d: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(
+      concat(col(groupCol), lit("-"), col(idCol)).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    d.select(col(groupCol), col(idCol).cast("long").as("__id"),
+        h.as("__h"), greatest(col(weightCol).cast("long"), lit(1L)).as("__w"))
+      .select(col(groupCol), col("__id"), expr("__h div __w").as("__prio"))
+      .groupBy(col(groupCol))
+      .agg(graft.plans.Native.minKByKey(col("__prio"), col("__id"), k).as("ks"))
+      .select(col(groupCol), explode(transform(col("ks"), e => e.getField("p"))).as(idCol))
+  }
+
+  /** 5 docs per source, selection probability ∝ token count. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSamplePerGroup(
+      Tables(spark, dir).documents.select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("w")),
+      "source", "doc_id", "w", k = 5)
+
+  val qWeightedSampleSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(hx, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT source, doc_id,
+       |    GREATEST(CAST(len(string_split(trim(text), ' ')) AS BIGINT), 1) AS w,
+       |    substring(md5(source || '-' || doc_id), 1, 15) AS hx FROM documents),
+       |v AS (SELECT source, doc_id, ($hexVal) // w AS prio FROM d),
+       |r AS (SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rn FROM v)
+       |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin
+  }
+
   /** Corpus snapshot diff: per doc id, `added` / `removed` / `changed` /
     * `same` between two corpus versions — the dataset-versioning audit
     * ("what moved between crawl N and N+1"). ONE full-outer keyed join on
@@ -3680,6 +3763,65 @@ object DataOps {
        |SELECT id % 2 AS kind, id // 2 AS key, rank FROM r5""".stripMargin
   }
 
+  /** Per-node triangle counts ([[Graph.triangleCounts]]) over the
+    * rare-shingle co-occurrence graph: docs are linked when they share a
+    * word 3-gram appearing in 2–4 docs corpus-wide (the df cap is the
+    * standard hub guard — a boilerplate phrase would otherwise mint a
+    * clique over half the corpus; same discipline as the LSH bucket
+    * caps). Cohesion probe for near-dup cliques: duplicate families
+    * share ALL their rare shingles and surface as dense triangle
+    * clusters. The per-gram doc set is collected with the BOUNDED
+    * min-k heap (k = cap+1, so an over-cap gram shows exactly cap+1
+    * entries and is discarded — ≤ 5 longs per aggregation buffer
+    * however hot the gram), and pairs explode from each surviving ≤4
+    * list (the LSH in-bucket pattern), never a gram-keyed self-join.
+    * Top 20 nodes by participation. */
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = wordGrams(docs, 3).distinct()
+      .groupBy(col("gram"))
+      .agg(graft.plans.Native.minKByKey(col("doc_id"), col("doc_id"), 5).as("ks"))
+      .filter(size(col("ks")).between(2, 4))
+      .select(sort_array(transform(col("ks"), e => e.getField("p"))).as("ds"))
+      .select(explode(flatten(transform(col("ds"),
+        (a, i) => transform(slice(col("ds"), i + 2, size(col("ds"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    // triangleCounts returns its (persisted, already-materialized) result;
+    // the top-k projection below reads the cache — the bench/verify
+    // ballast drop releases it between gates
+    Graph.triangleCounts(pairs)
+      .orderBy(col("tri").desc, col("id")).limit(20)
+  }
+
+  val qTriangleCountSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+      |              FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gram FROM (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE [] END) AS gram FROM toks)),
+      |df AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 4),
+      |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |      FROM g x JOIN g y USING (gram) JOIN df USING (gram)
+      |      WHERE x.doc_id < y.doc_id),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
+      |        GROUP BY 1),
+      |k AS (SELECT id, deg * 1099511627776 + id AS kk FROM deg),
+      |e AS (SELECT least(ka.kk, kb.kk) AS ks, greatest(ka.kk, kb.kk) AS kd
+      |      FROM p JOIN k ka ON p.a = ka.id JOIN k kb ON p.b = kb.id),
+      |w AS (SELECT e1.ks AS x, e1.kd AS y, e2.kd AS z
+      |      FROM e e1 JOIN e e2 ON e1.ks = e2.ks AND e1.kd < e2.kd),
+      |t AS (SELECT x, y, z FROM w JOIN e e3 ON w.y = e3.ks AND w.z = e3.kd),
+      |c AS (SELECT kk % 1099511627776 AS id, CAST(count(*) AS BIGINT) AS tri
+      |      FROM (SELECT x AS kk FROM t UNION ALL SELECT y FROM t
+      |            UNION ALL SELECT z FROM t)
+      |      GROUP BY 1)
+      |SELECT id, tri FROM c ORDER BY tri DESC, id LIMIT 20""".stripMargin
+
   /** Per-source exact-moment Pearson correlation between the token-count
     * and char-count signals ([[graft.operators.Curation.pearsonExact]]) —
     * the redundancy check before signal combination. */
@@ -4039,11 +4181,43 @@ object DataOps {
       |  END AS n_clipped
       |FROM s""".stripMargin
 
+  /** Embedding-dimension correlation matrix
+    * ([[graft.operators.Similarity.dimCorrelations]]) — the dimension-
+    * collapse / redundant-axis diagnostic. All 2016 i<j pairs over the
+    * 64-dim space; integer moments (exact-cents quantization), one tiny
+    * moment shuffle, broadcast diagonal joins. */
+  def qDimCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.dimCorrelations(Tables(spark, dir).embeddings)
+      .orderBy(col("i"), col("j"))
+
+  val qDimCorrSql: String =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT list_transform(v, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qs
+      |      FROM e),
+      |pr AS (SELECT unnest(flatten(list_transform(qs, (qi, i) ->
+      |         list_transform(qs[i:], (qj, k) ->
+      |           {'i': i - 1, 'j': i + k - 2, 'qi': qi, 'qj': qj})))) AS p
+      |       FROM q),
+      |m AS (SELECT p.i AS i, p.j AS j, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(p.qi) AS BIGINT) AS si, CAST(sum(p.qj) AS BIGINT) AS sj,
+      |        CAST(sum(p.qi * p.qj) AS BIGINT) AS sij
+      |      FROM pr GROUP BY 1, 2),
+      |d AS (SELECT i, sij AS ss FROM m WHERE i = j)
+      |SELECT m.i, m.j, m.n,
+      |  CASE WHEN sqrt(CAST(m.n * di.ss - m.si * m.si AS DOUBLE))
+      |         * sqrt(CAST(m.n * dj.ss - m.sj * m.sj AS DOUBLE)) > 0.0
+      |       THEN CAST(m.n * m.sij - m.si * m.sj AS DOUBLE)
+      |            / (sqrt(CAST(m.n * di.ss - m.si * m.si AS DOUBLE))
+      |               * sqrt(CAST(m.n * dj.ss - m.sj * m.sj AS DOUBLE))) END AS corr
+      |FROM m JOIN d di ON m.i = di.i JOIN d dj ON m.j = dj.i
+      |WHERE m.i < m.j ORDER BY m.i, m.j""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q_split_assign"   -> ((qSplitAssign _, Some(qSplitAssignSql))),
     "q_shuffle_export" -> ((qShuffleExport _, Some(qShuffleExportSql))),
     "q_chunk_docs"     -> ((qChunkDocs _, Some(qChunkDocsSql))),
     "q_quantize_emb"   -> ((qQuantizeEmb _, Some(qQuantizeEmbSql))),
+    "q_dim_corr"       -> ((qDimCorr _, Some(qDimCorrSql))),
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_forward"   -> ((qAsofForward _, Some(qAsofForwardSql))),
     "q_asof_tolerance" -> ((qAsofTolerance _, Some(qAsofToleranceSql))),
@@ -4077,6 +4251,7 @@ object DataOps {
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
     "q_pagerank_weighted" -> ((qPagerankWeighted _, Some(qPagerankWeightedSql))),
     "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
+    "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
@@ -4103,6 +4278,7 @@ object DataOps {
     "q_ngram_jaccard"  -> ((qNgramJaccard _, Some(qNgramJaccardSql))),
     "q_dedup_minhash"  -> ((qDedupMinhash _, Some(qDedupMinhashSql))),
     "q_dedup_corpus"   -> ((qDedupCorpus _, Some(qDedupCorpusSql))),
+    "q_dedup_keep_best" -> ((qDedupKeepBest _, Some(qDedupKeepBestSql))),
     "q_dedup_simhash"  -> ((qDedupSimhash _, None)),
     "q_dedup_simhash_exact" -> ((qDedupSimhashExact _, Some(qDedupSimhashExactSql))),
     "q_text_tokens"    -> ((qTextTokens _, Some(qTextTokensSql))),
@@ -4136,6 +4312,7 @@ object DataOps {
     "q_pii_scrub"      -> ((qPiiScrub _, Some(qPiiScrubSql))),
     "q_repetition"     -> ((qRepetition _, Some(qRepetitionSql))),
     "q_sample_hash"    -> ((qSampleHash _, Some(qSampleHashSql))),
+    "q_weighted_sample" -> ((qWeightedSample _, Some(qWeightedSampleSql))),
     "q_top_terms"      -> ((qTopTerms _, Some(qTopTermsSql))),
     "q_heavy_hitters"  -> ((qHeavyHitters _, Some(qHeavyHittersSql))),
     "q_event_join"     -> ((qEventJoin _, Some(qEventJoinSql))),

@@ -1075,6 +1075,94 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Window"), "per-group window funnel crept in")
   }
 
+  test("weighted sampling: min(k, |group|) rows, heavy rows win, partition-independent") {
+    // "whale" carries weight 10^9 against 19 weight-1 rows: its integer
+    // priority h div w collapses ~2^30 below any unit-weight row's, so a
+    // k=3 draw must contain it (h is 60-bit — a unit row would need
+    // h < 2^30, probability ~2^-30 per row)
+    val df = ((1 to 19).map(i => (i.toLong, 1L, "big")) ++
+      Seq((99L, 1000000000L, "big"), (100L, 5L, "tiny"), (101L, 7L, "tiny")))
+      .toDF("id", "w", "src")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.queries.DataOps
+      .weightedSamplePerGroup(d, "src", "id", "w", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = run(df)
+    assert(got.count(_._1 == "big") == 3, "k rows from the big group")
+    assert(got.contains(("big", 99L)), "the heavy row must be drawn")
+    assert(got.filter(_._1 == "tiny").map(_._2) == Set(100L, 101L),
+      "a group smaller than k survives whole")
+    assert(run(df.repartition(7)) == got, "selection must not depend on partitioning")
+    val plan = graft.queries.DataOps.weightedSamplePerGroup(df, "src", "id", "w", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-group window funnel crept in")
+  }
+
+  test("triangle counts: K4 minus an edge, hand-computed; isolated edges drop") {
+    // K4 on {1,2,3,4} minus (3,4): triangles (1,2,3) and (1,2,4) →
+    // nodes 1,2 sit in 2 each, nodes 3,4 in 1 each; the stray edge
+    // (10,11) closes nothing and must not appear at all
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val tri = Graph.triangleCounts(d)
+      try tri.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally tri.unpersist(blocking = true)
+    }
+    val got = run(edges)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $got")
+    assert(run(edges.repartition(5)) == got, "counts must not depend on partitioning")
+  }
+
+  test("triangle counts releases edge caches; only the result stays persisted") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val out = Graph.triangleCounts(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b"))
+    assert(sc.getPersistentRDDs.size <= 1,
+      s"edge/oriented cache leaked: ${sc.getPersistentRDDs.size} persisted RDDs")
+    assert(out.collect().map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L))
+    out.unpersist()
+  }
+
+  test("dim correlations: perfect linear / anti-linear / constant dims, hand-checked") {
+    // d1 = 2·d0 (corr → 1), d2 = −d0 (corr → −1), d3 constant (zero
+    // variance → null). Quantization is exact on these values, so the
+    // integer moments are closed-form and only the final sqrt/divide
+    // chain is IEEE.
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, -1.0, 5.0)),
+      (2L, Seq(2.0, 4.0, -2.0, 5.0)),
+      (3L, Seq(3.0, 6.0, -3.0, 5.0))).toDF("vec_id", "embedding")
+    val got = Similarity.dimCorrelations(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size == 6, "all i<j pairs present")
+    assert(math.abs(got((0L, 1L)).get - 1.0) < 1e-9, "collapsed dims read +1")
+    assert(math.abs(got((0L, 2L)).get + 1.0) < 1e-9, "mirrored dims read -1")
+    assert(got((0L, 3L)).isEmpty && got((1L, 3L)).isEmpty && got((2L, 3L)).isEmpty,
+      "zero-variance dim yields null, not NaN")
+    assert(math.abs(got((1L, 2L)).get + 1.0) < 1e-9)
+  }
+
+  test("keep-best dedup keeps the longest member of every near-dup cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents
+    val reps = Dedup.representatives(
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+    val comp = docs.join(reps, docs("doc_id") === reps("id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("comp"),
+        col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val best = comp.groupBy(_._2).map { case (c, ms) =>
+      c -> ms.map(m => (m._3, -m._1)).max
+    }
+    val kept = graft.queries.DataOps.qDedupKeepBest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == best.values.map { case (n, negid) => (-negid, n) }.toSet,
+      "exactly the (max n_chars, min id) member of each cluster survives")
+    assert(kept.size == comp.map(_._2).distinct.size, "one survivor per cluster")
+  }
+
   test("stable ranks: exact global row_number at any partition count, no ties needed") {
     val docs = Tables(spark, sf).documents
     def keys = Seq(md5(col("text").cast("binary")), col("doc_id"))
