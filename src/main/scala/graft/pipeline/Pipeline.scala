@@ -80,6 +80,19 @@ object Pipeline {
                                   k: Int, buckets: Int,
                                   dataType: String) extends Step
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
+  /** Weighted k-per-group sampling (`sample` with `k` + `weight` keys):
+    * keep the k deterministic priority-sampling winners per group —
+    * selection probability ∝ weight — and filter the flow to those rows
+    * (semi-join on (group, id); the draw itself is the bounded-heap
+    * [[graft.queries.DataOps.weightedSamplePerGroup]]). */
+  final case class WeightedSampleStep(groupCol: String, idCol: String,
+                                      weightCol: String, k: Int,
+                                      dataType: String) extends Step
+  /** Per-node triangle participation over an edge-list flow
+    * ([[graft.operators.Graph.triangleCounts]]); edges canonicalize
+    * (undirected, self-loops dropped) before the count. */
+  final case class TriangleStep(srcCol: String, dstCol: String,
+                                dataType: String) extends Step
   /** Token-budget sampling (`sample` with a `budget` key): keep the
     * maximal hash-ordered prefix of each source whose cumulative token
     * count stays within budget — "N tokens per source". */
@@ -440,6 +453,11 @@ object Pipeline {
             sourceCol = str("source_field", "source"),
             idCol = str("id", "id"), textCol = str("field", "text"),
             budget = node.get("budget").asLong(), dataType)
+        else if (node.has("weight"))
+          WeightedSampleStep(
+            groupCol = str("group_by", "source"), idCol = str("id", "id"),
+            weightCol = node.get("weight").asText(),
+            k = if (node.has("k")) node.get("k").asInt() else 10, dataType)
         else SampleStep(
           fraction = if (node.has("fraction")) node.get("fraction").asDouble() else 0.1,
           keyCol = str("key", "id"), dataType)
@@ -493,6 +511,7 @@ object Pipeline {
         WinsorizeStep(str("group_by", "source"), str("field", "n_chars"),
           frac("lo", (1L, 100L)), frac("hi", (99L, 100L)),
           str("output", "w"), dataType)
+      case "triangle" => TriangleStep(str("src", "src"), str("dst", "dst"), dataType)
       case "pagerank" => PageRankStep(str("src", "src"), str("dst", "dst"),
         iterations = if (node.has("iterations")) node.get("iterations").asInt() else 5,
         symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
@@ -1005,6 +1024,23 @@ object Pipeline {
               fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
             else fwd
             flow.updated(dt, graft.operators.Graph.pageRank(edges, iters))
+          }.getOrElse(flow)
+        case TriangleStep(src, dst, dt) =>
+          flow(dt).map { df =>
+            val e = df.select(
+                least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+                greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+              .filter(col("a") < col("b")).distinct()
+            flow.updated(dt, graft.operators.Graph.triangleCounts(e))
+          }.getOrElse(flow)
+        case WeightedSampleStep(group, id, weight, k, dt) =>
+          flow(dt).map { df =>
+            val keep = graft.queries.DataOps
+              .weightedSamplePerGroup(df, group, id, weight, k)
+              .select(col(group), col(id).cast("long").as(id))
+            flow.updated(dt, df.join(keep,
+              df(group) === keep(group) && df(id).cast("long") === keep(id),
+              "left_semi"))
           }.getOrElse(flow)
         case ChunkStep(id, field, maxTok, stride, dt) =>
           flow(dt).map(df => flow.updated(dt,

@@ -493,6 +493,41 @@ tab	end"""), Some(1.5), Some(true)),
     assert(r(2L) == r(3L) && r(3L) == r(4L))
   }
 
+  test("triangle step counts triangles over an edge flow from config") {
+    val src = tmp("tri") + "/edges.parquet"
+    // K4 minus (3,4) plus an isolated edge — 2 triangles, both through
+    // the (1,2) edge; dst<src rows and a self-loop must canonicalize away
+    Seq((2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (2L, 4L), (10L, 11L), (7L, 7L))
+      .toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"triangle","src":"src","dst":"dst"}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $got")
+  }
+
+  test("sample with a weight key draws k heavy-biased rows per group from config") {
+    val src = tmp("ws") + "/docs.parquet"
+    ((1 to 19).map(i => (i.toLong, 1L, "big")) ++
+      Seq((99L, 1000000000L, "big"), (100L, 3L, "tiny")))
+      .toDF("id", "w", "src").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sample","group_by":"src","id":"id","weight":"w","k":3}
+         |]""".stripMargin)
+    val out = flow.ok.get
+    assert(out.columns.toSeq == Seq("id", "w", "src"), "semi-join keeps the row shape")
+    val kept = out.collect().map(r => (r.getString(2), r.getLong(0)))
+    assert(kept.count(_._1 == "big") == 3 && kept.contains(("big", 99L)),
+      "k winners per group, the heavy row among them")
+    assert(kept.filter(_._1 == "tiny").map(_._2).toSet == Set(100L))
+  }
+
   test("dedup method=editdist collapses near-identical names from config") {
     val src = tmp("ed") + "/names.parquet"
     Seq((1L, "alpha"), (2L, "alphb"), (3L, "alpha"), (4L, "beta"), (5L, "betb"))
