@@ -691,46 +691,45 @@ object Similarity {
     * chain — the q_signal_corr recipe, applied D² times. Overflow
     * bound: rows · (rows · q²) < 2⁶³ — for unit-norm embeddings at
     * scale 10³ that is ~10⁷ rows; past that, widen the moment sums to
-    * decimal(38,0) (both engines sum decimals exactly).
+    * decimal(38,0).
     *
-    * Scale shape: ONE map-only pass explodes each row's D(D+1)/2
-    * ordered component pairs (diagonal included — it carries Σq²), and
-    * the hash aggregation's map-side partials collapse every partition
-    * to ≤ D(D+1)/2 moment rows before the single tiny shuffle; the
-    * 64-row diagonal frame broadcast-joins back for the variance terms.
-    * No windows, no self-join of the corpus, nothing row-count-sized
-    * ever shuffles. */
+    * Scale shape: ONE distributed pass — the native [[graft.plans
+    * .VectorMoments]] aggregate accumulates [n | Σqᵢ | Σqᵢqⱼ] in a
+    * single 1+D+D(D+1)/2-long buffer per partition (a tight long[]
+    * multiply-add loop, not a D²-amplified interpreted-HOF row stream),
+    * so the shuffle carries one ~17 KB buffer per partition and the
+    * D(D−1)/2 correlations assemble from the one collected buffer
+    * (cluster-metadata-sized — the centroid/histogram collect
+    * exception) with the same IEEE sqrt/divide chain both engines run.
+    * No explode, no joins, no windows; nothing row-count-sized ever
+    * shuffles. */
   def dimCorrelations(d: DataFrame, vecCol: String = "embedding",
                       quantScale: Double = 1000.0): DataFrame = {
     val qs = transform(asDouble(col(vecCol)),
       v => floor(v * lit(quantScale)).cast("long"))
-    val pairRows = d.select(qs.as("qs"))
-      .select(explode(flatten(transform(col("qs"), (qi, i) =>
-        transform(slice(col("qs"), i + 1, size(col("qs"))),
-          (qj, k) => struct(i.as("i"), (i + k).as("j"),
-            qi.as("qi"), qj.as("qj")))))).as("p"))
-      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
-        col("p.qi").as("qi"), col("p.qj").as("qj"))
-    // the moment frame feeds three plan branches (off-diagonal rows +
-    // both diagonal variance sides) — lazy, each reference re-runs the
-    // corpus-sized pair pass; persisted it is ≤ D(D+1)/2 rows
-    val m = CacheOps.persistMaterialized(
-      pairRows.groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
-          sum(col("qj")).as("sj"), sum(col("qi") * col("qj")).as("sij")))
-    try {
-      val diag = m.filter(col("i") === col("j"))
-        .select(col("i").as("dd"), col("sij").as("ss"))
-      val withVar = m.filter(col("i") < col("j"))
-        .join(broadcast(diag.select(col("dd").as("i"), col("ss").as("sii"))), "i")
-        .join(broadcast(diag.select(col("dd").as("j"), col("ss").as("sjj"))), "j")
-      val den = sqrt((col("n") * col("sii") - col("si") * col("si")).cast("double")) *
-        sqrt((col("n") * col("sjj") - col("sj") * col("sj")).cast("double"))
-      CacheOps.persistMaterialized(
-        withVar.select(col("i"), col("j"), col("n"),
-          when(den > lit(0.0),
-            (col("n") * col("sij") - col("si") * col("sj")).cast("double") / den)
-            .as("corr")))
-    } finally m.unpersist(blocking = false)
+    val row = d.select(qs.as("qs"))
+      .agg(graft.plans.Native.vectorMoments(col("qs")).as("m"))
+      .head()
+    val sp = d.sparkSession
+    import sp.implicits._
+    if (row.isNullAt(0)) return Seq.empty[(Long, Long, Long, Option[Double])]
+      .toDF("i", "j", "n", "corr")
+    val m = row.getSeq[Long](0).toArray
+    val dim = ((math.sqrt(9.0 + 8.0 * (m.length - 1)) - 3.0) / 2.0).round.toInt
+    val n = m(0)
+    def s(i: Int): Long = m(1 + i)
+    // upper-triangle row-major offset of (i, j), i <= j
+    def ss(i: Int, j: Int): Long = m(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+    val out = for {
+      i <- 0 until dim
+      j <- (i + 1) until dim
+    } yield {
+      val den = math.sqrt((n * ss(i, i) - s(i) * s(i)).toDouble) *
+        math.sqrt((n * ss(j, j) - s(j) * s(j)).toDouble)
+      val corr = if (den > 0.0)
+        Some((n * ss(i, j) - s(i) * s(j)).toDouble / den) else None
+      (i.toLong, j.toLong, n, corr)
+    }
+    out.toDF("i", "j", "n", "corr")
   }
 }

@@ -37,6 +37,11 @@ object Native {
   /** Aggregate: element-wise sum of array<double> rows (map-side partial). */
   def vectorSum(v: Column): Column = toCol(VectorSum(toExpr(v)).toAggregateExpression())
 
+  /** Aggregate: exact integer first+second moments of an array<long>
+    * vector column in one [n | Σqᵢ | upper-triangle Σqᵢqⱼ] buffer. */
+  def vectorMoments(v: Column): Column =
+    toCol(VectorMoments(toExpr(v)).toAggregateExpression())
+
   /** Aggregate: best-k (score, id) pairs by (score DESC, id ASC) as a
     * bounded heap — partial buffers trim to k map-side. */
   def topKByScore(score: Column, id: Column, k: Int): Column =

@@ -533,3 +533,99 @@ case class MisraGries(child: Expression, k: Int,
   override protected def withNewChildInternal(newChild: Expression): MisraGries =
     copy(child = newChild)
 }
+
+/** Exact second-moment sketch over array<long> rows in ONE aggregation
+  * buffer: [n, s₀..s_{D−1}, upper-triangle Σqᵢqⱼ (i ≤ j, row-major)] —
+  * 1 + D + D(D+1)/2 longs total (2145 at D = 64).
+  *
+  * This is the dimension-correlation hot path with the pair explode
+  * moved INSIDE the buffer: the declarative form emits D(D+1)/2
+  * interpreted-HOF struct rows per input row before the hash aggregate
+  * collapses them; here each row is a tight long[] multiply-add loop and
+  * the shuffle carries one buffer per (group × partition) — at 100 TB
+  * the difference between a D²-amplified row stream and a few KB of
+  * moment partials per partition.
+  *
+  * All arithmetic is exact longs (callers quantize components first and
+  * own the 2⁶³ bound — see Similarity.dimCorrelations). Null rows skip;
+  * a dimension mismatch between rows fails loudly (zero-padding would
+  * silently distort every covariance); zero rows evaluate to null.
+  */
+case class VectorMoments(child: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_vector_moments"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def dimOf(len: Int): Int = {
+    // len = 1 + d + d(d+1)/2  ⇒  d from the positive quadratic root
+    val d = ((math.sqrt(9.0 + 8.0 * (len - 1)) - 3.0) / 2.0).round.toInt
+    require(1 + d + d * (d + 1) / 2 == len, s"corrupt moments buffer ($len)")
+    d
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val d = arr.numElements()
+      val need = 1 + d + d * (d + 1) / 2
+      val out =
+        if (buf.isEmpty) new Array[Long](need)
+        else {
+          require(buf.length == need,
+            s"vector_moments: dimension mismatch ($d vs ${dimOf(buf.length)})")
+          buf
+        }
+      out(0) += 1L
+      var i = 0
+      var p = 1 + d
+      while (i < d) {
+        val qi = arr.getLong(i)
+        out(1 + i) += qi
+        var j = i
+        while (j < d) { out(p) += qi * arr.getLong(j); p += 1; j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      require(b1.length == b2.length,
+        s"vector_moments: dimension mismatch (${dimOf(b1.length)} vs ${dimOf(b2.length)})")
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMoments =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMoments =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMoments =
+    copy(child = newChild)
+}

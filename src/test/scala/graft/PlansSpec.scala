@@ -744,6 +744,29 @@ class PlansSpec extends SparkSpec {
     assert(viaSql == Seq(3.0, 1.0))
   }
 
+  test("vector_moments: hand-computed buffer, merge across partitions, mismatch fails") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // rows (1,2), (3,4): n=2, s=[4,6], Σq² diag=[10,20], Σq₀q₁=2+12=14
+    val df = Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("v")
+    def run(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(graft.plans.Native.vectorMoments($"v").as("m")).head().getSeq[Long](0)
+    assert(run(df) == Seq(2L, 4L, 6L, 10L, 14L, 20L))
+    assert(run(df.repartition(3)) == Seq(2L, 4L, 6L, 10L, 14L, 20L),
+      "merge path must equal the single-partition update path")
+    // null rows skip; all-null evaluates to null
+    val withNull = Seq(Some(Seq(1L, 2L)), None, Some(Seq(3L, 4L))).toDF("v")
+    assert(run(withNull) == Seq(2L, 4L, 6L, 10L, 14L, 20L))
+    assert(Seq(Option.empty[Seq[Long]]).toDF("v")
+      .agg(graft.plans.Native.vectorMoments($"v").as("m")).head().isNullAt(0))
+    // ragged dims must fail loudly, not zero-pad covariances
+    val ragged = Seq(Seq(1L, 2L), Seq(1L, 2L, 3L)).toDF("v").repartition(1)
+    val err = intercept[Exception] {
+      ragged.agg(graft.plans.Native.vectorMoments($"v").as("m")).head()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("substring removal shuffles hashed gram keys: same output, fewer shuffle bytes") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf).documents
