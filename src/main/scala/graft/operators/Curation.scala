@@ -137,6 +137,44 @@ object Curation {
       shingleHashes(b, n)
         .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sb")), k)
 
+  /** Pairwise overlap MATRIX across sources: one KMV sketch per group
+    * (the [[corpusOverlap]] estimator generalized from 2 corpora to G) —
+    * "which sources are crawling the same web" at a glance. The corpus
+    * is scanned ONCE into per-group bottom-k sketches (≤ k longs per
+    * aggregation buffer, the usual bound); every downstream step runs on
+    * the GROUPS-sized sketch table — the G(G−1)/2 pair join moves k-long
+    * arrays, never shingles — so the matrix costs one corpus pass plus
+    * cluster-metadata work regardless of corpus size. The sketch frame
+    * feeds both join sides and is persisted/released around the
+    * pairs-sized result. Estimator and exactness contract are
+    * [[corpusOverlap]]'s (Ĵ = |U∩S_a∩S_b|/|U|, single IEEE division). */
+  def sourceOverlapMatrix(d: DataFrame, groupCol: String, k: Int = 512,
+                          n: Int = 3): DataFrame = {
+    val toks = d.select(col(groupCol).as("s"),
+      split(trim(lower(col("text"))), "\\s+").as("t"))
+    val hashed = toks.select(col("s"), explode(
+        when(size(col("t")) >= n,
+          transform(sequence(lit(0), size(col("t")) - n),
+            i => array_join(slice(col("t"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("s"), conv(substring(md5(col("g")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val sk = CacheOps.persistMaterialized(
+      hashed.groupBy(col("s"))
+        .agg(graft.plans.Native.bottomKDistinct(col("h"), k).as("sk")))
+    try {
+      val a = sk.select(col("s").as("src_a"), col("sk").as("sa"))
+      val b = sk.select(col("s").as("src_b"), col("sk").as("sb"))
+      val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+      val both = size(array_intersect(array_intersect(u, col("sa")), col("sb")))
+      CacheOps.persistMaterialized(
+        a.join(b, col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"),
+            size(u).cast("bigint").as("n_union"), both.cast("bigint").as("n_both"),
+            (both.cast("double") / size(u).cast("double")).as("jaccard_est")))
+    } finally sk.unpersist(blocking = false)
+  }
+
   /** Ĵ from two one-row sketch frames (columns sa / sb). */
   private def sketchEstimate(ska: DataFrame, skb: DataFrame, k: Int): DataFrame = {
     val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)

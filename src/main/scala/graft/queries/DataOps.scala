@@ -3778,7 +3778,19 @@ object DataOps {
     * Top 20 nodes by participation. */
   def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val pairs = wordGrams(docs, 3).distinct()
+    // per-doc gram dedup happens MAP-SIDE (array_distinct before the
+    // explode), so the (doc, gram) stream is already unique per doc and
+    // the gram groupBy is the first and only corpus-sized exchange — a
+    // post-explode .distinct() would buy the same uniqueness for one
+    // extra full shuffle
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))
+          .otherwise(array().cast("array<string>")))).as("gram"))
+    val pairs = grams
       .groupBy(col("gram"))
       .agg(graft.plans.Native.minKByKey(col("doc_id"), col("doc_id"), 5).as("ks"))
       .filter(size(col("ks")).between(2, 4))
@@ -4181,11 +4193,81 @@ object DataOps {
       |  END AS n_clipped
       |FROM s""".stripMargin
 
+  /** Per-dimension centroid drift between the even and odd vec_id halves
+    * ([[graft.operators.Similarity.embeddingDrift]]) — the
+    * distribution-shift monitor, via one VectorMoments buffer per side. */
+  def qEmbDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    graft.operators.Similarity.embeddingDrift(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+      .orderBy(col("i"))
+  }
+
+  val qEmbDriftSql: String =
+    """WITH e AS (SELECT vec_id % 2 AS half, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |q AS (SELECT half, list_transform(v, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qs
+      |      FROM e),
+      |x AS (SELECT half, unnest(qs) AS qv, unnest(range(len(qs))) AS i FROM q),
+      |m AS (SELECT i,
+      |        CAST(sum(CASE WHEN half = 0 THEN qv END) AS BIGINT) AS sa,
+      |        CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS na,
+      |        CAST(sum(CASE WHEN half = 1 THEN qv END) AS BIGINT) AS sb,
+      |        CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS nb
+      |      FROM x GROUP BY 1)
+      |SELECT i, na AS n_a, nb AS n_b,
+      |  CAST(sa AS DOUBLE) / na AS mean_a, CAST(sb AS DOUBLE) / nb AS mean_b,
+      |  CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS drift
+      |FROM m ORDER BY i""".stripMargin
+
+  /** Pairwise source-overlap matrix
+    * ([[graft.operators.Curation.sourceOverlapMatrix]]): one KMV shingle
+    * sketch per source from a single corpus pass, every source pair
+    * estimated on the groups-sized sketch table. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Curation.sourceOverlapMatrix(Tables(spark, dir).documents, "source", k = 512)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val qSourceOverlapSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT source AS s,
+       |    string_split(trim(lower(text)), ' ') AS t FROM documents),
+       |g AS (SELECT s, unnest(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |    ELSE [] END) AS g FROM toks),
+       |hd AS (SELECT DISTINCT s, ($hexVal) AS h
+       |  FROM (SELECT s, substring(md5(g), 1, 15) AS h FROM g)),
+       |rk AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM hd),
+       |sk AS (SELECT s, h FROM rk WHERE rn <= 512),
+       |pairs AS (SELECT DISTINCT a.s AS src_a, b.s AS src_b
+       |          FROM (SELECT DISTINCT s FROM sk) a, (SELECT DISTINCT s FROM sk) b
+       |          WHERE a.s < b.s),
+       |uu AS (SELECT DISTINCT p.src_a, p.src_b, x.h
+       |       FROM pairs p JOIN sk x ON x.s = p.src_a OR x.s = p.src_b),
+       |u AS (SELECT src_a, src_b, h,
+       |        row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uu),
+       |ub AS (SELECT u.src_a, u.src_b,
+       |         CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END AS b
+       |       FROM u
+       |       LEFT JOIN sk sa ON sa.s = u.src_a AND sa.h = u.h
+       |       LEFT JOIN sk sb ON sb.s = u.src_b AND sb.h = u.h
+       |       WHERE u.rn <= 512),
+       |nn AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_union,
+       |         CAST(sum(b) AS BIGINT) AS n_both FROM ub GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_union, n_both,
+       |  CAST(n_both AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_est
+       |FROM nn ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** Embedding-dimension correlation matrix
     * ([[graft.operators.Similarity.dimCorrelations]]) — the dimension-
     * collapse / redundant-axis diagnostic. All 2016 i<j pairs over the
-    * 64-dim space; integer moments (exact-cents quantization), one tiny
-    * moment shuffle, broadcast diagonal joins. */
+    * 64-dim space from ONE native VectorMoments pass (a single integer
+    * moment buffer per partition; exact-cents quantization). */
   def qDimCorr(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.dimCorrelations(Tables(spark, dir).embeddings)
       .orderBy(col("i"), col("j"))
@@ -4218,6 +4300,8 @@ object DataOps {
     "q_chunk_docs"     -> ((qChunkDocs _, Some(qChunkDocsSql))),
     "q_quantize_emb"   -> ((qQuantizeEmb _, Some(qQuantizeEmbSql))),
     "q_dim_corr"       -> ((qDimCorr _, Some(qDimCorrSql))),
+    "q_emb_drift"      -> ((qEmbDrift _, Some(qEmbDriftSql))),
+    "q_source_overlap" -> ((qSourceOverlap _, Some(qSourceOverlapSql))),
     "q_asof_join"      -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_asof_forward"   -> ((qAsofForward _, Some(qAsofForwardSql))),
     "q_asof_tolerance" -> ((qAsofTolerance _, Some(qAsofToleranceSql))),

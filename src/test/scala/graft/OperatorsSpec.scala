@@ -1163,6 +1163,36 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.size == comp.map(_._2).distinct.size, "one survivor per cluster")
   }
 
+  test("embedding drift: hand-computed means per side, dimension mismatch fails") {
+    val a = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val b = Seq((2L, Seq(2.0, 2.0)), (3L, Seq(4.0, 6.0))).toDF("vec_id", "embedding")
+    // quantized units (x1000): a-means (1000, 2000); b-sums (6000, 8000)/2
+    val got = Similarity.embeddingDrift(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 2L, 1000.0, 3000.0, -2000.0),
+      (1L, 1L, 2L, 2000.0, 4000.0, -2000.0)))
+    intercept[Exception] {
+      Similarity.embeddingDrift(a,
+        Seq((9L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")).collect()
+    }
+  }
+
+  test("source overlap matrix: identical sources read 1, disjoint read 0") {
+    val docs = Seq(
+      (1L, "a", "w x y z"), (2L, "b", "w x y z"), (3L, "c", "p q r s"))
+      .toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.sourceOverlapMatrix(d, "source", k = 16).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val got = run(docs)
+    assert(got(("a", "b")) == (2L, 2L, 1.0), "same text shares every shingle")
+    assert(got(("a", "c"))._3 == 0.0 && got(("b", "c"))._3 == 0.0)
+    assert(run(docs.repartition(5)) == got, "sketches must not depend on partitioning")
+  }
+
   test("stable ranks: exact global row_number at any partition count, no ties needed") {
     val docs = Tables(spark, sf).documents
     def keys = Seq(md5(col("text").cast("binary")), col("doc_id"))
