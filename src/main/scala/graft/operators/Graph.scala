@@ -225,9 +225,19 @@ object Graph {
       val deg = e0.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       // total-order key packing (deg, id) into one long: orientation and
-      // every downstream comparison become plain integer < on kk
+      // every downstream comparison become plain integer < on kk.
+      // The packing contract (ids in [0, 2^40), degrees < 2^23) is
+      // ENFORCED here, not just documented — out-of-range ids (e.g. a
+      // config pipeline feeding xxhash64 ids) would otherwise collide
+      // keys and return silently wrong counts. The check rides the
+      // nodes-sized frame, never the edges.
       val kmap = deg.select(col("id"),
-        (col("deg") * lit(1099511627776L) + col("id")).as("kk"))
+          assert_true(col("id") >= 0L && col("id") < lit(1099511627776L) &&
+              col("deg") < lit(8388608L),
+            lit("triangleCounts: node ids must be in [0, 2^40) and degrees" +
+              " < 2^23 (remap hashed/negative ids first)")).as("__ck"),
+          (col("deg") * lit(1099511627776L) + col("id")).as("kk"))
+        .filter(col("__ck").isNull).drop("__ck")
       val ek = e0
         .join(kmap.select(col("id").as("a"), col("kk").as("ka")), "a")
         .join(kmap.select(col("id").as("b"), col("kk").as("kb")), "b")

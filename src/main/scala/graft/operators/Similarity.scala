@@ -703,44 +703,6 @@ object Similarity {
     * exception) with the same IEEE sqrt/divide chain both engines run.
     * No explode, no joins, no windows; nothing row-count-sized ever
     * shuffles. */
-  /** Per-dimension centroid drift between two embedding populations —
-    * the distribution-shift monitor (did the new crawl / new encoder
-    * move the space?). Returns (i, n_a, n_b, mean_a, mean_b, drift)
-    * for every dimension, drift = mean_a − mean_b.
-    *
-    * Same machinery as [[dimCorrelations]]: exact-integer quantization,
-    * ONE [[graft.plans.VectorMoments]] pass per side (a single buffer
-    * per partition — nothing row-count-sized shuffles), and the 64
-    * output rows assemble on the driver from two collected buffers with
-    * only per-dim single IEEE divisions and one subtraction. */
-  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String = "embedding",
-                     quantScale: Double = 1000.0): DataFrame = {
-    val sp = a.sparkSession
-    import sp.implicits._
-    def moments(d: DataFrame): Option[Array[Long]] = {
-      val qs = transform(asDouble(col(vecCol)),
-        v => floor(v * lit(quantScale)).cast("long"))
-      val r = d.select(qs.as("qs"))
-        .agg(graft.plans.Native.vectorMoments(col("qs")).as("m")).head()
-      if (r.isNullAt(0)) None else Some(r.getSeq[Long](0).toArray)
-    }
-    (moments(a), moments(b)) match {
-      case (Some(ma), Some(mb)) =>
-        val dim = ((math.sqrt(9.0 + 8.0 * (ma.length - 1)) - 3.0) / 2.0).round.toInt
-        require(mb.length == ma.length,
-          s"embeddingDrift: dimension mismatch (${ma.length} vs ${mb.length})")
-        val (na, nb) = (ma(0), mb(0))
-        val out = (0 until dim).map { i =>
-          val meanA = ma(1 + i).toDouble / na
-          val meanB = mb(1 + i).toDouble / nb
-          (i.toLong, na, nb, meanA, meanB, meanA - meanB)
-        }
-        out.toDF("i", "n_a", "n_b", "mean_a", "mean_b", "drift")
-      case _ => Seq.empty[(Long, Long, Long, Double, Double, Double)]
-        .toDF("i", "n_a", "n_b", "mean_a", "mean_b", "drift")
-    }
-  }
-
   def dimCorrelations(d: DataFrame, vecCol: String = "embedding",
                       quantScale: Double = 1000.0): DataFrame = {
     val qs = transform(asDouble(col(vecCol)),
@@ -769,5 +731,48 @@ object Similarity {
       (i.toLong, j.toLong, n, corr)
     }
     out.toDF("i", "j", "n", "corr")
+  }
+
+  /** Per-dimension centroid drift between two embedding populations —
+    * the distribution-shift monitor (did the new crawl / new encoder
+    * move the space?). Returns (i, n_a, n_b, mean_a, mean_b, drift)
+    * for every dimension; drift = mean_a − mean_b, and a side with ZERO
+    * rows reports n = 0 and null means/drift for every dimension
+    * (matching the SQL formulation) rather than silently returning an
+    * empty frame — an upstream filter mistake stays visible. Both sides
+    * empty → empty frame (there is no dimensionality to report).
+    *
+    * Same machinery as [[dimCorrelations]]: exact-integer quantization,
+    * ONE [[graft.plans.VectorMoments]] pass per side (a single buffer
+    * per partition — nothing row-count-sized shuffles), and the 64
+    * output rows assemble on the driver from two collected buffers with
+    * only per-dim single IEEE divisions and one subtraction. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String = "embedding",
+                     quantScale: Double = 1000.0): DataFrame = {
+    val sp = a.sparkSession
+    import sp.implicits._
+    def moments(d: DataFrame): Option[Array[Long]] = {
+      val qs = transform(asDouble(col(vecCol)),
+        v => floor(v * lit(quantScale)).cast("long"))
+      val r = d.select(qs.as("qs"))
+        .agg(graft.plans.Native.vectorMoments(col("qs")).as("m")).head()
+      if (r.isNullAt(0)) None else Some(r.getSeq[Long](0).toArray)
+    }
+    val (oa, ob) = (moments(a), moments(b))
+    if (oa.isEmpty && ob.isEmpty)
+      return Seq.empty[(Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+        .toDF("i", "n_a", "n_b", "mean_a", "mean_b", "drift")
+    for (ma <- oa; mb <- ob) require(ma.length == mb.length,
+      s"embeddingDrift: dimension mismatch (${ma.length} vs ${mb.length})")
+    val len = oa.orElse(ob).get.length
+    val dim = ((math.sqrt(9.0 + 8.0 * (len - 1)) - 3.0) / 2.0).round.toInt
+    def mean(m: Option[Array[Long]], i: Int): Option[Double] =
+      m.map(x => x(1 + i).toDouble / x(0))
+    val out = (0 until dim).map { i =>
+      val (mA, mB) = (mean(oa, i), mean(ob, i))
+      (i.toLong, oa.map(_(0)).getOrElse(0L), ob.map(_(0)).getOrElse(0L),
+        mA, mB, for (x <- mA; y <- mB) yield x - y)
+    }
+    out.toDF("i", "n_a", "n_b", "mean_a", "mean_b", "drift")
   }
 }

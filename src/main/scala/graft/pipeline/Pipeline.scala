@@ -82,7 +82,9 @@ object Pipeline {
   final case class SampleStep(fraction: Double, keyCol: String, dataType: String) extends Step
   /** Weighted k-per-group sampling (`sample` with `k` + `weight` keys):
     * keep the k deterministic priority-sampling winners per group —
-    * selection probability ∝ weight — and filter the flow to those rows
+    * selection probability ∝ weight, fractional weights supported
+    * (scaled by 10⁶ before integer truncation, so 0-1 quality scores
+    * keep their proportions) — and filter the flow to those rows
     * (semi-join on (group, id); the draw itself is the bounded-heap
     * [[graft.queries.DataOps.weightedSamplePerGroup]]). */
   final case class WeightedSampleStep(groupCol: String, idCol: String,

@@ -98,8 +98,14 @@ case class MinKByKey(left: Expression, right: Expression, k: Int,
   private def key: Expression = left
   private def payload: Expression = right
 
-  // dequeue yields the LARGEST kept key (the first to evict)
-  private val largestFirst: Ordering[(Long, Long)] = Ordering.by(_._1)
+  // dequeue yields the LARGEST kept entry (the first to evict).
+  // LEXICOGRAPHIC (key, payload) order, not key alone: equal keys then
+  // break toward the SMALLER payload deterministically — without this a
+  // key tie at the k-th boundary keeps whichever entry arrived first,
+  // making the selection partition-order-dependent and diverging from
+  // every SQL-oracle `ORDER BY key, id` replay (reachable: the weighted
+  // sampler's floor-quotient priorities collide under coarse weights)
+  private val largestFirst: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
 
   override def prettyName: String = "graft_min_k"
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -583,8 +589,18 @@ case class VectorMoments(child: Expression,
             s"vector_moments: dimension mismatch ($d vs ${dimOf(buf.length)})")
           buf
         }
-      out(0) += 1L
+      // a null COMPONENT must fail loudly: ArrayData.getLong reads a
+      // null slot as 0, which would silently skew every moment while
+      // still counting the row in n (the distortion the dimension
+      // check exists to prevent; null ROWS skip above, by contract)
       var i = 0
+      while (i < d) {
+        require(!arr.isNullAt(i),
+          s"vector_moments: null component at dim $i (quantize nulls out first)")
+        i += 1
+      }
+      out(0) += 1L
+      i = 0
       var p = 1 + d
       while (i < d) {
         val qi = arr.getLong(i)

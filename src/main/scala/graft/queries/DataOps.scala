@@ -2528,10 +2528,8 @@ object DataOps {
     * bit-exactly (hex-string order ≡ numeric order at fixed width). */
   def samplePerGroup(d: DataFrame, groupCol: String, idCol: String,
                      k: Int): DataFrame = {
-    val h = conv(substring(md5(
-      concat(col(groupCol), lit("-"), col(idCol)).cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    d.select(col(groupCol), col(idCol).cast("long").as("__id"), h.as("__h"))
+    d.select(col(groupCol), col(idCol).cast("long").as("__id"),
+        portableHash60(groupCol, idCol).as("__h"))
       .groupBy(col(groupCol))
       .agg(graft.plans.Native.minKByKey(col("__h"), col("__id"), k).as("ks"))
       .select(col(groupCol), explode(transform(col("ks"), e => e.getField("p"))).as(idCol))
@@ -2547,6 +2545,14 @@ object DataOps {
       |    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rn FROM h)
       |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin
 
+  /** The portable 60-bit per-(group, id) uniform hash both samplers rank
+    * on: md5("group-id") → 15 hex chars → long. ONE definition — the SQL
+    * oracles replay this exact recipe with the strpos hex expansion. */
+  private def portableHash60(groupCol: String, idCol: String): Column =
+    conv(substring(md5(
+      concat(col(groupCol), lit("-"), col(idCol)).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
   /** Deterministic WEIGHTED sampling without replacement, k per group —
     * priority sampling (Duffield–Lund–Thorup, JACM 2007): each row gets
     * priority u/w with u uniform from its content hash, and the k
@@ -2555,18 +2561,22 @@ object DataOps {
     * (rerun/repartition/engine stable — the replayable form of weighted
     * reservoir sampling used to carve length-balanced eval sets).
     * Priorities stay INTEGER: u is the portable 60-bit md5 value and the
-    * priority its floor-quotient by the weight, so both engines rank
-    * identical longs — no float ordering anywhere. Same bounded-heap
-    * shape as [[samplePerGroup]]: ≤ k 16-byte entries per aggregation
-    * buffer, partial map-side, shuffle carries k pairs per (group ×
-    * partition). Weights clamp to ≥ 1; ids must fit a long. */
+    * priority its floor-quotient by the scaled weight, so both engines
+    * rank identical longs — no float ordering anywhere, and priority
+    * TIES break to the smaller id inside the heap (MinKByKey's
+    * lexicographic order) exactly as the oracle's `ORDER BY prio, id`.
+    * Weights may be fractional: they scale by 10⁶ before truncation
+    * (quality scores in [0,1] keep 6 digits of proportionality; integer
+    * weights must stay < ~9·10¹² for the scaled long), then clamp to
+    * ≥ 1. Same bounded-heap shape as [[samplePerGroup]]: ≤ k 16-byte
+    * entries per aggregation buffer, partial map-side, shuffle carries
+    * k pairs per (group × partition). Ids must fit a long. */
   def weightedSamplePerGroup(d: DataFrame, groupCol: String, idCol: String,
                              weightCol: String, k: Int): DataFrame = {
-    val h = conv(substring(md5(
-      concat(col(groupCol), lit("-"), col(idCol)).cast("binary")), 1, 15), 16, 10)
-      .cast("long")
     d.select(col(groupCol), col(idCol).cast("long").as("__id"),
-        h.as("__h"), greatest(col(weightCol).cast("long"), lit(1L)).as("__w"))
+        portableHash60(groupCol, idCol).as("__h"),
+        greatest(floor(col(weightCol).cast("double") * lit(1000000.0))
+          .cast("long"), lit(1L)).as("__w"))
       .select(col(groupCol), col("__id"), expr("__h div __w").as("__prio"))
       .groupBy(col(groupCol))
       .agg(graft.plans.Native.minKByKey(col("__prio"), col("__id"), k).as("ks"))
@@ -2586,7 +2596,8 @@ object DataOps {
       s"(strpos('0123456789abcdef', substring(hx, $p, 1)) - 1) * $w"
     }.mkString(" + ")
     s"""WITH d AS (SELECT source, doc_id,
-       |    GREATEST(CAST(len(string_split(trim(text), ' ')) AS BIGINT), 1) AS w,
+       |    GREATEST(CAST(floor(CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+       |                        * 1000000.0) AS BIGINT), 1) AS w,
        |    substring(md5(source || '-' || doc_id), 1, 15) AS hx FROM documents),
        |v AS (SELECT source, doc_id, ($hexVal) // w AS prio FROM d),
        |r AS (SELECT source, doc_id,

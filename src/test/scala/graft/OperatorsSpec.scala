@@ -1095,6 +1095,18 @@ class OperatorsSpec extends SparkSpec {
     val plan = graft.queries.DataOps.weightedSamplePerGroup(df, "src", "id", "w", 3)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "per-group window funnel crept in")
+    // COLLAPSED priorities (every scaled weight so large that h div w = 0):
+    // ties must break to the SMALLEST ids, deterministically across
+    // partitionings — the heap's lexicographic (key, payload) order, the
+    // same tie-break as the oracle's ORDER BY prio, doc_id
+    val flat = (1 to 10).map(i => (i.toLong, 9000000000000.0, "g")).toDF("id", "w", "src")
+    assert(run(flat) == Set(("g", 1L), ("g", 2L), ("g", 3L)))
+    assert(run(flat.repartition(4)) == run(flat))
+    // fractional weights keep proportionality (scale-by-10^6 before the
+    // floor): a 0-1 quality score must not collapse to uniform
+    val frac = ((1 to 19).map(i => (i.toLong, 0.001, "f")) ++ Seq((99L, 1.0, "f")))
+      .toDF("id", "w", "src")
+    assert(run(frac).contains(("f", 99L)), "the high-score row must dominate")
   }
 
   test("triangle counts: K4 minus an edge, hand-computed; isolated edges drop") {
@@ -1111,6 +1123,11 @@ class OperatorsSpec extends SparkSpec {
     val got = run(edges)
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $got")
     assert(run(edges.repartition(5)) == got, "counts must not depend on partitioning")
+    // the (deg, id) key-packing contract is enforced, not just documented:
+    // an out-of-range id (hashed/negative) must fail loudly, never
+    // collide keys into silently wrong counts
+    intercept[Exception] { run(Seq((-1L, 2L), (2L, 3L)).toDF("a", "b")) }
+    intercept[Exception] { run(Seq((1L, 1L << 41), (2L, 3L)).toDF("a", "b")) }
   }
 
   test("triangle counts releases edge caches; only the result stays persisted") {
@@ -1177,6 +1194,12 @@ class OperatorsSpec extends SparkSpec {
       Similarity.embeddingDrift(a,
         Seq((9L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")).collect()
     }
+    // one empty side: D rows with n=0 and null means — visible, not an
+    // empty frame (and the SQL formulation's shape)
+    val oneSided = Similarity.embeddingDrift(a, a.filter(col("vec_id") < 0)).collect()
+    assert(oneSided.length == 2)
+    assert(oneSided.forall(r => r.getLong(2) == 0L && r.isNullAt(4) && r.isNullAt(5)))
+    assert(oneSided.map(_.getDouble(3)).toSeq == Seq(1000.0, 2000.0))
   }
 
   test("source overlap matrix: identical sources read 1, disjoint read 0") {

@@ -765,6 +765,12 @@ class PlansSpec extends SparkSpec {
       ragged.agg(graft.plans.Native.vectorMoments($"v").as("m")).head()
     }
     assert(err.getMessage != null)
+    // a null COMPONENT must fail loudly too (getLong would read it as 0
+    // while still counting the row — silent moment distortion)
+    val nullComp = Seq(Seq(Option(1L), Option.empty[Long])).toDF("v")
+    intercept[Exception] {
+      nullComp.agg(graft.plans.Native.vectorMoments($"v").as("m")).head()
+    }
   }
 
   test("substring removal shuffles hashed gram keys: same output, fewer shuffle bytes") {
