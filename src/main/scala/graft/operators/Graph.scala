@@ -193,6 +193,60 @@ object Graph {
     }, iterations, scale), nd)
   }
 
+  /** The k-core of an undirected graph — iteratively peel nodes of
+    * degree < k until the remainder is stable (Seidman 1983; the dense-
+    * subgraph / link-farm / spam-cluster detector that complements
+    * [[triangleCounts]]'s local cohesion with a global one). Input:
+    * canonical distinct edges `(a, b)`, a < b. Returns (id, deg) for
+    * every surviving node, deg = its degree INSIDE the core.
+    *
+    * Scale shape: the peel is monotone — the alive set only shrinks —
+    * so each sweep is two semi-joins of the persisted edge frame
+    * against the nodes-sized alive frame plus one degree aggregation
+    * (all keyed shuffles, nothing collected), and equal alive COUNTS
+    * between sweeps prove set equality (monotonicity), so convergence
+    * detection is the count the materializing persist already ran —
+    * no extra pass. Sweep state is persisted per round and the
+    * previous round released (the representatives() loop hygiene);
+    * sweeps are data-dependent but bounded by `maxSweeps` — the
+    * fixed bound keeps SQL-oracle parity (an unrolled replay of S
+    * sweeps equals the fixpoint whenever the peel converges within S,
+    * since extra sweeps are no-ops). */
+  def kCore(edges: DataFrame, k: Int, maxSweeps: Int = 20): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    val e0 = CacheOps.persistMaterialized(
+      edges.select(col("a").cast("long"), col("b").cast("long")))
+    try {
+      def degrees(alive: Option[DataFrame]): DataFrame = {
+        val ef = alive match {
+          case None => e0
+          case Some(al) => e0
+            .join(al.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(al.select(col("id").as("b")), Seq("b"), "left_semi")
+        }
+        ef.select(explode(array(col("a"), col("b"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      }
+      var alive: Option[DataFrame] = None
+      var aliveCount = -1L
+      var sweep = 0
+      var converged = false
+      while (!converged && sweep < maxSweeps) {
+        val next = CacheOps.persistMaterialized(
+          degrees(alive).filter(col("deg") >= k))
+        val c = next.count()
+        alive.foreach(_.unpersist(blocking = false))
+        alive = Some(next)
+        converged = c == aliveCount // monotone peel: equal count = equal set
+        aliveCount = c
+        sweep += 1
+      }
+      // the surviving frame already carries in-core degrees (computed
+      // against the converged alive set on the final no-op sweep)
+      alive.get
+    } finally e0.unpersist(blocking = false)
+  }
+
   /** Weighted PageRank over `edges(src, dst, w)` — interaction STRENGTH
     * (order counts, link multiplicity) steers the walk: each edge carries
     * contrib = (rank·w) div Σw(src), the per-edge integer division making

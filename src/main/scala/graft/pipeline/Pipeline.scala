@@ -95,6 +95,10 @@ object Pipeline {
     * (undirected, self-loops dropped) before the count. */
   final case class TriangleStep(srcCol: String, dstCol: String,
                                 dataType: String) extends Step
+  /** k-core peel over an edge-list flow ([[graft.operators.Graph.kCore]]):
+    * replaces the flow with (id, deg) of the surviving core. */
+  final case class KCoreStep(srcCol: String, dstCol: String, k: Int,
+                             maxSweeps: Int, dataType: String) extends Step
   /** Token-budget sampling (`sample` with a `budget` key): keep the
     * maximal hash-ordered prefix of each source whose cumulative token
     * count stays within budget — "N tokens per source". */
@@ -514,6 +518,10 @@ object Pipeline {
           frac("lo", (1L, 100L)), frac("hi", (99L, 100L)),
           str("output", "w"), dataType)
       case "triangle" => TriangleStep(str("src", "src"), str("dst", "dst"), dataType)
+      case "kcore" => KCoreStep(str("src", "src"), str("dst", "dst"),
+        k = if (node.has("k")) node.get("k").asInt() else 2,
+        maxSweeps = if (node.has("max_sweeps")) node.get("max_sweeps").asInt() else 20,
+        dataType)
       case "pagerank" => PageRankStep(str("src", "src"), str("dst", "dst"),
         iterations = if (node.has("iterations")) node.get("iterations").asInt() else 5,
         symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
@@ -1034,6 +1042,14 @@ object Pipeline {
                 greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
               .filter(col("a") < col("b")).distinct()
             flow.updated(dt, graft.operators.Graph.triangleCounts(e))
+          }.getOrElse(flow)
+        case KCoreStep(src, dst, k, sweeps, dt) =>
+          flow(dt).map { df =>
+            val e = df.select(
+                least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+                greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+              .filter(col("a") < col("b")).distinct()
+            flow.updated(dt, graft.operators.Graph.kCore(e, k, sweeps))
           }.getOrElse(flow)
         case WeightedSampleStep(group, id, weight, k, dt) =>
           flow(dt).map { df =>

@@ -3787,21 +3787,23 @@ object DataOps {
     * however hot the gram), and pairs explode from each surviving ≤4
     * list (the LSH in-bucket pattern), never a gram-keyed self-join.
     * Top 20 nodes by participation. */
-  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    // per-doc gram dedup happens MAP-SIDE (array_distinct before the
-    // explode), so the (doc, gram) stream is already unique per doc and
-    // the gram groupBy is the first and only corpus-sized exchange — a
-    // post-explode .distinct() would buy the same uniqueness for one
-    // extra full shuffle
-    val grams = docs
+  /** The rare-shingle co-occurrence edge fixture shared by the graph-
+    * cohesion gates (q_triangle_count / q_kcore): docs link when they
+    * share a word 3-gram with corpus df 2–4. Per-doc gram dedup happens
+    * MAP-SIDE (array_distinct before the explode), so the (doc, gram)
+    * stream is already unique per doc and the gram groupBy is the only
+    * corpus-sized exchange; the per-gram doc set collects in a BOUNDED
+    * cap+1 heap (an over-cap gram shows exactly cap+1 entries and is
+    * discarded — the hub guard), and pairs explode from each surviving
+    * ≤4 list (the LSH in-bucket pattern), never a gram-keyed self-join. */
+  private def rareShingleEdges(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), explode(array_distinct(
         when(size(col("toks")) >= 3,
           transform(sequence(lit(0), size(col("toks")) - 3),
             i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))
           .otherwise(array().cast("array<string>")))).as("gram"))
-    val pairs = grams
       .groupBy(col("gram"))
       .agg(graft.plans.Native.minKByKey(col("doc_id"), col("doc_id"), 5).as("ks"))
       .filter(size(col("ks")).between(2, 4))
@@ -3811,15 +3813,19 @@ object DataOps {
           b => struct(a.as("a"), b.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
     // triangleCounts returns its (persisted, already-materialized) result;
     // the top-k projection below reads the cache — the bench/verify
     // ballast drop releases it between gates
-    Graph.triangleCounts(pairs)
+    Graph.triangleCounts(rareShingleEdges(Tables(spark, dir).documents))
       .orderBy(col("tri").desc, col("id")).limit(20)
   }
 
-  val qTriangleCountSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+  /** [[rareShingleEdges]] replayed in SQL — the shared `p(a, b)` edge CTE
+    * prefix for the q_triangle_count / q_kcore oracles. */
+  private val rareShingleEdgeCte: String =
+    """toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
       |              FROM documents),
       |g AS (SELECT DISTINCT doc_id, gram FROM (
       |  SELECT doc_id, unnest(
@@ -3827,9 +3833,60 @@ object DataOps {
       |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
       |         ELSE [] END) AS gram FROM toks)),
       |df AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 4),
-      |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |p AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |      FROM g x JOIN g y USING (gram) JOIN df USING (gram)
-      |      WHERE x.doc_id < y.doc_id),
+      |      WHERE x.doc_id < y.doc_id)""".stripMargin
+
+  /** k-core of the rare-shingle graph ([[Graph.kCore]]): the dense
+    * near-dup families that survive the peel, with their in-core
+    * degrees. The gate derives k FROM THE DATA — k = max(2,
+    * ⌈n/2⌉-th-smallest degree div 2, ties by id) — so the peel is
+    * non-vacuous at every SF (fixed k is either slack or empties the
+    * core as the rare-shingle graph thins with corpus growth);
+    * production callers pass k explicitly. The median derivation is a
+    * fixture step: one ordered limit over the nodes-sized degree frame.
+    * maxSweeps = 8 matches the oracle's unrolled replay (converges ≤ 8
+    * on this fixture at every SF — probed to sweep 14; extra sweeps
+    * past the fixpoint are no-ops on both sides). */
+  def qKCore(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.CacheOps.persistMaterialized(
+      rareShingleEdges(Tables(spark, dir).documents))
+    try {
+      val deg0 = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val n = deg0.count()
+      val medianDeg = deg0.orderBy(col("deg"), col("id"))
+        .limit(((n + 1) / 2).toInt).agg(max(col("deg"))).head().getLong(0)
+      Graph.kCore(e, k = math.max(2L, medianDeg / 2).toInt, maxSweeps = 8)
+        .orderBy(col("id"))
+    } finally e.unpersist(blocking = false)
+  }
+
+  val qKCoreSql: String = {
+    // every aN/dN is MATERIALIZED: each step references the previous
+    // alive set twice (both join sides), so inlined CTEs re-evaluate the
+    // whole chain 2^steps times — materialization keeps the replay linear
+    val step = (i: Int, prev: Int) =>
+      s"""d$i AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT p.a AS id FROM p JOIN a$prev x ON p.a = x.id JOIN a$prev y ON p.b = y.id
+         |  UNION ALL
+         |  SELECT p.b FROM p JOIN a$prev x ON p.a = x.id JOIN a$prev y ON p.b = y.id)
+         |  GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= (SELECT k FROM kv))""".stripMargin
+    s"""WITH $rareShingleEdgeCte,
+       |d0 AS MATERIALIZED (SELECT id, count(*) AS deg
+       |  FROM (SELECT a AS id FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+       |kv AS MATERIALIZED (SELECT GREATEST(2, deg // 2) AS k FROM (
+       |  SELECT deg, row_number() OVER (ORDER BY deg, id) AS rn,
+       |         count(*) OVER () AS n FROM d0)
+       |  WHERE rn = (n + 1) // 2),
+       |a0 AS MATERIALIZED (SELECT id FROM d0),
+       |${(1 to 8).map(i => step(i, i - 1)).mkString(",\n")}
+       |SELECT id, deg FROM d8 WHERE deg >= (SELECT k FROM kv) ORDER BY id""".stripMargin
+  }
+
+  val qTriangleCountSql: String =
+    s"""WITH $rareShingleEdgeCte,
       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
       |        FROM (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
       |        GROUP BY 1),
@@ -4347,6 +4404,7 @@ object DataOps {
     "q_pagerank_weighted" -> ((qPagerankWeighted _, Some(qPagerankWeightedSql))),
     "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
     "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))),
+    "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),

@@ -1130,6 +1130,26 @@ class OperatorsSpec extends SparkSpec {
     intercept[Exception] { run(Seq((1L, 1L << 41), (2L, 3L)).toDF("a", "b")) }
   }
 
+  test("k-core: multi-sweep peel hand-computed; sweeps past fixpoint are no-ops") {
+    // triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is the
+    // triangle, every node at in-core degree 2. The chain needs TWO
+    // sweeps (5 peels first, then 4 — degree cascades), so the fixture
+    // exercises the iteration, not just one filter.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame, sweeps: Int) = {
+      val core = Graph.kCore(d, k = 2, maxSweeps = sweeps)
+      try core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally core.unpersist(blocking = true)
+    }
+    val got = run(edges, 10)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    assert(run(edges.repartition(4), 10) == got, "peel must not depend on partitioning")
+    assert(run(edges, 3) == got, "converged early: extra allowed sweeps change nothing")
+    // a graph that peels away completely yields the empty core, not an
+    // error (path 1-2-3: endpoints go first, then the stranded middle)
+    assert(run(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), 10).isEmpty)
+  }
+
   test("triangle counts releases edge caches; only the result stays persisted") {
     val sc = spark.sparkContext
     spark.catalog.clearCache()

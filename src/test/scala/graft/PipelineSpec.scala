@@ -509,6 +509,21 @@ tab	end"""), Some(1.5), Some(true)),
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $got")
   }
 
+  test("kcore step peels an edge flow from config") {
+    val src = tmp("kc") + "/edges.parquet"
+    // triangle {1,2,3} + pendant chain: 2-core = the triangle
+    Seq((1L, 2L), (3L, 1L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"kcore","src":"src","dst":"dst","k":2}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+  }
+
   test("sample with a weight key draws k heavy-biased rows per group from config") {
     val src = tmp("ws") + "/docs.parquet"
     ((1 to 19).map(i => (i.toLong, 1L, "big")) ++
