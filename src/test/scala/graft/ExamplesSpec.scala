@@ -134,6 +134,22 @@ class ExamplesSpec extends SparkSpec {
     assert(ranks(1L) > ranks(2L) && ranks(2L) == ranks(3L))
   }
 
+  test("graph_core.json peels an edge list to its 2-core") {
+    val in = tmp("gc-in"); val out = tmp("gc-out")
+    // triangle {1,2,3} + pendant chain 3-4-5
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/edges.jsonl"),
+      """{"src":1,"dst":2}
+        |{"src":1,"dst":3}
+        |{"src":2,"dst":3}
+        |{"src":3,"dst":4}
+        |{"src":4,"dst":5}
+        |""".stripMargin)
+    Pipeline.run(spark, load("graph_core.json", in, out))
+    val core = spark.read.parquet(s"$out/core").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core")
+  }
+
   test("clean_names.json dedups near-identical names and z-scores ages") {
     val in = tmp("cn-in"); val out = tmp("cn-out")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/people.jsonl"),
