@@ -13,9 +13,15 @@ private[graft] object CacheOps {
     * itself fails, the fresh cache is released before the error
     * propagates — otherwise a failed operator strands a corpus-sized
     * cache in the session's CacheManager with no owner. */
-  def persistMaterialized(df: DataFrame): DataFrame = {
+  def persistMaterialized(df: DataFrame): DataFrame =
+    persistMaterializedCounted(df)._1
+
+  /** [[persistMaterialized]], also returning the row count the
+    * materializing action produced — loops that need the count for
+    * convergence checks must not pay a second count job per round. */
+  def persistMaterializedCounted(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist(MEMORY_AND_DISK)
-    try { p.count(); p }
+    try { (p, p.count()) }
     catch { case t: Throwable => p.unpersist(blocking = true); throw t }
   }
 }

@@ -213,38 +213,52 @@ object Graph {
     * sweeps equals the fixpoint whenever the peel converges within S,
     * since extra sweeps are no-ops). */
   def kCore(edges: DataFrame, k: Int, maxSweeps: Int = 20): DataFrame = {
-    require(k >= 1, s"k-core needs k >= 1, got $k")
     val e0 = CacheOps.persistMaterialized(
       edges.select(col("a").cast("long"), col("b").cast("long")))
-    try {
-      def degrees(alive: Option[DataFrame]): DataFrame = {
-        val ef = alive match {
-          case None => e0
-          case Some(al) => e0
-            .join(al.select(col("id").as("a")), Seq("a"), "left_semi")
-            .join(al.select(col("id").as("b")), Seq("b"), "left_semi")
-        }
-        ef.select(explode(array(col("a"), col("b"))).as("id"))
-          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    try kCoreOn(e0, k, maxSweeps)
+    finally e0.unpersist(blocking = false)
+  }
+
+  /** The (id, degree) frame of an undirected edge list — ONE definition
+    * for the three consumers (kCore sweeps, triangleCounts, the k-core
+    * gate's median-k derivation), so a future null-id or multiplicity
+    * fix cannot drift between them. */
+  private[graft] def degreeFrame(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+  /** [[kCore]] over a CALLER-persisted canonical `(a: long, b: long)`
+    * edge frame — callers that already hold the edges cached (the gate
+    * derives its k from the same frame) avoid a second corpus-sized
+    * cache of identical data. The caller owns e0's release. */
+  private[graft] def kCoreOn(e0: DataFrame, k: Int, maxSweeps: Int): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    require(maxSweeps >= 1, s"k-core needs maxSweeps >= 1, got $maxSweeps")
+    def degrees(alive: Option[DataFrame]): DataFrame = {
+      val ef = alive match {
+        case None => e0
+        case Some(al) => e0
+          .join(al.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(al.select(col("id").as("b")), Seq("b"), "left_semi")
       }
-      var alive: Option[DataFrame] = None
-      var aliveCount = -1L
-      var sweep = 0
-      var converged = false
-      while (!converged && sweep < maxSweeps) {
-        val next = CacheOps.persistMaterialized(
-          degrees(alive).filter(col("deg") >= k))
-        val c = next.count()
-        alive.foreach(_.unpersist(blocking = false))
-        alive = Some(next)
-        converged = c == aliveCount // monotone peel: equal count = equal set
-        aliveCount = c
-        sweep += 1
-      }
-      // the surviving frame already carries in-core degrees (computed
-      // against the converged alive set on the final no-op sweep)
-      alive.get
-    } finally e0.unpersist(blocking = false)
+      degreeFrame(ef)
+    }
+    var alive: Option[DataFrame] = None
+    var aliveCount = -1L
+    var sweep = 0
+    var converged = false
+    while (!converged && sweep < maxSweeps) {
+      val (next, c) = CacheOps.persistMaterializedCounted(
+        degrees(alive).filter(col("deg") >= k))
+      alive.foreach(_.unpersist(blocking = false))
+      alive = Some(next)
+      converged = c == aliveCount // monotone peel: equal count = equal set
+      aliveCount = c
+      sweep += 1
+    }
+    // the surviving frame already carries in-core degrees (computed
+    // against the converged alive set on the final no-op sweep)
+    alive.get
   }
 
   /** Weighted PageRank over `edges(src, dst, w)` — interaction STRENGTH
@@ -276,8 +290,7 @@ object Graph {
     val e0 = CacheOps.persistMaterialized(
       edges.select(col("a").cast("long"), col("b").cast("long")))
     try {
-      val deg = e0.select(explode(array(col("a"), col("b"))).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val deg = degreeFrame(e0)
       // total-order key packing (deg, id) into one long: orientation and
       // every downstream comparison become plain integer < on kk.
       // The packing contract (ids in [0, 2^40), degrees < 2^23) is

@@ -3850,14 +3850,21 @@ object DataOps {
     * past the fixpoint are no-ops on both sides). */
   def qKCore(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.operators.CacheOps.persistMaterialized(
-      rareShingleEdges(Tables(spark, dir).documents))
+      rareShingleEdges(Tables(spark, dir).documents)
+        .select(col("a").cast("long"), col("b").cast("long")))
     try {
-      val deg0 = e.select(explode(array(col("a"), col("b"))).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val deg0 = Graph.degreeFrame(e)
       val n = deg0.count()
+      if (n == 0) {
+        // no rare-shingle edges at all (all-unique or sub-3-token docs):
+        // the core is empty, as the oracle's NULL-k filter also yields
+        val sp = spark
+        import sp.implicits._
+        return Seq.empty[(Long, Long)].toDF("id", "deg")
+      }
       val medianDeg = deg0.orderBy(col("deg"), col("id"))
         .limit(((n + 1) / 2).toInt).agg(max(col("deg"))).head().getLong(0)
-      Graph.kCore(e, k = math.max(2L, medianDeg / 2).toInt, maxSweeps = 8)
+      Graph.kCoreOn(e, k = math.max(2L, medianDeg / 2).toInt, maxSweeps = 8)
         .orderBy(col("id"))
     } finally e.unpersist(blocking = false)
   }

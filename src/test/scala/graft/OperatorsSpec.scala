@@ -1148,6 +1148,9 @@ class OperatorsSpec extends SparkSpec {
     // a graph that peels away completely yields the empty core, not an
     // error (path 1-2-3: endpoints go first, then the stranded middle)
     assert(run(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), 10).isEmpty)
+    // bad bounds fail with a message, not an opaque None.get
+    intercept[IllegalArgumentException] { Graph.kCore(edges, k = 2, maxSweeps = 0) }
+    intercept[IllegalArgumentException] { Graph.kCore(edges, k = 0) }
   }
 
   test("triangle counts releases edge caches; only the result stays persisted") {
