@@ -115,6 +115,70 @@ object Bucketing {
       .write.mode(mode).partitionBy("shard").parquet(path)
   }
 
+  /** Token-MASS-balanced contiguous sharding — the manifest step a
+    * training export actually needs next to [[shuffleAssign]]'s
+    * count-balanced hash shards: with heavy-tailed document lengths,
+    * hash shards even out document COUNTS but not token mass, and a
+    * training job reading one shard per worker then runs as long as its
+    * heaviest shard. Here shard k is the k-th contiguous slice of the
+    * deterministic hash order whose cumulative mass spans
+    * [k*ceil(total/shards), (k+1)*ceil(total/shards)) — every shard
+    * within one document of the ideal mass, documents never split, and
+    * the hash order keeps each shard an unbiased corpus sample.
+    *
+    * 100 TB shape — the naive form is a running sum over the WHOLE
+    * corpus: one window partition = one task. Two phases instead (the
+    * [[graft.queries.DataOps.sampleTokenBudget]] prefix-sum discipline,
+    * lifted from per-source to global):
+    *   1. bucket rows by the hash's first `bucketHexChars` hex chars
+    *      (16^h contiguous ranges of the order) and aggregate per-bucket
+    *      mass — a 16^h-row collect (cluster-metadata-sized);
+    *   2. driver-side prefix offsets per bucket broadcast back; each
+    *      bucket's rows run the exact running sum WITHIN the bucket
+    *      (balanced hash-ranged partitions of corpus/16^h rows) offset
+    *      by the mass before the bucket.
+    * Identical to the naive single-window form (bucket order refines
+    * hash order). At 100 TB raise `bucketHexChars` to 4-5 so in-bucket
+    * partitions stay executor-sized. All arithmetic is integral
+    * (ceil-div shard size, floor-div assignment) — any engine replays
+    * the assignment bit-for-bit. Appends `shard` (int). */
+  def shardByMass(df: DataFrame, keyCols: Seq[String], massCol: String,
+                  shards: Int, seed: String = "graft",
+                  bucketHexChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "mass sharding needs at least one key column")
+    require(shards > 0, s"mass sharding needs shards > 0, got $shards")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      s"bucketHexChars must be in [1,8], got $bucketHexChars")
+    val hx = md5(concat_ws("-", (lit(seed) +: keyCols.map(col)): _*)
+      .cast("binary"))
+    val based = df
+      .withColumn("__hx", hx)
+      .withColumn("__bk", substring(col("__hx"), 1, bucketHexChars))
+    val masses = based.groupBy(col("__bk"))
+      .agg(sum(coalesce(col(massCol).cast("bigint"), lit(0L))).as("__m"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    if (masses.isEmpty) // empty input: nothing to shard
+      return df.withColumn("shard", lit(0).cast("int")).filter(lit(false))
+    val total = masses.map(_._2).sum
+    val shardSize = math.max(1L, (total + shards - 1) / shards)
+    val offsets = masses.scanLeft(("", 0L)) { case ((_, acc), (bk, m)) =>
+      (bk, acc + m)
+    }.sliding(2).map { case Array((_, off), (bk, _)) => (bk, off) }.toSeq
+    val offDf = broadcast(df.sparkSession.createDataFrame(offsets)
+      .toDF("__ob", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk")).orderBy(col("__hx") +: keyCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    based.join(offDf, col("__bk") === col("__ob"))
+      .withColumn("__cum",
+        col("__off") + coalesce(
+          sum(coalesce(col(massCol).cast("bigint"), lit(0L))).over(w), lit(0L)))
+      .withColumn("shard", // DIV: integral quotient — no IEEE on the path
+        least(lit(shards - 1L), expr(s"__cum DIV ${shardSize}L")).cast("int"))
+      .drop("__hx", "__bk", "__ob", "__off", "__cum")
+  }
+
   /** Range-clustered layout for data skipping: range-partition on the
     * sort key, then sort within each partition before writing parquet.
     * Every output file then covers a narrow, pairwise-disjoint key range,

@@ -174,6 +174,11 @@ object Pipeline {
                              stride: Long, dataType: String) extends Step
   final case class PackStep(idCol: String, textCol: String, maxTokens: Int,
                             shards: Int, dataType: String) extends Step
+  /** Token-mass-balanced contiguous export shards (Bucketing.shardByMass):
+    * `mass` names a precomputed numeric column, or defaults to the
+    * whitespace token count of `field`. Appends `shard`. */
+  final case class ShardStep(idCol: String, textCol: String, massCol: String,
+                             shards: Int, dataType: String) extends Step
   /** Storage-layout sink: "bucket" writes a bucketed (optionally
     * sorted) table for co-located joins; "range" writes range-clustered
     * parquet for min/max data skipping. These are the 100 TB layout
@@ -537,6 +542,9 @@ object Pipeline {
       case "pack" => PackStep(str("id", "id"), str("field", "text"),
         if (node.has("max_tokens")) node.get("max_tokens").asInt() else 2048,
         if (node.has("shards")) node.get("shards").asInt() else 0, dataType)
+      case "shard" => ShardStep(str("id", "id"), str("field", "text"),
+        str("mass", ""),
+        if (node.has("shards")) node.get("shards").asInt() else 16, dataType)
       case "layout" =>
         val keys = Option(node.get("by"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
@@ -1066,6 +1074,16 @@ object Pipeline {
         case PackStep(id, field, maxTok, shards, dt) =>
           flow(dt).map(df => flow.updated(dt,
             graft.queries.DataOps.packSequences(df, id, field, maxTok, shards))).getOrElse(flow)
+        case ShardStep(id, field, mass, shards, dt) =>
+          flow(dt).map { df =>
+            val (src, mcol) =
+              if (mass.nonEmpty) (df, mass)
+              else (df.withColumn("__mass", graft.operators.TextAnalysis
+                .tokenCountWs(col(field)).cast("bigint")), "__mass")
+            val out = graft.operators.Bucketing
+              .shardByMass(src, Seq(id), mcol, shards)
+            flow.updated(dt, if (mass.nonEmpty) out else out.drop("__mass"))
+          }.getOrElse(flow)
         case LayoutStep(mode, target, keys, sorts, n, dt) =>
           flow(dt).foreach { df =>
             mode match {

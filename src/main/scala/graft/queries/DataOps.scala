@@ -2781,6 +2781,29 @@ object DataOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
       |SELECT source, doc_id, n_tok FROM r WHERE cum <= 800""".stripMargin
 
+  /** Token-mass-balanced contiguous shards (Bucketing.shardByMass): the
+    * export manifest where every shard carries ~total/16 TOKENS (not
+    * documents — heavy-tailed doc lengths make count-balanced shards run
+    * unevenly). Oracle replays the naive global running sum; the Spark
+    * side is the two-phase bucketed prefix sum, provably identical. */
+  def qShardTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("n_tok"))
+    graft.operators.Bucketing.shardByMass(d, Seq("doc_id"), "n_tok", shards = 16)
+      .select(col("doc_id"), col("n_tok"), col("shard"))
+  }
+
+  val qShardTokensSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    md5('graft-' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      |z AS (SELECT CAST(greatest(1, (sum(n_tok) + 15) // 16) AS BIGINT) AS sz FROM t),
+      |r AS (SELECT doc_id, n_tok,
+      |    coalesce(sum(n_tok) OVER (ORDER BY hx, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+      |SELECT doc_id, n_tok, CAST(least(15, cum // sz) AS INT) AS shard
+      |FROM r CROSS JOIN z""".stripMargin
+
   /** Sequence packing for training batches: documents pack greedily into
     * ~`maxTokens`-token bins by running token count, SHARD-LOCAL so the
     * packing is embarrassingly parallel — a single global pack order would
@@ -4385,6 +4408,7 @@ object DataOps {
     "q_stable_ids"     -> ((qStableIds _, Some(qStableIdsSql))),
     "q_sample_per_source" -> ((qSamplePerSource _, Some(qSamplePerSourceSql))),
     "q_token_budget"   -> ((qTokenBudget _, Some(qTokenBudgetSql))),
+    "q_shard_tokens"   -> ((qShardTokens _, Some(qShardTokensSql))),
     "q_corpus_diff"    -> ((qCorpusDiff _, Some(qCorpusDiffSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),

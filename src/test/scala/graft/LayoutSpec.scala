@@ -126,6 +126,43 @@ class LayoutSpec extends SparkSpec {
     assert(a == b, "assignment must be partitioning-independent")
   }
 
+  test("mass-balanced shards: exact vs naive replay, balanced, stable, null-safe") {
+    val df = spark.range(1, 1001).select(col("id").as("doc_id"),
+      when(col("id") % 10 === 0, lit(null))
+        .otherwise(col("id") % 97 + 1).cast("bigint").as("mass"))
+    val got = graft.operators.Bucketing.shardByMass(df, Seq("doc_id"), "mass", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // naive local replay: global running sum in (md5, id) order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = (1L until 1001L).map(id =>
+      (id, if (id % 10 == 0) 0L else id % 97 + 1, md5hex(s"graft-$id")))
+    val ordered = docs.sortBy { case (id, _, hx) => (hx, id) }
+    val total = ordered.map(_._2).sum
+    val sz = math.max(1L, (total + 7) / 8)
+    var cum = 0L
+    val want = ordered.map { case (id, m, _) =>
+      val s = math.min(7L, cum / sz).toInt; cum += m; (id, s)
+    }.toMap
+    assert(got == want, "two-phase bucketed prefix sum must equal the naive global order")
+    // balanced: every shard within one document's mass of the ideal slice
+    val perShard = ordered.map { case (id, m, _) => (want(id), m) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val maxMass = docs.map(_._2).max
+    perShard.foreach { case (s, m) =>
+      assert(m <= sz + maxMass, s"shard $s mass $m exceeds sz+maxDoc")
+    }
+    assert(perShard.keySet == (0 to 7).toSet, "all shards populated")
+    // partitioning-independent and empty-safe
+    val again = graft.operators.Bucketing.shardByMass(
+      df.repartition(13), Seq("doc_id"), "mass", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(again == got, "assignment must be partitioning-independent")
+    assert(graft.operators.Bucketing.shardByMass(
+      df.limit(0), Seq("doc_id"), "mass", shards = 8).count() == 0)
+  }
+
   test("partition pruning reaches the scan for partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/data"
     spark.range(100)

@@ -1015,6 +1015,30 @@ tab	end"""), Some(1.5), Some(true)),
     assert(over.count() == 0)
   }
 
+  test("shard step balances token mass into contiguous shards from config") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$dir/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"shard","id":"doc_id","field":"text","shards":8}
+         |]""".stripMargin).ok.get
+    assert(out.select("shard").distinct().count() == 8)
+    assert(out.count() == 500, "sharding assigns, never drops")
+    assert(out.columns.contains("text"), "original columns survive")
+    // balanced by token MASS: every shard within one max-doc of the ideal
+    val masses = out
+      .withColumn("m", graft.operators.TextAnalysis.tokenCountWs(col("text")))
+      .groupBy("shard").agg(sum("m").as("tot")).collect().map(_.getLong(1))
+    val maxDoc = out
+      .select(max(graft.operators.TextAnalysis.tokenCountWs(col("text"))
+        .cast("bigint")))
+      .head().getLong(0)
+    val ideal = (masses.sum + 7) / 8
+    masses.foreach(m => assert(m <= ideal + maxDoc,
+      s"shard mass $m exceeds ideal $ideal + maxDoc $maxDoc"))
+  }
+
   test("whole-record json_encode: {{ input | json_encode() }} emits the row") {
     // reference transformer docs: the identity/debug idiom serializes the
     // full input record, not a wrapped single field
