@@ -28,7 +28,13 @@ object Bench {
     // queries into GC measurements — r11's driver bench showed 4-6× phantom
     // "regressions" on unchanged plans. Dropping all cached data between
     // queries makes each timing read the PLAN, not the heap history.
-    def dropBallast(): Unit = BenchUtil.dropBallast(spark)
+    // The System.gc() is timing hygiene, not a correctness need: by late
+    // suite a 190-gate JVM has promoted enough garbage that heavy queries
+    // read 1.5-2.5x their isolated cost (old-gen pressure — BASELINE.md's
+    // documented drift). A full collection in the UNTIMED gap lets every
+    // timed run start from a compacted heap, so the recorded number is
+    // the plan's, not the heap history's.
+    def dropBallast(): Unit = { BenchUtil.dropBallast(spark); System.gc() }
     // Dev-loop filter (driver never sets it): comma-separated gate names,
     // same contract as Verify's SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -179,6 +179,10 @@ object Pipeline {
     * whitespace token count of `field`. Appends `shard`. */
   final case class ShardStep(idCol: String, textCol: String, massCol: String,
                              shards: Int, dataType: String) extends Step
+  /** Pareto quality frontier (Skyline.paretoFront2): keeps rows not
+    * dominated on BOTH integral signal columns. */
+  final case class ParetoStep(xCol: String, yCol: String, bucketWidth: Long,
+                              dataType: String) extends Step
   /** Storage-layout sink: "bucket" writes a bucketed (optionally
     * sorted) table for co-located joins; "range" writes range-clustered
     * parquet for min/max data skipping. These are the 100 TB layout
@@ -545,6 +549,9 @@ object Pipeline {
       case "shard" => ShardStep(str("id", "id"), str("field", "text"),
         str("mass", ""),
         if (node.has("shards")) node.get("shards").asInt() else 16, dataType)
+      case "pareto" => ParetoStep(str("x", "x"), str("y", "y"),
+        if (node.has("bucket_width")) node.get("bucket_width").asLong() else 64L,
+        dataType)
       case "layout" =>
         val keys = Option(node.get("by"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
@@ -1074,6 +1081,9 @@ object Pipeline {
         case PackStep(id, field, maxTok, shards, dt) =>
           flow(dt).map(df => flow.updated(dt,
             graft.queries.DataOps.packSequences(df, id, field, maxTok, shards))).getOrElse(flow)
+        case ParetoStep(x, y, width, dt) =>
+          flow(dt).map(df => flow.updated(dt,
+            graft.operators.Skyline.paretoFront2(df, x, y, width))).getOrElse(flow)
         case ShardStep(id, field, mass, shards, dt) =>
           flow(dt).map { df =>
             val (src, mcol) =

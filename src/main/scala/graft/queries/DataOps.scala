@@ -2804,6 +2804,33 @@ object DataOps {
       |SELECT doc_id, n_tok, CAST(least(15, cum // sz) AS INT) AS shard
       |FROM r CROSS JOIN z""".stripMargin
 
+  /** Pareto quality frontier (Skyline.paretoFront2): documents not
+    * dominated on BOTH token count and type-token ratio (lexical
+    * diversity ×1000, integral) — long docs trend repetitive, and the
+    * frontier keeps the best diversity available at every length.
+    * Oracle replays the sort-based single-window form; the Spark side
+    * is the two-phase bucketed suffix max, provably identical. */
+  def qParetoFront(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("x"),
+        size(array_distinct(TextAnalysis.tokens(col("text"))))
+          .cast("bigint").as("__nd"))
+      .withColumn("y", expr("(__nd * 1000L) DIV x")).drop("__nd")
+    graft.operators.Skyline.paretoFront2(d, "x", "y")
+  }
+
+  val qParetoFrontSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS x,
+      |    CAST((len(list_distinct(string_split(trim(text), ' '))) * 1000)
+      |      // len(string_split(trim(text), ' ')) AS BIGINT) AS y
+      |  FROM documents),
+      |g AS (SELECT x, max(y) AS my FROM t GROUP BY x),
+      |s AS (SELECT x, my, max(my) OVER (ORDER BY x DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bm FROM g)
+      |SELECT t.doc_id, t.x, t.y FROM t JOIN s ON t.x = s.x AND t.y = s.my
+      |WHERE s.bm IS NULL OR s.my > s.bm""".stripMargin
+
   /** Sequence packing for training batches: documents pack greedily into
     * ~`maxTokens`-token bins by running token count, SHARD-LOCAL so the
     * packing is embarrassingly parallel — a single global pack order would
@@ -4409,6 +4436,7 @@ object DataOps {
     "q_sample_per_source" -> ((qSamplePerSource _, Some(qSamplePerSourceSql))),
     "q_token_budget"   -> ((qTokenBudget _, Some(qTokenBudgetSql))),
     "q_shard_tokens"   -> ((qShardTokens _, Some(qShardTokensSql))),
+    "q_pareto_front"   -> ((qParetoFront _, Some(qParetoFrontSql))),
     "q_corpus_diff"    -> ((qCorpusDiff _, Some(qCorpusDiffSql))),
     "q_tfidf"          -> ((qTfidf _, Some(qTfidfSql))),
     "q_contamination"  -> ((qContamination _, Some(qContaminationSql))),

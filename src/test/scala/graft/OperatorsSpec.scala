@@ -1576,4 +1576,42 @@ class OperatorsSpec extends SparkSpec {
       .head().getLong(0)
     assert(s == 8L)
   }
+
+  test("pareto frontier: two-phase bucketed form equals the brute-force skyline") {
+    // adversarial small-range data: heavy x/y ties exercise the
+    // equal-x-keep-max-y and equal-(x,y)-all-survive dominance edges
+    val rng = new scala.util.Random(42)
+    val pts = (1L to 400L).map(id => (id, (rng.nextInt(25) + 1).toLong,
+      (rng.nextInt(25) + 1).toLong))
+    val df = pts.toDF("id", "x", "y")
+    def brute(rows: Seq[(Long, Long, Long)]): Set[Long] =
+      rows.filter { case (_, xi, yi) =>
+        !rows.exists { case (_, xj, yj) =>
+          xj >= xi && yj >= yi && (xj > xi || yj > yi)
+        }
+      }.map(_._1).toSet
+    val want = brute(pts)
+    val got = Skyline.paretoFront2(df, "x", "y", bucketWidth = 4L)
+      .select("id").as[Long].collect().toSet
+    assert(got == want, s"skyline mismatch: got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty && want.size < pts.size, "fixture must be non-trivial")
+    // bucket width must not change the answer (1 = pure driver suffix,
+    // huge = pure in-bucket window — both degenerate paths)
+    for (wd <- Seq(1L, 1000000L)) {
+      val alt = Skyline.paretoFront2(df, "x", "y", bucketWidth = wd)
+        .select("id").as[Long].collect().toSet
+      assert(alt == want, s"bucketWidth=$wd changed the frontier")
+    }
+    // partitioning independence + empty/null safety
+    val rep = Skyline.paretoFront2(df.repartition(13), "x", "y", 4L)
+      .select("id").as[Long].collect().toSet
+    assert(rep == want)
+    assert(Skyline.paretoFront2(df.limit(0), "x", "y").count() == 0)
+    val withNulls = df.withColumn("y",
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("y")))
+    val nn = Skyline.paretoFront2(withNulls, "x", "y", 4L)
+      .select("id").as[Long].collect().toSet
+    val wantNn = brute(pts.filter(_._1 % 7 != 0))
+    assert(nn == wantNn, "null-signal rows are excluded, frontier recomputed")
+  }
 }

@@ -1039,6 +1039,28 @@ tab	end"""), Some(1.5), Some(true)),
       s"shard mass $m exceeds ideal $ideal + maxDoc $maxDoc"))
   }
 
+  test("pareto step keeps the signal frontier from config") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$dir/documents.parquet"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"transformer","actions":[
+         |   {"field":"x","pattern":"{{ n_chars }}"},
+         |   {"field":"y","pattern":"{{ doc_id }}"}]},
+         | {"type":"pareto","x":"x","y":"y"}
+         |]""".stripMargin).ok.get
+    val rows = out.select(col("x").cast("long"), col("y").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length < 500, "frontier is a strict subset")
+    // no survivor dominates another (frontier is an antichain)
+    rows.foreach { case (xi, yi) =>
+      assert(!rows.exists { case (xj, yj) =>
+        xj >= xi && yj >= yi && (xj > xi || yj > yi) },
+        s"($xi,$yi) is dominated — not a frontier")
+    }
+  }
+
   test("whole-record json_encode: {{ input | json_encode() }} emits the row") {
     // reference transformer docs: the identity/debug idiom serializes the
     // full input record, not a wrapped single field
