@@ -28,13 +28,12 @@ object Bench {
     // queries into GC measurements — r11's driver bench showed 4-6× phantom
     // "regressions" on unchanged plans. Dropping all cached data between
     // queries makes each timing read the PLAN, not the heap history.
-    // The System.gc() is timing hygiene, not a correctness need: by late
-    // suite a 190-gate JVM has promoted enough garbage that heavy queries
-    // read 1.5-2.5x their isolated cost (old-gen pressure — BASELINE.md's
-    // documented drift). A full collection in the UNTIMED gap lets every
-    // timed run start from a compacted heap, so the recorded number is
-    // the plan's, not the heap history's.
-    def dropBallast(): Unit = { BenchUtil.dropBallast(spark); System.gc() }
+    // Measured, not kept: an explicit System.gc() in this untimed gap was
+    // A/B'd in r13 and read NET-WORSE on the common-gate total (135.7 s vs
+    // 125.8 s, with pagerank_weighted near-doubling) — the late-suite
+    // inflation BASELINE.md documents is run-order heap history that a
+    // forced full collection does not remove, only adds pause time to.
+    def dropBallast(): Unit = BenchUtil.dropBallast(spark)
     // Dev-loop filter (driver never sets it): comma-separated gate names,
     // same contract as Verify's SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -261,6 +261,60 @@ object Graph {
     alive.get
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007) —
+    * the community detector completing the graph family next to
+    * [[pageRank]] (centrality), [[triangleCounts]]/[[kCore]] (cohesion)
+    * and the dedup connected components: topical clusters / link farms /
+    * near-dup federations in similarity and host graphs. Input: canonical
+    * distinct undirected edges `(a, b)`; ids must be non-negative longs
+    * (the tie-break below negates labels). Returns (id, community) for
+    * every node in the edge list, community = a member node's id.
+    *
+    * Determinism: plain LPA breaks ties randomly and updates
+    * asynchronously — neither replays. Here every node starts as its own
+    * label and each synchronous sweep adopts the most frequent neighbor
+    * label with ties to the SMALLEST label — a pure function of the edge
+    * set, so runs, partitionings and engines agree exactly. `sweeps` is
+    * FIXED (not run-to-convergence): synchronous LPA can oscillate on
+    * bipartite-ish structure, and a fixed bound both caps the cost and
+    * keeps SQL-oracle parity (an unrolled replay computes the identical
+    * state, converged or not).
+    *
+    * Scale shape: per sweep ONE keyed join of the persisted
+    * both-directions adjacency against the nodes-sized label frame, one
+    * (node, label) count aggregation, and one per-node argmax as a
+    * max-of-struct aggregate — no windows, nothing collected; sweep
+    * state is persisted per round and the previous round released (the
+    * kCore loop hygiene). */
+  def labelPropagation(edges: DataFrame, sweeps: Int = 4): DataFrame = {
+    require(sweeps >= 1, s"labelPropagation needs sweeps >= 1, got $sweeps")
+    val adj = CacheOps.persistMaterialized(
+      edges.select(col("a").cast("long"), col("b").cast("long"))
+        .select(explode(array(
+          struct(col("a").as("node"), col("b").as("nbr")),
+          struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
+        .select(col("e.node").as("node"), col("e.nbr").as("nbr")))
+    try {
+      var labels = CacheOps.persistMaterialized(
+        adj.select(col("node")).distinct().withColumn("lbl", col("node")))
+      var sweep = 0
+      while (sweep < sweeps) {
+        val counts = adj
+          .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+          .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax(count, then smallest label): max over (c, -lbl) structs
+        val next = CacheOps.persistMaterialized(
+          counts.groupBy(col("node"))
+            .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("lbl")))
+        labels.unpersist(blocking = false)
+        labels = next
+        sweep += 1
+      }
+      labels.select(col("node").as("id"), col("lbl").as("community"))
+    } finally adj.unpersist(blocking = false)
+  }
+
   /** Weighted PageRank over `edges(src, dst, w)` — interaction STRENGTH
     * (order counts, link multiplicity) steers the walk: each edge carries
     * contrib = (rank·w) div Σw(src), the per-edge integer division making

@@ -99,6 +99,11 @@ object Pipeline {
     * replaces the flow with (id, deg) of the surviving core. */
   final case class KCoreStep(srcCol: String, dstCol: String, k: Int,
                              maxSweeps: Int, dataType: String) extends Step
+  /** Label-propagation communities over an edge-list flow
+    * ([[graft.operators.Graph.labelPropagation]]): replaces the flow
+    * with (id, community). */
+  final case class CommunitiesStep(srcCol: String, dstCol: String,
+                                   sweeps: Int, dataType: String) extends Step
   /** Token-budget sampling (`sample` with a `budget` key): keep the
     * maximal hash-ordered prefix of each source whose cumulative token
     * count stays within budget — "N tokens per source". */
@@ -527,6 +532,8 @@ object Pipeline {
           frac("lo", (1L, 100L)), frac("hi", (99L, 100L)),
           str("output", "w"), dataType)
       case "triangle" => TriangleStep(str("src", "src"), str("dst", "dst"), dataType)
+      case "communities" => CommunitiesStep(str("src", "src"), str("dst", "dst"),
+        if (node.has("sweeps")) node.get("sweeps").asInt() else 4, dataType)
       case "kcore" => KCoreStep(str("src", "src"), str("dst", "dst"),
         k = if (node.has("k")) node.get("k").asInt() else 2,
         maxSweeps = if (node.has("max_sweeps")) node.get("max_sweeps").asInt() else 20,
@@ -1065,6 +1072,14 @@ object Pipeline {
                 greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
               .filter(col("a") < col("b")).distinct()
             flow.updated(dt, graft.operators.Graph.kCore(e, k, sweeps))
+          }.getOrElse(flow)
+        case CommunitiesStep(src, dst, sweeps, dt) =>
+          flow(dt).map { df =>
+            val e = df.select(
+                least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+                greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+              .filter(col("a") < col("b")).distinct()
+            flow.updated(dt, graft.operators.Graph.labelPropagation(e, sweeps))
           }.getOrElse(flow)
         case WeightedSampleStep(group, id, weight, k, dt) =>
           flow(dt).map { df =>

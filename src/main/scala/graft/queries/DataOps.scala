@@ -3942,6 +3942,35 @@ object DataOps {
        |SELECT id, deg FROM d8 WHERE deg >= (SELECT k FROM kv) ORDER BY id""".stripMargin
   }
 
+  /** Label-propagation communities over the rare-shingle graph
+    * ([[Graph.labelPropagation]]): the near-dup federations / topical
+    * clusters the cohesion gates score. 4 fixed synchronous sweeps with
+    * min-label ties — the oracle unrolls the identical 4 sweeps. */
+  def qCommunities(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(
+      rareShingleEdges(Tables(spark, dir).documents)
+        .select(col("a").cast("long"), col("b").cast("long")), sweeps = 4)
+
+  val qCommunitiesSql: String = {
+    // each sweep: count neighbor labels, keep the most frequent with
+    // ties to the smallest label. MATERIALIZED per step (the k-core
+    // oracle lesson: inlined CTE chains re-evaluate exponentially).
+    val step = (i: Int, prev: Int) =>
+      s"""l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT adj.node, l.lbl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY adj.node
+         |      ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM adj JOIN l$prev l ON adj.nbr = l.node
+         |  GROUP BY adj.node, l.lbl)
+         |WHERE rn = 1)""".stripMargin
+    s"""WITH $rareShingleEdgeCte,
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
+       |  UNION ALL SELECT b, a FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
+       |${(1 to 4).map(i => step(i, i - 1)).mkString(",\n")}
+       |SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin
+  }
+
   val qTriangleCountSql: String =
     s"""WITH $rareShingleEdgeCte,
       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
@@ -4464,6 +4493,7 @@ object DataOps {
     "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
     "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))),
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
+    "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),

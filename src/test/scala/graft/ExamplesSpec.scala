@@ -150,6 +150,22 @@ class ExamplesSpec extends SparkSpec {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core")
   }
 
+  test("quality_frontier.json keeps the length x diversity frontier, sharded") {
+    val out = tmp("qf-out")
+    Pipeline.run(spark, load("quality_frontier.json", "/root/testdata/sf0.001", out))
+    val rows = spark.read.parquet(s"$out/frontier")
+      .select(col("n_tokens").cast("long"), col("diversity_x1000").cast("long"),
+        col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty && rows.length < 500, "frontier is a strict subset")
+    // survivors form an antichain on (length, diversity)
+    rows.foreach { case (xi, yi, _) =>
+      assert(!rows.exists { case (xj, yj, _) =>
+        xj >= xi && yj >= yi && (xj > xi || yj > yi) }, s"($xi,$yi) dominated")
+    }
+    assert(rows.map(_._3).forall(s => s >= 0 && s < 4), "shards in range")
+  }
+
   test("clean_names.json dedups near-identical names and z-scores ages") {
     val in = tmp("cn-in"); val out = tmp("cn-out")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/people.jsonl"),

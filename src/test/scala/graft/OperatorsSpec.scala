@@ -1577,6 +1577,29 @@ class OperatorsSpec extends SparkSpec {
     assert(s == 8L)
   }
 
+  test("label propagation: two cliques bridged by one edge separate; replay is exact") {
+    // clique {1,2,3,4} + clique {5,6,7,8} + bridge 4-5; hand-rolled sweeps:
+    //   s1 (all counts 1, min-neighbor wins): 1->2 2->1 3->1 4->1 5->4 6->5 7->5 8->5
+    //   s2: majorities settle 1..4 -> 1 and 5..8 -> 5; s3/s4 are no-ops
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (5L,6L),(5L,7L),(5L,8L),(6L,7L),(6L,8L),(7L,8L),(4L,5L)).toDF("a","b")
+    def run(df: org.apache.spark.sql.DataFrame, s: Int) =
+      Graph.labelPropagation(df, sweeps = s).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = run(edges, 1)
+    assert(s1 == Map(1L->2L, 2L->1L, 3L->1L, 4L->1L, 5L->4L, 6L->5L, 7L->5L, 8L->5L),
+      s"sweep-1 state mismatch: $s1")
+    val s4 = run(edges, 4)
+    assert(s4 == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L, 5L->5L, 6L->5L, 7L->5L, 8L->5L),
+      s"communities mismatch: $s4")
+    assert(run(edges.repartition(7), 4) == s4, "partitioning must not change labels")
+    // a single edge is the canonical synchronous-LPA oscillator: the
+    // endpoints swap labels every sweep — deterministically, which is the
+    // point of the FIXED sweep bound (replayable even where unconverged)
+    assert(run(Seq((9L, 3L)).toDF("a", "b"), 1) == Map(9L->3L, 3L->9L))
+    assert(run(Seq((9L, 3L)).toDF("a", "b"), 2) == Map(9L->9L, 3L->3L))
+  }
+
   test("pareto frontier: two-phase bucketed form equals the brute-force skyline") {
     // adversarial small-range data: heavy x/y ties exercise the
     // equal-x-keep-max-y and equal-(x,y)-all-survive dominance edges

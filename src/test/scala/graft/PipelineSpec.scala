@@ -524,6 +524,23 @@ tab	end"""), Some(1.5), Some(true)),
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
   }
 
+  test("communities step labels an edge flow from config") {
+    val src = tmp("lpa") + "/edges.parquet"
+    // two 4-cliques bridged by one edge: LPA separates them in 4 sweeps
+    (Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (5L,6L),(5L,7L),(5L,8L),(6L,7L),(6L,8L),(7L,8L),(4L,5L)))
+      .toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"communities","src":"src","dst":"dst","sweeps":4}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L,
+      5L->5L, 6L->5L, 7L->5L, 8L->5L), s"got $got")
+  }
+
   test("sample with a weight key draws k heavy-biased rows per group from config") {
     val src = tmp("ws") + "/docs.parquet"
     ((1 to 19).map(i => (i.toLong, 1L, "big")) ++
