@@ -155,9 +155,17 @@ object Bucketing {
     val based = df
       .withColumn("__hx", hx)
       .withColumn("__bk", substring(col("__hx"), 1, bucketHexChars))
+    // negative masses would silently break the monotone prefix (shards
+    // no longer contiguous slices) — validated in the SAME collect pass
     val masses = based.groupBy(col("__bk"))
-      .agg(sum(coalesce(col(massCol).cast("bigint"), lit(0L))).as("__m"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .agg(sum(coalesce(col(massCol).cast("bigint"), lit(0L))).as("__m"),
+        min(coalesce(col(massCol).cast("bigint"), lit(0L))).as("__mn"))
+      .collect().map { r =>
+        require(r.getLong(2) >= 0L,
+          s"shardByMass: negative $massCol in bucket ${r.getString(0)} " +
+            s"(min ${r.getLong(2)}) — masses must be non-negative")
+        (r.getString(0), r.getLong(1))
+      }.sortBy(_._1)
     if (masses.isEmpty) // empty input: nothing to shard
       return df.withColumn("shard", lit(0).cast("int")).filter(lit(false))
     val total = masses.map(_._2).sum

@@ -161,6 +161,13 @@ class LayoutSpec extends SparkSpec {
     assert(again == got, "assignment must be partitioning-independent")
     assert(graft.operators.Bucketing.shardByMass(
       df.limit(0), Seq("doc_id"), "mass", shards = 8).count() == 0)
+    // negative mass fails loudly, never silently mis-shards
+    val neg = df.withColumn("mass",
+      when(col("doc_id") === 500, lit(-3L)).otherwise(col("mass")))
+    val err = intercept[Exception] {
+      graft.operators.Bucketing.shardByMass(neg, Seq("doc_id"), "mass", 8).count()
+    }
+    assert(err.getMessage.contains("negative"), s"got: ${err.getMessage}")
   }
 
   test("partition pruning reaches the scan for partitioned parquet") {
