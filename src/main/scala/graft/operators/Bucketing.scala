@@ -155,15 +155,26 @@ object Bucketing {
     val based = df
       .withColumn("__hx", hx)
       .withColumn("__bk", substring(col("__hx"), 1, bucketHexChars))
-    // negative masses would silently break the monotone prefix (shards
-    // no longer contiguous slices) — validated in the SAME collect pass
+    // Two contract checks ride the SAME aggregate pass: negative masses
+    // would silently break the monotone prefix (shards no longer
+    // contiguous slices), and duplicate key tuples make the window's
+    // running sum partition-order-dependent between the duplicates —
+    // the "any engine replays this bit-for-bit" claim only holds for
+    // unique keys, so non-unique input fails loudly instead.
     val masses = based.groupBy(col("__bk"))
       .agg(sum(coalesce(col(massCol).cast("bigint"), lit(0L))).as("__m"),
-        min(coalesce(col(massCol).cast("bigint"), lit(0L))).as("__mn"))
+        min(coalesce(col(massCol).cast("bigint"), lit(0L))).as("__mn"),
+        count(lit(1)).as("__n"),
+        countDistinct(keyCols.head, keyCols.tail: _*).as("__nd"))
       .collect().map { r =>
         require(r.getLong(2) >= 0L,
           s"shardByMass: negative $massCol in bucket ${r.getString(0)} " +
             s"(min ${r.getLong(2)}) — masses must be non-negative")
+        require(r.getLong(3) == r.getLong(4),
+          s"shardByMass: ${r.getLong(3) - r.getLong(4)} duplicate-or-null " +
+            s"key tuple(s) in bucket ${r.getString(0)} — keys (${keyCols
+              .mkString(", ")}) must be unique and non-null for a " +
+            "replayable assignment")
         (r.getString(0), r.getLong(1))
       }.sortBy(_._1)
     if (masses.isEmpty) // empty input: nothing to shard

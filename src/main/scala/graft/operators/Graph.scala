@@ -247,14 +247,19 @@ object Graph {
     var aliveCount = -1L
     var sweep = 0
     var converged = false
-    while (!converged && sweep < maxSweeps) {
-      val (next, c) = CacheOps.persistMaterializedCounted(
-        degrees(alive).filter(col("deg") >= k))
-      alive.foreach(_.unpersist(blocking = false))
-      alive = Some(next)
-      converged = c == aliveCount // monotone peel: equal count = equal set
-      aliveCount = c
-      sweep += 1
+    try {
+      while (!converged && sweep < maxSweeps) {
+        val (next, c) = CacheOps.persistMaterializedCounted(
+          degrees(alive).filter(col("deg") >= k))
+        alive.foreach(_.unpersist(blocking = false))
+        alive = Some(next)
+        converged = c == aliveCount // monotone peel: equal count = equal set
+        aliveCount = c
+        sweep += 1
+      }
+    } catch { // a mid-sweep failure must not strand the round's cache
+      case t: Throwable =>
+        alive.foreach(_.unpersist(blocking = true)); throw t
     }
     // the surviving frame already carries in-core degrees (computed
     // against the converged alive set on the final no-op sweep)
@@ -297,19 +302,23 @@ object Graph {
     try {
       var labels = CacheOps.persistMaterialized(
         adj.select(col("node")).distinct().withColumn("lbl", col("node")))
-      var sweep = 0
-      while (sweep < sweeps) {
-        val counts = adj
-          .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
-          .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
-        // argmax(count, then smallest label): max over (c, -lbl) structs
-        val next = CacheOps.persistMaterialized(
-          counts.groupBy(col("node"))
-            .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-            .select(col("node"), (-col("m.nl")).as("lbl")))
-        labels.unpersist(blocking = false)
-        labels = next
-        sweep += 1
+      try {
+        var sweep = 0
+        while (sweep < sweeps) {
+          val counts = adj
+            .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+            .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+          // argmax(count, then smallest label): max over (c, -lbl) structs
+          val next = CacheOps.persistMaterialized(
+            counts.groupBy(col("node"))
+              .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+              .select(col("node"), (-col("m.nl")).as("lbl")))
+          labels.unpersist(blocking = false)
+          labels = next
+          sweep += 1
+        }
+      } catch { // a mid-sweep failure must not strand the round's cache
+        case t: Throwable => labels.unpersist(blocking = true); throw t
       }
       labels.select(col("node").as("id"), col("lbl").as("community"))
     } finally adj.unpersist(blocking = false)

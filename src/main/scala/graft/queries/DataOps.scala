@@ -2795,7 +2795,7 @@ object DataOps {
 
   val qShardTokensSql: String =
     """WITH t AS (SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
       |    md5('graft-' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
       |z AS (SELECT CAST(greatest(1, (sum(n_tok) + 15) // 16) AS BIGINT) AS sz FROM t),
       |r AS (SELECT doc_id, n_tok,

@@ -29,7 +29,10 @@ if common:
 date = datetime.date.today().isoformat()
 table = "\n".join(f"| {k} | {qs[k]:.3f} |" for k in sorted(qs))
 tail_prose = rest.partition("**Total:")[2]
-closing = ("**Total:" + tail_prose) if tail_prose else ""
+if not tail_prose:
+    sys.exit("BASELINE.md: closing '**Total:' prose not found — refusing "
+             "to regenerate (would silently drop the hand-written note)")
+closing = "**Total:" + tail_prose
 out = (f"{head}## In-suite table (sf0.1, {len(qs)} gates, "
        f"total {total:.1f} s, recorded {date})\n\n"
        f"| gate | sec |\n|---|---|\n{table}\n\n{closing}")
