@@ -293,12 +293,34 @@ object Graph {
     * kCore loop hygiene). */
   def labelPropagation(edges: DataFrame, sweeps: Int = 4): DataFrame = {
     require(sweeps >= 1, s"labelPropagation needs sweeps >= 1, got $sweeps")
-    val adj = CacheOps.persistMaterialized(
+    val (adjC, nAdj) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long"))
         .select(explode(array(
           struct(col("a").as("node"), col("b").as("nbr")),
           struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
         .select(col("e.node").as("node"), col("e.nbr").as("nbr")))
+    // Right-size the sweep loop to the GRAPH (the representatives()
+    // recipe, measured there): label frames are nodes-sized, and at the
+    // session's corpus-scale shuffle width each sweep's stage-submission
+    // latency exceeds the data it moves; AQE's per-exchange re-plan and
+    // fresh whole-stage Janino compiles likewise dominate SMALL graphs.
+    // The width lives in a CLONED session — never a session-global conf
+    // flip — and a billion-edge graph keeps the caller's full width.
+    val spark = edges.sparkSession
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val loopParts = math.max(1L,
+      math.min(sessionParts, nAdj / 1000000L + 1L))
+    val loopSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
+      spark, Map(
+        "spark.sql.shuffle.partitions" -> loopParts.toString,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.join.preferSortMergeJoin" -> "false") ++
+        (if (nAdj <= 10000000L)
+          Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
+    val adj = org.apache.spark.sql.graftbridge.Bridge.rebind(
+      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(adjC), loopSession)
     try {
       var labels = CacheOps.persistMaterialized(
         adj.select(col("node")).distinct().withColumn("lbl", col("node")))
@@ -321,7 +343,7 @@ object Graph {
         case t: Throwable => labels.unpersist(blocking = true); throw t
       }
       labels.select(col("node").as("id"), col("lbl").as("community"))
-    } finally adj.unpersist(blocking = false)
+    } finally adjC.unpersist(blocking = false)
   }
 
   /** Weighted PageRank over `edges(src, dst, w)` — interaction STRENGTH
