@@ -234,10 +234,31 @@ object Graph {
   private[graft] def kCoreOn(e0: DataFrame, k: Int, maxSweeps: Int): DataFrame = {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     require(maxSweeps >= 1, s"k-core needs maxSweeps >= 1, got $maxSweeps")
+    // Same loop-session recipe as labelPropagation/representatives
+    // (measured there): the peel's semi-joins + degree agg move
+    // alive-frame-sized data per sweep, and the session's corpus-scale
+    // shuffle width, AQE re-plans and fresh per-sweep codegen dominate
+    // small graphs. e0 is caller-persisted, so the count is a cache scan.
+    val spark = e0.sparkSession
+    val nEdges = e0.count()
+    val sessionParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val loopParts = math.max(1L,
+      math.min(sessionParts, nEdges / 1000000L + 1L))
+    val loopSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
+      spark, Map(
+        "spark.sql.shuffle.partitions" -> loopParts.toString,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.join.preferSortMergeJoin" -> "false") ++
+        (if (nEdges <= 10000000L)
+          Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
+    val eLoop = org.apache.spark.sql.graftbridge.Bridge.rebind(
+      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(e0), loopSession)
     def degrees(alive: Option[DataFrame]): DataFrame = {
       val ef = alive match {
-        case None => e0
-        case Some(al) => e0
+        case None => eLoop
+        case Some(al) => eLoop
           .join(al.select(col("id").as("a")), Seq("a"), "left_semi")
           .join(al.select(col("id").as("b")), Seq("b"), "left_semi")
       }
@@ -265,6 +286,17 @@ object Graph {
     // against the converged alive set on the final no-op sweep)
     alive.get
   }
+
+  /** Connected components over an undirected edge list `(a, b)` —
+    * returns (id, rep) with rep = the component's minimum member id.
+    * This is the graph-module surface for [[Dedup.representatives]]
+    * (min-id label flooding + pointer doubling, O(log diameter)
+    * sweeps, loop-width cloned session, per-sweep plan truncation) —
+    * one implementation, documented once, discoverable from both the
+    * dedup family that built it and the graph family it belongs to. */
+  def connectedComponents(edges: DataFrame, maxIterations: Int = 12): DataFrame =
+    Dedup.representatives(
+      edges.select(col("a"), col("b")), maxIterations)
 
   /** Synchronous label-propagation communities (Raghavan et al. 2007) —
     * the community detector completing the graph family next to

@@ -1600,6 +1600,13 @@ class OperatorsSpec extends SparkSpec {
     assert(run(Seq((9L, 3L)).toDF("a", "b"), 2) == Map(9L->9L, 3L->3L))
   }
 
+  test("connectedComponents: graph-module surface labels components by min id") {
+    val cc = Graph.connectedComponents(
+      Seq((1L,2L),(2L,3L),(7L,8L),(9L,9L)).toDF("a","b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L->1L, 2L->1L, 3L->1L, 7L->7L, 8L->7L, 9L->9L), s"got $cc")
+  }
+
   test("pareto frontier: two-phase bucketed form equals the brute-force skyline") {
     // adversarial small-range data: heavy x/y ties exercise the
     // equal-x-keep-max-y and equal-(x,y)-all-survive dominance edges
