@@ -287,6 +287,102 @@ object Graph {
     alive.get
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in EXACT fixed-point
+    * integer arithmetic — the second classic link-analysis scorer next
+    * to [[pageRank]]: on a DIRECTED graph, a good hub points at good
+    * authorities and vice versa (buyer↔supplier curation, crawl seed
+    * lists pointing at quality hosts). Float HITS normalizes by an L2
+    * norm (never bit-reproducible across shuffle orders); here scores
+    * are longs at `scale` and each half-iteration is an exact long sum
+    * over in/out neighbors followed by an integer max-rescale
+    * (x·scale div max) — every op exact, so runs, partitionings and
+    * engines agree bit-for-bit. The max-rescale keeps the fixed point:
+    * the true HITS iterate is scale-invariant, and the per-iteration
+    * maximum is as replayable as a norm while staying integral.
+    *
+    * Overflow bound: a node's summed score < in-degree · scale —
+    * at scale 10⁶, in-degrees to ~9·10¹² fit a long.
+    *
+    * Scale shape: per iteration two keyed joins of the persisted edge
+    * frame against nodes-sized score frames + two aggregations; the
+    * per-half max is a 1-row action over the persisted partial (the
+    * scalar the SQL replay reads as a subquery); iteration state is
+    * persisted per round and released (the kCore loop hygiene), all in
+    * the right-sized cloned loop session. Returns (id, hub, auth) for
+    * every node in the edge list. */
+  def hits(edges: DataFrame, iterations: Int = 3,
+           scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"hits needs iterations >= 1, got $iterations")
+    require(scale >= 1L, s"hits needs scale >= 1, got $scale")
+    val (e0, nEdges) = CacheOps.persistMaterializedCounted(
+      edges.select(col("src").cast("long"), col("dst").cast("long")).distinct())
+    try {
+      val spark = edges.sparkSession
+      if (nEdges == 0) { // no graph: no scores (matches the oracle's joins)
+        import spark.implicits._
+        return Seq.empty[(Long, Long, Long)].toDF("id", "hub", "auth")
+      }
+      val sessionParts = scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+      val loopParts = math.max(1L,
+        math.min(sessionParts, nEdges / 1000000L + 1L))
+      val loopSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
+        spark, Map(
+          "spark.sql.shuffle.partitions" -> loopParts.toString,
+          "spark.sql.adaptive.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.join.preferSortMergeJoin" -> "false") ++
+          (if (nEdges <= 10000000L)
+            Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
+      val e = org.apache.spark.sql.graftbridge.Bridge.rebind(
+        org.apache.spark.sql.graftbridge.Bridge.truncatePlan(e0), loopSession)
+      // the node universe feeds every iteration's rebuild — persist once
+      // (the r12 PageRank lesson: lazy, it re-runs an edges-sized
+      // distinct per reference)
+      val nodes = CacheOps.persistMaterialized(
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+          .distinct())
+      try {
+        var state = CacheOps.persistMaterialized(
+          nodes.withColumn("h", lit(scale)).withColumn("a", lit(scale)))
+        try {
+          var it = 0
+          while (it < iterations) {
+            // authority half: pull hub mass along in-edges, rescale by max
+            val aRaw = CacheOps.persistMaterialized(
+              e.join(state.select(col("id").as("src"), col("h")), "src")
+                .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar")))
+            val next =
+              try {
+                val amax = aRaw.agg(max(col("ar"))).head().getLong(0)
+                val aNew = nodes.join(aRaw, Seq("id"), "left")
+                  .select(col("id"),
+                    coalesce(expr(s"(ar * ${scale}L) DIV ${amax}L"), lit(0L)).as("a"))
+                // hub half: pull the fresh authority mass along out-edges
+                val hRaw = CacheOps.persistMaterialized(
+                  e.join(aNew.select(col("id").as("dst"), col("a")), "dst")
+                    .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr")))
+                try {
+                  val hmax = hRaw.agg(max(col("hr"))).head().getLong(0)
+                  val hNew = nodes.join(hRaw, Seq("id"), "left")
+                    .select(col("id"),
+                      coalesce(expr(s"(hr * ${scale}L) DIV ${hmax}L"), lit(0L)).as("h"))
+                  CacheOps.persistMaterialized(
+                    hNew.join(aNew, "id").select(col("id"), col("h"), col("a")))
+                } finally hRaw.unpersist(blocking = false)
+              } finally aRaw.unpersist(blocking = false)
+            state.unpersist(blocking = false)
+            state = next
+            it += 1
+          }
+        } catch { // a mid-iteration failure must not strand the round
+          case t: Throwable => state.unpersist(blocking = true); throw t
+        }
+        state.select(col("id"), col("h").as("hub"), col("a").as("auth"))
+      } finally nodes.unpersist(blocking = false)
+    } finally e0.unpersist(blocking = false)
+  }
+
   /** Connected components over an undirected edge list `(a, b)` —
     * returns (id, rep) with rep = the component's minimum member id.
     * This is the graph-module surface for [[Dedup.representatives]]

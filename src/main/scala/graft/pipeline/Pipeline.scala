@@ -162,6 +162,11 @@ object Pipeline {
   final case class PageRankStep(srcCol: String, dstCol: String,
                                 iterations: Int, symmetric: Boolean,
                                 dataType: String) extends Step
+  /** HITS hubs/authorities over a DIRECTED edge-list flow
+    * ([[graft.operators.Graph.hits]]): replaces the flow with
+    * (id, hub, auth) integer scores. */
+  final case class HitsStep(srcCol: String, dstCol: String,
+                            iterations: Int, dataType: String) extends Step
   /** Semantic clustering annotation: mutual-kNN connected components over
     * the embedding column, written to `outCol` (singletons keep their own
     * id). Centroids train inline or persist at `centroidsPath`. */
@@ -541,6 +546,9 @@ object Pipeline {
       case "pagerank" => PageRankStep(str("src", "src"), str("dst", "dst"),
         iterations = if (node.has("iterations")) node.get("iterations").asInt() else 5,
         symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
+        dataType)
+      case "hits" => HitsStep(str("src", "src"), str("dst", "dst"),
+        if (node.has("iterations")) node.get("iterations").asInt() else 3,
         dataType)
       case "knn_classify" => KnnClassifyStep(
         idCol = str("id", "id"), vecCol = str("field", "embedding"),
@@ -1056,6 +1064,12 @@ object Pipeline {
               fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
             else fwd
             flow.updated(dt, graft.operators.Graph.pageRank(edges, iters))
+          }.getOrElse(flow)
+        case HitsStep(src, dst, iters, dt) =>
+          flow(dt).map { df =>
+            flow.updated(dt, graft.operators.Graph.hits(
+              df.select(col(src).cast("long").as("src"),
+                col(dst).cast("long").as("dst")), iters))
           }.getOrElse(flow)
         case TriangleStep(src, dst, dt) =>
           flow(dt).map { df =>

@@ -3942,6 +3942,46 @@ object DataOps {
        |SELECT id, deg FROM d8 WHERE deg >= (SELECT k FROM kv) ORDER BY id""".stripMargin
   }
 
+  /** HITS hubs & authorities over the DIRECTED customer→supplier trading
+    * graph ([[Graph.hits]]): buyers that span many strong suppliers read
+    * as hubs, heavily-bought-from suppliers as authorities. 3 exact
+    * integer iterations with max-rescale; the oracle unrolls the
+    * identical chain with scalar-subquery maxima. */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    Graph.hits(edges, iterations = 3)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("hub"), col("auth"))
+  }
+
+  val qHitsSql: String = {
+    val step = (i: Int, prev: String) =>
+      s"""ar$i AS MATERIALIZED (SELECT p.dst AS id, sum(s.h) AS ar
+         |  FROM p JOIN $prev s ON p.src = s.id GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT n.id,
+         |    CAST(coalesce((ar * 1000000) // (SELECT max(ar) FROM ar$i), 0) AS BIGINT) AS a
+         |  FROM n LEFT JOIN ar$i USING (id)),
+         |hr$i AS MATERIALIZED (SELECT p.src AS id, sum(a.a) AS hr
+         |  FROM p JOIN a$i a ON p.dst = a.id GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT n.id,
+         |    CAST(coalesce((hr * 1000000) // (SELECT max(hr) FROM hr$i), 0) AS BIGINT) AS h,
+         |    a.a
+         |  FROM n LEFT JOIN hr$i USING (id) JOIN a$i a USING (id))""".stripMargin
+    s"""WITH p AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+       |        l_suppkey * 2 + 1 AS dst
+       |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |n AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM p UNION ALL SELECT dst FROM p)),
+       |s0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS h,
+       |  CAST(1000000 AS BIGINT) AS a FROM n),
+       |${(1 to 3).map(i => step(i, s"s${i - 1}")).mkString(",\n")}
+       |SELECT CAST(id % 2 AS BIGINT) AS kind, CAST(id // 2 AS BIGINT) AS key,
+       |  h AS hub, a AS auth FROM s3""".stripMargin
+  }
+
   /** Label-propagation communities over the rare-shingle graph
     * ([[Graph.labelPropagation]]): the near-dup federations / topical
     * clusters the cohesion gates score. 4 fixed synchronous sweeps with
@@ -4494,6 +4534,7 @@ object DataOps {
     "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))),
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
+    "q_hits"           -> ((qHits _, Some(qHitsSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),

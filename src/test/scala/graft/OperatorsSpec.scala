@@ -1600,6 +1600,26 @@ class OperatorsSpec extends SparkSpec {
     assert(run(Seq((9L, 3L)).toDF("a", "b"), 2) == Map(9L->9L, 3L->3L))
   }
 
+  test("hits: integer hub/authority chain matches the hand replay exactly") {
+    // 1->2, 1->4, 3->4: node 1 is the strong hub (spans both
+    // authorities), 4 the strong authority (two in-edges). Hand replay
+    // at scale 1e6 (integer div):
+    //   it1: ar(2)=1e6 ar(4)=2e6 -> a(2)=5e5 a(4)=1e6;
+    //        hr(1)=1.5e6 hr(3)=1e6 -> h(1)=1e6 h(3)=666666
+    //   it2: a(2)=600000 a(4)=1e6; h(1)=1e6 h(3)=625000
+    //   it3: a(2)=615384 a(4)=1e6; h(1)=1e6 h(3)=619047
+    val edges = Seq((1L, 2L), (1L, 4L), (3L, 4L)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.hits(df, iterations = 3).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = run(edges)
+    assert(got == Map(
+      1L -> ((1000000L, 0L)), 3L -> ((619047L, 0L)),
+      2L -> ((0L, 615384L)), 4L -> ((0L, 1000000L))), s"got $got")
+    assert(run(edges.repartition(5)) == got, "partitioning must not change scores")
+    assert(Graph.hits(edges.limit(0)).count() == 0, "empty graph, empty scores")
+  }
+
   test("connectedComponents: graph-module surface labels components by min id") {
     val cc = Graph.connectedComponents(
       Seq((1L,2L),(2L,3L),(7L,8L),(9L,9L)).toDF("a","b")).collect()

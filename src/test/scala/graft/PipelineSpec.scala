@@ -541,6 +541,21 @@ tab	end"""), Some(1.5), Some(true)),
       5L->5L, 6L->5L, 7L->5L, 8L->5L), s"got $got")
   }
 
+  test("hits step scores an edge flow from config") {
+    val src = tmp("hits") + "/edges.parquet"
+    Seq((1L, 2L), (1L, 4L), (3L, 4L)).toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"hits","src":"src","dst":"dst","iterations":3}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1000000L, 0L)), 3L -> ((619047L, 0L)),
+      2L -> ((0L, 615384L)), 4L -> ((0L, 1000000L))), s"got $got")
+  }
+
   test("sample with a weight key draws k heavy-biased rows per group from config") {
     val src = tmp("ws") + "/docs.parquet"
     ((1 to 19).map(i => (i.toLong, 1L, "big")) ++
