@@ -349,49 +349,12 @@ object Dedup {
     val edgesCache = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(MEMORY_AND_DISK)
-    // Right-size the loop's exchanges to the GRAPH, not the corpus: the
-    // label frames are nodes-sized, and every sweep schedules ~6
-    // sequential AQE stages whose per-stage submission cost exceeds the
-    // data they move when the session's shuffle-partition setting is
-    // sized for corpus-scale scans (measured ~2× on the kNN-cluster gate:
-    // 32 partitions over a 2k-node graph doubled per-sweep wall time vs
-    // 4). ~1M edge rows (~16 MB) per partition, never above the session
-    // setting — a billion-edge dup graph still gets the full width. The
-    // count is free: it materializes the edge cache the first sweep
-    // needs anyway.
-    //
-    // The width lives in a CLONED session (shared SparkContext, cache
-    // manager, catalog), not a session-global conf flip: a flip would
-    // silently down-size every concurrent query on the caller's session
-    // for the duration of the loop (ADVICE r12). The clone also turns
-    // AQE off for the sweeps — each sweep's shapes are fixed and tiny,
-    // and AQE's per-exchange materialize-and-replan latency (not the
-    // data) dominated the per-sweep cost; with a convergence action per
-    // sweep there is nothing for AQE to adapt that the explicit width
-    // doesn't already set.
+    // Right-sized cloned loop session — the ONE shared definition (see
+    // LoopSession for the measured rationale: ~1M edge rows/partition,
+    // AQE off, hash joins, codegen off on small graphs). The count is
+    // free: it materializes the edge cache the first sweep needs anyway.
     val nEdges = edgesCache.count()
-    val sessionParts = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
-    val loopParts = math.max(1L,
-      math.min(sessionParts, nEdges / 1000000L + 1L))
-    val loopSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
-      spark, Map(
-        "spark.sql.shuffle.partitions" -> loopParts.toString,
-        "spark.sql.adaptive.enabled" -> "false",
-        // a sweep's 3 joins are all label-sized: a broadcast would pay a
-        // driver collect + rebuild per join per sweep, a sort-merge pays
-        // per-sweep sorts — the hash-shuffle join at loop width does
-        // neither, and the build sides are nodes-sized by construction
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.join.preferSortMergeJoin" -> "false") ++
-        // every sweep is a FRESH plan over a fresh truncation RDD, so
-        // whole-stage codegen Janino-compiles each sweep anew — on a
-        // SMALL graph that compile dwarfs evaluating a label-sized frame
-        // interpreted (the classic iterative-small-data tradeoff); a
-        // corpus-scale dup graph amortizes compiles over real data and
-        // keeps codegen
-        (if (nEdges <= 10000000L)
-          Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
+    val loopSession = LoopSession.forGraph(spark, nEdges)
     // plan truncation: each sweep composes `labels` into itself ~3×, so the
     // LOGICAL plan grows exponentially in sweep count (with a large upstream
     // plan — e.g. a kNN graph — sweep 10+ overflows the 2 GB plan-string

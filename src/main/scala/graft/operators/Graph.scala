@@ -213,9 +213,9 @@ object Graph {
     * sweeps equals the fixpoint whenever the peel converges within S,
     * since extra sweeps are no-ops). */
   def kCore(edges: DataFrame, k: Int, maxSweeps: Int = 20): DataFrame = {
-    val e0 = CacheOps.persistMaterialized(
+    val (e0, n) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long")))
-    try kCoreOn(e0, k, maxSweeps)
+    try kCoreOn(e0, k, maxSweeps, n)
     finally e0.unpersist(blocking = false)
   }
 
@@ -231,30 +231,17 @@ object Graph {
     * edge frame — callers that already hold the edges cached (the gate
     * derives its k from the same frame) avoid a second corpus-sized
     * cache of identical data. The caller owns e0's release. */
-  private[graft] def kCoreOn(e0: DataFrame, k: Int, maxSweeps: Int): DataFrame = {
+  private[graft] def kCoreOn(e0: DataFrame, k: Int, maxSweeps: Int,
+                             nEdges: Long = -1L): DataFrame = {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     require(maxSweeps >= 1, s"k-core needs maxSweeps >= 1, got $maxSweeps")
-    // Same loop-session recipe as labelPropagation/representatives
-    // (measured there): the peel's semi-joins + degree agg move
-    // alive-frame-sized data per sweep, and the session's corpus-scale
-    // shuffle width, AQE re-plans and fresh per-sweep codegen dominate
-    // small graphs. e0 is caller-persisted, so the count is a cache scan.
+    // Peel sweeps run in the shared right-sized loop session; callers
+    // that materialized e0 with a counted persist pass nEdges so the
+    // sizing doesn't pay a second (cache-scan) count job.
     val spark = e0.sparkSession
-    val nEdges = e0.count()
-    val sessionParts = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
-    val loopParts = math.max(1L,
-      math.min(sessionParts, nEdges / 1000000L + 1L))
-    val loopSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
-      spark, Map(
-        "spark.sql.shuffle.partitions" -> loopParts.toString,
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.join.preferSortMergeJoin" -> "false") ++
-        (if (nEdges <= 10000000L)
-          Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
-    val eLoop = org.apache.spark.sql.graftbridge.Bridge.rebind(
-      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(e0), loopSession)
+    val n = if (nEdges >= 0L) nEdges else e0.count()
+    val loopSession = LoopSession.forGraph(spark, n)
+    val eLoop = LoopSession.bindInto(e0, loopSession)
     def degrees(alive: Option[DataFrame]): DataFrame = {
       val ef = alive match {
         case None => eLoop
@@ -283,8 +270,10 @@ object Graph {
         alive.foreach(_.unpersist(blocking = true)); throw t
     }
     // the surviving frame already carries in-core degrees (computed
-    // against the converged alive set on the final no-op sweep)
-    alive.get
+    // against the converged alive set on the final no-op sweep); rebind
+    // to the CALLER session — the logical plan is unchanged, so the
+    // caller's unpersist() still matches the cache entry
+    org.apache.spark.sql.graftbridge.Bridge.rebind(alive.get, spark)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) in EXACT fixed-point
@@ -300,8 +289,12 @@ object Graph {
     * the true HITS iterate is scale-invariant, and the per-iteration
     * maximum is as replayable as a norm while staying integral.
     *
-    * Overflow bound: a node's summed score < in-degree · scale —
-    * at scale 10⁶, in-degrees to ~9·10¹² fit a long.
+    * Overflow bound — the BINDING constraint is the rescale's
+    * (sum · scale) product, i.e. max-degree · scale² < 2⁶³: at the
+    * default scale 10⁶ that is max in/out-degree ≲ 9.2·10⁶. The bound
+    * is ENFORCED per half-iteration against the collected maximum
+    * (a one-comparison check on a value already in hand — never a
+    * silent wrap); hub-heavier graphs lower `scale`.
     *
     * Scale shape: per iteration two keyed joins of the persisted edge
     * frame against nodes-sized score frames + two aggregations; the
@@ -322,26 +315,22 @@ object Graph {
         import spark.implicits._
         return Seq.empty[(Long, Long, Long)].toDF("id", "hub", "auth")
       }
-      val sessionParts = scala.util.Try(
-        spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
-      val loopParts = math.max(1L,
-        math.min(sessionParts, nEdges / 1000000L + 1L))
-      val loopSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
-        spark, Map(
-          "spark.sql.shuffle.partitions" -> loopParts.toString,
-          "spark.sql.adaptive.enabled" -> "false",
-          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-          "spark.sql.join.preferSortMergeJoin" -> "false") ++
-          (if (nEdges <= 10000000L)
-            Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
-      val e = org.apache.spark.sql.graftbridge.Bridge.rebind(
-        org.apache.spark.sql.graftbridge.Bridge.truncatePlan(e0), loopSession)
+      val loopSession = LoopSession.forGraph(spark, nEdges)
+      val e = LoopSession.bindInto(e0, loopSession)
       // the node universe feeds every iteration's rebuild — persist once
       // (the r12 PageRank lesson: lazy, it re-runs an edges-sized
-      // distinct per reference)
+      // distinct per reference); explode, not a union of two
+      // projections — the union scans the edge cache once per branch
       val nodes = CacheOps.persistMaterialized(
-        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
-          .distinct())
+        e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
+      // rescale guard: (max · scale) must fit a long — checked on the
+      // value each half-iteration already collects
+      def checkedMax(m: Long): Long = {
+        require(m <= Long.MaxValue / scale,
+          s"hits: summed score $m would overflow at scale $scale " +
+            s"(max-degree * scale^2 must stay below 2^63) — lower `scale`")
+        m
+      }
       try {
         var state = CacheOps.persistMaterialized(
           nodes.withColumn("h", lit(scale)).withColumn("a", lit(scale)))
@@ -354,7 +343,7 @@ object Graph {
                 .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar")))
             val next =
               try {
-                val amax = aRaw.agg(max(col("ar"))).head().getLong(0)
+                val amax = checkedMax(aRaw.agg(max(col("ar"))).head().getLong(0))
                 val aNew = nodes.join(aRaw, Seq("id"), "left")
                   .select(col("id"),
                     coalesce(expr(s"(ar * ${scale}L) DIV ${amax}L"), lit(0L)).as("a"))
@@ -363,7 +352,7 @@ object Graph {
                   e.join(aNew.select(col("id").as("dst"), col("a")), "dst")
                     .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr")))
                 try {
-                  val hmax = hRaw.agg(max(col("hr"))).head().getLong(0)
+                  val hmax = checkedMax(hRaw.agg(max(col("hr"))).head().getLong(0))
                   val hNew = nodes.join(hRaw, Seq("id"), "left")
                     .select(col("id"),
                       coalesce(expr(s"(hr * ${scale}L) DIV ${hmax}L"), lit(0L)).as("h"))
@@ -378,7 +367,14 @@ object Graph {
         } catch { // a mid-iteration failure must not strand the round
           case t: Throwable => state.unpersist(blocking = true); throw t
         }
-        state.select(col("id"), col("h").as("hub"), col("a").as("auth"))
+        // caller-session result whose persist the caller can release
+        // (see labelPropagation — same contract)
+        val out = CacheOps.persistMaterialized(
+          org.apache.spark.sql.graftbridge.Bridge.rebind(
+            state.select(col("id"), col("h").as("hub"), col("a").as("auth")),
+            spark))
+        state.unpersist(blocking = false)
+        out
       } finally nodes.unpersist(blocking = false)
     } finally e0.unpersist(blocking = false)
   }
@@ -427,28 +423,9 @@ object Graph {
           struct(col("a").as("node"), col("b").as("nbr")),
           struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
         .select(col("e.node").as("node"), col("e.nbr").as("nbr")))
-    // Right-size the sweep loop to the GRAPH (the representatives()
-    // recipe, measured there): label frames are nodes-sized, and at the
-    // session's corpus-scale shuffle width each sweep's stage-submission
-    // latency exceeds the data it moves; AQE's per-exchange re-plan and
-    // fresh whole-stage Janino compiles likewise dominate SMALL graphs.
-    // The width lives in a CLONED session — never a session-global conf
-    // flip — and a billion-edge graph keeps the caller's full width.
     val spark = edges.sparkSession
-    val sessionParts = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
-    val loopParts = math.max(1L,
-      math.min(sessionParts, nAdj / 1000000L + 1L))
-    val loopSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
-      spark, Map(
-        "spark.sql.shuffle.partitions" -> loopParts.toString,
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.join.preferSortMergeJoin" -> "false") ++
-        (if (nAdj <= 10000000L)
-          Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
-    val adj = org.apache.spark.sql.graftbridge.Bridge.rebind(
-      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(adjC), loopSession)
+    val loopSession = LoopSession.forGraph(spark, nAdj)
+    val adj = LoopSession.bindInto(adjC, loopSession)
     try {
       var labels = CacheOps.persistMaterialized(
         adj.select(col("node")).distinct().withColumn("lbl", col("node")))
@@ -470,7 +447,16 @@ object Graph {
       } catch { // a mid-sweep failure must not strand the round's cache
         case t: Throwable => labels.unpersist(blocking = true); throw t
       }
-      labels.select(col("node").as("id"), col("lbl").as("community"))
+      // hand back a CALLER-session frame (or downstream queries inherit
+      // the loop confs) whose persist the caller can actually release:
+      // the projection is persisted itself — an unpersist() on a select
+      // WRAPPER would miss the internal cache entry
+      val out = CacheOps.persistMaterialized(
+        org.apache.spark.sql.graftbridge.Bridge.rebind(
+          labels.select(col("node").as("id"), col("lbl").as("community")),
+          spark))
+      labels.unpersist(blocking = false)
+      out
     } finally adjC.unpersist(blocking = false)
   }
 

@@ -3899,7 +3899,7 @@ object DataOps {
     * on this fixture at every SF — probed to sweep 14; extra sweeps
     * past the fixpoint are no-ops on both sides). */
   def qKCore(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.operators.CacheOps.persistMaterialized(
+    val (e, nE) = graft.operators.CacheOps.persistMaterializedCounted(
       rareShingleEdges(Tables(spark, dir).documents)
         .select(col("a").cast("long"), col("b").cast("long")))
     try {
@@ -3914,7 +3914,8 @@ object DataOps {
       }
       val medianDeg = deg0.orderBy(col("deg"), col("id"))
         .limit(((n + 1) / 2).toInt).agg(max(col("deg"))).head().getLong(0)
-      Graph.kCoreOn(e, k = math.max(2L, medianDeg / 2).toInt, maxSweeps = 8)
+      Graph.kCoreOn(e, k = math.max(2L, medianDeg / 2).toInt, maxSweeps = 8,
+          nEdges = nE)
         .orderBy(col("id"))
     } finally e.unpersist(blocking = false)
   }
