@@ -315,7 +315,12 @@ object Graph {
         import spark.implicits._
         return Seq.empty[(Long, Long, Long)].toDF("id", "hub", "auth")
       }
-      val loopSession = LoopSession.forGraph(spark, nEdges)
+      // HITS exchanges the edge frame in every half-iteration's join —
+      // size the width to that edge traffic (codegen stays off at this
+      // scale: keeping it on was A/B-measured worse, per-sweep Janino
+      // compiles outweigh interpreting the joins)
+      val loopSession = LoopSession.forGraph(spark, nEdges,
+        rowsPerPartition = 100000L)
       val e = LoopSession.bindInto(e0, loopSession)
       // the node universe feeds every iteration's rebuild — persist once
       // (the r12 PageRank lesson: lazy, it re-runs an edges-sized
@@ -337,22 +342,30 @@ object Graph {
         try {
           var it = 0
           while (it < iterations) {
-            // authority half: pull hub mass along in-edges, rescale by max
-            val aRaw = CacheOps.persistMaterialized(
+            // authority half: pull hub mass along in-edges, rescale by
+            // max. The max action itself materializes the fresh persist
+            // (it scans every partition), so no separate count job —
+            // each half pays ONE job, not two.
+            def persistMax(df: DataFrame, c: String): (DataFrame, Long) = {
+              val p = df.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try (p, checkedMax(p.agg(max(col(c))).head().getLong(0)))
+              catch { case t: Throwable =>
+                p.unpersist(blocking = true); throw t }
+            }
+            val (aRaw, amax) = persistMax(
               e.join(state.select(col("id").as("src"), col("h")), "src")
-                .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar")))
+                .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar")), "ar")
             val next =
               try {
-                val amax = checkedMax(aRaw.agg(max(col("ar"))).head().getLong(0))
                 val aNew = nodes.join(aRaw, Seq("id"), "left")
                   .select(col("id"),
                     coalesce(expr(s"(ar * ${scale}L) DIV ${amax}L"), lit(0L)).as("a"))
                 // hub half: pull the fresh authority mass along out-edges
-                val hRaw = CacheOps.persistMaterialized(
+                val (hRaw, hmax) = persistMax(
                   e.join(aNew.select(col("id").as("dst"), col("a")), "dst")
-                    .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr")))
+                    .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr")), "hr")
                 try {
-                  val hmax = checkedMax(hRaw.agg(max(col("hr"))).head().getLong(0))
                   val hNew = nodes.join(hRaw, Seq("id"), "left")
                     .select(col("id"),
                       coalesce(expr(s"(hr * ${scale}L) DIV ${hmax}L"), lit(0L)).as("h"))

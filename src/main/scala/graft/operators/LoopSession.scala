@@ -25,11 +25,20 @@ import org.apache.spark.sql.graftbridge.Bridge
   * queries inherit the loop's single-partition/no-broadcast confs. */
 private[graft] object LoopSession {
 
-  def forGraph(spark: SparkSession, nEdgeRows: Long): SparkSession = {
+  /** `rowsPerPartition` sizes the loop width to what the sweeps MOVE:
+    * 1M for loops whose per-sweep traffic is nodes-sized (components,
+    * peel, label propagation), smaller for loops that exchange the edge
+    * frame every sweep (HITS). `codegenCutoff` disables whole-stage
+    * codegen below that many rows (per-sweep Janino compiles dwarf
+    * interpreting nodes-sized frames); pass 0 to always keep codegen —
+    * right when edge-sized joins run inside the loop. */
+  def forGraph(spark: SparkSession, nEdgeRows: Long,
+               rowsPerPartition: Long = 1000000L,
+               codegenCutoff: Long = 10000000L): SparkSession = {
     val sessionParts = scala.util.Try(
       spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
     val loopParts = math.max(1L,
-      math.min(sessionParts, nEdgeRows / 1000000L + 1L))
+      math.min(sessionParts, nEdgeRows / rowsPerPartition + 1L))
     Bridge.sessionWithConf(spark, Map(
       "spark.sql.shuffle.partitions" -> loopParts.toString,
       "spark.sql.adaptive.enabled" -> "false",
@@ -39,7 +48,7 @@ private[graft] object LoopSession {
       // neither
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.join.preferSortMergeJoin" -> "false") ++
-      (if (nEdgeRows <= 10000000L)
+      (if (nEdgeRows <= codegenCutoff)
         Map("spark.sql.codegen.wholeStage" -> "false") else Map.empty))
   }
 
