@@ -56,10 +56,21 @@ object Graph {
     // persist HASH-PARTITIONED ON src: deg's aggregation and all 5
     // iterations' edge joins then reuse the layout exchange-free — the
     // in-session analogue of the bucketed index (one up-front shuffle of
-    // the edge list buys 1+iterations exchange-free reads)
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
-      .persist(MEMORY_AND_DISK)
+    // the edge list buys 1+iterations exchange-free reads). The
+    // materializing count also sizes the loop session below.
+    val spark = edges.sparkSession
+    val (e0, nEdges) = CacheOps.persistMaterializedCounted(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .repartition(col("src")))
+    // The fixed-count rank loop runs in the shared right-sized cloned
+    // session like kCore/LPA/HITS (r13's A/B left it in the caller
+    // session; r14's re-run measured the move a ~35% win — AQE's
+    // per-exchange materialize-and-replan was the remaining cost, not
+    // the width). rebind, NOT truncate: the logical plan must stay
+    // identical so the shared CacheManager serves the src-partitioned
+    // persist exchange-free inside the loop.
+    val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
     // node set with outdeg embedded (null deg = sink), ONE shuffle: src
     // rows carry 1, dst rows carry null, and sum() skipping nulls makes
     // deg = outdeg for sources and null for pure sinks — exactly the
@@ -71,13 +82,13 @@ object Graph {
       .unionByName(e.select(col("dst").as("id"), lit(null).cast("long").as("c")))
       .groupBy(col("id")).agg(sum(col("c")).as("deg"))
       .persist(MEMORY_AND_DISK)
-    finishRanks(loopRanks(nd, ranks => {
+    finishRanks(spark, loopRanks(nd, ranks => {
       // map-side: deg rides the rank row, so no per-iteration deg join
       val contribs = ranks.filter(col("deg").isNotNull)
         .select(col("id").as("csrc"), expr("rank div deg").as("contrib"))
       e.join(contribs, e("src") === col("csrc"))
         .select(col("dst"), col("contrib"))
-    }, iterations, scale), Seq(e, nd))
+    }, iterations, scale), Seq(e0, nd))
   }
 
   /** The shared Pregel loop: per iteration `step` maps the (id, deg…,
@@ -132,10 +143,21 @@ object Graph {
   /** Materialize the composed loop and release the edges-sized caches:
     * the result's lineage references the edge frame `iterations` times, so
     * those caches must outlive the first (and only) evaluation — persist+
-    * count the node-sized ranks, THEN unpersist the inputs. */
-  private def finishRanks(ranks: DataFrame, release: Seq[DataFrame]): DataFrame =
-    try CacheOps.persistMaterialized(ranks)
-    finally release.foreach(_.unpersist(blocking = false))
+    * count the node-sized ranks, THEN unpersist the inputs. The ranks are
+    * rebound to the CALLER session first (the labelPropagation contract:
+    * loop-session confs must not leak into downstream queries, and the
+    * caller's unpersist() must match the cache entry). */
+  private def finishRanks(caller: org.apache.spark.sql.SparkSession,
+                          ranks: DataFrame, release: Seq[DataFrame]): DataFrame =
+    try {
+      // materialize under the LOOP session (ranks is loop-bound — the
+      // composed loop must execute at loop width, AQE off), THEN hand the
+      // caller a caller-session view of the SAME plan: the CacheManager is
+      // shared and keyed on the canonical plan, so the rebound frame is a
+      // cache hit and its unpersist() releases the entry
+      val p = CacheOps.persistMaterialized(ranks)
+      org.apache.spark.sql.graftbridge.Bridge.rebind(p, caller)
+    } finally release.foreach(_.unpersist(blocking = false))
 
   /** Persist the edge list as a table bucketed on `src`, out-degree
     * embedded per edge row — build ONCE, rank many (the graph analogue of
@@ -167,7 +189,7 @@ object Graph {
                         table: String, iterations: Int = 5,
                         scale: Long = 1000000L): DataFrame = {
     val (ranks, nd) = indexRankPlan(spark, table, iterations, scale)
-    finishRanks(ranks, Seq(nd))
+    finishRanks(spark, ranks, Seq(nd))
   }
 
   /** The composed (unmaterialized) loop plan over a [[buildEdgeIndex]]
@@ -540,17 +562,21 @@ object Graph {
 
   def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
                        scale: Long = 1000000L): DataFrame = {
-    // same layout discipline as [[pageRank]]: src-partitioned edge persist
-    // + single-shuffle (id, wsum) node frame (null wsum = sink)
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long"))
-      .repartition(col("src"))
-      .persist(MEMORY_AND_DISK)
+    // same layout + loop-session discipline as [[pageRank]]: src-
+    // partitioned edge persist + single-shuffle (id, wsum) node frame
+    // (null wsum = sink), fixed-count loop in the right-sized clone
+    val spark = edges.sparkSession
+    val (e0, nEdges) = CacheOps.persistMaterializedCounted(
+      edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+        .repartition(col("src")))
+    val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
     val nd = e.select(col("src").as("id"), col("w").as("c"))
       .unionByName(e.select(col("dst").as("id"), lit(null).cast("long").as("c")))
       .groupBy(col("id")).agg(sum(col("c")).as("wsum"))
       .persist(MEMORY_AND_DISK)
-    finishRanks(loopRanks(nd, ranks => {
+    finishRanks(spark, loopRanks(nd, ranks => {
       // per-edge (rank·w) div wsum happens on the routed edge row: carry
       // rank and wsum to the join, divide after multiplying by the edge w
       val r = ranks.filter(col("wsum").isNotNull)
@@ -558,6 +584,6 @@ object Graph {
           col("wsum").as("cwsum"))
       e.join(r, e("src") === col("csrc"))
         .select(col("dst"), expr("(crank * w) div cwsum").as("contrib"))
-    }, iterations, scale), Seq(e, nd))
+    }, iterations, scale), Seq(e0, nd))
   }
 }
