@@ -430,9 +430,10 @@ object Graph {
     * [[pageRank]] (centrality), [[triangleCounts]]/[[kCore]] (cohesion)
     * and the dedup connected components: topical clusters / link farms /
     * near-dup federations in similarity and host graphs. Input: canonical
-    * distinct undirected edges `(a, b)`; ids must be non-negative longs
-    * (the tie-break below negates labels). Returns (id, community) for
-    * every node in the edge list, community = a member node's id.
+    * distinct undirected edges `(a, b)`; any long ids, including negative
+    * or hashed ones (the tie-break negates the sweep's COUNT, never the
+    * label). Returns (id, community) for every node in the edge list,
+    * community = a member node's id.
     *
     * Determinism: plain LPA breaks ties randomly and updates
     * asynchronously — neither replays. Here every node starts as its own
@@ -470,11 +471,16 @@ object Graph {
           val counts = adj
             .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
             .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
-          // argmax(count, then smallest label): max over (c, -lbl) structs
+          // argmax(count, then smallest label): min over (-c, lbl)
+          // structs — the count is what gets negated (always safe: it is
+          // a positive aggregate this sweep just computed), never the
+          // label, so negative or hashed node ids order correctly and
+          // Long.MinValue cannot overflow (ADVICE r13; the old form
+          // negated lbl twice)
           val next = CacheOps.persistMaterialized(
             counts.groupBy(col("node"))
-              .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-              .select(col("node"), (-col("m.nl")).as("lbl")))
+              .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+              .select(col("node"), col("m.lbl").as("lbl")))
           labels.unpersist(blocking = false)
           labels = next
           sweep += 1

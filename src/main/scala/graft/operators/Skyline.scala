@@ -37,19 +37,45 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * bit-for-bit. */
 object Skyline {
 
+  /** `bucketWidth <= 0` (the default) derives the width from the
+    * observed x span so the driver-side bucket-max collect stays ≤ ~4096
+    * rows on ANY domain — ADVICE r13: the old fixed default of 64 was
+    * tuned for token-count-like x, and a wide-domain x (timestamps,
+    * hashes) made the collect proportional to the value range. An
+    * EXPLICIT width is honored but the implied bucket count is checked
+    * with a loud error instead of a silent driver OOM. The width never
+    * changes the answer — it only shapes the evaluation. */
   def paretoFront2(df: DataFrame, xCol: String, yCol: String,
-                   bucketWidth: Long = 64L): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+                   bucketWidth: Long = 0L): DataFrame = {
     val base = df
       .withColumn("__x", col(xCol).cast("bigint"))
       .withColumn("__y", col(yCol).cast("bigint"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
     // distinct-x groups; referenced by the bucket-max agg AND the exact
     // in-bucket pass — persist so the corpus collapse runs once
-    val g = base.groupBy(col("__x")).agg(max(col("__y")).as("__my"))
-      .withColumn("__bk", expr(s"__x DIV ${bucketWidth}L"))
+    val g0 = base.groupBy(col("__x")).agg(max(col("__y")).as("__my"))
       .persist(MEMORY_AND_DISK)
     try {
+      // one cheap agg over the persisted distinct-x groups sizes the
+      // buckets (and the materializing job the persist needs anyway)
+      val ext = g0.agg(min(col("__x")), max(col("__x"))).head()
+      val span = if (ext.isNullAt(0)) 0L
+        else math.subtractExact(ext.getLong(1), ext.getLong(0))
+      val width =
+        if (bucketWidth > 0) bucketWidth
+        else span / 4096L + 1L
+      require(span / width < (1L << 20),
+        s"paretoFront2: bucketWidth=$bucketWidth over an x span of $span " +
+          s"implies ${span / width + 1} driver-collected bucket maxima — " +
+          "widen the buckets (or leave bucketWidth unset to auto-size)")
+      paretoFront2Bucketed(df, base, g0, width)
+    } finally g0.unpersist(blocking = false)
+  }
+
+  private def paretoFront2Bucketed(df: DataFrame, base: DataFrame,
+                                   g0: DataFrame, bucketWidth: Long): DataFrame = {
+    val g = g0.withColumn("__bk", expr(s"__x DIV ${bucketWidth}L"))
+    locally {
       val bmax = g.groupBy(col("__bk")).agg(max(col("__my")).as("__bm"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
       // suffix max over strictly-higher buckets ("has" carries the
@@ -69,11 +95,11 @@ object Skyline {
           (!col("__has") || col("__my") > col("__suf")))
         .select(col("__x"), col("__my"))
       // frontier-sized by construction — broadcast keeps the corpus side
-      // exchange-free; materialize before g's cache goes away
+      // exchange-free; materialize before g0's cache goes away
       CacheOps.persistMaterialized(
         base.join(broadcast(front), Seq("__x"))
           .filter(col("__y") === col("__my"))
           .select(df.columns.map(col): _*))
-    } finally g.unpersist(blocking = false)
+    }
   }
 }

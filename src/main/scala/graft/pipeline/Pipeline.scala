@@ -565,7 +565,7 @@ object Pipeline {
         str("mass", ""),
         if (node.has("shards")) node.get("shards").asInt() else 16, dataType)
       case "pareto" => ParetoStep(str("x", "x"), str("y", "y"),
-        if (node.has("bucket_width")) node.get("bucket_width").asLong() else 64L,
+        if (node.has("bucket_width")) node.get("bucket_width").asLong() else 0L,
         dataType)
       case "layout" =>
         val keys = Option(node.get("by"))

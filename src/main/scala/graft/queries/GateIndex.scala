@@ -58,10 +58,24 @@ object GateIndex {
     acc
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Path-only component, independent of content: two datasets at
     * different paths NEVER share it, so the GC can scope deletions to
-    * "same family, same directory, different content". */
-  private def pathKey(dir: String): String =
+    * "same family, same directory, different content". Full 64 bits of
+    * an md5 (ADVICE r13: the previous 32-bit truncated String.hashCode
+    * put a cross-directory collision — i.e. one directory's GC deleting
+    * another's live index — at birthday reach for ~2^16 dirs; at 64 bits
+    * it is negligible). */
+  private def pathKey(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** The pre-r14 32-bit path component — matched ONLY to migrate this
+    * same directory's old-format tables into the GC's reach. */
+  private def legacyPathKey(dir: String): String =
     java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
 
   private val gcDone =
@@ -83,31 +97,47 @@ object GateIndex {
     // Derby-backed metastore costs real milliseconds, and a re-probe of
     // an unchanged dataset has nothing to collect
     if (!gcDone.add(current)) return current
-    // Collectable: a superseded generation of THIS directory, or a table
-    // in a pre-path-component legacy format (`family_<contentKey>` or the
-    // bare family name) — content keys are hex, so the `_p` marker is
-    // unambiguous and another directory's live `family_p<other>_…` index
-    // never matches either arm.
+    // Collectable: a superseded generation of THIS directory — under the
+    // current 64-bit path component or the pre-r14 32-bit one (migration
+    // arm, same-directory-scoped). The old `family_*`-wildcard legacy arm
+    // is GONE (ADVICE r13: it could reach tables this GC never created);
+    // every deletion is logged, and failures log loudly instead of
+    // silently swallowing (a GC that can't list the warehouse should say
+    // so, not pretend it collected).
     def stale(n: String): Boolean =
       (n.startsWith(s"${scope}_") && !n.startsWith(current)) ||
-        (n.startsWith(s"${family}_") && !n.startsWith(s"${family}_p")) ||
-        n == family
+        n.startsWith(s"${family}_p${legacyPathKey(dir)}_")
     try {
       // catalog entries from this or earlier sessions
       spark.catalog.listTables().collect()
         .map(_.name)
         .filter(stale)
-        .foreach(n => dropGateTable(spark, n))
-      // orphaned warehouse dirs no catalog knows (earlier JVMs)
+        .foreach { n =>
+          log.info(s"GateIndex GC: dropping superseded index table $n " +
+            s"(current generation: $current, data dir: $dir)")
+          dropGateTable(spark, n)
+        }
+      // orphaned warehouse dirs no catalog knows (earlier JVMs). Scoped
+      // by the same 64-bit (family, path) component as the catalog sweep,
+      // so only directories THIS gate family minted for THIS data dir are
+      // reachable — a co-tenant application's tables can't match.
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) {
         fs.listStatus(wh).foreach { st =>
-          if (stale(st.getPath.getName)) fs.delete(st.getPath, true)
+          if (stale(st.getPath.getName)) {
+            log.info(s"GateIndex GC: deleting orphaned warehouse dir " +
+              s"${st.getPath} (current generation: $current)")
+            fs.delete(st.getPath, true)
+          }
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"GateIndex GC for $current failed (superseded index " +
+          s"generations may accumulate until a later sweep succeeds)", e)
+    }
     current
   }
 

@@ -6,13 +6,35 @@ package graft.queries
   * the data must outlive the gate call (Verify writes the frame after the
   * gate returns) but must not outlive the process. Without this, every
   * bench/verify invocation strands corpus-sized parquet copies under /tmp
-  * until the disk fills. */
+  * until the disk fills.
+  *
+  * ONE static shutdown hook over a concurrent path registry (ADVICE r13:
+  * a hook per create() grew an unbounded unremovable hook set in
+  * long-lived sessions), plus [[release]] for callers that know the
+  * staged data is consumed — the bench's repeated roundtrip gates can
+  * then return the disk mid-process instead of at exit. */
 object TempDirs {
+
+  private val registry =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  // registered once, on first use; deletes whatever is still registered
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    registry.forEach(p => deleteRecursively(p))
+    registry.clear()
+  }))
 
   def create(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    registry.add(p)
     p.toString
+  }
+
+  /** Delete a staged directory NOW and drop it from the exit registry —
+    * call only when every lazy frame over the staged files is consumed. */
+  def release(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (registry.remove(p)) deleteRecursively(p)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

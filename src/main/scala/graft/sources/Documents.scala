@@ -262,7 +262,67 @@ object Avro {
         buf
       }
     }
-    spark.read.json(lines)
+    // Parse with the schema the container files DECLARE (one driver-side
+    // header read of the first part file) instead of re-inferring from
+    // the JSON rendering: inference types double NaN/±Infinity tokens as
+    // strings, silently degrading such rows (ADVICE r13) — a declared
+    // DoubleType plus allowNonNumericNumbers accepts exactly the bare
+    // tokens GenericData emits. Files written by other producers with
+    // richer schemas still parse: unmapped avro branches fall back to
+    // inference.
+    declaredSchema(spark, path) match {
+      case Some(st) => spark.read.schema(st)
+        .option("allowNonNumericNumbers", "true").json(lines)
+      case None => spark.read
+        .option("allowNonNumericNumbers", "true").json(lines)
+    }
+  }
+
+  /** The Spark schema declared by the first Avro container file under
+    * `path` (a header-only driver read, metadata-sized) — None when no
+    * file exists or the schema uses branches outside this codec's
+    * write surface. */
+  private def declaredSchema(spark: SparkSession,
+                             path: String): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val first = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+      .sortBy(_.getName).headOption
+    first.flatMap { f =>
+      val in = fs.open(f)
+      val avro =
+        try {
+          val s = new org.apache.avro.file.DataFileStream(
+            in, new GenericDatumReader[GenericRecord]())
+          try s.getSchema finally s.close()
+        } catch { case scala.util.control.NonFatal(_) => in.close(); return None }
+      def branch(s: Schema): Option[DataType] = s.getType match {
+        case Schema.Type.STRING => Some(StringType)
+        case Schema.Type.LONG => Some(LongType)
+        case Schema.Type.INT => Some(IntegerType)
+        case Schema.Type.DOUBLE => Some(DoubleType)
+        case Schema.Type.FLOAT => Some(FloatType)
+        case Schema.Type.BOOLEAN => Some(BooleanType)
+        case Schema.Type.UNION =>
+          import scala.jdk.CollectionConverters._
+          s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toList match {
+            case one :: Nil => branch(one)
+            case _ => None
+          }
+        case _ => None
+      }
+      if (avro.getType != Schema.Type.RECORD) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val fields = avro.getFields.asScala.map { fld =>
+          branch(fld.schema()).map(dt => StructField(fld.name(), dt))
+        }
+        if (fields.exists(_.isEmpty)) None
+        else Some(StructType(fields.map(_.get).toArray))
+      }
+    }
   }
 
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {

@@ -14,6 +14,15 @@ class GateIndexSpec extends AnyFunSuite {
   private def tmpDir(): java.nio.file.Path =
     Files.createTempDirectory("gateindex")
 
+  test("TempDirs.release deletes a staged dir now; double release is a no-op") {
+    val d = graft.queries.TempDirs.create("graft_tempdirs_spec")
+    Files.write(Paths.get(d, "x.bin"), Array[Byte](1, 2))
+    assert(Files.exists(Paths.get(d)))
+    graft.queries.TempDirs.release(d)
+    assert(!Files.exists(Paths.get(d)), "release must delete immediately")
+    graft.queries.TempDirs.release(d) // unregistered: must not throw
+  }
+
   test("dirKey is stable across calls when the directory is unchanged") {
     val d = tmpDir()
     Files.write(d.resolve("a.parquet"), Array[Byte](1, 2, 3))
@@ -102,30 +111,40 @@ class GateIndexSpec extends AnyFunSuite {
     GateIndex.dropGateTable(spark, p3)
   }
 
-  test("gatePrefix sweeps legacy pre-path-component table formats") {
-    // Before the per-directory scope, tables were named family_<contentKey>
-    // (or the bare family name, earlier still). The new GC filter is keyed
-    // to family_p<pathKey>_, so without an explicit legacy arm those
-    // orphans would survive every sweep forever.
+  test("gatePrefix GC never reaches name-coincident tables it didn't mint") {
+    // ADVICE r13: the old legacy arm swept ANY `family_*` table, which
+    // could destroy a user/other-application table that merely shares the
+    // name prefix. The GC's reach is now exactly `family_p<64-bit path
+    // key>_…` (current format) plus `family_p<32-bit legacy key>_…` for
+    // the SAME directory (migration) — everything else survives.
     val spark = SparkSpec.session
     import spark.implicits._
     val d = tmpDir()
     Files.write(d.resolve("a.parquet"), Array[Byte](4, 2))
     val fam = "graft_gc_legacy_gate"
-    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(fam) // bare-family era
-    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(s"${fam}_ffffffffcafe1234")
-    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(s"${fam}_ffffffffcafe1234_sets")
+    def mk(n: String): Unit = {
+      GateIndex.dropGateTable(spark, n) // clear strays from earlier JVMs
+      Seq((1L, "x")).toDF("id", "v").write.saveAsTable(n)
+    }
+    mk(fam)                           // bare name: NOT ours to delete
+    mk(s"${fam}_ffffffffcafe1234")    // content-only era name: untouched
+    // pre-r14 32-bit path component for THIS directory: migrated (swept)
+    val legacy32 = java.lang.Long.toHexString(d.toString.hashCode.toLong & 0xffffffffL)
+    mk(s"${fam}_p${legacy32}_deadbeef")
     val cur = GateIndex.gatePrefix(spark, fam, d.toString)
-    assert(!spark.catalog.tableExists(fam), "bare legacy table must be swept")
-    assert(!spark.catalog.tableExists(s"${fam}_ffffffffcafe1234"),
-      "content-only legacy key must be swept")
-    assert(!spark.catalog.tableExists(s"${fam}_ffffffffcafe1234_sets"),
-      "legacy suffixed tables must be swept too")
-    // and the current-format name itself is of course not legacy
+    assert(spark.catalog.tableExists(fam),
+      "a bare name-coincident table must survive the GC")
+    assert(spark.catalog.tableExists(s"${fam}_ffffffffcafe1234"),
+      "a content-only-era name must survive the GC")
+    assert(!spark.catalog.tableExists(s"${fam}_p${legacy32}_deadbeef"),
+      "this directory's own pre-r14 32-bit-keyed index must be migrated")
+    // a superseded generation of the current format is of course swept
     Seq((1L, "x")).toDF("id", "v").write.saveAsTable(cur)
     Files.write(d.resolve("b.parquet"), Array[Byte](7))
     val cur2 = GateIndex.gatePrefix(spark, fam, d.toString)
     assert(cur2 != cur && !spark.catalog.tableExists(cur))
     GateIndex.dropGateTable(spark, cur2)
+    GateIndex.dropGateTable(spark, fam)
+    GateIndex.dropGateTable(spark, s"${fam}_ffffffffcafe1234")
   }
 }

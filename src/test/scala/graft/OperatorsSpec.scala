@@ -1600,6 +1600,27 @@ class OperatorsSpec extends SparkSpec {
     assert(run(Seq((9L, 3L)).toDF("a", "b"), 2) == Map(9L->9L, 3L->3L))
   }
 
+  test("label propagation: negative / hashed ids get the same communities") {
+    // the tie-break negates the sweep count, never the label, so ids may
+    // be any long — including Long.MinValue, which would overflow under
+    // label negation (ADVICE r13). Shift-equivariance proves it: shifting
+    // every id by a constant must shift every community label identically.
+    val base = Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L))
+    def run(pairs: Seq[(Long, Long)]) =
+      Graph.labelPropagation(pairs.toDF("a", "b"), sweeps = 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pos = run(base)
+    val shifted = run(base.map { case (a, b) => (a - 10L, b - 10L) })
+    assert(shifted == pos.map { case (k, v) => (k - 10L, v - 10L) },
+      s"negative-id run diverged: $shifted vs $pos")
+    // Long.MinValue as a node id: the old negation overflowed; now it is
+    // just the smallest label and wins its ties
+    val extreme = run(Seq((Long.MinValue, 7L), (7L, 8L), (Long.MinValue, 8L)))
+    assert(extreme.keySet == Set(Long.MinValue, 7L, 8L))
+    assert(extreme.values.toSet == Set(Long.MinValue),
+      s"triangle must converge to the smallest label: $extreme")
+  }
+
   test("hits: integer hub/authority chain matches the hand replay exactly") {
     // 1->2, 1->4, 3->4: node 1 is the strong hub (spans both
     // authorities), 4 the strong authority (two in-edges). Hand replay

@@ -124,6 +124,22 @@ tab	end"""), Some(1.5), Some(true)),
       (3L, Some("plain"), Some(-0.25), None)))
   }
 
+  test("avro document roundtrips non-finite doubles (NaN, ±Infinity)") {
+    // GenericData renders these as bare NaN/Infinity tokens; the read
+    // side must accept them instead of degrading the row to nulls
+    val dir = tmp("avro_nan") + "/data"
+    val df = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 2.5)).toDF("id", "x")
+    Documents.write(df, "avro", dir)
+    val back = Documents.read(spark, "avro", dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("x")))
+    assert(back.length == 4, s"all rows must survive, got ${back.mkString(",")}")
+    assert(back(0)._2.isNaN)
+    assert(back(1)._2 == Double.PositiveInfinity)
+    assert(back(2)._2 == Double.NegativeInfinity)
+    assert(back(3)._2 == 2.5)
+  }
+
   test("avro document rejects unsupported column types up front") {
     val dir = tmp("avro_bad") + "/data"
     val df = Seq((1L, Seq(1, 2))).toDF("id", "xs")
@@ -145,8 +161,11 @@ tab	end"""), Some(1.5), Some(true)),
     val dir = tmp("avro_sb") + "/data"
     val df = Seq((1L, 7.toShort, 3.toByte)).toDF("id", "s", "b")
     Documents.write(df, "avro", dir)
+    // the read honors the container's DECLARED schema (short/byte ride
+    // the INT branch, id the LONG branch) — no inference widening
     val back = Documents.read(spark, "avro", dir).collect().head
-    assert(back.getAs[Long]("s") == 7L && back.getAs[Long]("b") == 3L)
+    assert(back.getAs[Long]("id") == 1L)
+    assert(back.getAs[Int]("s") == 7 && back.getAs[Int]("b") == 3)
   }
 
   test("xml document roundtrip") {
