@@ -501,6 +501,134 @@ object Graph {
     } finally adjC.unpersist(blocking = false)
   }
 
+  /** Single-/multi-source shortest paths by synchronous integer
+    * min-relaxation (Bellman-Ford sweeps; with unit weights this IS the
+    * BFS depth layer — crawl-depth maps, link-distance features next to
+    * [[pageRank]]'s centrality). Input: `edges(src, dst[, w])` — a
+    * missing `w` column means unit weights; weights must be NON-NEGATIVE
+    * longs (enforced: a negative weight breaks the min-relaxation's
+    * monotone fixpoint). `sources(id)` seeds distance 0. Returns
+    * (id, dist) for every node REACHED within `sweeps` relaxations —
+    * exact longs, so any engine replays the frontier bit-for-bit.
+    *
+    * Fixed sweep count, not run-to-convergence: a sweep-S state equals
+    * the true fixpoint whenever every shortest path from the sources has
+    * ≤ S edges (post-fixpoint sweeps are no-ops), and the fixed bound
+    * keeps SQL-oracle parity — an unrolled replay computes the identical
+    * state, converged or not (the kCore / labelPropagation lesson).
+    *
+    * Scale shape: the loopRanks trick, flipped to min — a ZERO-WEIGHT
+    * SELF-LOOP per node rides the persisted edge frame, so each sweep is
+    * ONE keyed join of edges against the frontier-sized distance frame
+    * plus ONE min-aggregation by dst (the self-loop carries a node's own
+    * distance into the min, making the relaxation monotone without a
+    * second reference to the distance frame — the plan stays COMPOSED
+    * and linear across sweeps, one action total). The distance frame
+    * only ever holds REACHED nodes, so early sweeps move frontier-sized
+    * data, not graph-sized. Runs in the right-sized cloned loop session
+    * like the rank loops. A source absent from the edge list has no
+    * self-loop and is dropped (it reaches nothing, nothing reaches it). */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    sweeps: Int = 8): DataFrame = {
+    require(sweeps >= 1, s"shortestPaths needs sweeps >= 1, got $sweeps")
+    val spark = edges.sparkSession
+    val weighted =
+      if (edges.columns.contains("w"))
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("long"))
+      else
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+          lit(1L).as("w"))
+    // the non-negativity contract rides the one materializing pass the
+    // persist pays anyway (the triangleCounts enforcement pattern)
+    val checked = weighted.select(col("src"), col("dst"),
+        assert_true(col("w") >= 0L,
+          lit("shortestPaths: edge weights must be non-negative " +
+            "(min-relaxation has no fixpoint under negative weights)"))
+          .as("__ck"), col("w"))
+      .filter(col("__ck").isNull).drop("__ck")
+    // self-loops: one zero-weight edge per node carries each reached
+    // node's own distance through every sweep's min-aggregation
+    val (e0, nEdges) = CacheOps.persistMaterializedCounted(
+      checked.unionByName(
+        checked.select(explode(array(col("src"), col("dst"))).as("src"))
+          .distinct()
+          .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
+        .repartition(col("src")))
+    val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
+    var d = org.apache.spark.sql.graftbridge.Bridge.rebind(
+      sources.select(col("id").cast("long")).distinct()
+        .withColumn("dist", lit(0L)), loop)
+    for (_ <- 0 until sweeps) {
+      d = e.join(d.select(col("id").as("src"), col("dist")), "src")
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+        .select(col("dst").as("id"), col("dist"))
+    }
+    finishRanks(spark, d, Seq(e0))
+  }
+
+  /** Newman-Girvan modularity of a community assignment over an
+    * undirected graph — the graded quality signal for
+    * [[labelPropagation]]'s output (and a degeneracy cross-check: a
+    * labeling that merged everything, or split every node out, scores
+    * ~0). Q = Σ_c [ m_c/m − (d_c/2m)² ] with m = |edges|, m_c =
+    * intra-community edges, d_c = the community's total degree; here
+    * each community's contribution is carried as the EXACT integer
+    * numerator over the common denominator 4m²:
+    * q_num = 4·m·m_c − d_c², q = q_num / (4m²) — one IEEE division of
+    * two exact longs, so the doubles are bit-exact cross-engine.
+    * Overflow bound (enforced on the 1-row edge count): m < 1.5·10⁹
+    * keeps 4m² inside a long — beyond that, scale by sampling or carry
+    * the rational in two columns.
+    *
+    * Input: canonical distinct edges `(a, b)` (no self-loops, a ≠ b) and
+    * `labels(id, community)` covering the edge list's nodes (unlabeled
+    * endpoints drop from both the degree and intra-edge sums — inner
+    * joins, documented). Returns one row per community:
+    * (community, n_nodes, deg_sum, internal_edges, q_num, q).
+    *
+    * Scale shape: two keyed joins of the edge frame against the
+    * nodes-sized label frame, two keyed aggregations, and a broadcast of
+    * the 1-row global (m) — nothing collected, no windows. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e0 = CacheOps.persistMaterialized(
+      edges.select(col("a").cast("long"), col("b").cast("long")))
+    val lab = labels.select(col("id").cast("long"),
+      col("community").cast("long")).persist(MEMORY_AND_DISK)
+    try {
+      val m = e0.agg(count(lit(1)).as("m"))
+        .select(assert_true(col("m") < 1500000000L,
+            lit("modularity: 4*m^2 must fit a long — m < 1.5e9")).as("__ck"),
+          col("m"))
+        .filter(col("__ck").isNull).drop("__ck")
+      val dsum = degreeFrame(e0).join(lab, "id")
+        .groupBy(col("community"))
+        .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+      val intra = e0
+        .join(lab.select(col("id").as("a"), col("community").as("ca")), "a")
+        .join(lab.select(col("id").as("b"), col("community").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("internal_edges"))
+      CacheOps.persistMaterialized(
+        dsum.join(intra, Seq("community"), "left")
+          .na.fill(0L, Seq("internal_edges"))
+          .crossJoin(broadcast(m))
+          .select(col("community"), col("n_nodes"), col("deg_sum"),
+            col("internal_edges"),
+            (lit(4L) * col("m") * col("internal_edges") -
+              col("deg_sum") * col("deg_sum")).as("q_num"),
+            ((lit(4L) * col("m") * col("internal_edges") -
+              col("deg_sum") * col("deg_sum")).cast("double") /
+              (lit(4L) * col("m") * col("m")).cast("double")).as("q")))
+    } finally {
+      e0.unpersist(blocking = false)
+      lab.unpersist(blocking = false)
+    }
+  }
+
   /** Weighted PageRank over `edges(src, dst, w)` — interaction STRENGTH
     * (order counts, link multiplicity) steers the walk: each edge carries
     * contrib = (rank·w) div Σw(src), the per-edge integer division making

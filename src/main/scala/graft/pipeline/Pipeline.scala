@@ -104,6 +104,21 @@ object Pipeline {
     * with (id, community). */
   final case class CommunitiesStep(srcCol: String, dstCol: String,
                                    sweeps: Int, dataType: String) extends Step
+  /** BFS / shortest-path depth layer over an edge-list flow
+    * ([[graft.operators.Graph.shortestPaths]]): distances from `seeds`
+    * (explicit ids; empty = the minimum node id). An optional weight
+    * column makes it weighted SSSP; `symmetric` unions reversed edges.
+    * Replaces the flow with (id, dist) for reached nodes. */
+  final case class SsspStep(srcCol: String, dstCol: String, wCol: String,
+                            seeds: Seq[Long], sweeps: Int,
+                            symmetric: Boolean, dataType: String) extends Step
+  /** Label-propagation communities + modularity scoring in one step
+    * ([[graft.operators.Graph.modularity]] over
+    * [[graft.operators.Graph.labelPropagation]]): replaces the flow with
+    * one row per community (community, n_nodes, deg_sum, internal_edges,
+    * q_num, q) — the graded quality/degeneracy signal. */
+  final case class ModularityStep(srcCol: String, dstCol: String,
+                                  sweeps: Int, dataType: String) extends Step
   /** Token-budget sampling (`sample` with a `budget` key): keep the
     * maximal hash-ordered prefix of each source whose cumulative token
     * count stays within budget — "N tokens per source". */
@@ -538,6 +553,17 @@ object Pipeline {
           str("output", "w"), dataType)
       case "triangle" => TriangleStep(str("src", "src"), str("dst", "dst"), dataType)
       case "communities" => CommunitiesStep(str("src", "src"), str("dst", "dst"),
+        if (node.has("sweeps")) node.get("sweeps").asInt() else 4, dataType)
+      case "sssp" => SsspStep(str("src", "src"), str("dst", "dst"),
+        str("weight", ""),
+        seeds = if (node.has("seeds")) {
+          import scala.jdk.CollectionConverters._
+          node.get("seeds").elements().asScala.map(_.asLong()).toSeq
+        } else Seq.empty,
+        sweeps = if (node.has("sweeps")) node.get("sweeps").asInt() else 8,
+        symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
+        dataType)
+      case "modularity" => ModularityStep(str("src", "src"), str("dst", "dst"),
         if (node.has("sweeps")) node.get("sweeps").asInt() else 4, dataType)
       case "kcore" => KCoreStep(str("src", "src"), str("dst", "dst"),
         k = if (node.has("k")) node.get("k").asInt() else 2,
@@ -1094,6 +1120,43 @@ object Pipeline {
                 greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
               .filter(col("a") < col("b")).distinct()
             flow.updated(dt, graft.operators.Graph.labelPropagation(e, sweeps))
+          }.getOrElse(flow)
+        case SsspStep(src, dst, w, seeds, sweeps, symmetric, dt) =>
+          flow(dt).map { df =>
+            val spark = df.sparkSession
+            val fwd =
+              if (w.nonEmpty)
+                df.select(col(src).cast("long").as("src"),
+                  col(dst).cast("long").as("dst"), col(w).cast("long").as("w"))
+              else df.select(col(src).cast("long").as("src"),
+                col(dst).cast("long").as("dst"))
+            val edges = if (symmetric)
+              fwd.unionByName(
+                if (w.nonEmpty)
+                  fwd.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+                else fwd.select(col("dst").as("src"), col("src").as("dst")))
+            else fwd
+            val seedDf =
+              if (seeds.nonEmpty) {
+                import spark.implicits._
+                seeds.toDF("id")
+              } else edges.agg(min(col("src")).as("id"))
+            flow.updated(dt,
+              graft.operators.Graph.shortestPaths(edges, seedDf, sweeps))
+          }.getOrElse(flow)
+        case ModularityStep(src, dst, sweeps, dt) =>
+          flow(dt).map { df =>
+            val e = graft.operators.CacheOps.persistMaterialized(
+              df.select(
+                  least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+                  greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+                .filter(col("a") < col("b")).distinct())
+            val labels = graft.operators.Graph.labelPropagation(e, sweeps)
+            try flow.updated(dt, graft.operators.Graph.modularity(e, labels))
+            finally {
+              e.unpersist(blocking = false)
+              labels.unpersist(blocking = false)
+            }
           }.getOrElse(flow)
         case WeightedSampleStep(group, id, weight, k, dt) =>
           flow(dt).map { df =>

@@ -3808,6 +3808,43 @@ object DataOps {
         col("rank"))
   }
 
+  /** BFS depth layer over the symmetric trading graph
+    * ([[Graph.shortestPaths]] with unit weights) from the minimum
+    * customer node — link-distance features beside the centrality gates.
+    * 6 fixed relaxation sweeps; the oracle unrolls the identical 6
+    * frontier expansions (the fixed-sweep ≡ fixpoint discipline). The
+    * seed derives from the orders table alone (min custkey; every order
+    * has lineitems, so that customer is in the graph) — one cheap
+    * single-column scan instead of a second pass over the join. */
+  def qSssp(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val src = t.orders.agg((min(col("o_custkey")) * 2).cast("long").as("id"))
+    Graph.shortestPaths(bothDirections(pairs), src, sweeps = 6)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("dist"))
+  }
+
+  val qSsspSql: String = {
+    val step = (i: Int, prev: Int) =>
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS id, min(s.dist + e.w) AS dist
+         |  FROM s$prev s JOIN e ON e.src = s.id GROUP BY 1)""".stripMargin
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, CAST(1 AS BIGINT) AS w FROM p
+       |  UNION ALL SELECT b, a, CAST(1 AS BIGINT) FROM p
+       |  UNION ALL SELECT id, id, CAST(0 AS BIGINT)
+       |    FROM (SELECT a AS id FROM p UNION SELECT b FROM p)),
+       |s0 AS MATERIALIZED (SELECT CAST(min(o_custkey) * 2 AS BIGINT) AS id,
+       |                           CAST(0 AS BIGINT) AS dist FROM orders),
+       |${(1 to 6).map(i => step(i, i - 1)).mkString(",\n")}
+       |SELECT id % 2 AS kind, id // 2 AS key, dist FROM s6""".stripMargin
+  }
+
   val qPagerankSql: String = {
     val step = (i: Int, prev: Int) =>
       s"""r$i AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS rank
@@ -3992,10 +4029,14 @@ object DataOps {
       rareShingleEdges(Tables(spark, dir).documents)
         .select(col("a").cast("long"), col("b").cast("long")), sweeps = 4)
 
-  val qCommunitiesSql: String = {
-    // each sweep: count neighbor labels, keep the most frequent with
-    // ties to the smallest label. MATERIALIZED per step (the k-core
-    // oracle lesson: inlined CTE chains re-evaluate exponentially).
+  /** The rare-shingle edge list + 4 unrolled LPA sweeps as a WITH-body
+    * prefix (ending at CTE `l4`) — shared by the q_communities and
+    * q_modularity oracles so the labeling both gates score is ONE
+    * definition. Each sweep: count neighbor labels, keep the most
+    * frequent with ties to the smallest label. MATERIALIZED per step
+    * (the k-core oracle lesson: inlined CTE chains re-evaluate
+    * exponentially). */
+  private val communitiesCtePrefix: String = {
     val step = (i: Int, prev: Int) =>
       s"""l$i AS MATERIALIZED (SELECT node, lbl FROM (
          |  SELECT adj.node, l.lbl, count(*) AS c,
@@ -4004,13 +4045,58 @@ object DataOps {
          |  FROM adj JOIN l$prev l ON adj.nbr = l.node
          |  GROUP BY adj.node, l.lbl)
          |WHERE rn = 1)""".stripMargin
-    s"""WITH $rareShingleEdgeCte,
+    s"""$rareShingleEdgeCte,
        |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
        |  UNION ALL SELECT b, a FROM p),
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
-       |${(1 to 4).map(i => step(i, i - 1)).mkString(",\n")}
-       |SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin
+       |${(1 to 4).map(i => step(i, i - 1)).mkString(",\n")}""".stripMargin
   }
+
+  val qCommunitiesSql: String =
+    s"""WITH $communitiesCtePrefix
+       |SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin
+
+  /** Modularity scoring of the rare-shingle LPA labeling
+    * ([[Graph.modularity]] over [[Graph.labelPropagation]]'s output) —
+    * the graded quality signal on top of q_communities, and a degeneracy
+    * cross-check: all-merged or all-singleton labelings score ≤ 0. The
+    * edge frame is computed ONCE (persisted) and feeds both the sweeps
+    * and the scoring; the oracle replays the identical 4 sweeps through
+    * the shared CTE prefix, then the exact integer contribution algebra
+    * q_num = 4·m·m_c − d_c² and ONE IEEE division for q. */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.CacheOps.persistMaterialized(
+      rareShingleEdges(Tables(spark, dir).documents)
+        .select(col("a").cast("long"), col("b").cast("long")))
+    val labels = Graph.labelPropagation(e, sweeps = 4)
+    try Graph.modularity(e, labels)
+    finally {
+      e.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+    }
+  }
+
+  val qModularitySql: String =
+    s"""WITH $communitiesCtePrefix,
+       |lab AS MATERIALIZED (SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |        FROM (SELECT a AS id FROM p UNION ALL SELECT b FROM p)
+       |        GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+       |ds AS (SELECT community, CAST(sum(deg) AS BIGINT) AS deg_sum,
+       |              CAST(count(*) AS BIGINT) AS n_nodes
+       |       FROM deg JOIN lab USING (id) GROUP BY 1),
+       |ie AS (SELECT la.community, CAST(count(*) AS BIGINT) AS internal_edges
+       |       FROM p JOIN lab la ON p.a = la.id JOIN lab lb ON p.b = lb.id
+       |       WHERE la.community = lb.community GROUP BY 1)
+       |SELECT ds.community, ds.n_nodes, ds.deg_sum,
+       |  CAST(COALESCE(ie.internal_edges, 0) AS BIGINT) AS internal_edges,
+       |  CAST(4 * m.m * COALESCE(ie.internal_edges, 0)
+       |    - ds.deg_sum * ds.deg_sum AS BIGINT) AS q_num,
+       |  CAST(4 * m.m * COALESCE(ie.internal_edges, 0)
+       |    - ds.deg_sum * ds.deg_sum AS DOUBLE)
+       |    / CAST(4 * m.m * m.m AS DOUBLE) AS q
+       |FROM ds LEFT JOIN ie USING (community), m""".stripMargin
 
   val qTriangleCountSql: String =
     s"""WITH $rareShingleEdgeCte,
@@ -4535,6 +4621,8 @@ object DataOps {
     "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))),
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
+    "q_modularity"     -> ((qModularity _, Some(qModularitySql))),
+    "q_sssp"           -> ((qSssp _, Some(qSsspSql))),
     "q_hits"           -> ((qHits _, Some(qHitsSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),

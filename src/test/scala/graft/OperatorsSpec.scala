@@ -1621,6 +1621,61 @@ class OperatorsSpec extends SparkSpec {
       s"triangle must converge to the smallest label: $extreme")
   }
 
+  test("shortest paths: weighted hand replay, BFS depths, fixed-sweep determinism") {
+    // weighted digraph: 1->2 (5), 1->3 (1), 3->2 (1), 2->4 (1), 3->5 (10)
+    // from source 1: d(1)=0, d(3)=1, d(2)=2 (via 3, not the direct 5),
+    // d(4)=3, d(5)=11
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L),
+      (3L, 5L, 10L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("id")
+    def run(edges: org.apache.spark.sql.DataFrame, s: Int) =
+      Graph.shortestPaths(edges, src, sweeps = s).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(e, 8) == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 3L, 5L -> 11L))
+    // sweep-limited state is exact too: after 1 sweep only direct edges
+    assert(run(e, 1) == Map(1L -> 0L, 2L -> 5L, 3L -> 1L))
+    // missing w column = unit weights = BFS depth; partitioning-stable
+    val bfs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val d8 = Graph.shortestPaths(bfs, src, sweeps = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d8 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    val rep = Graph.shortestPaths(bfs.repartition(7), src, sweeps = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == d8, "partitioning must not change distances")
+    // a source absent from the graph reaches nothing and is dropped
+    assert(Graph.shortestPaths(bfs, Seq(99L).toDF("id"), 4).count() == 0)
+    // negative weights are rejected loudly, not silently non-convergent
+    val neg = intercept[Exception] {
+      Graph.shortestPaths(Seq((1L, 2L, -1L)).toDF("src", "dst", "w"), src, 2)
+        .count()
+    }
+    assert(neg.getMessage.contains("non-negative"), s"wrong error: $neg")
+  }
+
+  test("modularity: two cliques with a bridge match the hand computation") {
+    // cliques {1,2,3} and {4,5,6} + bridge 3-4: m = 7 edges
+    // community A = {1,2,3}: m_A = 3, d_A = 2+2+3 = 7 -> q_num = 4*7*3-49 = 35
+    // community B = {4,5,6}: same by symmetry; q = 35/196
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "community")
+    val rows = Graph.modularity(edges, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows(1L) == ((3L, 7L, 3L, 35L, 35.0 / 196.0)))
+    assert(rows(4L) == ((3L, 7L, 3L, 35L, 35.0 / 196.0)))
+    // degenerate labelings score 0 or worse: everything in one community
+    val one = Graph.modularity(edges,
+      labels.select(col("id"), lit(1L).as("community"))).collect()
+    assert(one.length == 1 && one.head.getLong(4) == 0L,
+      "single-community q_num must be exactly 0 (4m*m - (2m)^2)")
+    // every node alone: no internal edges, strictly negative
+    val solo = Graph.modularity(edges,
+      labels.select(col("id"), col("id").as("community"))).collect()
+    assert(solo.forall(_.getLong(4) < 0L))
+  }
+
   test("hits: integer hub/authority chain matches the hand replay exactly") {
     // 1->2, 1->4, 3->4: node 1 is the strong hub (spans both
     // authorities), 4 the strong authority (two in-edges). Hand replay

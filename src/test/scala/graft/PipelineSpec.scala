@@ -560,6 +560,48 @@ tab	end"""), Some(1.5), Some(true)),
       5L->5L, 6L->5L, 7L->5L, 8L->5L), s"got $got")
   }
 
+  test("sssp step layers BFS depths over an edge flow from config") {
+    val src = tmp("sssp") + "/edges.parquet"
+    // path 1-2-3-4 plus shortcut 1-4; symmetric default, unit weights
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+      .write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sssp","src":"src","dst":"dst","seeds":[1],"sweeps":6}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $got")
+    // no seeds: the minimum node id seeds the sweep
+    val auto = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sssp","src":"src","dst":"dst"}
+         |]""".stripMargin)
+    assert(auto.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      == got, "default seed must be the min node id")
+  }
+
+  test("modularity step scores LPA communities over an edge flow from config") {
+    val src = tmp("mod") + "/edges.parquet"
+    // two triangles + bridge: m=7, each community q_num = 4*7*3-49 = 35
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"modularity","src":"src","dst":"dst","sweeps":4}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    // 4 sweeps settle the second triangle on label 3 (the bridge node's
+    // label floods across): same partition, community labels {1, 3}
+    assert(got == Map(1L -> ((3L, 35L)), 3L -> ((3L, 35L))), s"got $got")
+  }
+
   test("hits step scores an edge flow from config") {
     val src = tmp("hits") + "/edges.parquet"
     Seq((1L, 2L), (1L, 4L), (3L, 4L)).toDF("src", "dst").write.parquet(src)
