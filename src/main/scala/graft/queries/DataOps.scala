@@ -2857,6 +2857,78 @@ object DataOps {
       .select(col(idCol), col("shard"), col("bin"), col("n_tokens"))
   }
 
+  /** The layout-gate family: bucket / range-cluster / Z-order / compact
+    * the documents table once per (session, data dir) — the GateIndex
+    * build-once discipline — then answer the SAME per-(source, lang)
+    * checksum aggregate through the new layout. One oracle serves all
+    * four gates ("layout changes the plan, never the answer", the
+    * q_ann_ivf_indexed / q_pagerank_indexed contract): count + exact
+    * integer sums of doc_id / n_chars / text length detect any lost,
+    * duplicated, truncated or re-written row. */
+  private def layoutChecksum(df: DataFrame): DataFrame =
+    df.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_len"))
+
+  val qLayoutSql: String =
+    """SELECT source, lang, count(*) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** A per-(family, dir) staging directory under the warehouse — the
+    * path-based analogue of the GateIndex table keying, reusing its
+    * content-stamped GC (stale generations of the same data dir are
+    * swept as warehouse orphans). */
+  private def layoutDir(spark: SparkSession, family: String,
+                        dir: String): (org.apache.hadoop.fs.Path, Boolean) = {
+    val name = GateIndex.gatePrefix(spark, family, dir)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val p = new org.apache.hadoop.fs.Path(wh, name)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+  }
+
+  def qLayoutBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = GateIndex.gatePrefix(spark, "graft_layout_bucket_gate", dir)
+    if (!spark.catalog.tableExists(prefix)) {
+      dropGateTable(spark, prefix)
+      graft.operators.Bucketing.writeBucketed(
+        Tables(spark, dir).documents, prefix, buckets = 8,
+        keys = Seq("source"), sortCols = Seq("doc_id"))
+    }
+    layoutChecksum(graft.operators.Bucketing.readBucketed(spark, prefix))
+  }
+
+  def qLayoutRange(spark: SparkSession, dir: String): DataFrame = {
+    val (p, exists) = layoutDir(spark, "graft_layout_range_gate", dir)
+    if (!exists) graft.operators.Bucketing.writeRangeClustered(
+      Tables(spark, dir).documents, p.toString,
+      sortKeys = Seq("n_chars", "doc_id"), partitions = 8)
+    layoutChecksum(spark.read.parquet(p.toString))
+  }
+
+  def qLayoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val (p, exists) = layoutDir(spark, "graft_layout_zorder_gate", dir)
+    if (!exists) graft.operators.Bucketing.writeZOrdered(
+      Tables(spark, dir).documents, p.toString,
+      keyA = "n_chars", keyB = "doc_id", partitions = 8)
+    layoutChecksum(spark.read.parquet(p.toString))
+  }
+
+  def qLayoutCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (p, exists) = layoutDir(spark, "graft_layout_compact_gate", dir)
+    if (!exists) {
+      // stage the small-file problem (16-way split), then compact it
+      Tables(spark, dir).documents.repartition(16)
+        .write.parquet(p.toString)
+      graft.operators.Bucketing.compact(spark, p.toString)
+    }
+    layoutChecksum(spark.read.parquet(p.toString))
+  }
+
   /** Gate pins shards = 16 so the oracle SQL stays literal. */
   def qPackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables(spark, dir).documents, shards = 16)
@@ -4623,6 +4695,10 @@ object DataOps {
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
     "q_modularity"     -> ((qModularity _, Some(qModularitySql))),
     "q_sssp"           -> ((qSssp _, Some(qSsspSql))),
+    "q_layout_bucketed" -> ((qLayoutBucketed _, Some(qLayoutSql))),
+    "q_layout_range"   -> ((qLayoutRange _, Some(qLayoutSql))),
+    "q_layout_zorder"  -> ((qLayoutZorder _, Some(qLayoutSql))),
+    "q_layout_compact" -> ((qLayoutCompact _, Some(qLayoutSql))),
     "q_hits"           -> ((qHits _, Some(qHitsSql))),
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
