@@ -2400,9 +2400,15 @@ object DataOps {
     if (alpha == 1.0)
       return d.join(broadcast(counts), sourceCol).crossJoin(broadcast(minN))
     val ratio = col("min_n").cast("double") / col("n_s").cast("double")
+    // quarter-rational α rides sqrt CHAINS (each sqrt IEEE-mandated
+    // correctly rounded, multiplication exact), so the computed chain —
+    // not the abstractly-true power — is bit-identical on any engine;
+    // the oracle replays the same chain (VERDICT r13 #7)
     val p =
       if (alpha == 0.0) ratio
+      else if (alpha == 0.25) sqrt(ratio) * sqrt(sqrt(ratio)) // r^(3/4)
       else if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.75) sqrt(sqrt(ratio)) // r^(1/4)
       else pow(ratio, 1.0 - alpha)
     // p < 1 ⇒ floor(p·2^32) fits in 8 hex chars; p == 1 (the smallest
     // source) keeps everything and is special-cased — its 9-char threshold
@@ -2448,6 +2454,41 @@ object DataOps {
       |          CAST(n_s AS DOUBLE)) * 4294967296.0) AS BIGINT)))
       |SELECT source, count(*) AS n_kept, CAST(any_value(n_s) AS BIGINT) AS n_total
       |FROM k GROUP BY source""".stripMargin
+
+  /** The rational-α twins generalizing the α = 0.5 gate: keep fractions
+    * r^(3/4) (α = 1/4) and r^(1/4) (α = 3/4) via sqrt chains — correctly
+    * rounded at every step, so the oracle replays the identical doubles.
+    * Two more points of the temperature family under the hard oracle. */
+  def qMixtureTemperatureQ1(spark: SparkSession, dir: String): DataFrame =
+    mixtureTemperature(Tables(spark, dir).documents, "source", "doc_id",
+        alpha = 0.25)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_s")).as("n_total"))
+
+  def qMixtureTemperatureQ3(spark: SparkSession, dir: String): DataFrame =
+    mixtureTemperature(Tables(spark, dir).documents, "source", "doc_id",
+        alpha = 0.75)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_s")).as("n_total"))
+
+  private def mixtureTemperatureChainSql(chain: String): String =
+    s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+       |m AS (SELECT min(n_s) AS min_n FROM c),
+       |r AS (SELECT source, n_s,
+       |        CAST(min_n AS DOUBLE) / CAST(n_s AS DOUBLE) AS ratio,
+       |        min_n FROM c CROSS JOIN m),
+       |k AS (SELECT d.source, d.doc_id, r.n_s FROM documents d
+       |      JOIN r USING (source)
+       |      WHERE n_s = min_n OR substr(md5(d.source || '-' || d.doc_id), 1, 8) <
+       |        printf('%08x', CAST(floor(($chain) * 4294967296.0) AS BIGINT)))
+       |SELECT source, count(*) AS n_kept, CAST(any_value(n_s) AS BIGINT) AS n_total
+       |FROM k GROUP BY source""".stripMargin
+
+  val qMixtureTemperatureQ1Sql: String =
+    mixtureTemperatureChainSql("sqrt(ratio) * sqrt(sqrt(ratio))")
+
+  val qMixtureTemperatureQ3Sql: String =
+    mixtureTemperatureChainSql("sqrt(sqrt(ratio))")
 
   // ---- training-batch construction & corpus reports ----------------------
 
@@ -4716,6 +4757,8 @@ object DataOps {
     "q_multimodal"     -> ((qMultimodal _, Some(qMultimodalSql))),
     "q_mixture_resample" -> ((qMixtureResample _, Some(qMixtureResampleSql))),
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),
+    "q_mixture_temperature_q1" -> ((qMixtureTemperatureQ1 _, Some(qMixtureTemperatureQ1Sql))),
+    "q_mixture_temperature_q3" -> ((qMixtureTemperatureQ3 _, Some(qMixtureTemperatureQ3Sql))),
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_editdist_join"  -> ((qEditdistJoin _, Some(qEditdistJoinSql))),

@@ -1031,12 +1031,18 @@ class OperatorsSpec extends SparkSpec {
     val docs = Tables(spark, sf).documents
     def kept(a: Double) =
       graft.queries.DataOps.mixtureTemperature(docs, "source", "doc_id", a).select("doc_id")
-    val (k0, k5, k9) = (kept(0.0), kept(0.5), kept(0.9))
+    val (k0, k25, k5, k75, k9) =
+      (kept(0.0), kept(0.25), kept(0.5), kept(0.75), kept(0.9))
     // f_s = (min/n)^(1-alpha) grows with alpha and the hash threshold is
     // shared, so the kept sets nest — raising alpha only ADDS documents
-    assert(k0.except(k5).count() == 0, "alpha=0 must keep a subset of alpha=0.5")
-    assert(k5.except(k9).count() == 0, "alpha=0.5 must keep a subset of alpha=0.9")
-    assert(k0.count() <= k5.count() && k5.count() <= k9.count())
+    // (the quarter-rational sqrt-chain branches must respect the same
+    // ordering: r^(3/4) ≤ r^(1/2) ≤ r^(1/4) for r ≤ 1)
+    assert(k0.except(k25).count() == 0, "alpha=0 must keep a subset of alpha=0.25")
+    assert(k25.except(k5).count() == 0, "alpha=0.25 must keep a subset of alpha=0.5")
+    assert(k5.except(k75).count() == 0, "alpha=0.5 must keep a subset of alpha=0.75")
+    assert(k75.except(k9).count() == 0, "alpha=0.75 must keep a subset of alpha=0.9")
+    assert(k0.count() <= k25.count() && k25.count() <= k5.count() &&
+      k5.count() <= k75.count() && k75.count() <= k9.count())
     assert(kept(1.0).count() == docs.count(), "alpha=1 keeps everything")
     // a source tied for the global minimum survives whole at every alpha
     val smallest = docs.groupBy("source").count()
