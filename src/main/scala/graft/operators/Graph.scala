@@ -46,22 +46,33 @@ object Graph {
     * release the edge and node caches before returning instead of leaking
     * an edges-sized cached dataset per invocation — callers ranking many
     * graphs in one session should `unpersist()` the result when done. */
+  /** `salts` > 1 splits each source's edges into salt sub-partitions
+    * keyed by the DESTINATION hash — the skew lever for power-law hub
+    * sources, whose edges the src-keyed layout otherwise pins to ONE
+    * task outside AQE's reach (the layout is exchange-free thereafter).
+    * The rank row replicates once per salt (nodes·salts rows — still
+    * tiny), the per-edge arithmetic is unchanged, and exact integer
+    * addition is order-independent, so the salted result is IDENTICAL
+    * to the unsalted one (spec-pinned) — layout changes the plan, never
+    * the answer. Default 1 = the plain src layout. */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-               scale: Long = 1000000L): DataFrame = {
+               scale: Long = 1000000L, salts: Int = 1): DataFrame = {
+    require(salts >= 1, s"pageRank needs salts >= 1, got $salts")
     // the edge list feeds deg, the node set, AND every iteration's join —
     // without a persist the (possibly join-shaped) upstream plan would
     // re-execute 2 + iterations times; materialize it once (at cluster
     // scale a bucketed edge table on `src` additionally makes the
     // per-iteration join exchange-free on the edge side)
-    // persist HASH-PARTITIONED ON src: deg's aggregation and all 5
-    // iterations' edge joins then reuse the layout exchange-free — the
-    // in-session analogue of the bucketed index (one up-front shuffle of
-    // the edge list buys 1+iterations exchange-free reads). The
-    // materializing count also sizes the loop session below.
+    // persist HASH-PARTITIONED ON src (+ the dst-hash salt when salted):
+    // deg's aggregation and all 5 iterations' edge joins then reuse the
+    // layout exchange-free — the in-session analogue of the bucketed
+    // index (one up-front shuffle of the edge list buys 1+iterations
+    // exchange-free reads). The materializing count also sizes the loop
+    // session below.
     val spark = edges.sparkSession
+    val base = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val (e0, nEdges) = CacheOps.persistMaterializedCounted(
-      edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .repartition(col("src")))
+      saltEdges(base, salts).repartition(saltKeys(salts): _*))
     // The fixed-count rank loop runs in the shared right-sized cloned
     // session like kCore/LPA/HITS (r13's A/B left it in the caller
     // session; r14's re-run measured the move a ~35% win — AQE's
@@ -86,10 +97,32 @@ object Graph {
       // map-side: deg rides the rank row, so no per-iteration deg join
       val contribs = ranks.filter(col("deg").isNotNull)
         .select(col("id").as("csrc"), expr("rank div deg").as("contrib"))
-      e.join(contribs, e("src") === col("csrc"))
+      saltedEdgeJoin(e, contribs, salts)
         .select(col("dst"), col("contrib"))
     }, iterations, scale), Seq(e0, nd))
   }
+
+  /** Append the dst-hash salt column for `salts` > 1 (a hub source's
+    * edges then spread over `salts` layout partitions). */
+  private def saltEdges(e: DataFrame, salts: Int): DataFrame =
+    if (salts == 1) e
+    else e.withColumn("__salt",
+      pmod(xxhash64(col("dst")), lit(salts.toLong)).cast("int"))
+
+  private def saltKeys(salts: Int): Seq[org.apache.spark.sql.Column] =
+    if (salts == 1) Seq(col("src")) else Seq(col("src"), col("__salt"))
+
+  /** Join the (possibly salted) edge layout against per-source rank
+    * rows: salted, each rank row replicates once per salt value so the
+    * two-key join stays exchange-free on the edge side. */
+  private def saltedEdgeJoin(e: DataFrame, perSrc: DataFrame,
+                             salts: Int): DataFrame =
+    if (salts == 1) e.join(perSrc, e("src") === perSrc("csrc"))
+    else {
+      val rep = perSrc.withColumn("__cs",
+        explode(array((0 until salts).map(i => lit(i)): _*)))
+      e.join(rep, e("src") === rep("csrc") && e("__salt") === rep("__cs"))
+    }
 
   /** The shared Pregel loop: per iteration `step` maps the (id, deg…,
     * rank) frame through the edge side to (dst, contrib) rows; the node
@@ -695,15 +728,16 @@ object Graph {
   }
 
   def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
-                       scale: Long = 1000000L): DataFrame = {
-    // same layout + loop-session discipline as [[pageRank]]: src-
-    // partitioned edge persist + single-shuffle (id, wsum) node frame
-    // (null wsum = sink), fixed-count loop in the right-sized clone
+                       scale: Long = 1000000L, salts: Int = 1): DataFrame = {
+    require(salts >= 1, s"pageRankWeighted needs salts >= 1, got $salts")
+    // same layout + loop-session + salting discipline as [[pageRank]]:
+    // src-partitioned edge persist + single-shuffle (id, wsum) node
+    // frame (null wsum = sink), fixed-count loop in the right-sized clone
     val spark = edges.sparkSession
     val (e0, nEdges) = CacheOps.persistMaterializedCounted(
-      edges.select(col("src").cast("long"), col("dst").cast("long"),
-        col("w").cast("long"))
-        .repartition(col("src")))
+      saltEdges(edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long")), salts)
+        .repartition(saltKeys(salts): _*))
     val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
     val nd = e.select(col("src").as("id"), col("w").as("c"))
@@ -716,7 +750,7 @@ object Graph {
       val r = ranks.filter(col("wsum").isNotNull)
         .select(col("id").as("csrc"), col("rank").as("crank"),
           col("wsum").as("cwsum"))
-      e.join(r, e("src") === col("csrc"))
+      saltedEdgeJoin(e, r, salts)
         .select(col("dst"), expr("(crank * w) div cwsum").as("contrib"))
     }, iterations, scale), Seq(e0, nd))
   }

@@ -825,6 +825,66 @@ class OperatorsSpec extends SparkSpec {
   }
 
 
+  test("salted pagerank bounds the hub task and keeps ranks bit-identical") {
+    // power-law fixture: source 0 owns ~40% of all edges. The src-keyed
+    // edge layout pins those edges to ONE reduce task of the layout
+    // shuffle — and, being exchange-free thereafter, outside AQE's
+    // skew-split reach (VERDICT r13 finding 3). salts=8 must spread the
+    // hub's edges by dst hash AND (integer addition being exact and
+    // order-free) leave every rank identical to the unsalted run.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // multigraph: ~1050 distinct nodes, so the loop's nodes-sized agg
+    // shuffles stay tiny and the layout shuffle's hub task dominates the
+    // records-read metric (a first cut with 45k distinct nodes measured
+    // the loop agg ABOVE the hub task and the spread was invisible)
+    val nHub = 400000L
+    val hub = spark.range(nHub).select(lit(0L).as("src"),
+      (col("id") % 50L + 1L).as("dst"))
+    val rest = spark.range(600000L).select(
+      (col("id") % 1000L + 1L).as("src"), (col("id") % 50L + 1L).as("dst"))
+    val edges = hub.unionByName(rest)
+    def measured(df: => org.apache.spark.sql.DataFrame): (Long, Map[Long, Long]) = {
+      val max = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            max.getAndAccumulate(e.taskMetrics.shuffleReadMetrics.recordsRead, math.max)
+      }
+      spark.sparkContext.addSparkListener(l)
+      // pageRank materializes eagerly; the collect below reads its cache
+      val out = try { val d = df; Thread.sleep(700); d } // let the bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      (max.get(), out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    // 64-way layout shuffle so 8 salts rarely collide into one reducer
+    // (the shared test session's width would re-funnel them)
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "64")
+      val (plainMax, plain) = measured(Graph.pageRank(edges, iterations = 3))
+      val (saltMax, salted) =
+        measured(Graph.pageRank(edges, iterations = 3, salts = 8))
+      assert(plainMax >= nHub,
+        s"fixture broken: hottest unsalted task read $plainMax < hub $nHub")
+      assert(saltMax * 3 <= plainMax,
+        s"salted hottest task read $saltMax vs unsalted $plainMax — no spread")
+      // the answer is layout-independent: exact integer ranks
+      assert(salted == plain, "salting must not change a single rank")
+      // weighted variant: same contract
+      val wEdges = edges.withColumn("w", col("dst") % 3L + 1L)
+      val (wpMax, wPlain) = measured(Graph.pageRankWeighted(wEdges, iterations = 3))
+      val (wsMax, wSalted) =
+        measured(Graph.pageRankWeighted(wEdges, iterations = 3, salts = 8))
+      assert(wSalted == wPlain, "weighted salting must not change ranks")
+      assert(wsMax * 3 <= wpMax,
+        s"weighted salted hottest task read $wsMax vs unsalted $wpMax")
+    } finally orig match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("mixture resampling equalizes skewed sources deterministically") {
     val rows = (1L to 100L).map(i => ("big", i)) ++
       (101L to 150L).map(i => ("mid", i)) ++
