@@ -268,9 +268,14 @@ object Pipeline {
   private val yamlMapper = new ObjectMapper(new YAMLFactory())
 
   /** `transport` is the injectable HTTP call for curl connectors in the
-    * config (default refuses: zero egress). */
+    * config (default refuses: zero egress); `mongoClient` is the
+    * injectable driver adapter for mongodb connectors (default: none —
+    * operations fail fast with a clear message). Both are the
+    * deployment-time live bindings: the CONFIG is identical with or
+    * without them (see README "Running against live services"). */
   def parse(config: String,
-            transport: graft.sources.Http.Transport = graft.sources.Http.noTransport): Parsed = {
+            transport: graft.sources.Http.Transport = graft.sources.Http.noTransport,
+            mongoClient: Option[graft.sources.MongoConnector.Client] = None): Parsed = {
     val trimmed = hjsonLite(config.trim)
     val root =
       if (trimmed.startsWith("[") || trimmed.startsWith("{"))
@@ -282,7 +287,7 @@ object Pipeline {
           jsonMapper.readTree(Hjson.toJson(trimmed))
         }
       else yamlMapper.readTree(trimmed)
-    Parsed(root.elements().asScala.map(parseStep(_, transport)).toSeq)
+    Parsed(root.elements().asScala.map(parseStep(_, transport, mongoClient)).toSeq)
   }
 
   /** HJSON-lite normalization (the reference accepts hjson configs): strip
@@ -345,7 +350,8 @@ object Pipeline {
   }
 
   private def parseStep(node: JsonNode,
-                        transport: graft.sources.Http.Transport): Step = {
+                        transport: graft.sources.Http.Transport,
+                        mongoClient: Option[graft.sources.MongoConnector.Client] = None): Step = {
     def str(f: String, d: String = ""): String = if (node.has(f)) node.get(f).asText() else d
     val dataType = if (node.has("data_type")) node.get("data_type").asText()
       else if (node.has("data")) node.get("data").asText() else "ok"
@@ -381,7 +387,7 @@ object Pipeline {
     // stdio (`{ "type": "writer" }` in the chewdata examples)
     def connector: Connector =
       Option(node.get("connector"))
-        .map(Connector.fromConfig(_, docType, docOpts, transport))
+        .map(Connector.fromConfig(_, docType, docOpts, transport, mongoClient))
         .getOrElse(CliConnector(docType))
 
     // transformer/validator-embedded referentials (reference:
@@ -394,7 +400,7 @@ object Pipeline {
           val dt = if (rn.has("document") && rn.get("document").has("type"))
             rn.get("document").get("type").asText() else "json"
           e.getKey -> Option(rn.get("connector"))
-            .map(Connector.fromConfig(_, dt, docOptsOf(rn), transport))
+            .map(Connector.fromConfig(_, dt, docOptsOf(rn), transport, mongoClient))
             .getOrElse(CliConnector(dt))
         }.toSeq
       }.getOrElse(Nil)
@@ -1238,4 +1244,9 @@ object Pipeline {
   def run(spark: SparkSession, config: String,
           transport: graft.sources.Http.Transport): Flow =
     run(spark, parse(config, transport))
+
+  def run(spark: SparkSession, config: String,
+          transport: graft.sources.Http.Transport,
+          mongoClient: Option[graft.sources.MongoConnector.Client]): Flow =
+    run(spark, parse(config, transport, mongoClient))
 }

@@ -97,7 +97,7 @@ final case class LocalConnector(path: String, docType: String = "json",
 final case class BucketConnector(bucket: String, key: String,
                                  docType: String = "json",
                                  opts: DocOptions = DocOptions()) extends Connector {
-  private def uri = s"s3a://$bucket/$key"
+  private[graft] def uri = s"s3a://$bucket/$key"
   override def load(spark: SparkSession): DataFrame =
     Documents.read(spark, docType, uri, opts)
   override def save(df: DataFrame, mode: SaveMode): Unit =
@@ -812,10 +812,14 @@ object Connector {
   }
 
   /** Build from a chewdata-style connector config node. `transport` is the
-    * injectable HTTP call for curl connectors (default: zero-egress). */
+    * injectable HTTP call for curl connectors (default: zero-egress);
+    * `mongoClient` is the injectable mongodb driver adapter (default:
+    * none — mongodb operations fail fast). The config node itself is
+    * identical with or without the live bindings. */
   def fromConfig(node: com.fasterxml.jackson.databind.JsonNode,
                  docType: String, opts: DocOptions,
-                 transport: Http.Transport = Http.noTransport): Connector = {
+                 transport: Http.Transport = Http.noTransport,
+                 mongoClient: Option[MongoConnector.Client] = None): Connector = {
     def str(field: String, default: String = ""): String =
       if (node.has(field)) node.get(field).asText() else default
     str("type", "local") match {
@@ -870,7 +874,8 @@ object Connector {
       case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
         str("collection"),
         if (node.has("filter")) node.get("filter").toString else "{}",
-        if (node.has("batch_size")) node.get("batch_size").asInt() else 1000)
+        if (node.has("batch_size")) node.get("batch_size").asInt() else 1000,
+        client = mongoClient)
       case other => throw new IllegalArgumentException(s"unknown connector type: $other")
     }
   }

@@ -1040,6 +1040,69 @@ tab	end"""), Some(1.5), Some(true)),
     assert(conn.load(spark).count() == 6)
   }
 
+  test("mongodb live-binding recipe: the config reaches an injected driver adapter verbatim") {
+    // README "Running against live services": the config node is
+    // identical with or without the binding — only the adapter is new
+    PipelineSpec.mongoCalls.clear()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfg = mapper.readTree(
+      """{"type":"mongodb","endpoint":"mongodb://db.test:27017",
+        |  "database":"corpus","collection":"docs",
+        |  "filter":{"lang":"en"},"batch_size":2}""".stripMargin)
+    val conn = sources.Connector.fromConfig(cfg, "json", Documents.DocOptions(),
+      mongoClient = Some(new PipelineSpec.FakeMongo))
+    val rows = conn.load(spark).orderBy("id").collect().map(_.getAs[Long]("id"))
+    assert(rows.toSeq == (0L until 5L), s"got ${rows.toSeq}")
+    import scala.jdk.CollectionConverters._
+    val calls = PipelineSpec.mongoCalls.asScala.toSeq
+    assert(calls.contains("""count:corpus/docs/{"lang":"en"}"""),
+      s"count must carry database/collection/filter verbatim: $calls")
+    assert(calls.exists(_.startsWith("""find:corpus/docs/{"lang":"en"}@""")),
+      s"find must carry the same config: $calls")
+    // the same binding threads through the config pipeline surface
+    PipelineSpec.mongoCalls.clear()
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"mongodb",
+        |   "endpoint":"mongodb://db.test:27017","database":"corpus",
+        |   "collection":"docs","batch_size":3}}
+        |]""".stripMargin,
+      transport = graft.sources.Http.noTransport,
+      mongoClient = Some(new PipelineSpec.FakeMongo))
+    assert(flow.ok.get.count() == 5)
+    assert(PipelineSpec.mongoCalls.asScala.exists(_.startsWith("count:corpus/docs/")))
+  }
+
+  test("bucket live-binding recipe: config fields land in the s3a URI verbatim") {
+    // README "Running against live services": bucket is config-only — the
+    // connector reads s3a:// through the same Hadoop FS machinery as
+    // local paths; a deployment adds the hadoop-aws jar + fs.s3a.* confs
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfg = mapper.readTree(
+      """{"type":"bucket","bucket":"corpus-prod","key":"docs/2026/08"}""")
+    val conn = sources.Connector.fromConfig(cfg, "jsonl", Documents.DocOptions())
+    val b = conn.asInstanceOf[BucketConnector]
+    assert(b.bucket == "corpus-prod" && b.key == "docs/2026/08")
+    assert(b.uri == "s3a://corpus-prod/docs/2026/08")
+    assert(b.docType == "jsonl")
+  }
+
+  test("curl live-binding recipe: a swapped transport serves the unchanged config") {
+    // README "Running against live services": the deployment passes ONE
+    // transport lambda; endpoint/path/auth/pagination come from the
+    // config and reach it verbatim (the loopback rejects any call
+    // missing the configured basic-auth header)
+    val flow = Pipeline.run(spark,
+      """[
+        | {"type":"reader","connector":{"type":"curl",
+        |   "endpoint":"http://api.test","path":"/items",
+        |   "authenticator_type":{"type":"basic","username":"u","password":"p"},
+        |   "paginator_type":{"type":"offset","limit":2,"skip":0,"count":6}}}
+        |]""".stripMargin,
+      transport = PipelineSpec.loopbackTransport)
+    assert(flow.ok.get.count() == 6)
+  }
+
   test("transformer-embedded referentials bind as template context (transform-mapping shape)") {
     // reference: src/step/transformer.rs:105 + examples/transform-mapping.rs
     // — `referentials` rows are indexable in patterns (mapping.2.number);
@@ -1842,6 +1905,26 @@ tab	end"""), Some(1.5), Some(true)),
 /** Serializable loopback transports for the curl-config e2e specs (defined
   * on the companion so executor tasks don't capture the suite instance). */
 object PipelineSpec {
+  /** Fake mongodb driver adapter for the live-binding recipe spec: serves
+    * 5 docs in pages, recording every call in a static queue (static so
+    * executor-side find() calls in local mode land in the same registry
+    * a serialized closure copy would lose). */
+  val mongoCalls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  class FakeMongo extends sources.MongoConnector.Client {
+    override def count(db: String, coll: String, f: String): Long = {
+      mongoCalls.add(s"count:$db/$coll/$f"); 5L
+    }
+    override def find(db: String, coll: String, f: String,
+                      skip: Long, limit: Int): Seq[String] = {
+      mongoCalls.add(s"find:$db/$coll/$f@$skip+$limit")
+      (skip until math.min(skip + limit, 5L)).map(i => s"""{"id":$i}""")
+    }
+    override def insert(db: String, coll: String, docs: Seq[String]): Unit =
+      mongoCalls.add(s"insert:$db/$coll/${docs.size}")
+    override def drop(db: String, coll: String): Unit =
+      mongoCalls.add(s"drop:$db/$coll")
+  }
+
   /** Offset-paged API of 6 items; refuses calls without the basic header. */
   val loopbackTransport: Http.Transport = (url, headers) => {
     require(headers.get("Authorization").contains("Basic dTpw"),
