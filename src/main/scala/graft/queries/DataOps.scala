@@ -3941,15 +3941,14 @@ object DataOps {
         col("dist"))
   }
 
-  val qSsspSql: String = {
+  private def ssspSqlOver(pairsCte: String, weightExpr: String): String = {
     val step = (i: Int, prev: Int) =>
       s"""s$i AS MATERIALIZED (SELECT e.dst AS id, min(s.dist + e.w) AS dist
          |  FROM s$prev s JOIN e ON e.src = s.id GROUP BY 1)""".stripMargin
-    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    s"""WITH $pairsCte,
        |e AS MATERIALIZED (
-       |  SELECT a AS src, b AS dst, CAST(1 AS BIGINT) AS w FROM p
-       |  UNION ALL SELECT b, a, CAST(1 AS BIGINT) FROM p
+       |  SELECT a AS src, b AS dst, CAST($weightExpr AS BIGINT) AS w FROM p
+       |  UNION ALL SELECT b, a, CAST($weightExpr AS BIGINT) FROM p
        |  UNION ALL SELECT id, id, CAST(0 AS BIGINT)
        |    FROM (SELECT a AS id FROM p UNION SELECT b FROM p)),
        |s0 AS MATERIALIZED (SELECT CAST(min(o_custkey) * 2 AS BIGINT) AS id,
@@ -3957,6 +3956,35 @@ object DataOps {
        |${(1 to 6).map(i => step(i, i - 1)).mkString(",\n")}
        |SELECT id % 2 AS kind, id // 2 AS key, dist FROM s6""".stripMargin
   }
+
+  val qSsspSql: String = ssspSqlOver(
+    """p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin,
+    "1")
+
+  /** Weighted SSSP twin: the same trading graph carrying a DISTANCE per
+    * edge — cost = 100 − min(count, 99), so heavily-traded pairs are
+    * CLOSER (the similarity→distance flip; positive by construction,
+    * satisfying the non-negativity contract). Exercises the weighted
+    * min-relaxation under the same unrolled oracle. */
+  def qSsspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg((lit(100L) - least(count(lit(1)), lit(99L))).as("w"))
+    val src = t.orders.agg((min(col("o_custkey")) * 2).cast("long").as("id"))
+    Graph.shortestPaths(bothDirections(pairs, Seq("w")), src, sweeps = 6)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("dist"))
+  }
+
+  val qSsspWeightedSql: String = ssspSqlOver(
+    """p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+      |        100 - least(count(*), 99) AS w
+      |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |      GROUP BY 1, 2)""".stripMargin,
+    "w")
 
   val qPagerankSql: String = {
     val step = (i: Int, prev: Int) =>
@@ -4736,6 +4764,7 @@ object DataOps {
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
     "q_modularity"     -> ((qModularity _, Some(qModularitySql))),
     "q_sssp"           -> ((qSssp _, Some(qSsspSql))),
+    "q_sssp_weighted"  -> ((qSsspWeighted _, Some(qSsspWeightedSql))),
     "q_layout_bucketed" -> ((qLayoutBucketed _, Some(qLayoutSql))),
     "q_layout_range"   -> ((qLayoutRange _, Some(qLayoutSql))),
     "q_layout_zorder"  -> ((qLayoutZorder _, Some(qLayoutSql))),
