@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -102,6 +102,48 @@ object Graph {
     }, iterations, scale), Seq(e0, nd))
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on `seeds(id)`
+    * instead of uniformly — random-walk-with-restart proximity to a seed
+    * set (crawl frontiers seeded from known-good hosts, "more like these"
+    * document expansion over a similarity graph). Same exact integer
+    * arithmetic and loop shape as [[pageRank]]: the per-node teleport
+    * rides the node frame as a `tp` column ((15·scale) div 100 on seeds,
+    * 0 elsewhere) and rank₀ = scale on seeds, 0 elsewhere, so the
+    * iterate is a pure long function of (edges, seeds) and any engine
+    * replays it bit-for-bit. Seeds absent from the edge list are ignored
+    * (they neither hold nor route mass). */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 5,
+                           scale: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val base = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val (e0, nEdges) = CacheOps.persistMaterializedCounted(
+      base.repartition(col("src")))
+    val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
+    val sd = org.apache.spark.sql.graftbridge.Bridge.rebind(
+      seeds.select(col("id").cast("long")).distinct()
+        .withColumn("__seed", lit(1L)), loop)
+    val tp = (15L * scale) / 100L
+    // the pageRank node frame + a left join marking seeds: tp and rank₀
+    // become per-node columns the shared loop carries
+    val nd = e.select(col("src").as("id"), lit(1L).as("c"))
+      .unionByName(e.select(col("dst").as("id"), lit(null).cast("long").as("c")))
+      .groupBy(col("id")).agg(sum(col("c")).as("deg"))
+      .join(sd, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        when(col("__seed").isNotNull, lit(tp)).otherwise(lit(0L)).as("tp"))
+      .persist(MEMORY_AND_DISK)
+    finishRanks(spark, loopRanks(nd, ranks => {
+      val contribs = ranks.filter(col("deg").isNotNull)
+        .select(col("id").as("csrc"), expr("rank div deg").as("contrib"))
+      e.join(contribs, e("src") === col("csrc"))
+        .select(col("dst"), col("contrib"))
+    }, iterations, scale,
+      init = Some(when(col("tp") > 0L, lit(scale)).otherwise(lit(0L)))),
+      Seq(e0, nd))
+  }
+
   /** Append the dst-hash salt column for `salts` > 1 (a hub source's
     * edges then spread over `salts` layout partitions). */
   private def saltEdges(e: DataFrame, salts: Int): DataFrame =
@@ -145,9 +187,15 @@ object Graph {
     * frame self-composes 3× per sweep; a fixed-iteration rank loop has
     * neither problem. */
   private def loopRanks(nd: DataFrame, step: DataFrame => DataFrame,
-                        iterations: Int, scale: Long): DataFrame = {
+                        iterations: Int, scale: Long,
+                        init: Option[Column] = None): DataFrame = {
     val teleport = (15L * scale) / 100L
-    val carry = nd.columns.filter(_ != "id").toSeq // "deg" | "wsum" | none
+    val carry = nd.columns.filter(_ != "id").toSeq // "deg" | "wsum" | "tp"…
+    // a "tp" carry column personalizes the teleport (mass concentrated on
+    // seed nodes — [[pageRankPersonalized]]); absent, every node gets the
+    // uniform (15·scale) div 100
+    val tpTerm: Column =
+      if (carry.contains("tp")) col("tp") else lit(teleport)
     val selfRows = nd.select(col("id").as("dst") +:
       lit(null).cast("long").as("contrib") +: carry.map(col): _*)
     // Exchange count, not exchange width, dominates the loop's wall time
@@ -159,7 +207,7 @@ object Graph {
     // action materializes everything anyway. So: no width tuning, no
     // upfront forcing — AQE's runtime coalescing right-sizes the agg
     // exchanges from actual shuffle stats at any scale.
-    var ranks = nd.withColumn("rank", lit(scale))
+    var ranks = nd.withColumn("rank", init.getOrElse(lit(scale)))
     for (_ <- 0 until iterations) {
       val routed = step(ranks).select(col("dst") +: col("contrib") +:
         carry.map(c => lit(null).cast("long").as(c)): _*)
@@ -168,7 +216,7 @@ object Graph {
         .agg(sum(col("contrib")).as("acc"),
           carry.map(c => max(col(c)).as(c)): _*)
         .select(col("dst").as("id") +: carry.map(col) :+
-          (lit(teleport) + expr("(85 * coalesce(acc, 0L)) div 100")).as("rank"): _*)
+          (tpTerm + expr("(85 * coalesce(acc, 0L)) div 100")).as("rank"): _*)
     }
     ranks.select(col("id"), col("rank"))
   }

@@ -3986,6 +3986,45 @@ object DataOps {
       |      GROUP BY 1, 2)""".stripMargin,
     "w")
 
+  /** Personalized PageRank ([[Graph.pageRankPersonalized]]) over the
+    * trading graph, teleporting to the customers of nation 0 —
+    * proximity-to-seed-set scoring beside the global q_pagerank. The
+    * oracle unrolls the same 5 iterations with the per-node tp / rank₀
+    * columns. */
+  def qPpr(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val seeds = t.customer.filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).cast("long").as("id"))
+    Graph.pageRankPersonalized(bothDirections(pairs), seeds, iterations = 5)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("rank"))
+  }
+
+  val qPprSql: String = {
+    val step = (i: Int, prev: Int) =>
+      s"""r$i AS (SELECT n.id, CAST(n.tp + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (SELECT e.dst AS id, sum(r.rank // d.deg) AS acc
+         |    FROM r$prev r JOIN d ON r.id = d.src JOIN e ON e.src = r.id
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |sd AS (SELECT DISTINCT c_custkey * 2 AS id FROM customer
+       |       WHERE c_nationkey = 0),
+       |n AS (SELECT n0.id,
+       |        CASE WHEN sd.id IS NOT NULL THEN 150000 ELSE 0 END AS tp
+       |      FROM (SELECT DISTINCT src AS id FROM e) n0 LEFT JOIN sd USING (id)),
+       |r0 AS (SELECT id, CAST(CASE WHEN tp > 0 THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+       |       FROM n),
+       |${(1 to 5).map(i => step(i, i - 1)).mkString(",\n")}
+       |SELECT id % 2 AS kind, id // 2 AS key, rank FROM r5""".stripMargin
+  }
+
   val qPagerankSql: String = {
     val step = (i: Int, prev: Int) =>
       s"""r$i AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS rank
@@ -4759,6 +4798,7 @@ object DataOps {
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
     "q_pagerank_weighted" -> ((qPagerankWeighted _, Some(qPagerankWeightedSql))),
     "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
+    "q_ppr"            -> ((qPpr _, Some(qPprSql))),
     "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))),
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),

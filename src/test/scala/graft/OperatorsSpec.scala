@@ -1687,6 +1687,28 @@ class OperatorsSpec extends SparkSpec {
       s"triangle must converge to the smallest label: $extreme")
   }
 
+  test("personalized pagerank: teleport mass stays on seeds; hand replay exact") {
+    // chain 1->2->3, seed {1}. tp: 150000 on 1, 0 elsewhere;
+    // r0 = 1000000 on 1. Hand replay (3 iterations):
+    //   r1: 1=150000, 2=850000, 3=0
+    //   r2: 1=150000, 2=127500, 3=722500
+    //   r3: 1=150000, 2=127500, 3=108375
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.pageRankPersonalized(edges, seeds, iterations = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 150000L, 2L -> 127500L, 3L -> 108375L), s"got $r")
+    // a seed outside the graph neither holds nor routes mass
+    val r2 = Graph.pageRankPersonalized(edges, Seq(99L).toDF("id"), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"no in-graph seed: all mass decays to zero, got $r2")
+    // partitioning independence (exact integers)
+    val rep = Graph.pageRankPersonalized(edges.repartition(5), seeds, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rep == r)
+  }
+
   test("shortest paths: weighted hand replay, BFS depths, fixed-sweep determinism") {
     // weighted digraph: 1->2 (5), 1->3 (1), 3->2 (1), 2->4 (1), 3->5 (10)
     // from source 1: d(1)=0, d(3)=1, d(2)=2 (via 3, not the direct 5),
