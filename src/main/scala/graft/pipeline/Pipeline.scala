@@ -104,6 +104,12 @@ object Pipeline {
     * with (id, community). */
   final case class CommunitiesStep(srcCol: String, dstCol: String,
                                    sweeps: Int, dataType: String) extends Step
+  /** Personalized PageRank over an edge-list flow
+    * ([[graft.operators.Graph.pageRankPersonalized]]): teleport mass on
+    * the `seeds` ids; replaces the flow with (id, rank). */
+  final case class PprStep(srcCol: String, dstCol: String, seeds: Seq[Long],
+                           iterations: Int, symmetric: Boolean,
+                           dataType: String) extends Step
   /** BFS / shortest-path depth layer over an edge-list flow
     * ([[graft.operators.Graph.shortestPaths]]): distances from `seeds`
     * (explicit ids; empty = the minimum node id). An optional weight
@@ -560,6 +566,15 @@ object Pipeline {
       case "triangle" => TriangleStep(str("src", "src"), str("dst", "dst"), dataType)
       case "communities" => CommunitiesStep(str("src", "src"), str("dst", "dst"),
         if (node.has("sweeps")) node.get("sweeps").asInt() else 4, dataType)
+      case "ppr" | "pagerank_personalized" =>
+        PprStep(str("src", "src"), str("dst", "dst"),
+          seeds = if (node.has("seeds")) {
+            import scala.jdk.CollectionConverters._
+            node.get("seeds").elements().asScala.map(_.asLong()).toSeq
+          } else Seq.empty,
+          iterations = if (node.has("iterations")) node.get("iterations").asInt() else 5,
+          symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
+          dataType)
       case "sssp" => SsspStep(str("src", "src"), str("dst", "dst"),
         str("weight", ""),
         seeds = if (node.has("seeds")) {
@@ -1126,6 +1141,19 @@ object Pipeline {
                 greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
               .filter(col("a") < col("b")).distinct()
             flow.updated(dt, graft.operators.Graph.labelPropagation(e, sweeps))
+          }.getOrElse(flow)
+        case PprStep(src, dst, seeds, iters, symmetric, dt) =>
+          flow(dt).map { df =>
+            val spark = df.sparkSession
+            import spark.implicits._
+            require(seeds.nonEmpty, "ppr step needs a non-empty seeds list")
+            val fwd = df.select(col(src).cast("long").as("src"),
+              col(dst).cast("long").as("dst"))
+            val edges = if (symmetric)
+              fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+            else fwd
+            flow.updated(dt, graft.operators.Graph.pageRankPersonalized(
+              edges, seeds.toDF("id"), iters))
           }.getOrElse(flow)
         case SsspStep(src, dst, w, seeds, sweeps, symmetric, dt) =>
           flow(dt).map { df =>

@@ -560,6 +560,22 @@ tab	end"""), Some(1.5), Some(true)),
       5L->5L, 6L->5L, 7L->5L, 8L->5L), s"got $got")
   }
 
+  test("ppr step scores seed proximity over an edge flow from config") {
+    val src = tmp("ppr") + "/edges.parquet"
+    // directed chain 1->2->3 seeded at 1 (the operator spec's replay):
+    // r3 = {1:150000, 2:127500, 3:108375}
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"ppr","src":"src","dst":"dst","seeds":[1],
+         |  "iterations":3,"symmetric":false}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 150000L, 2L -> 127500L, 3L -> 108375L), s"got $got")
+  }
+
   test("sssp step layers BFS depths over an edge flow from config") {
     val src = tmp("sssp") + "/edges.parquet"
     // path 1-2-3-4 plus shortcut 1-4; symmetric default, unit weights
