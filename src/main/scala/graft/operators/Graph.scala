@@ -775,6 +775,73 @@ object Graph {
     } finally e0.unpersist(blocking = false)
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998) —
+    * [[triangleCounts]] normalized by the possible wedge count:
+    * cc = 2·tri / (deg·(deg−1)), the per-node cohesion ratio that
+    * separates "hub of a dense clique" from "hub of a star" at equal
+    * degree. Input contract = [[triangleCounts]]'s (canonical distinct
+    * `(a, b)`, a < b, ids < 2^40, degrees < 2^23). Returns one row per
+    * node in ≥ 1 triangle: (id, tri, deg, cc_num = 2·tri, cc_den =
+    * deg·(deg−1), cc) — exact integer rational plus ONE IEEE division,
+    * so any engine replays the doubles bit-for-bit. Scale shape: the
+    * triangle count's wedge join plus one nodes-sized keyed join. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e0 = CacheOps.persistMaterialized(
+      edges.select(col("a").cast("long"), col("b").cast("long")))
+    try {
+      val tri = triangleCounts(e0) // persisted+materialized by contract
+      try {
+        CacheOps.persistMaterialized(
+          tri.join(degreeFrame(e0), "id")
+            .select(col("id"), col("tri"), col("deg"),
+              (lit(2L) * col("tri")).as("cc_num"),
+              (col("deg") * (col("deg") - 1L)).as("cc_den"),
+              ((lit(2L) * col("tri")).cast("double") /
+                (col("deg") * (col("deg") - 1L)).cast("double")).as("cc")))
+      } finally tri.unpersist(blocking = false)
+    } finally e0.unpersist(blocking = false)
+  }
+
+  /** Degree assortativity coefficient (Newman 2002) — the Pearson
+    * correlation of endpoint degrees over the SYMMETRIZED edge list:
+    * positive = hubs link hubs (social-ish), negative = hubs link leaves
+    * (the link-farm / hub-and-spoke signature). Symmetrization makes the
+    * x and y marginals identical, so the correlation collapses to the
+    * pure RATIONAL (n·Σxy − (Σx)²) / (n·Σxx − (Σx)²) — exact longs, no
+    * sqrt — and any engine replays it bit-for-bit. Returns ONE row:
+    * (n, sx, sxx, sxy, r_num, r_den, r∈[−1,1] or null for a
+    * degree-regular graph). Overflow bound: n·Σ(deg_a·deg_b) < 2⁶³ —
+    * at 10⁹ directed edges that is mean deg² ≲ 10¹⁰, far beyond any
+    * curation graph; beyond it, pre-scale degrees. Scale shape: two
+    * keyed joins of the edge frame against the nodes-sized degree frame
+    * plus one total aggregate — nothing collected. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e0 = CacheOps.persistMaterialized(
+      edges.select(col("a").cast("long"), col("b").cast("long")))
+    try {
+      val deg = CacheOps.persistMaterialized(degreeFrame(e0))
+      try {
+        val sym = e0.select(explode(array(
+            struct(col("a").as("a"), col("b").as("b")),
+            struct(col("b").as("a"), col("a").as("b")))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+        val j = sym
+          .join(deg.select(col("id").as("a"), col("deg").as("dx")), "a")
+          .join(deg.select(col("id").as("b"), col("deg").as("dy")), "b")
+        val num = col("n") * col("sxy") - col("sx") * col("sx")
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        CacheOps.persistMaterialized(
+          j.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
+              sum(col("dx") * col("dx")).as("sxx"),
+              sum(col("dx") * col("dy")).as("sxy"))
+            .select(col("n"), col("sx"), col("sxx"), col("sxy"),
+              num.as("r_num"), den.as("r_den"),
+              when(den =!= 0L, num.cast("double") / den.cast("double"))
+                .as("r")))
+      } finally deg.unpersist(blocking = false)
+    } finally e0.unpersist(blocking = false)
+  }
+
   def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
                        scale: Long = 1000000L, salts: Int = 1): DataFrame = {
     require(salts >= 1, s"pageRankWeighted needs salts >= 1, got $salts")

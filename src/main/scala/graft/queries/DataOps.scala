@@ -4278,8 +4278,11 @@ object DataOps {
        |    / CAST(4 * m.m * m.m AS DOUBLE) AS q
        |FROM ds LEFT JOIN ie USING (community), m""".stripMargin
 
-  val qTriangleCountSql: String =
-    s"""WITH $rareShingleEdgeCte,
+  /** The rare-shingle triangle-count WITH-body prefix (ends at CTE `c` =
+    * (id, tri) and keeps `deg` in scope) — shared by the q_triangle_count
+    * and q_clustering_coef oracles. */
+  private val triangleCtePrefix: String =
+    s"""$rareShingleEdgeCte,
       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
       |        FROM (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
       |        GROUP BY 1),
@@ -4292,8 +4295,54 @@ object DataOps {
       |c AS (SELECT kk % 1099511627776 AS id, CAST(count(*) AS BIGINT) AS tri
       |      FROM (SELECT x AS kk FROM t UNION ALL SELECT y FROM t
       |            UNION ALL SELECT z FROM t)
-      |      GROUP BY 1)
+      |      GROUP BY 1)""".stripMargin
+
+  val qTriangleCountSql: String =
+    s"""WITH $triangleCtePrefix
       |SELECT id, tri FROM c ORDER BY tri DESC, id LIMIT 20""".stripMargin
+
+  /** Per-node local clustering coefficient over the rare-shingle graph
+    * ([[Graph.clusteringCoefficients]]): cc = 2·tri / (deg·(deg−1)) for
+    * every node in ≥1 triangle — exact integer numerator/denominator plus
+    * ONE IEEE division, replayed through the shared triangle CTE prefix. */
+  def qClusteringCoef(spark: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCoefficients(rareShingleEdges(Tables(spark, dir).documents))
+
+  val qClusteringCoefSql: String =
+    s"""WITH $triangleCtePrefix
+      |SELECT c.id, c.tri, deg.deg,
+      |  CAST(2 * c.tri AS BIGINT) AS cc_num,
+      |  CAST(deg.deg * (deg.deg - 1) AS BIGINT) AS cc_den,
+      |  CAST(2 * c.tri AS DOUBLE) / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS cc
+      |FROM c JOIN deg USING (id)""".stripMargin
+
+  /** Degree assortativity of the rare-shingle graph
+    * ([[Graph.assortativity]]): the Pearson correlation of endpoint
+    * degrees over the symmetrized edge list — by symmetry the x/y moments
+    * coincide, so r is a pure RATIONAL n·Σxy−(Σx)² over n·Σxx−(Σx)²
+    * (no sqrt at all) and replays bit-exactly. */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame =
+    Graph.assortativity(rareShingleEdges(Tables(spark, dir).documents))
+
+  val qAssortativitySql: String =
+    s"""WITH $rareShingleEdgeCte,
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT a AS id FROM p UNION ALL SELECT b AS id FROM p)
+      |        GROUP BY 1),
+      |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+      |j AS (SELECT da.deg AS dx, db.deg AS dy
+      |      FROM sym JOIN deg da ON sym.a = da.id JOIN deg db ON sym.b = db.id),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dx) AS BIGINT) AS sx,
+      |             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+      |             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      |      FROM j)
+      |SELECT n, sx, sxx, sxy,
+      |  CAST(n * sxy - sx * sx AS BIGINT) AS r_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS r_den,
+      |  CASE WHEN n * sxx - sx * sx <> 0
+      |       THEN CAST(n * sxy - sx * sx AS DOUBLE)
+      |            / CAST(n * sxx - sx * sx AS DOUBLE) END AS r
+      |FROM m""".stripMargin
 
   /** Per-source exact-moment Pearson correlation between the token-count
     * and char-count signals ([[graft.operators.Curation.pearsonExact]]) —
@@ -4800,6 +4849,8 @@ object DataOps {
     "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
     "q_ppr"            -> ((qPpr _, Some(qPprSql))),
     "q_triangle_count" -> ((qTriangleCount _, Some(qTriangleCountSql))),
+    "q_clustering_coef" -> ((qClusteringCoef _, Some(qClusteringCoefSql))),
+    "q_assortativity"  -> ((qAssortativity _, Some(qAssortativitySql))),
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
     "q_modularity"     -> ((qModularity _, Some(qModularitySql))),

@@ -1687,6 +1687,34 @@ class OperatorsSpec extends SparkSpec {
       s"triangle must converge to the smallest label: $extreme")
   }
 
+  test("clustering coefficients: triangle-with-pendant matches the hand values") {
+    // triangle {1,2,3} + pendant 3-4: deg = (2,2,3,1), tri = (1,1,1,-)
+    // cc: 1 -> 2/(2*1)=1.0, 2 -> 1.0, 3 -> 2/(3*2)=1/3; node 4 absent
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.clusteringCoefficients(edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L), s"only triangle members appear: $r")
+    assert(r(1L) == ((1L, 2L, 2L, 2L, 1.0)))
+    assert(r(2L) == ((1L, 2L, 2L, 2L, 1.0)))
+    assert(r(3L) == ((1L, 3L, 2L, 6L, 1.0 / 3.0)))
+  }
+
+  test("assortativity: a 3-path is perfectly disassortative; regular graph null") {
+    // path 1-2-3: degrees (1,2,1); symmetrized moments n=4, sx=6, sxx=10,
+    // sxy=8 -> r = (32-36)/(40-36) = -1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val row = Graph.assortativity(path).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((4L, 6L, 10L, 8L)))
+    assert(row.getLong(4) == -4L && row.getLong(5) == 4L)
+    assert(row.getDouble(6) == -1.0)
+    // a degree-regular graph (single edge: both endpoints deg 1) has zero
+    // degree variance -> r null, not a division blow-up
+    val reg = Graph.assortativity(Seq((7L, 8L)).toDF("a", "b")).collect().head
+    assert(reg.isNullAt(6), "regular graph must yield null r")
+  }
+
   test("personalized pagerank: teleport mass stays on seeds; hand replay exact") {
     // chain 1->2->3, seed {1}. tp: 150000 on 1, 0 elsewhere;
     // r0 = 1000000 on 1. Hand replay (3 iterations):
