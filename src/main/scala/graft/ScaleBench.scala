@@ -43,7 +43,11 @@ object ScaleBench {
     "q_cap_per_host", "q_char_diversity", "q_token_budget",
     "q_line_dedup", "q_winsorize", "q_zscore_norm", "q_chi2_terms",
     "q_signal_corr", "q_corpus_diff", "q_corpus_merge", "q_corpus_report",
-    "q_jaccard_join_nat", "q_shard_tokens", "q_pareto_front", "q_communities")
+    "q_jaccard_join_nat", "q_shard_tokens", "q_pareto_front", "q_communities",
+    // r14 documents-only additions (the layout gates stay out: their
+    // first x10 run times the staging WRITE, not the read plan)
+    "q_modularity", "q_clustering_coef", "q_assortativity",
+    "q_mixture_temperature_q1", "q_mixture_temperature_q3")
   // q_jaccard_join is deliberately NOT in the x10 set: the word-soup
   // corpus is near-worst-case for set-similarity (the TRUE pair set is
   // quadratic in replica count at J>=19/20), so its x10 time measures the
