@@ -78,13 +78,18 @@ object Bench {
     val isolated: Seq[(String, Double)] = results.collect {
       case (name, t) if baseline.get(name).exists(b => t > 2.0 * b) =>
         val fn = SparkEntry.queries(name)
-        val times = (0 until 3).map { _ =>
+        // A run that THROWS must not publish its (fast-failure) elapsed
+        // time as a cleared adjudication (ADVICE r14): only successful
+        // runs contribute; all-failed records the -1 sentinel, which can
+        // never read as inside a baseline band.
+        val times = (0 until 3).flatMap { _ =>
           dropBallast()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
         }
-        name -> times.min
+        name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // Full-precision record for humans / the repo history.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }

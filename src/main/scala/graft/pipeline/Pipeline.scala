@@ -1174,7 +1174,11 @@ object Pipeline {
               if (seeds.nonEmpty) {
                 import spark.implicits._
                 seeds.toDF("id")
-              } else edges.agg(min(col("src")).as("id"))
+              } else
+                // default seed = the minimum node id over BOTH endpoints
+                // (ADVICE r14: min over src alone skips a node appearing
+                // only as a destination in a directed flow)
+                edges.agg(least(min(col("src")), min(col("dst"))).as("id"))
             flow.updated(dt,
               graft.operators.Graph.shortestPaths(edges, seedDf, sweeps))
           }.getOrElse(flow)

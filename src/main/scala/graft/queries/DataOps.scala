@@ -2922,14 +2922,38 @@ object DataOps {
   /** A per-(family, dir) staging directory under the warehouse — the
     * path-based analogue of the GateIndex table keying, reusing its
     * content-stamped GC (stale generations of the same data dir are
-    * swept as warehouse orphans). */
+    * swept as warehouse orphans).
+    *
+    * Staging is crash-safe via a COMPLETION MARKER (ADVICE r14): a bare
+    * exists() check would treat a crash-mid-write partial directory —
+    * which keeps the same content-stamped name — as ready, and the gate
+    * would read incomplete data forever. Readiness = the marker file the
+    * gate writes LAST ([[markLayoutComplete]]); a directory present
+    * without it is a dead partial and is cleared here so the caller
+    * re-stages. */
   private def layoutDir(spark: SparkSession, family: String,
                         dir: String): (org.apache.hadoop.fs.Path, Boolean) = {
     val name = GateIndex.gatePrefix(spark, family, dir)
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val p = new org.apache.hadoop.fs.Path(wh, name)
-    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ready = fs.exists(layoutMarker(p))
+    if (!ready && fs.exists(p)) fs.delete(p, true)
+    (p, ready)
+  }
+
+  private def layoutMarker(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_GRAFT_LAYOUT_COMPLETE")
+
+  /** Stamp a layout staging directory complete — called by each layout
+    * gate strictly AFTER its last write/compact step, so readiness is
+    * atomic with respect to crashes (the marker either exists — every
+    * prior write finished — or the next probe clears the partial). */
+  private def markLayoutComplete(spark: SparkSession,
+                                 p: org.apache.hadoop.fs.Path): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(layoutMarker(p), true).close()
   }
 
   def qLayoutBucketed(spark: SparkSession, dir: String): DataFrame = {
@@ -2945,17 +2969,23 @@ object DataOps {
 
   def qLayoutRange(spark: SparkSession, dir: String): DataFrame = {
     val (p, exists) = layoutDir(spark, "graft_layout_range_gate", dir)
-    if (!exists) graft.operators.Bucketing.writeRangeClustered(
-      Tables(spark, dir).documents, p.toString,
-      sortKeys = Seq("n_chars", "doc_id"), partitions = 8)
+    if (!exists) {
+      graft.operators.Bucketing.writeRangeClustered(
+        Tables(spark, dir).documents, p.toString,
+        sortKeys = Seq("n_chars", "doc_id"), partitions = 8)
+      markLayoutComplete(spark, p)
+    }
     layoutChecksum(spark.read.parquet(p.toString))
   }
 
   def qLayoutZorder(spark: SparkSession, dir: String): DataFrame = {
     val (p, exists) = layoutDir(spark, "graft_layout_zorder_gate", dir)
-    if (!exists) graft.operators.Bucketing.writeZOrdered(
-      Tables(spark, dir).documents, p.toString,
-      keyA = "n_chars", keyB = "doc_id", partitions = 8)
+    if (!exists) {
+      graft.operators.Bucketing.writeZOrdered(
+        Tables(spark, dir).documents, p.toString,
+        keyA = "n_chars", keyB = "doc_id", partitions = 8)
+      markLayoutComplete(spark, p)
+    }
     layoutChecksum(spark.read.parquet(p.toString))
   }
 
@@ -2966,6 +2996,7 @@ object DataOps {
       Tables(spark, dir).documents.repartition(16)
         .write.parquet(p.toString)
       graft.operators.Bucketing.compact(spark, p.toString)
+      markLayoutComplete(spark, p)
     }
     layoutChecksum(spark.read.parquet(p.toString))
   }

@@ -97,24 +97,41 @@ object GateIndex {
     // Derby-backed metastore costs real milliseconds, and a re-probe of
     // an unchanged dataset has nothing to collect
     if (!gcDone.add(current)) return current
-    // Collectable: a superseded generation of THIS directory — under the
-    // current 64-bit path component or the pre-r14 32-bit one (migration
-    // arm, same-directory-scoped). The old `family_*`-wildcard legacy arm
-    // is GONE (ADVICE r13: it could reach tables this GC never created);
-    // every deletion is logged, and failures log loudly instead of
-    // silently swallowing (a GC that can't list the warehouse should say
-    // so, not pretend it collected).
+    // Collectable: a superseded generation of THIS directory under the
+    // current 64-bit path component. The old `family_*`-wildcard legacy
+    // arm is GONE (ADVICE r13: it could reach tables this GC never
+    // created); the r14 32-bit MIGRATION arm is now OPT-IN behind
+    // `spark.graft.gateindex.legacyGc` and off by default (ADVICE r14:
+    // during migration a cross-directory 32-bit collision could drop
+    // another directory's live pre-r14 index — the exact defect the
+    // 64-bit key fixed; one full GC sweep has since run, so remaining
+    // 32-bit leftovers are inert and a user who wants them swept opts
+    // in). Legacy-arm deletions log at WARN, not info. Every deletion is
+    // logged, and failures log loudly instead of silently swallowing (a
+    // GC that can't list the warehouse should say so, not pretend it
+    // collected).
+    val legacyGc = spark.conf
+      .getOption("spark.graft.gateindex.legacyGc").contains("true")
+    def staleLegacy(n: String): Boolean =
+      legacyGc && n.startsWith(s"${family}_p${legacyPathKey(dir)}_")
     def stale(n: String): Boolean =
-      (n.startsWith(s"${scope}_") && !n.startsWith(current)) ||
-        n.startsWith(s"${family}_p${legacyPathKey(dir)}_")
+      (n.startsWith(s"${scope}_") && !n.startsWith(current)) || staleLegacy(n)
+    def logDrop(n: String, what: String): Unit =
+      if (staleLegacy(n))
+        log.warn(s"GateIndex GC (legacy 32-bit arm, opted in): dropping " +
+          s"$what $n (current generation: $current, data dir: $dir) — " +
+          s"32-bit path keys can collide across directories; verify no " +
+          s"other dataset's pre-r14 index shares this prefix")
+      else
+        log.info(s"GateIndex GC: dropping superseded $what $n " +
+          s"(current generation: $current, data dir: $dir)")
     try {
       // catalog entries from this or earlier sessions
       spark.catalog.listTables().collect()
         .map(_.name)
         .filter(stale)
         .foreach { n =>
-          log.info(s"GateIndex GC: dropping superseded index table $n " +
-            s"(current generation: $current, data dir: $dir)")
+          logDrop(n, "index table")
           dropGateTable(spark, n)
         }
       // orphaned warehouse dirs no catalog knows (earlier JVMs). Scoped
@@ -127,8 +144,7 @@ object GateIndex {
       if (fs.exists(wh)) {
         fs.listStatus(wh).foreach { st =>
           if (stale(st.getPath.getName)) {
-            log.info(s"GateIndex GC: deleting orphaned warehouse dir " +
-              s"${st.getPath} (current generation: $current)")
+            logDrop(st.getPath.toString, "orphaned warehouse dir")
             fs.delete(st.getPath, true)
           }
         }

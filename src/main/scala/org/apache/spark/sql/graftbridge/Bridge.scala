@@ -56,6 +56,14 @@ object Bridge {
       case _ => ()
     }
 
+  /** Block until every queued SparkListener event has been delivered —
+    * the deterministic replacement for the listener specs' Thread.sleep
+    * drains (ADVICE r14: a fixed sleep under-counts task metrics on a
+    * loaded machine and flakes threshold assertions). `listenerBus` is
+    * `private[spark]`, hence the bridge. */
+  def drainListenerBus(spark: SparkSession, timeoutMillis: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+
   /** A clone of `spark` (same SparkContext, SharedState — so the cache
     * manager, catalog and temp views carry over) with the given runtime
     * confs overridden. The conf-mutation-free way for an iterative

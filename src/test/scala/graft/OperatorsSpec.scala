@@ -796,7 +796,13 @@ class OperatorsSpec extends SparkSpec {
             max.getAndAccumulate(e.taskMetrics.shuffleReadMetrics.recordsRead, math.max)
       }
       spark.sparkContext.addSparkListener(l)
-      try { df.count(); Thread.sleep(700) } // let the listener bus drain
+      try {
+        df.count()
+        // deterministic drain: every queued task-end event delivered
+        // before reading the accumulated metric (ADVICE r14 — a fixed
+        // sleep under-counts on a loaded machine)
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+      }
       finally spark.sparkContext.removeSparkListener(l)
       max.get()
     }
@@ -852,7 +858,11 @@ class OperatorsSpec extends SparkSpec {
       }
       spark.sparkContext.addSparkListener(l)
       // pageRank materializes eagerly; the collect below reads its cache
-      val out = try { val d = df; Thread.sleep(700); d } // let the bus drain
+      val out = try {
+        val d = df // pageRank materializes eagerly inside
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+        d
+      }
       finally spark.sparkContext.removeSparkListener(l)
       (max.get(), out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     }
