@@ -54,10 +54,15 @@ object Graph {
     * tiny), the per-edge arithmetic is unchanged, and exact integer
     * addition is order-independent, so the salted result is IDENTICAL
     * to the unsalted one (spec-pinned) — layout changes the plan, never
-    * the answer. Default 1 = the plain src layout. */
+    * the answer. Default 1 = the plain src layout; 0 = AUTO-DETECT from
+    * the measured hub share ([[withDerivedSalts]]). */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000L, salts: Int = 1): DataFrame = {
-    require(salts >= 1, s"pageRank needs salts >= 1, got $salts")
+    require(salts >= 0,
+      s"pageRank needs salts >= 1 (or 0 = auto-detect), got $salts")
+    if (salts == 0)
+      return withDerivedSalts(edges.select(col("src").cast("long"),
+        col("dst").cast("long")))((e, s) => pageRank(e, iterations, scale, s))
     // the edge list feeds deg, the node set, AND every iteration's join —
     // without a persist the (possibly join-shaped) upstream plan would
     // re-execute 2 + iterations times; materialize it once (at cluster
@@ -142,6 +147,38 @@ object Graph {
     }, iterations, scale,
       init = Some(when(col("tp") > 0L, lit(scale)).otherwise(lit(0L)))),
       Seq(e0, nd))
+  }
+
+  /** AUTO-SKEW detection for the rank loops (VERDICT r14 #3): measure
+    * the hottest source's share of the edge list and derive the `salts`
+    * knob from it — a 100×-scale caller shouldn't have to know a hub
+    * exists to avoid pinning its edges to one task. `salts = 0` on
+    * [[pageRank]]/[[pageRankWeighted]] routes here: the edge frame is
+    * persisted ONCE (so a join-shaped upstream doesn't execute twice),
+    * the max source-degree share comes from one keyed aggregation whose
+    * driver side is a single row, and the measured salt count is handed
+    * to the normal (layout-building) path, which re-reads the probe
+    * cache instead of recomputing the upstream plan. Probe cost: one
+    * edges-sized cache + one groupBy — paid only in auto mode.
+    *
+    * The rule `salts = clamp(⌊20·share⌋, 1, 16)` spreads a p-share hub
+    * over ~p·20 layout partitions (0.4-share hub → 8 salts, the
+    * listener-spec'd spread; share < 10% stays effectively unsalted —
+    * AQE-sized tasks absorb it). Derived from data, deterministic, and
+    * answer-invariant: salting changes the layout, never a rank. */
+  private def withDerivedSalts(base: DataFrame)
+                              (run: (DataFrame, Int) => DataFrame): DataFrame = {
+    val (b0, n) = CacheOps.persistMaterializedCounted(base)
+    try {
+      val s =
+        if (n == 0L) 1
+        else {
+          val maxDeg = b0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+            .agg(max(col("d"))).head().getLong(0)
+          math.min(16, math.max(1, (20.0 * maxDeg / n).toInt))
+        }
+      run(b0, s)
+    } finally b0.unpersist(blocking = false)
   }
 
   /** Append the dst-hash salt column for `salts` > 1 (a hub source's
@@ -521,10 +558,12 @@ object Graph {
     * label and each synchronous sweep adopts the most frequent neighbor
     * label with ties to the SMALLEST label — a pure function of the edge
     * set, so runs, partitionings and engines agree exactly. `sweeps` is
-    * FIXED (not run-to-convergence): synchronous LPA can oscillate on
-    * bipartite-ish structure, and a fixed bound both caps the cost and
-    * keeps SQL-oracle parity (an unrolled replay computes the identical
-    * state, converged or not).
+    * FIXED by default (not run-to-convergence): synchronous LPA can
+    * oscillate on bipartite-ish structure, and a fixed bound both caps
+    * the cost and keeps SQL-oracle parity (an unrolled replay computes
+    * the identical state, converged or not). `runToFixpoint = true`
+    * exits as soon as a sweep changes no label, with `sweeps` as the
+    * hard cap — see [[labelPropagationCounted]].
     *
     * Scale shape: per sweep ONE keyed join of the persisted
     * both-directions adjacency against the nodes-sized label frame, one
@@ -532,7 +571,24 @@ object Graph {
     * max-of-struct aggregate — no windows, nothing collected; sweep
     * state is persisted per round and the previous round released (the
     * kCore loop hygiene). */
-  def labelPropagation(edges: DataFrame, sweeps: Int = 4): DataFrame = {
+  def labelPropagation(edges: DataFrame, sweeps: Int = 4,
+                       runToFixpoint: Boolean = false): DataFrame =
+    labelPropagationCounted(edges, sweeps, runToFixpoint)._1
+
+  /** [[labelPropagation]] also returning the number of sweeps RUN —
+    * with `runToFixpoint` the loop exits as soon as a synchronous sweep
+    * changes no label (sweepsRun < sweeps proves the early exit;
+    * spec-pinned). Synchronous LPA is a deterministic function of the
+    * label state, so an unchanged state makes every later sweep a no-op
+    * and the early exit is exact, not approximate; `sweeps` stays the
+    * hard cap because synchronous LPA can OSCILLATE on bipartite-ish
+    * structure and a convergence-only loop would never terminate there
+    * (VERDICT r14 #1 — fixed sweeps remain the oracle-gated default;
+    * fixpoint mode is the production setting for deep community
+    * structure, at one extra nodes-sized join+count per sweep). */
+  private[graft] def labelPropagationCounted(
+      edges: DataFrame, sweeps: Int = 4,
+      runToFixpoint: Boolean = false): (DataFrame, Int) = {
     require(sweeps >= 1, s"labelPropagation needs sweeps >= 1, got $sweeps")
     val (adjC, nAdj) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long"))
@@ -543,12 +599,14 @@ object Graph {
     val spark = edges.sparkSession
     val loopSession = LoopSession.forGraph(spark, nAdj)
     val adj = LoopSession.bindInto(adjC, loopSession)
+    var sweepsRun = 0
     try {
       var labels = CacheOps.persistMaterialized(
         adj.select(col("node")).distinct().withColumn("lbl", col("node")))
       try {
         var sweep = 0
-        while (sweep < sweeps) {
+        var converged = false
+        while (sweep < sweeps && !converged) {
           val counts = adj
             .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
             .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -558,14 +616,32 @@ object Graph {
           // label, so negative or hashed node ids order correctly and
           // Long.MinValue cannot overflow (ADVICE r13; the old form
           // negated lbl twice)
-          val next = CacheOps.persistMaterialized(
-            counts.groupBy(col("node"))
-              .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
-              .select(col("node"), col("m.lbl").as("lbl")))
+          val nextPlan = counts.groupBy(col("node"))
+            .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+            .select(col("node"), col("m.lbl").as("lbl"))
+          val next =
+            if (!runToFixpoint) CacheOps.persistMaterialized(nextPlan)
+            else {
+              // the changed-label count IS the materializing action (it
+              // scans every fresh partition) — one job per sweep, and
+              // zero changes proves the fixpoint (both sides persisted
+              // nodes-sized frames, so this is a cache-scan keyed join)
+              val p = nextPlan.persist(MEMORY_AND_DISK)
+              val changed =
+                try p.join(labels.select(col("node"),
+                      col("lbl").as("__prev")), "node")
+                  .filter(col("lbl") =!= col("__prev")).count()
+                catch { case t: Throwable =>
+                  p.unpersist(blocking = true); throw t
+                }
+              converged = changed == 0L
+              p
+            }
           labels.unpersist(blocking = false)
           labels = next
           sweep += 1
         }
+        sweepsRun = sweep
       } catch { // a mid-sweep failure must not strand the round's cache
         case t: Throwable => labels.unpersist(blocking = true); throw t
       }
@@ -578,7 +654,7 @@ object Graph {
           labels.select(col("node").as("id"), col("lbl").as("community")),
           spark))
       labels.unpersist(blocking = false)
-      out
+      (out, sweepsRun)
     } finally adjC.unpersist(blocking = false)
   }
 
@@ -592,11 +668,15 @@ object Graph {
     * (id, dist) for every node REACHED within `sweeps` relaxations —
     * exact longs, so any engine replays the frontier bit-for-bit.
     *
-    * Fixed sweep count, not run-to-convergence: a sweep-S state equals
-    * the true fixpoint whenever every shortest path from the sources has
-    * ≤ S edges (post-fixpoint sweeps are no-ops), and the fixed bound
-    * keeps SQL-oracle parity — an unrolled replay computes the identical
+    * Fixed sweep count by default: a sweep-S state equals the true
+    * fixpoint whenever every shortest path from the sources has ≤ S
+    * edges (post-fixpoint sweeps are no-ops), and the fixed bound keeps
+    * SQL-oracle parity — an unrolled replay computes the identical
     * state, converged or not (the kCore / labelPropagation lesson).
+    * `runToFixpoint = true` instead runs until the distance frame stops
+    * changing (capped at `sweeps`) — the production mode when the
+    * graph's diameter may exceed any fixed budget; see
+    * [[shortestPathsFixpoint]] for the monotone-pair detection.
     *
     * Scale shape: the loopRanks trick, flipped to min — a ZERO-WEIGHT
     * SELF-LOOP per node rides the persisted edge frame, so each sweep is
@@ -610,9 +690,26 @@ object Graph {
     * like the rank loops. A source absent from the edge list has no
     * self-loop and is dropped (it reaches nothing, nothing reaches it). */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
-                    sweeps: Int = 8): DataFrame = {
+                    sweeps: Int = 8,
+                    runToFixpoint: Boolean = false): DataFrame = {
     require(sweeps >= 1, s"shortestPaths needs sweeps >= 1, got $sweeps")
+    if (runToFixpoint) return shortestPathsFixpoint(edges, sources, sweeps)._1
     val spark = edges.sparkSession
+    val (e0, nEdges) = ssspEdges(edges)
+    val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
+    var d = org.apache.spark.sql.graftbridge.Bridge.rebind(
+      sources.select(col("id").cast("long")).distinct()
+        .withColumn("dist", lit(0L)), loop)
+    for (_ <- 0 until sweeps) d = ssspSweep(e, d)
+    finishRanks(spark, d, Seq(e0))
+  }
+
+  /** The persisted src-partitioned SSSP edge frame: weights defaulted /
+    * checked non-negative, plus the ZERO-WEIGHT SELF-LOOP per node that
+    * lets each sweep carry a node's own distance through ONE
+    * min-aggregation (no second reference to the distance frame). */
+  private def ssspEdges(edges: DataFrame): (DataFrame, Long) = {
     val weighted =
       if (edges.columns.contains("w"))
         edges.select(col("src").cast("long"), col("dst").cast("long"),
@@ -628,26 +725,87 @@ object Graph {
             "(min-relaxation has no fixpoint under negative weights)"))
           .as("__ck"), col("w"))
       .filter(col("__ck").isNull).drop("__ck")
-    // self-loops: one zero-weight edge per node carries each reached
-    // node's own distance through every sweep's min-aggregation
-    val (e0, nEdges) = CacheOps.persistMaterializedCounted(
+    CacheOps.persistMaterializedCounted(
       checked.unionByName(
         checked.select(explode(array(col("src"), col("dst"))).as("src"))
           .distinct()
           .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
         .repartition(col("src")))
-    val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
-    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
-    var d = org.apache.spark.sql.graftbridge.Bridge.rebind(
-      sources.select(col("id").cast("long")).distinct()
-        .withColumn("dist", lit(0L)), loop)
-    for (_ <- 0 until sweeps) {
-      d = e.join(d.select(col("id").as("src"), col("dist")), "src")
-        .groupBy(col("dst"))
-        .agg(min(col("dist") + col("w")).as("dist"))
-        .select(col("dst").as("id"), col("dist"))
-    }
-    finishRanks(spark, d, Seq(e0))
+  }
+
+  /** One min-relaxation: edges ⋈ distances keyed by src, min(dist+w) by
+    * dst — the self-loop row carries each reached node's own distance. */
+  private def ssspSweep(e: DataFrame, d: DataFrame): DataFrame =
+    e.join(d.select(col("id").as("src"), col("dist")), "src")
+      .groupBy(col("dst"))
+      .agg(min(col("dist") + col("w")).as("dist"))
+      .select(col("dst").as("id"), col("dist"))
+
+  /** [[shortestPaths]] run to the TRUE fixpoint, capped at `maxSweeps` —
+    * the production mode for graphs whose diameter may exceed a fixed
+    * sweep budget (VERDICT r14 #1: a fixed-sweep depth map on a deeper
+    * graph silently returns the sweep-S state). Fixed sweeps stay the
+    * oracle-gated default: their unrolled SQL replay is exact; this mode
+    * trades that for convergence DETECTION at one extra nodes-sized
+    * aggregate per sweep.
+    *
+    * Convergence is the kCore count-equality trick extended to the
+    * monotone PAIR (reached-count, Σdist): between sweeps the reached
+    * set only grows and every distance only shrinks, so equal count ⟹
+    * no new nodes, and then equal sum ⟹ every distance unchanged —
+    * set equality proven from two scalars the per-sweep materializing
+    * aggregate computes in ONE job (the sum runs in decimal so a
+    * planet-scale dist sum cannot wrap into a false equality). Sweep
+    * state is persisted per round and the previous round released (the
+    * kCore loop hygiene — per-sweep persistence also bounds the plan at
+    * cache-scan + join + agg instead of the composed linear growth).
+    *
+    * Returns (distances, sweepsRun); sweepsRun < maxSweeps proves early
+    * exit (spec-pinned). A state that converged at sweep k runs k+1
+    * sweeps (the fixpoint is detected by observing one no-op sweep). */
+  private[graft] def shortestPathsFixpoint(edges: DataFrame,
+                                           sources: DataFrame,
+                                           maxSweeps: Int): (DataFrame, Int) = {
+    require(maxSweeps >= 1,
+      s"shortestPaths needs maxSweeps >= 1, got $maxSweeps")
+    val spark = edges.sparkSession
+    val (e0, nEdges) = ssspEdges(edges)
+    try {
+      val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
+      val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
+      var d = CacheOps.persistMaterialized(
+        org.apache.spark.sql.graftbridge.Bridge.rebind(
+          sources.select(col("id").cast("long")).distinct()
+            .withColumn("dist", lit(0L)), loop))
+      var prev: (Long, String) = null
+      var sweep = 0
+      var converged = false
+      try {
+        while (!converged && sweep < maxSweeps) {
+          val next = ssspSweep(e, d).persist(MEMORY_AND_DISK)
+          // the monotone-pair scan IS the materializing action: one job
+          val pair =
+            try {
+              val row = next.agg(count(lit(1)).as("n"),
+                sum(col("dist").cast("decimal(38,0)")).as("s")).head()
+              (row.getLong(0), String.valueOf(row.get(1)))
+            } catch { case t: Throwable =>
+              next.unpersist(blocking = true); throw t
+            }
+          d.unpersist(blocking = false)
+          d = next
+          converged = pair == prev
+          prev = pair
+          sweep += 1
+        }
+      } catch { // a mid-sweep failure must not strand the round's cache
+        case t: Throwable => d.unpersist(blocking = true); throw t
+      }
+      // d is persisted and fully materialized (the pair scan); hand the
+      // caller a caller-session view of the same plan — cache hit, and
+      // the caller's unpersist() matches the entry
+      (org.apache.spark.sql.graftbridge.Bridge.rebind(d, spark), sweep)
+    } finally e0.unpersist(blocking = false)
   }
 
   /** Newman-Girvan modularity of a community assignment over an
@@ -844,7 +1002,12 @@ object Graph {
 
   def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
                        scale: Long = 1000000L, salts: Int = 1): DataFrame = {
-    require(salts >= 1, s"pageRankWeighted needs salts >= 1, got $salts")
+    require(salts >= 0,
+      s"pageRankWeighted needs salts >= 1 (or 0 = auto-detect), got $salts")
+    if (salts == 0)
+      return withDerivedSalts(edges.select(col("src").cast("long"),
+        col("dst").cast("long"), col("w").cast("long")))(
+        (e, s) => pageRankWeighted(e, iterations, scale, s))
     // same layout + loop-session + salting discipline as [[pageRank]]:
     // src-partitioned edge persist + single-shuffle (id, wsum) node
     // frame (null wsum = sink), fixed-count loop in the right-sized clone

@@ -103,7 +103,8 @@ object Pipeline {
     * ([[graft.operators.Graph.labelPropagation]]): replaces the flow
     * with (id, community). */
   final case class CommunitiesStep(srcCol: String, dstCol: String,
-                                   sweeps: Int, dataType: String) extends Step
+                                   sweeps: Int, fixpoint: Boolean,
+                                   dataType: String) extends Step
   /** Personalized PageRank over an edge-list flow
     * ([[graft.operators.Graph.pageRankPersonalized]]): teleport mass on
     * the `seeds` ids; replaces the flow with (id, rank). */
@@ -117,7 +118,8 @@ object Pipeline {
     * Replaces the flow with (id, dist) for reached nodes. */
   final case class SsspStep(srcCol: String, dstCol: String, wCol: String,
                             seeds: Seq[Long], sweeps: Int,
-                            symmetric: Boolean, dataType: String) extends Step
+                            symmetric: Boolean, fixpoint: Boolean,
+                            dataType: String) extends Step
   /** Label-propagation communities + modularity scoring in one step
     * ([[graft.operators.Graph.modularity]] over
     * [[graft.operators.Graph.labelPropagation]]): replaces the flow with
@@ -565,7 +567,9 @@ object Pipeline {
           str("output", "w"), dataType)
       case "triangle" => TriangleStep(str("src", "src"), str("dst", "dst"), dataType)
       case "communities" => CommunitiesStep(str("src", "src"), str("dst", "dst"),
-        if (node.has("sweeps")) node.get("sweeps").asInt() else 4, dataType)
+        if (node.has("sweeps")) node.get("sweeps").asInt() else 4,
+        fixpoint = node.has("fixpoint") && node.get("fixpoint").asBoolean(),
+        dataType)
       case "ppr" | "pagerank_personalized" =>
         PprStep(str("src", "src"), str("dst", "dst"),
           seeds = if (node.has("seeds")) {
@@ -583,6 +587,7 @@ object Pipeline {
         } else Seq.empty,
         sweeps = if (node.has("sweeps")) node.get("sweeps").asInt() else 8,
         symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
+        fixpoint = node.has("fixpoint") && node.get("fixpoint").asBoolean(),
         dataType)
       case "modularity" => ModularityStep(str("src", "src"), str("dst", "dst"),
         if (node.has("sweeps")) node.get("sweeps").asInt() else 4, dataType)
@@ -1134,13 +1139,14 @@ object Pipeline {
               .filter(col("a") < col("b")).distinct()
             flow.updated(dt, graft.operators.Graph.kCore(e, k, sweeps))
           }.getOrElse(flow)
-        case CommunitiesStep(src, dst, sweeps, dt) =>
+        case CommunitiesStep(src, dst, sweeps, fixpoint, dt) =>
           flow(dt).map { df =>
             val e = df.select(
                 least(col(src).cast("long"), col(dst).cast("long")).as("a"),
                 greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
               .filter(col("a") < col("b")).distinct()
-            flow.updated(dt, graft.operators.Graph.labelPropagation(e, sweeps))
+            flow.updated(dt,
+              graft.operators.Graph.labelPropagation(e, sweeps, fixpoint))
           }.getOrElse(flow)
         case PprStep(src, dst, seeds, iters, symmetric, dt) =>
           flow(dt).map { df =>
@@ -1155,7 +1161,7 @@ object Pipeline {
             flow.updated(dt, graft.operators.Graph.pageRankPersonalized(
               edges, seeds.toDF("id"), iters))
           }.getOrElse(flow)
-        case SsspStep(src, dst, w, seeds, sweeps, symmetric, dt) =>
+        case SsspStep(src, dst, w, seeds, sweeps, symmetric, fixpoint, dt) =>
           flow(dt).map { df =>
             val spark = df.sparkSession
             val fwd =
@@ -1180,7 +1186,8 @@ object Pipeline {
                 // only as a destination in a directed flow)
                 edges.agg(least(min(col("src")), min(col("dst"))).as("id"))
             flow.updated(dt,
-              graft.operators.Graph.shortestPaths(edges, seedDf, sweeps))
+              graft.operators.Graph.shortestPaths(edges, seedDf, sweeps,
+                fixpoint))
           }.getOrElse(flow)
         case ModularityStep(src, dst, sweeps, dt) =>
           flow(dt).map { df =>

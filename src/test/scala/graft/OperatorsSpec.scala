@@ -881,6 +881,15 @@ class OperatorsSpec extends SparkSpec {
         s"salted hottest task read $saltMax vs unsalted $plainMax — no spread")
       // the answer is layout-independent: exact integer ranks
       assert(salted == plain, "salting must not change a single rank")
+      // AUTO-DETECTION (salts = 0): the 40%-hub share must derive
+      // salts = 8 (clamp(⌊20·0.4⌋)) without the caller knowing the hub
+      // exists — same spread bound, bit-identical ranks
+      val (autoMax, auto) =
+        measured(Graph.pageRank(edges, iterations = 3, salts = 0))
+      assert(autoMax * 3 <= plainMax,
+        s"auto-salted hottest task read $autoMax vs unsalted $plainMax — " +
+          "skew not detected")
+      assert(auto == plain, "auto-salting must not change a single rank")
       // weighted variant: same contract
       val wEdges = edges.withColumn("w", col("dst") % 3L + 1L)
       val (wpMax, wPlain) = measured(Graph.pageRankWeighted(wEdges, iterations = 3))
@@ -1776,6 +1785,68 @@ class OperatorsSpec extends SparkSpec {
         .count()
     }
     assert(neg.getMessage.contains("non-negative"), s"wrong error: $neg")
+  }
+
+  test("shortest paths fixpoint: early exit on converged graphs, true depths past the sweep budget") {
+    val src = Seq(0L).toDF("id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // converged fixture: diameter 4 << both budgets — fixpoint mode must
+    // return the identical state the fixed-sweep loop (and its oracle)
+    // computes, and must NOT spend its whole cap getting there
+    val small = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L))
+      .toDF("src", "dst")
+    val fixedState = asMap(Graph.shortestPaths(small, src, sweeps = 8))
+    val (fp, ran) = Graph.shortestPathsFixpoint(small, src, maxSweeps = 20)
+    val fpState = asMap(fp)
+    fp.unpersist()
+    assert(fpState == fixedState, s"fixpoint diverged: $fpState vs $fixedState")
+    // the deepest node (3, at depth 3) lands at sweep 3; detection costs
+    // one no-op sweep
+    assert(ran == 4, s"expected early exit at sweep 4, ran $ran")
+    // diameter > sweeps fixture: a 12-hop chain. The fixed default
+    // (sweeps = 8) reaches depth 8 and silently stops — the VERDICT r14
+    // production hazard; fixpoint mode reaches the true distances
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val truncated = asMap(Graph.shortestPaths(chain, src, sweeps = 8))
+    assert(truncated.keySet == (0L to 8L).toSet,
+      s"fixed-sweep state should stop at depth 8: $truncated")
+    val (deep, deepRan) = Graph.shortestPathsFixpoint(chain, src, maxSweeps = 30)
+    val deepState = asMap(deep)
+    deep.unpersist()
+    assert(deepState == (0L to 12L).map(i => i -> i).toMap,
+      s"fixpoint must reach the true 12-hop depths: $deepState")
+    assert(deepRan == 13 && deepRan < 30,
+      s"12-hop chain should settle at sweep 13, ran $deepRan")
+    // the public flag is the same loop
+    assert(asMap(Graph.shortestPaths(chain, src, sweeps = 30,
+      runToFixpoint = true)) == deepState)
+  }
+
+  test("label propagation fixpoint: converged communities exit early, oscillators hit the cap") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the bridged-cliques fixture settles by sweep 2; sweeps 3+ are no-ops
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (5L,6L),(5L,7L),(5L,8L),(6L,7L),(6L,8L),(7L,8L),(4L,5L)).toDF("a","b")
+    val fixed = asMap(Graph.labelPropagation(edges, sweeps = 4))
+    val (fp, ran) = Graph.labelPropagationCounted(edges, sweeps = 50,
+      runToFixpoint = true)
+    val fpState = asMap(fp)
+    fp.unpersist()
+    assert(fpState == fixed, s"fixpoint labels diverged: $fpState vs $fixed")
+    assert(ran == 3, s"settles at sweep 2 + one detection sweep, ran $ran")
+    // the single-edge oscillator never converges — the cap must hold, and
+    // the state must equal the fixed-sweep state at the cap (synchronous
+    // determinism: cap-bounded fixpoint mode IS the fixed-sweep loop when
+    // no sweep is ever a no-op)
+    val osc = Seq((9L, 3L)).toDF("a", "b")
+    val (oscDf, oscRan) = Graph.labelPropagationCounted(osc, sweeps = 5,
+      runToFixpoint = true)
+    val oscState = asMap(oscDf)
+    oscDf.unpersist()
+    assert(oscRan == 5, s"oscillator must run to the cap, ran $oscRan")
+    assert(oscState == asMap(Graph.labelPropagation(osc, sweeps = 5)))
   }
 
   test("modularity: two cliques with a bridge match the hand computation") {

@@ -598,6 +598,31 @@ tab	end"""), Some(1.5), Some(true)),
          |]""".stripMargin)
     assert(auto.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
       == got, "default seed must be the min node id")
+    // directed flow whose minimum node appears ONLY as a destination
+    // (ADVICE r14: the default seed is the min over BOTH endpoints)
+    val dstMin = tmp("sssp") + "/dstmin.parquet"
+    Seq((5L, 0L), (5L, 6L)).toDF("src", "dst").write.parquet(dstMin)
+    val seeded = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$dstMin"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sssp","src":"src","dst":"dst","symmetric":false}
+         |]""".stripMargin)
+    assert(seeded.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      == Map(0L -> 0L), "node 0 (dst-only) must seed the directed flow")
+    // fixpoint:true runs past a too-small fixed budget up to the cap
+    val deep = tmp("sssp") + "/chain.parquet"
+    (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst").write.parquet(deep)
+    val fp = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$deep"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sssp","src":"src","dst":"dst","seeds":[0],
+         |  "symmetric":false,"sweeps":30,"fixpoint":true}
+         |]""".stripMargin)
+    assert(fp.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      == (0L to 12L).map(i => i -> i).toMap,
+      "fixpoint sssp must reach the 12-hop tail")
   }
 
   test("modularity step scores LPA communities over an edge flow from config") {
