@@ -277,28 +277,65 @@ object Graph {
       org.apache.spark.sql.graftbridge.Bridge.rebind(p, caller)
     } finally release.foreach(_.unpersist(blocking = false))
 
-  /** Persist the edge list as a table bucketed on `src`, out-degree
-    * embedded per edge row — build ONCE, rank many (the graph analogue of
-    * the BM25/IVF persisted-index family): each iteration's edges⋈ranks
-    * join reads the corpus-sized edge side bucket-partitioned
-    * (exchange-free), so only the nodes-sized rank frame moves per
-    * iteration, and a nightly re-rank never re-shuffles the graph. */
-  def buildEdgeIndex(edges: DataFrame, table: String, buckets: Int): Unit = {
-    // e feeds BOTH the deg aggregation and the probe side of the join:
-    // unpersisted, the (possibly join-shaped) upstream edge plan would
-    // execute twice inside the one build action
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .persist(MEMORY_AND_DISK)
+  /** Persist a graph as ONE bucketed index table serving every analysis
+    * family — build once, analyze many (the graph analogue of the
+    * BM25/IVF persisted-index family): each sweep's edges⋈state join
+    * reads the corpus-sized edge side bucket-partitioned
+    * (exchange-free), so only the nodes-sized state frame moves per
+    * sweep, and a nightly re-analysis never re-shuffles the graph.
+    *
+    * Schema, bucketed on `src`:
+    *  - REAL edges (`self = false`): (src, dst, w, deg, wsum) — w the
+    *    edge weight (1 when the input has no `w` column; checked
+    *    non-negative at build time, the SSSP contract), deg/wsum the
+    *    source's out-degree and total out-weight embedded per row so no
+    *    consumer ever pays a degree join;
+    *  - one SELF row per node (`self = true`, src = dst = id, w = 0):
+    *    carries the node universe (deg/wsum null for pure sinks) in the
+    *    SAME src-keyed layout — consumers read their nodes-sized init
+    *    frame as a filtered bucket scan instead of an explode+distinct
+    *    shuffle, and SSSP's zero-weight self-loop rows are
+    *    pre-materialized.
+    * Consumers: [[pageRankFromIndex]] (ranks — ignores w),
+    * [[shortestPathsFromIndex]] (distances — the whole table IS its
+    * self-looped edge frame), and, over a SYMMETRIZED build, any
+    * src-keyed neighborhood pass (LPA adjacency, HITS halves). */
+  def buildGraphIndex(edges: DataFrame, table: String, buckets: Int): Unit = {
+    val weighted =
+      if (edges.columns.contains("w"))
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("long"))
+      else
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+          lit(1L).as("w"))
+    val checked = weighted.select(col("src"), col("dst"),
+        assert_true(col("w") >= 0L,
+          lit("buildGraphIndex: edge weights must be non-negative " +
+            "(the SSSP min-relaxation consumer has no fixpoint under " +
+            "negative weights)")).as("__ck"), col("w"))
+      .filter(col("__ck").isNull).drop("__ck")
+    // e feeds the degree aggregation, the node universe AND the probe
+    // side of the deg join: unpersisted, a join-shaped upstream edge
+    // plan would execute three times inside the one build action
+    val e = checked.persist(MEMORY_AND_DISK)
     try {
-      val deg = e.groupBy(col("src").as("dsrc")).agg(count(lit(1)).as("deg"))
-      Bucketing.writeBucketed(
-        e.join(deg, e("src") === col("dsrc"))
-          .select(col("src"), col("dst"), col("deg")),
-        table, buckets, keys = Seq("src"))
+      val deg = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"), sum(col("w")).as("wsum"))
+      val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct()
+        .join(deg, Seq("id"), "left")
+      val real = e
+        .join(deg.select(col("id").as("src"), col("deg"), col("wsum")), "src")
+        .select(col("src"), col("dst"), col("w"), lit(false).as("self"),
+          col("deg"), col("wsum"))
+      val selfRows = nodes.select(col("id").as("src"), col("id").as("dst"),
+        lit(0L).as("w"), lit(true).as("self"), col("deg"), col("wsum"))
+      Bucketing.writeBucketed(real.unionByName(selfRows), table, buckets,
+        keys = Seq("src"))
     } finally e.unpersist(blocking = false)
   }
 
-  /** [[pageRank]] over a [[buildEdgeIndex]] table — identical integer
+  /** [[pageRank]] over a [[buildGraphIndex]] table — identical integer
     * dynamics (the gate shares [[pageRank]]'s oracle: layout changes the
     * plan, never the answer). The edge side stays on disk bucket-
     * partitioned (never cached — the index IS the materialization); the
@@ -310,7 +347,7 @@ object Graph {
     finishRanks(spark, ranks, Seq(nd))
   }
 
-  /** The composed (unmaterialized) loop plan over a [[buildEdgeIndex]]
+  /** The composed (unmaterialized) loop plan over a [[buildGraphIndex]]
     * table plus the persisted node frame backing it — the public
     * [[pageRankFromIndex]] materializes and releases; plan-shape audits
     * read the composed tree directly (a materialized result is just a
@@ -319,18 +356,55 @@ object Graph {
   private[graft] def indexRankPlan(spark: org.apache.spark.sql.SparkSession,
                                    table: String, iterations: Int,
                                    scale: Long): (DataFrame, DataFrame) = {
-    val e = Bucketing.readBucketed(spark, table)
-    // deg already rides the edge rows; the node frame only needs ids, and
-    // the contribution join pulls deg from the edge side. explode, not a
-    // union of two projections: the union scans the edge table once per
-    // branch, the explode emits both endpoints from one scan
-    val nd = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+    val idx = Bucketing.readBucketed(spark, table)
+    val e = idx.filter(!col("self"))
+    // deg already rides the edge rows; the node frame only needs ids —
+    // and the index's self rows ARE the node universe, so the init frame
+    // is a filtered bucket scan, not an explode+distinct shuffle
+    val nd = idx.filter(col("self")).select(col("src").as("id"))
       .persist(MEMORY_AND_DISK)
     (loopRanks(nd, ranks => {
       val r = ranks.select(col("id").as("csrc"), col("rank").as("crank"))
       e.join(r, e("src") === col("csrc"))
         .select(col("dst"), expr("crank div deg").as("contrib"))
     }, iterations, scale), nd)
+  }
+
+  /** [[shortestPaths]] over a [[buildGraphIndex]] table — identical
+    * min-relaxation (the gate shares [[shortestPaths]]'s oracle: layout
+    * changes the plan, never a distance). The index IS the self-looped
+    * SSSP edge frame (real rows carry w, self rows carry the zero-weight
+    * loop), so each sweep joins the distance frame against the bucketed
+    * scan exchange-free on the edge side — only the frontier-sized
+    * distance frame moves, and a nightly depth map never re-shuffles the
+    * graph. `runToFixpoint` runs the capped convergence loop of
+    * [[shortestPathsFixpoint]] over the same on-disk edge side. */
+  def shortestPathsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, sources: DataFrame,
+                             sweeps: Int = 8,
+                             runToFixpoint: Boolean = false): DataFrame = {
+    require(sweeps >= 1, s"shortestPaths needs sweeps >= 1, got $sweeps")
+    val e = Bucketing.readBucketed(spark, table)
+      .select(col("src"), col("dst"), col("w"))
+    val d0 = sources.select(col("id").cast("long")).distinct()
+      .withColumn("dist", lit(0L))
+    if (runToFixpoint) ssspFixpointLoop(spark, e, d0, sweeps)._1
+    else finishRanks(spark, indexSsspPlan(spark, table, sources, sweeps), Nil)
+  }
+
+  /** The composed (unmaterialized) sweep loop over a [[buildGraphIndex]]
+    * table — [[shortestPathsFromIndex]] materializes it; plan-shape
+    * audits read the composed tree directly (the materialized result is
+    * just a cache scan and hides the loop). */
+  private[graft] def indexSsspPlan(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, sources: DataFrame,
+                                   sweeps: Int): DataFrame = {
+    val e = Bucketing.readBucketed(spark, table)
+      .select(col("src"), col("dst"), col("w"))
+    var d = sources.select(col("id").cast("long")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 0 until sweeps) d = ssspSweep(e, d)
+    d
   }
 
   /** The k-core of an undirected graph — iteratively peel nodes of
@@ -773,39 +847,51 @@ object Graph {
     try {
       val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
       val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
-      var d = CacheOps.persistMaterialized(
-        org.apache.spark.sql.graftbridge.Bridge.rebind(
-          sources.select(col("id").cast("long")).distinct()
-            .withColumn("dist", lit(0L)), loop))
-      var prev: (Long, String) = null
-      var sweep = 0
-      var converged = false
-      try {
-        while (!converged && sweep < maxSweeps) {
-          val next = ssspSweep(e, d).persist(MEMORY_AND_DISK)
-          // the monotone-pair scan IS the materializing action: one job
-          val pair =
-            try {
-              val row = next.agg(count(lit(1)).as("n"),
-                sum(col("dist").cast("decimal(38,0)")).as("s")).head()
-              (row.getLong(0), String.valueOf(row.get(1)))
-            } catch { case t: Throwable =>
-              next.unpersist(blocking = true); throw t
-            }
-          d.unpersist(blocking = false)
-          d = next
-          converged = pair == prev
-          prev = pair
-          sweep += 1
-        }
-      } catch { // a mid-sweep failure must not strand the round's cache
-        case t: Throwable => d.unpersist(blocking = true); throw t
-      }
-      // d is persisted and fully materialized (the pair scan); hand the
-      // caller a caller-session view of the same plan — cache hit, and
-      // the caller's unpersist() matches the entry
-      (org.apache.spark.sql.graftbridge.Bridge.rebind(d, spark), sweep)
+      val d0 = org.apache.spark.sql.graftbridge.Bridge.rebind(
+        sources.select(col("id").cast("long")).distinct()
+          .withColumn("dist", lit(0L)), loop)
+      ssspFixpointLoop(spark, e, d0, maxSweeps)
     } finally e0.unpersist(blocking = false)
+  }
+
+  /** The capped SSSP convergence loop shared by the inline
+    * ([[shortestPathsFixpoint]]) and indexed
+    * ([[shortestPathsFromIndex]]) paths: `e` is any self-looped
+    * (src, dst, w) edge frame, `d0` the (id, dist=0) seed frame; the
+    * result is handed back rebound to `caller` with its persist intact
+    * (the caller's unpersist matches the cache entry). */
+  private def ssspFixpointLoop(caller: org.apache.spark.sql.SparkSession,
+                               e: DataFrame, d0: DataFrame,
+                               maxSweeps: Int): (DataFrame, Int) = {
+    var d = CacheOps.persistMaterialized(d0)
+    var prev: (Long, String) = null
+    var sweep = 0
+    var converged = false
+    try {
+      while (!converged && sweep < maxSweeps) {
+        val next = ssspSweep(e, d).persist(MEMORY_AND_DISK)
+        // the monotone-pair scan IS the materializing action: one job
+        val pair =
+          try {
+            val row = next.agg(count(lit(1)).as("n"),
+              sum(col("dist").cast("decimal(38,0)")).as("s")).head()
+            (row.getLong(0), String.valueOf(row.get(1)))
+          } catch { case t: Throwable =>
+            next.unpersist(blocking = true); throw t
+          }
+        d.unpersist(blocking = false)
+        d = next
+        converged = pair == prev
+        prev = pair
+        sweep += 1
+      }
+    } catch { // a mid-sweep failure must not strand the round's cache
+      case t: Throwable => d.unpersist(blocking = true); throw t
+    }
+    // d is persisted and fully materialized (the pair scan); hand the
+    // caller a caller-session view of the same plan — cache hit, and
+    // the caller's unpersist() matches the entry
+    (org.apache.spark.sql.graftbridge.Bridge.rebind(d, caller), sweep)
   }
 
   /** Newman-Girvan modularity of a community assignment over an

@@ -3932,12 +3932,19 @@ object DataOps {
   }
 
   /** PageRank through the persisted bucketed edge index
-    * ([[Graph.buildEdgeIndex]]/[[Graph.pageRankFromIndex]]) — same oracle
+    * ([[Graph.buildGraphIndex]]/[[Graph.pageRankFromIndex]]) — same oracle
     * as q_pagerank: three physical layouts (inline, weighted, indexed),
     * one integer dynamics. Build-once-per-(session, dir) like the BM25
     * index gates, so the bench's best-of-N times the rank loop alone. */
-  def qPagerankIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = GateIndex.gatePrefix(spark, "graft_pr_gate", dir)
+  /** The ONE persisted graph index both indexed graph gates consume
+    * ([[Graph.buildGraphIndex]] over the symmetric trading graph):
+    * build-once-per-(session, dir) like the BM25 index gates — and
+    * build once ACROSS analysis families (VERDICT r14 #6: PageRank and
+    * SSSP read the same bucketed table; "build once, analyze many" is
+    * the production contract, not one index per algorithm). */
+  private[graft] def tradingGraphIndex(spark: SparkSession,
+                                       dir: String): String = {
+    val prefix = GateIndex.gatePrefix(spark, "graft_graph_gate", dir)
     if (!spark.catalog.tableExists(prefix)) {
       dropGateTable(spark, prefix)
       val t = Tables(spark, dir)
@@ -3945,11 +3952,29 @@ object DataOps {
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      Graph.buildEdgeIndex(bothDirections(pairs), prefix, buckets = 8)
+      Graph.buildGraphIndex(bothDirections(pairs), prefix, buckets = 8)
     }
-    Graph.pageRankFromIndex(spark, prefix, iterations = 5)
+    prefix
+  }
+
+  def qPagerankIndexed(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankFromIndex(spark, tradingGraphIndex(spark, dir),
+        iterations = 5)
       .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
         col("rank"))
+
+  /** BFS depths through the SAME persisted graph index as
+    * q_pagerank_indexed ([[Graph.shortestPathsFromIndex]]) — the oracle
+    * is qSsspSql unchanged (layout changes the plan, never a distance),
+    * and the bench's best-of-N times the sweep loop alone over the
+    * build-once bucketed edge side. */
+  def qSsspIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = tradingGraphIndex(spark, dir)
+    val src = Tables(spark, dir).orders
+      .agg((min(col("o_custkey")) * 2).cast("long").as("id"))
+    Graph.shortestPathsFromIndex(spark, prefix, src, sweeps = 6)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("dist"))
   }
 
   /** BFS depth layer over the symmetric trading graph
@@ -4886,6 +4911,7 @@ object DataOps {
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
     "q_modularity"     -> ((qModularity _, Some(qModularitySql))),
     "q_sssp"           -> ((qSssp _, Some(qSsspSql))),
+    "q_sssp_indexed"   -> ((qSsspIndexed _, Some(qSsspSql))),
     "q_sssp_weighted"  -> ((qSsspWeighted _, Some(qSsspWeightedSql))),
     "q_layout_bucketed" -> ((qLayoutBucketed _, Some(qLayoutSql))),
     "q_layout_range"   -> ((qLayoutRange _, Some(qLayoutSql))),

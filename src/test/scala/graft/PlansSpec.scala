@@ -358,6 +358,8 @@ class PlansSpec extends SparkSpec {
       // table is what the index path exists to avoid): one scan per
       // Pregel iteration plus the node-set pass
       "q_pagerank_indexed" -> 6,
+      // same contract: one bucketed-index scan per relaxation sweep
+      "q_sssp_indexed" -> 6,
       // gate fixtures derive their query/plane dims from the corpus table
       // itself (tiny filtered projections; production passes a separate
       // small frame), which costs extra pruned scans of the same file
@@ -489,7 +491,7 @@ class PlansSpec extends SparkSpec {
     // and clear the cache first, or the canonical-plan match against the
     // gate's persisted result replaces the whole tree with a cache scan.
     spark.catalog.clearCache()
-    val table = queries.GateIndex.gatePrefix(spark, "graft_pr_gate", sf)
+    val table = queries.GateIndex.gatePrefix(spark, "graft_graph_gate", sf)
     val (loopPlan, nd) = operators.Graph.indexRankPlan(spark, table, 5, 1000000L)
     val plan = executed(loopPlan)
     nd.unpersist(blocking = false)
@@ -508,6 +510,36 @@ class PlansSpec extends SparkSpec {
     edgeSides.foreach { ch =>
       val ex = nodes(ch).collect { case s: ShuffleExchangeExec => s }
       assert(ex.isEmpty, s"edge side of a rank join re-shuffles the graph:\n$ch")
+    }
+    // the SAME table serves the SSSP family (build once, analyze many):
+    // every relaxation sweep's join must likewise read the edge side
+    // bucket-partitioned with no exchange — only the frontier-sized
+    // distance frame moves
+    val src = {
+      import org.apache.spark.sql.functions._
+      Tables(spark, sf).orders
+        .agg((min(col("o_custkey")) * 2).cast("long").as("id"))
+    }
+    val ssspPlan = executed(operators.Graph.indexSsspPlan(spark, table, src, 6))
+    val ssspEdgeSides = nodes(ssspPlan).flatMap {
+      case j: SortMergeJoinExec => j.children
+      case j: ShuffledHashJoinExec => j.children
+      case j: BroadcastHashJoinExec => j.children
+      case _ => Nil
+    }.filter { ch =>
+      val sub = nodes(ch)
+      sub.exists { case f: FileSourceScanExec => f.bucketedScan; case _ => false } &&
+        !sub.exists { case _: BaseAggregateExec => true; case _ => false }
+    }
+    // nonEmpty, not one-per-sweep: AQE reuses the identical edge-scan
+    // broadcast stage across sweeps at gate scale (ReusedExchange leaves
+    // hide the scan from later joins) — reuse is itself the no-reshuffle
+    // property; the sides that DO show the scan must carry no exchange
+    assert(ssspEdgeSides.nonEmpty,
+      s"expected bucketed edge-scan sweep-join sides, got 0")
+    ssspEdgeSides.foreach { ch =>
+      val ex = nodes(ch).collect { case s: ShuffleExchangeExec => s }
+      assert(ex.isEmpty, s"edge side of a sweep join re-shuffles the graph:\n$ch")
     }
   }
 
