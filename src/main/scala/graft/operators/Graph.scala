@@ -894,6 +894,143 @@ object Graph {
     (org.apache.spark.sql.graftbridge.Bridge.rebind(d, caller), sweep)
   }
 
+  /** Strongly connected components of a DIRECTED graph — the directed
+    * complement of [[connectedComponents]] (spider-trap / link-farm loop
+    * detection in crawl graphs, mutual-trade cycles in interaction
+    * graphs). Deterministic forward-backward min-label coloring (the
+    * classic distributed FW-BW/coloring scheme — cf. Orzan 2004; the
+    * GraphX SCC shape re-expressed as keyed joins): per round,
+    *   1. FORWARD: f(v) = the minimum label that reaches v within the
+    *      active subgraph, by `sweeps` synchronous min-folds;
+    *   2. BACKWARD: mark every node that reaches its color's root
+    *      THROUGH its own color class, by `sweeps` reversed reach
+    *      sweeps from the roots (f(v) = v);
+    *   3. marked nodes are exactly the SCCs of the color roots — emit
+    *      (id, scc = f), deactivate, repeat on the remainder.
+    * Output labels are each SCC's minimum member id. Both sweep loops
+    * use the self-loop trick (a (v, v) row per active node rides the
+    * per-round edge frame), so each sweep references its state frame
+    * ONCE — one keyed join + one aggregation, composed linearly.
+    *
+    * Fixed budgets, early exit: `rounds` is a hard cap but an empty
+    * active set exits immediately (no-op rounds emit nothing, so the
+    * early exit is invisible to the unrolled SQL oracle — same result,
+    * fewer jobs). A node still active after `rounds` is OMITTED from
+    * the output (documented partial result; raise `rounds`).
+    * CONVERGENCE CONTRACT on `sweeps`: every emitted (id, scc) pair is
+    * genuinely co-cyclic with its root (the backward pass certifies a
+    * color-internal path, any forward label certifies reachability), but
+    * an UNDER-SWEPT forward pass can split one large SCC across two
+    * roots in the same round. Pick sweeps ≥ the min-label propagation
+    * depth of the biggest SCC (the gate's budgets are probed stable at
+    * sweeps and sweeps+2 across all SFs — the fixed-sweep ≡ fixpoint
+    * discipline).
+    *
+    * Scale shape: per round, two semi-joins build the active edge frame
+    * (persisted — it feeds 2·sweeps joins), the sweep loops move only
+    * nodes-sized label/marked frames, and the round boundary is four
+    * materializing persists (labels, colored edges, marked, emitted) —
+    * nothing collected but per-round 1-row counts; all in the
+    * right-sized cloned loop session. */
+  def stronglyConnectedComponents(edges: DataFrame, rounds: Int = 3,
+                                  sweeps: Int = 6): DataFrame = {
+    require(rounds >= 1, s"scc needs rounds >= 1, got $rounds")
+    require(sweeps >= 1, s"scc needs sweeps >= 1, got $sweeps")
+    val spark = edges.sparkSession
+    val (e0, nE) = CacheOps.persistMaterializedCounted(
+      edges.select(col("src").cast("long"), col("dst").cast("long")).distinct())
+    try {
+      val loop = LoopSession.forGraph(spark, nE)
+      // Round-boundary frames are persisted AND plan-truncated (the
+      // representatives() hygiene): every round composes active/fp/ce/mp
+      // into multi-reference joins, so untruncated LOGICAL plans grow
+      // combinatorially across rounds and the ANALYZER — not the data —
+      // hangs by round 3 (measured: minutes on a 7-node fixture).
+      // Truncation resets each boundary to a flat scan of its persisted
+      // execution RDD while keeping recompute lineage; the composed
+      // sweep loops between boundaries reference their state once per
+      // sweep and stay linear.
+      def flat(df: DataFrame): ((DataFrame, DataFrame), Long) = {
+        val (p, n) = CacheOps.persistMaterializedCounted(df)
+        ((org.apache.spark.sql.graftbridge.Bridge.rebind(
+          org.apache.spark.sql.graftbridge.Bridge.truncatePlan(p), loop),
+          p), n)
+      }
+      val e = LoopSession.bindInto(e0, loop)
+      var ((active, activeP), nActive) = flat(
+        e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
+      var outs: List[DataFrame] = Nil
+      def releaseAll(frames: Seq[DataFrame]): Unit =
+        frames.foreach(_.unpersist(blocking = false))
+      try {
+        var round = 0
+        while (round < rounds && nActive > 0L) {
+          // active-subgraph edges + one self-loop per active node: the
+          // self rows carry each node's own label/mark through the
+          // sweeps' aggregations (single-reference, linear plans)
+          val ((ae, aeP), _) = flat(
+            e.join(active.select(col("id").as("src")), Seq("src"), "left_semi")
+              .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi")
+              .unionByName(
+                active.select(col("id").as("src"), col("id").as("dst"))))
+          try {
+            var f = active.select(col("id"), col("id").as("f"))
+            for (_ <- 0 until sweeps)
+              f = ae.join(f.select(col("id").as("src"), col("f")), "src")
+                .groupBy(col("dst")).agg(min(col("f")).as("f"))
+                .select(col("dst").as("id"), col("f"))
+            val ((fp, fpP), _) = flat(f)
+            try {
+              // color-internal edges (self rows pass trivially: f = f)
+              val ((ce, ceP), _) = flat(
+                ae.join(fp.select(col("id").as("src"), col("f").as("fs")), "src")
+                  .join(fp.select(col("id").as("dst"), col("f").as("fd")), "dst")
+                  .filter(col("fs") === col("fd"))
+                  .select(col("src"), col("dst")))
+              try {
+                // backward reach from the roots, within color: a node is
+                // marked when any color-internal out-edge hits a marked
+                // node (the self row keeps marked nodes marked)
+                var m = fp.filter(col("id") === col("f")).select(col("id"))
+                for (_ <- 0 until sweeps)
+                  m = ce.join(m.select(col("id").as("dst")), "dst")
+                    .select(col("src").as("id")).distinct()
+                val ((mp, mpP), _) = flat(m)
+                try {
+                  outs ::= CacheOps.persistMaterialized(
+                    fp.join(mp, "id").select(col("id"), col("f").as("scc")))
+                  val ((nextActive, nextActiveP), nNext) = flat(
+                    active.join(mp, Seq("id"), "left_anti"))
+                  activeP.unpersist(blocking = false)
+                  active = nextActive
+                  activeP = nextActiveP
+                  nActive = nNext
+                } finally mpP.unpersist(blocking = false)
+              } finally ceP.unpersist(blocking = false)
+            } finally fpP.unpersist(blocking = false)
+          } finally aeP.unpersist(blocking = false)
+          round += 1
+        }
+        // union the per-round persisted results into one caller-session
+        // frame whose persist the caller can release (the LPA contract)
+        val sp = spark
+        val all = outs match {
+          case Nil =>
+            import sp.implicits._
+            Seq.empty[(Long, Long)].toDF("id", "scc")
+          case more => more
+            .map(o => org.apache.spark.sql.graftbridge.Bridge.rebind(o, sp))
+            .reduce(_ unionByName _)
+        }
+        val res = CacheOps.persistMaterialized(all)
+        releaseAll(outs)
+        res
+      } catch { // a mid-round failure must not strand the round's caches
+        case t: Throwable => releaseAll(outs); throw t
+      } finally activeP.unpersist(blocking = false)
+    } finally e0.unpersist(blocking = false)
+  }
+
   /** Newman-Girvan modularity of a community assignment over an
     * undirected graph — the graded quality signal for
     * [[labelPropagation]]'s output (and a degeneracy cross-check: a

@@ -111,6 +111,13 @@ object Pipeline {
   final case class PprStep(srcCol: String, dstCol: String, seeds: Seq[Long],
                            iterations: Int, symmetric: Boolean,
                            dataType: String) extends Step
+  /** Strongly connected components over a DIRECTED edge-list flow
+    * ([[graft.operators.Graph.stronglyConnectedComponents]]): replaces
+    * the flow with (id, scc), scc = each component's minimum member id.
+    * Nodes not finalized within `rounds` are omitted (documented partial
+    * result — raise rounds). */
+  final case class SccStep(srcCol: String, dstCol: String, rounds: Int,
+                           sweeps: Int, dataType: String) extends Step
   /** BFS / shortest-path depth layer over an edge-list flow
     * ([[graft.operators.Graph.shortestPaths]]): distances from `seeds`
     * (explicit ids; empty = the minimum node id). An optional weight
@@ -579,6 +586,10 @@ object Pipeline {
           iterations = if (node.has("iterations")) node.get("iterations").asInt() else 5,
           symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
           dataType)
+      case "scc" => SccStep(str("src", "src"), str("dst", "dst"),
+        rounds = if (node.has("rounds")) node.get("rounds").asInt() else 3,
+        sweeps = if (node.has("sweeps")) node.get("sweeps").asInt() else 6,
+        dataType)
       case "sssp" => SsspStep(str("src", "src"), str("dst", "dst"),
         str("weight", ""),
         seeds = if (node.has("seeds")) {
@@ -1160,6 +1171,12 @@ object Pipeline {
             else fwd
             flow.updated(dt, graft.operators.Graph.pageRankPersonalized(
               edges, seeds.toDF("id"), iters))
+          }.getOrElse(flow)
+        case SccStep(src, dst, rounds, sweeps, dt) =>
+          flow(dt).map { df =>
+            flow.updated(dt, graft.operators.Graph.stronglyConnectedComponents(
+              df.select(col(src).cast("long").as("src"),
+                col(dst).cast("long").as("dst")), rounds, sweeps))
           }.getOrElse(flow)
         case SsspStep(src, dst, w, seeds, sweeps, symmetric, fixpoint, dt) =>
           flow(dt).map { df =>

@@ -4292,6 +4292,72 @@ object DataOps {
     s"""WITH $communitiesCtePrefix
        |SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin
 
+  /** Strongly connected components
+    * ([[Graph.stronglyConnectedComponents]]) over the DIRECTED trading
+    * graph: every customer→supplier edge, plus the REVERSE edge only for
+    * pairs that traded ≥ 2 lineitems — mutual-trade loops (the
+    * spider-trap / link-farm signature in crawl graphs) fuse into
+    * non-trivial SCCs, one-shot pairs stay singletons. rounds = 3,
+    * sweeps = 6: probed converged (empty leftover active set, result
+    * stable at sweeps + 2) at all three SFs; the oracle unrolls the
+    * identical 3 × (6 forward + 6 backward) MATERIALIZED sweeps. */
+  def qScc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("n"))
+    val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.filter(col("n") >= 2)
+        .select(col("s").as("src"), col("c").as("dst")))
+    Graph.stronglyConnectedComponents(e, rounds = 3, sweeps = 6)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("scc"))
+  }
+
+  val qSccSql: String = {
+    val R = 3; val S = 6
+    val rounds = (1 to R).map { r =>
+      val fwd = (1 to S).map(s =>
+        s"""f${r}_$s AS MATERIALIZED (SELECT ae.dst AS id, min(f.f) AS f
+           |  FROM ae$r ae JOIN f${r}_${s - 1} f ON ae.src = f.id GROUP BY 1)""".stripMargin)
+        .mkString(",\n")
+      val bwd = (1 to S).map(s =>
+        s"""m${r}_$s AS MATERIALIZED (SELECT DISTINCT ce.src AS id
+           |  FROM ce$r ce JOIN m${r}_${s - 1} m ON ce.dst = m.id)""".stripMargin)
+        .mkString(",\n")
+      s"""ae$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e JOIN a$r x ON e.src = x.id
+         |    JOIN a$r y ON e.dst = y.id
+         |  UNION ALL SELECT id, id FROM a$r),
+         |f${r}_0 AS MATERIALIZED (SELECT id, id AS f FROM a$r),
+         |$fwd,
+         |ce$r AS MATERIALIZED (SELECT ae.src, ae.dst FROM ae$r ae
+         |  JOIN f${r}_$S fs ON ae.src = fs.id
+         |  JOIN f${r}_$S fd ON ae.dst = fd.id
+         |  WHERE fs.f = fd.f),
+         |m${r}_0 AS MATERIALIZED (SELECT id FROM f${r}_$S WHERE id = f),
+         |$bwd,
+         |out$r AS MATERIALIZED (SELECT f.id, f.f AS scc
+         |  FROM f${r}_$S f JOIN m${r}_$S m USING (id)),
+         |a${r + 1} AS MATERIALIZED (SELECT a.id FROM a$r a
+         |  WHERE NOT EXISTS (SELECT 1 FROM m${r}_$S m WHERE m.id = a.id))""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to R).map(r => s"SELECT id, scc FROM out$r")
+      .mkString(" UNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (SELECT o_custkey * 2 AS c,
+       |        l_suppkey * 2 + 1 AS s, count(*) AS n
+       |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |      GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s, c FROM pairs WHERE n >= 2),
+       |a1 AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |$rounds
+       |SELECT CAST(id % 2 AS BIGINT) AS kind, CAST(id // 2 AS BIGINT) AS key,
+       |  CAST(scc AS BIGINT) AS scc FROM ($outs)""".stripMargin
+  }
+
   /** Modularity scoring of the rare-shingle LPA labeling
     * ([[Graph.modularity]] over [[Graph.labelPropagation]]'s output) —
     * the graded quality signal on top of q_communities, and a degeneracy
@@ -4910,6 +4976,7 @@ object DataOps {
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
     "q_modularity"     -> ((qModularity _, Some(qModularitySql))),
+    "q_scc"            -> ((qScc _, Some(qSccSql))),
     "q_sssp"           -> ((qSssp _, Some(qSsspSql))),
     "q_sssp_indexed"   -> ((qSsspIndexed _, Some(qSsspSql))),
     "q_sssp_weighted"  -> ((qSsspWeighted _, Some(qSsspWeightedSql))),

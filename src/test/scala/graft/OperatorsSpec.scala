@@ -1823,6 +1823,45 @@ class OperatorsSpec extends SparkSpec {
       runToFixpoint = true)) == deepState)
   }
 
+  test("scc: two cycles joined by a tail resolve by hand; directed ≠ undirected") {
+    // 1→2→3→1 (cycle A), tail 3→4, bridge 4→5, 5→6→5 (cycle B), feeder
+    // 7→1. SCCs: {1,2,3} labeled 1, {5,6} labeled 5, singletons {4},{7}.
+    // Round 1 by hand (sweeps = 4): f floods 1 down to nodes 1-5 (node 6
+    // sits at propagation depth 5, so its 4-sweep label stays 2 — an
+    // UNDER-SWEPT color with no root, which emits nothing rather than
+    // anything wrong); roots are 1 and 7; backward within color 1 marks
+    // only {1,2,3} (4 cannot return to 1) → round 1 emits {1,2,3}→1 and
+    // {7}→7. Round 2 re-colors {4,5,6}: f(4)=4 root, f(5)=f(6)=4 —
+    // backward marks only {4}; round 3 resolves {5,6}→5. Three rounds
+    // genuinely NEEDED: the two-cycle-plus-tail fixture exercises the
+    // multi-round peel, not just the coloring.
+    val e = Seq((1L,2L),(2L,3L),(3L,1L),(3L,4L),(4L,5L),(5L,6L),(6L,5L),
+      (7L,1L)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame, r: Int) = {
+      val out = Graph.stronglyConnectedComponents(df, rounds = r, sweeps = 4)
+      val got = out.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      out.unpersist()
+      got
+    }
+    val full = run(e, 3)
+    assert(full == Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->5L, 6L->5L, 7L->7L),
+      s"scc mismatch: $full")
+    // the capped partial result: round 1 alone emits only the finalized
+    // colors — a documented partial assignment, never a wrong one
+    val r1 = run(e, 1)
+    assert(r1 == Map(1L->1L, 2L->1L, 3L->1L, 7L->7L), s"round-1 state: $r1")
+    // partitioning must not change a label
+    assert(run(e.repartition(5), 3) == full)
+    // a DAG has only singletons (the undirected components would merge
+    // it); un-trimmed FW-BW peels one chain layer per round, so the
+    // 3-node chain takes 3 rounds
+    val dag = Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    assert(run(dag, 3) == Map(10L->10L, 11L->11L, 12L->12L))
+    // empty input: empty output, correct schema
+    val empty = run(Seq.empty[(Long, Long)].toDF("src", "dst"), 2)
+    assert(empty.isEmpty)
+  }
+
   test("label propagation fixpoint: converged communities exit early, oscillators hit the cap") {
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

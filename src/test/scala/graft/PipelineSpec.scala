@@ -625,6 +625,22 @@ tab	end"""), Some(1.5), Some(true)),
       "fixpoint sssp must reach the 12-hop tail")
   }
 
+  test("scc step labels directed cycles from config") {
+    val src = tmp("scc") + "/edges.parquet"
+    // cycle {1,2,3}, tail 3→4, cycle {5,6} behind a bridge 4→5
+    Seq((1L,2L),(2L,3L),(3L,1L),(3L,4L),(4L,5L),(5L,6L),(6L,5L))
+      .toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"scc","src":"src","dst":"dst","rounds":3,"sweeps":4}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->5L, 6L->5L),
+      s"got $got")
+  }
+
   test("modularity step scores LPA communities over an edge flow from config") {
     val src = tmp("mod") + "/edges.parquet"
     // two triangles + bridge: m=7, each community q_num = 4*7*3-49 = 35
