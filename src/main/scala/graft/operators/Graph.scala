@@ -1223,6 +1223,100 @@ object Graph {
     } finally e0.unpersist(blocking = false)
   }
 
+  /** One synchronous Louvain refinement step (Blondel et al. 2008, the
+    * local-move phase, made deterministic): every node simultaneously
+    * evaluates moving to each NEIGHBOR community and takes the move with
+    * the largest modularity gain if positive — ties to the smaller
+    * community label — else stays. Turns [[modularity]]'s score into an
+    * optimizer over [[labelPropagation]]'s (or any) labeling.
+    *
+    * EXACT integer gain over the common denominator 4m² (the modularity
+    * q_num discipline — one labeling both engines replay bit-for-bit):
+    * moving v from c to d changes Q·4m² by
+    *   Δnum(v: c→d) = 4m·(e_{v,d} − e_{v,c∖v}) − 2k_v·(d_d − d_c) − 2k_v²
+    * with m = |edges|, e_{v,x} = v's edges into community x, k_v = v's
+    * degree, d_x = community x's degree sum (d_c INCLUDING v, d_d
+    * excluding — v ∉ d). |Δnum| ≤ 4m², so the same m < 1.5·10⁹ bound as
+    * [[modularity]] keeps every term in a long — ENFORCED on the 1-row
+    * count. Classic Louvain iterates asynchronous moves with arbitrary
+    * order; one synchronous pass is order-free (a pure function of the
+    * labeling) at the cost of possible pairwise swaps on degenerate
+    * ties — callers alternating steps with re-scoring get monotone Q in
+    * practice (spec-pinned on the bridged-cliques fixture), and an ideal
+    * partition is a FIXPOINT (every gain ≤ 0; spec-pinned).
+    *
+    * Input: canonical distinct edges `(a, b)`, a < b (no self-loops) and
+    * `labels(id, community)`; unlabeled endpoints drop (inner joins, the
+    * modularity contract). Returns (id, community) for every labeled
+    * node in the edge list. Scale shape: the (node, nbr-community) count
+    * is the one corpus-sized aggregation; everything else is keyed
+    * nodes-sized joins plus the broadcast 1-row m — no windows, nothing
+    * collected. */
+  def louvainStep(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e0 = CacheOps.persistMaterialized(
+      edges.select(col("a").cast("long"), col("b").cast("long")))
+    val lab = labels.select(col("id").cast("long"),
+      col("community").cast("long")).persist(MEMORY_AND_DISK)
+    try {
+      val m = e0.agg(count(lit(1)).as("m"))
+        .select(assert_true(col("m") < 1500000000L,
+            lit("louvainStep: 4*m^2 must fit a long — m < 1.5e9")).as("__ck"),
+          col("m"))
+        .filter(col("__ck").isNull).drop("__ck")
+      // (id, deg, community) feeds the community degree sums AND the
+      // per-node decision frame
+      val degL = CacheOps.persistMaterialized(
+        degreeFrame(e0).join(lab, "id"))
+      try {
+        val dc = degL.groupBy(col("community"))
+          .agg(sum(col("deg")).as("dsum"))
+        // v's edge count into each adjacent community — the one
+        // corpus-sized aggregation; referenced twice (own-community
+        // lookup + move candidates), hence persisted
+        val adj = e0.select(explode(array(
+            struct(col("a").as("node"), col("b").as("nbr")),
+            struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
+          .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
+        val evd = CacheOps.persistMaterialized(
+          adj.join(lab.select(col("id").as("nbr"), col("community").as("d")),
+              "nbr")
+            .groupBy(col("node").as("id"), col("d"))
+            .agg(count(lit(1)).as("ec")))
+        try {
+          val base = degL
+            .join(dc, "community")
+            .join(evd.select(col("id"), col("d"), col("ec").as("evc")),
+              degL("id") === evd("id") && col("d") === degL("community"),
+              "left")
+            .select(degL("id").as("id"), col("deg"),
+              col("community").as("c"), col("dsum").as("dcur"),
+              coalesce(col("evc"), lit(0L)).as("evc"))
+          val cand = base
+            .join(evd.select(col("id"), col("d"), col("ec")), Seq("id"))
+            .filter(col("d") =!= col("c"))
+            .join(dc.select(col("community").as("d"), col("dsum").as("dnew")),
+              "d")
+            .crossJoin(broadcast(m))
+            .select(col("id"), col("d"),
+              (lit(4L) * col("m") * (col("ec") - col("evc")) -
+                lit(2L) * col("deg") * (col("dnew") - col("dcur")) -
+                lit(2L) * col("deg") * col("deg")).as("dnum"))
+          val best = cand.groupBy(col("id"))
+            .agg(min(struct((-col("dnum")).as("nd"), col("d"))).as("b"))
+            .select(col("id"), col("b.nd").as("nd"), col("b.d").as("bd"))
+          CacheOps.persistMaterialized(
+            base.join(best, Seq("id"), "left")
+              .select(col("id"),
+                when(col("nd").isNotNull && col("nd") < 0L, col("bd"))
+                  .otherwise(col("c")).as("community")))
+        } finally evd.unpersist(blocking = false)
+      } finally degL.unpersist(blocking = false)
+    } finally {
+      e0.unpersist(blocking = false)
+      lab.unpersist(blocking = false)
+    }
+  }
+
   def pageRankWeighted(edges: DataFrame, iterations: Int = 5,
                        scale: Long = 1000000L, salts: Int = 1): DataFrame = {
     require(salts >= 0,

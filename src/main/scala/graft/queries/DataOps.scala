@@ -4358,6 +4358,53 @@ object DataOps {
        |  CAST(scc AS BIGINT) AS scc FROM ($outs)""".stripMargin
   }
 
+  /** One synchronous Louvain refinement step ([[Graph.louvainStep]])
+    * over the rare-shingle LPA labeling — modularity turned from a score
+    * into an optimizer: every node takes its best positive-gain neighbor
+    * community move (exact integer Δnum over 4m², ties to the smaller
+    * label), so the gate stresses the q_num algebra under composition.
+    * The oracle replays the 4 LPA sweeps through the shared CTE prefix,
+    * then the identical move algebra with a window argmax. */
+  def qLouvainStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.CacheOps.persistMaterialized(
+      rareShingleEdges(Tables(spark, dir).documents)
+        .select(col("a").cast("long"), col("b").cast("long")))
+    val labels = Graph.labelPropagation(e, sweeps = 4)
+    try Graph.louvainStep(e, labels)
+    finally {
+      e.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+    }
+  }
+
+  val qLouvainStepSql: String =
+    s"""WITH $communitiesCtePrefix,
+       |lab AS MATERIALIZED (SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4),
+       |deg AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS id FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+       |dcs AS MATERIALIZED (SELECT community, CAST(sum(deg) AS BIGINT) AS dsum
+       |  FROM deg JOIN lab USING (id) GROUP BY 1),
+       |evd AS MATERIALIZED (SELECT adj.node AS id, l.community AS d,
+       |    CAST(count(*) AS BIGINT) AS ec
+       |  FROM adj JOIN lab l ON adj.nbr = l.id GROUP BY 1, 2),
+       |base AS MATERIALIZED (SELECT lab.id, lab.community AS c, deg.deg AS k,
+       |    CAST(COALESCE(ev.ec, 0) AS BIGINT) AS evc, dcs.dsum AS dcur
+       |  FROM lab JOIN deg USING (id)
+       |  JOIN dcs ON dcs.community = lab.community
+       |  LEFT JOIN evd ev ON ev.id = lab.id AND ev.d = lab.community),
+       |cand AS (SELECT b.id, ev.d,
+       |    4 * mm.m * (ev.ec - b.evc) - 2 * b.k * (dd.dsum - b.dcur)
+       |      - 2 * b.k * b.k AS dnum
+       |  FROM base b JOIN evd ev ON ev.id = b.id AND ev.d <> b.c
+       |  JOIN dcs dd ON dd.community = ev.d, mm),
+       |best AS (SELECT id, d, dnum,
+       |    row_number() OVER (PARTITION BY id ORDER BY dnum DESC, d) AS rn
+       |  FROM cand)
+       |SELECT b.id,
+       |  CAST(CASE WHEN bs.dnum > 0 THEN bs.d ELSE b.c END AS BIGINT) AS community
+       |FROM base b LEFT JOIN best bs ON bs.id = b.id AND bs.rn = 1""".stripMargin
+
   /** Modularity scoring of the rare-shingle LPA labeling
     * ([[Graph.modularity]] over [[Graph.labelPropagation]]'s output) —
     * the graded quality signal on top of q_communities, and a degeneracy
@@ -4975,6 +5022,7 @@ object DataOps {
     "q_assortativity"  -> ((qAssortativity _, Some(qAssortativitySql))),
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
+    "q_louvain_step"   -> ((qLouvainStep _, Some(qLouvainStepSql))),
     "q_modularity"     -> ((qModularity _, Some(qModularitySql))),
     "q_scc"            -> ((qScc _, Some(qSccSql))),
     "q_sssp"           -> ((qSssp _, Some(qSsspSql))),

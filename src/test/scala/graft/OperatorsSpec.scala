@@ -1823,6 +1823,46 @@ class OperatorsSpec extends SparkSpec {
       runToFixpoint = true)) == deepState)
   }
 
+  test("louvain step: ideal partition is a fixpoint; refinement raises Q from singletons") {
+    // bridged cliques {1,2,3,4} + {5,6,7,8}, bridge 4-5 (m = 13)
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (5L,6L),(5L,7L),(5L,8L),(6L,7L),(6L,8L),(7L,8L),(4L,5L)).toDF("a","b")
+    def labs(pairs: (Long, Long)*) = pairs.toDF("id", "community")
+    def run(l: org.apache.spark.sql.DataFrame) = {
+      val out = Graph.louvainStep(edges, l)
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out.unpersist()
+      got
+    }
+    def q(l: Map[Long, Long]) = {
+      val scored = Graph.modularity(edges, labs(l.toSeq: _*))
+      val total = scored.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("q"))).head().getDouble(0)
+      scored.unpersist()
+      total
+    }
+    // the ideal partition: every candidate move has Δnum < 0 (for node 4:
+    // 4m(1−3) − 2·4·0 − 32 = −136) — a strict fixpoint
+    val ideal = Map(1L->1L, 2L->1L, 3L->1L, 4L->1L,
+      5L->5L, 6L->5L, 7L->5L, 8L->5L)
+    assert(run(labs(ideal.toSeq: _*)) == ideal, "ideal partition must not move")
+    // from all-singletons, one synchronous step must strictly raise Q
+    val singletons = (1L to 8L).map(i => i -> i).toMap
+    val stepped = run(labs(singletons.toSeq: _*))
+    assert(stepped != singletons, "refinement must move somebody")
+    assert(q(stepped) > q(singletons),
+      s"Q must rise: ${q(singletons)} -> ${q(stepped)}")
+    // deterministic under partitioning
+    val rep = Graph.louvainStep(edges.repartition(7),
+      labs(singletons.toSeq: _*))
+    assert(rep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == stepped)
+    rep.unpersist()
+    // a second step from the stepped state keeps Q non-decreasing
+    val stepped2 = run(labs(stepped.toSeq: _*))
+    assert(q(stepped2) >= q(stepped),
+      s"Q must not fall: ${q(stepped)} -> ${q(stepped2)}")
+  }
+
   test("scc: two cycles joined by a tail resolve by hand; directed ≠ undirected") {
     // 1→2→3→1 (cycle A), tail 3→4, bridge 4→5, 5→6→5 (cycle B), feeder
     // 7→1. SCCs: {1,2,3} labeled 1, {5,6} labeled 5, singletons {4},{7}.
