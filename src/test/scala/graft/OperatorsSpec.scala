@@ -1110,18 +1110,19 @@ class OperatorsSpec extends SparkSpec {
     val docs = Tables(spark, sf).documents
     def kept(a: Double) =
       graft.queries.DataOps.mixtureTemperature(docs, "source", "doc_id", a).select("doc_id")
-    val (k0, k25, k5, k75, k9) =
-      (kept(0.0), kept(0.25), kept(0.5), kept(0.75), kept(0.9))
-    // f_s = (min/n)^(1-alpha) grows with alpha and the hash threshold is
-    // shared, so the kept sets nest — raising alpha only ADDS documents
-    // (the quarter-rational sqrt-chain branches must respect the same
-    // ordering: r^(3/4) ≤ r^(1/2) ≤ r^(1/4) for r ≤ 1)
-    assert(k0.except(k25).count() == 0, "alpha=0 must keep a subset of alpha=0.25")
-    assert(k25.except(k5).count() == 0, "alpha=0.25 must keep a subset of alpha=0.5")
-    assert(k5.except(k75).count() == 0, "alpha=0.5 must keep a subset of alpha=0.75")
-    assert(k75.except(k9).count() == 0, "alpha=0.75 must keep a subset of alpha=0.9")
-    assert(k0.count() <= k25.count() && k25.count() <= k5.count() &&
-      k5.count() <= k75.count() && k75.count() <= k9.count())
+    // all seven oracle-pinned dyadic points plus a non-dyadic pow()
+    // fallback point: f_s = (min/n)^(1-alpha) grows with alpha and the
+    // hash threshold is shared, so the kept sets nest — raising alpha
+    // only ADDS documents (every sqrt-chain branch must respect the
+    // same ordering: r^(3/4) ≤ r^(5/8) ≤ r^(1/2) ≤ r^(3/8) ≤ r^(1/4)
+    // for r ≤ 1)
+    val alphas = Seq(0.0, 0.25, 0.375, 0.5, 0.625, 0.75, 0.9)
+    val chain = alphas.map(a => a -> kept(a))
+    chain.sliding(2).foreach { case Seq((aLo, lo), (aHi, hi)) =>
+      assert(lo.except(hi).count() == 0,
+        s"alpha=$aLo must keep a subset of alpha=$aHi")
+      assert(lo.count() <= hi.count())
+    }
     assert(kept(1.0).count() == docs.count(), "alpha=1 keeps everything")
     // a source tied for the global minimum survives whole at every alpha
     val smallest = docs.groupBy("source").count()

@@ -369,6 +369,7 @@ class PlansSpec extends SparkSpec {
       "q_dedup_minhash" -> 3, "q_editdist_join" -> 3, "q_knn_classify" -> 3,
       "q_mixture_resample" -> 3, "q_mixture_temperature" -> 3,
       "q_mixture_temperature_q1" -> 3, "q_mixture_temperature_q3" -> 3,
+      "q_mixture_temperature_d38" -> 3, "q_mixture_temperature_d58" -> 3,
       "q_mmr_rerank" -> 3, "q_paragraph_dedup" -> 3, "q_robust_stats" -> 3,
       "q_substring_dedup" -> 3, "q_tfidf" -> 3)
     // Descends into each cached relation's plan ONCE (a cache executes
