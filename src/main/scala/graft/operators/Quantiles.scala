@@ -151,13 +151,30 @@ object Quantiles {
     * den. Nulls excluded per group. */
   def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                        specs: Seq[(String, Long, Long)]): DataFrame = {
-    require(specs.nonEmpty, "need at least one rank spec")
-    import org.apache.spark.sql.expressions.Window
     val hist = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("g").orderBy("v")
-    val wAll = Window.partitionBy("g")
+    groupPercentilesFromHist(hist, Seq("g"), specs)
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** [[groupPercentiles]] over a PRE-AGGREGATED per-group value
+    * histogram `hist(groupCols…, v: long, c: long)` — the shared core,
+    * and the consumer a STREAMING pipeline needs: a watermarked
+    * (window, key, value) count is exactly such a histogram for the
+    * closed windows, so arrival-time percentile state stays bounded by
+    * the value domain while this post-pass derives the exact
+    * interpolated ranks with the identical integer algebra (VERDICT r14
+    * #4). The rank windows partition by the group key (never
+    * unpartitioned) and run over the histogram — domain-sized, not
+    * corpus-sized. */
+  def groupPercentilesFromHist(hist: DataFrame, groupCols: Seq[String],
+                               specs: Seq[(String, Long, Long)]): DataFrame = {
+    require(specs.nonEmpty, "need at least one rank spec")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy("v")
+    val wAll = Window.partitionBy(gc: _*)
     var cum = hist
       .withColumn("hi", sum(col("c")).over(w))
       .withColumn("lo", col("hi") - col("c"))
@@ -171,13 +188,13 @@ object Quantiles {
     val aggCols = specs.flatMap { case (nm, _, _) => Seq(
       at(col(s"i_$nm")).as(s"vlo_$nm"),
       at(col(s"i_$nm") + when(col(s"r_$nm") > 0, 1).otherwise(0)).as(s"vhi_$nm")) }
-    val keyCols = col("g") +: col("n") +: specs.map(s => col(s"r_${s._1}"))
+    val keyCols = gc ++ (col("n") +: specs.map(s => col(s"r_${s._1}")))
     val grouped = cum.groupBy(keyCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
     val outCols = specs.map { case (nm, _, den) =>
       (col(s"vlo_$nm") * (lit(den) - col(s"r_$nm"))
         + col(s"vhi_$nm") * col(s"r_$nm")).cast("long").as(s"${nm}_x$den") }
-    grouped.select((col("g").as(groupCol) +: col("n") +: outCols): _*)
+    grouped.select(gc ++ (col("n") +: outCols): _*)
   }
 
   /** Per-group WINSORIZATION of an integral signal: clip each value into

@@ -2213,6 +2213,81 @@ object DataOps {
       |WHERE (epoch_us(ts) // 21600000000 + 1) * 21600000000 <= w_us
       |GROUP BY 1, 2""".stripMargin
 
+  /** Streaming exact percentile bands EXECUTED as a stream (VERDICT r14
+    * #4 — the arrival-time twin of the batch percentile family): a
+    * watermarked 6-hour event-time window counts each DISTINCT cent
+    * value per (window, type) — an integral-domain histogram whose
+    * per-window state is bounded by the value domain however many events
+    * arrive (the only exact-percentile summary that holds on a
+    * firehose; sketches trade exactness, raw buffering trades memory).
+    * Append mode emits a window's histogram only once the watermark
+    * closes it; the batch post-pass
+    * ([[graft.operators.Quantiles.groupPercentilesFromHist]]) then
+    * derives exact interpolated p50/p95/p99 per closed window with the
+    * SAME integer rank algebra as the batch 15b3 gate, so the oracle is
+    * the batch percentile SQL restricted to the windows the final
+    * watermark closed (the q_stream_heavy_hitters wm model). */
+  def qStreamPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_stream_pct_sink"
+    spark.catalog.dropTempView(sink)
+    val q = stagedEventsStream(spark, dir).withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val hist = spark.table(sink)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
+        col("event_type"), col("v"), col("c"))
+    Quantiles.groupPercentilesFromHist(hist, Seq("win", "event_type"),
+        Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L)))
+      .withColumn("p50", (col("p50_x2").cast("double") / lit(2.0)) / lit(100.0))
+      .withColumn("p95", (col("p95_x20").cast("double") / lit(20.0)) / lit(100.0))
+      .withColumn("p99", (col("p99_x100").cast("double") / lit(100.0)) / lit(100.0))
+  }
+
+  val qStreamPercentilesSql: String =
+    """WITH mx AS (SELECT max(ts) AS m1 FROM events),
+      |wm AS (SELECT (epoch_us(m1) // 1000) * 1000 - 7200000000 AS w_us FROM mx),
+      |d AS (SELECT strftime(make_timestamp(
+      |          (epoch_us(ts) // 21600000000) * 21600000000),
+      |          '%Y-%m-%d %H:%M:%S') AS win,
+      |        event_type, CAST(floor(value * 100.0) AS BIGINT) AS v
+      |      FROM events, wm
+      |      WHERE (epoch_us(ts) // 21600000000 + 1) * 21600000000 <= w_us),
+      |h AS (SELECT win, event_type, v, count(*) AS c FROM d GROUP BY 1, 2, 3),
+      |cum AS (SELECT win, event_type, v,
+      |        sum(c) OVER (PARTITION BY win, event_type ORDER BY v) AS hi,
+      |        sum(c) OVER (PARTITION BY win, event_type ORDER BY v) - c AS lo,
+      |        sum(c) OVER (PARTITION BY win, event_type) AS n FROM h),
+      |j AS (SELECT cum.*,
+      |        (1 * (n - 1)) // 2 AS i50, (1 * (n - 1)) % 2 AS r50,
+      |        (19 * (n - 1)) // 20 AS i95, (19 * (n - 1)) % 20 AS r95,
+      |        (99 * (n - 1)) // 100 AS i99, (99 * (n - 1)) % 100 AS r99
+      |      FROM cum),
+      |p AS (SELECT win, event_type, n, r50, r95, r99,
+      |        max(CASE WHEN i50 >= lo AND i50 < hi THEN v END) AS v50lo,
+      |        max(CASE WHEN i50 + (CASE WHEN r50 > 0 THEN 1 ELSE 0 END) >= lo
+      |                  AND i50 + (CASE WHEN r50 > 0 THEN 1 ELSE 0 END) < hi
+      |             THEN v END) AS v50hi,
+      |        max(CASE WHEN i95 >= lo AND i95 < hi THEN v END) AS v95lo,
+      |        max(CASE WHEN i95 + (CASE WHEN r95 > 0 THEN 1 ELSE 0 END) >= lo
+      |                  AND i95 + (CASE WHEN r95 > 0 THEN 1 ELSE 0 END) < hi
+      |             THEN v END) AS v95hi,
+      |        max(CASE WHEN i99 >= lo AND i99 < hi THEN v END) AS v99lo,
+      |        max(CASE WHEN i99 + (CASE WHEN r99 > 0 THEN 1 ELSE 0 END) >= lo
+      |                  AND i99 + (CASE WHEN r99 > 0 THEN 1 ELSE 0 END) < hi
+      |             THEN v END) AS v99hi
+      |      FROM j GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT win, event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(v50lo * (2 - r50) + v50hi * r50 AS BIGINT) AS p50_x2,
+      |  CAST(v95lo * (20 - r95) + v95hi * r95 AS BIGINT) AS p95_x20,
+      |  CAST(v99lo * (100 - r99) + v99hi * r99 AS BIGINT) AS p99_x100,
+      |  (CAST(v50lo * (2 - r50) + v50hi * r50 AS DOUBLE) / 2.0) / 100.0 AS p50,
+      |  (CAST(v95lo * (20 - r95) + v95hi * r95 AS DOUBLE) / 20.0) / 100.0 AS p95,
+      |  (CAST(v99lo * (100 - r99) + v99hi * r99 AS DOUBLE) / 100.0) / 100.0 AS p99
+      |FROM p""".stripMargin
+
   /** As-of join: each purchase event picks up the user's most recent view
     * at-or-before it. Oracle: DuckDB's native ASOF JOIN. */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -5090,6 +5165,7 @@ object DataOps {
     "q_signal_corr"    -> ((qSignalCorr _, Some(qSignalCorrSql))),
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
+    "q_stream_percentiles" -> ((qStreamPercentiles _, Some(qStreamPercentilesSql))),
     "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
     "q_event_debounce" -> ((qEventDebounce _, Some(qEventDebounceSql))),
     "q_event_dau"      -> ((qEventDau _, Some(qEventDauSql))),

@@ -271,6 +271,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming percentiles: closed-window histograms equal the batch bands; open window held back") {
+    // the arrival-time twin of groupPercentiles: a watermarked
+    // (window, type, cent-value) count is an integral-domain histogram
+    // per window — bounded state — and the post-pass derives the exact
+    // interpolated bands with the same integer algebra as batch
+    import org.apache.spark.sql.functions.{col, floor, lit, window}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def at(h: Int, m: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // window [00,06): values 1.00..5.00; window [06,12): 10.00/20.00 —
+    // both closed by the final watermark 14:00 − 2h = 12:00 (end ≤ wm,
+    // the pinned <= semantics); window [12,18) stays OPEN and must NOT
+    // emit
+    val evs =
+      (1 to 5).map(i => EventStream.Event(i, at(1, i), 1, "a", i.toDouble, "{}")) ++
+      Seq(EventStream.Event(6, at(7), 1, "a", 10.0, "{}"),
+        EventStream.Event(7, at(8), 1, "a", 20.0, "{}"),
+        EventStream.Event(8, at(14), 1, "a", 99.0, "{}"))
+    val input = MemoryStream[EventStream.Event]
+    val q = input.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName("pctwin").outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      input.addData(Seq())
+      q.processAllAvailable()
+      val hist = spark.table("pctwin")
+        .select(col("window.start").cast("string").as("win"),
+          col("event_type"), col("v"), col("c"))
+      val bands = operators.Quantiles.groupPercentilesFromHist(
+          hist, Seq("win", "event_type"),
+          Seq(("p50", 1L, 2L), ("p95", 19L, 20L)))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // [00,06): n=5, cents 100..500 → p50_x2 = 2*300, p95_x20: rank
+      // 19·4/20 = i 3 r 16 → 400·4 + 500·16 = 9600
+      assert(bands("2024-01-01 00:00:00") == ((5L, 600L, 9600L)),
+        s"first window: ${bands.get("2024-01-01 00:00:00")}")
+      // [06,12): n=2, cents 1000/2000 → p50_x2 = 1000+2000 = 3000,
+      // p95_x20: i 0 r 19 → 1000·1 + 2000·19 = 39000
+      assert(bands("2024-01-01 06:00:00") == ((2L, 3000L, 39000L)),
+        s"second window: ${bands.get("2024-01-01 06:00:00")}")
+      // the 99.0 event's window is still open — held back, not emitted
+      assert(!bands.contains("2024-01-01 12:00:00"),
+        "open window must not emit")
+      // parity with the batch band computation over the closed rows
+      val batchBands = operators.Quantiles.groupPercentiles(
+          evs.filter(_.ts.getTime < at(12).getTime).toDF()
+            .select(col("event_type"),
+              floor(col("value") * lit(100.0)).cast("long").as("cents"))
+            .withColumn("win", lit("all")),
+          "event_type", "cents", Seq(("p50", 1L, 2L)))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).head
+      assert(batchBands == ((7L, 800L)),
+        s"batch all-closed-rows p50 sanity: $batchBands")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup collapses cross-batch dups against the index") {
     implicit val sqlCtx = spark.sqlContext
     spark.sql("DROP TABLE IF EXISTS stream_inc_idx")
