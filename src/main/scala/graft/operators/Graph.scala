@@ -854,6 +854,68 @@ object Graph {
     } finally e0.unpersist(blocking = false)
   }
 
+  /** [[labelPropagation]] over a SYMMETRIZED [[buildGraphIndex]] table —
+    * the third family on the shared index (ranks, distances, now
+    * communities: build once, analyze many). A symmetric build's real
+    * rows ARE the both-directions adjacency, read keyed by the BUCKET
+    * column: each sweep joins the nodes-sized label frame against the
+    * on-disk edge side exchange-free (src = the neighbor, dst = the
+    * adopting node), and the self rows are the node universe, so the
+    * init labels are a filtered bucket scan instead of a distinct
+    * shuffle. Identical synchronous min-tie dynamics to the inline
+    * operator — a gate over the same graph shares the same unrolled
+    * oracle. Input contract: the index must have been built over a
+    * both-directions edge list (src→dst and dst→src both present);
+    * `sweeps`/`runToFixpoint` as in [[labelPropagation]]. */
+  def labelPropagationFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                table: String, sweeps: Int = 4,
+                                runToFixpoint: Boolean = false): DataFrame = {
+    require(sweeps >= 1, s"labelPropagation needs sweeps >= 1, got $sweeps")
+    val idx = Bucketing.readBucketed(spark, table)
+    val e = idx.filter(!col("self")).select(col("src"), col("dst"))
+    var labels = CacheOps.persistMaterialized(
+      idx.filter(col("self")).select(col("src").as("node"),
+        col("src").as("lbl")))
+    try {
+      var sweep = 0
+      var converged = false
+      while (sweep < sweeps && !converged) {
+        // the neighbor side keys by src (the bucket column): the edge
+        // scan reaches the join exchange-free, only labels move
+        val counts = e
+          .join(labels.select(col("node").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val nextPlan = counts.groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+          .select(col("node"), col("m.lbl").as("lbl"))
+        val next =
+          if (!runToFixpoint) CacheOps.persistMaterialized(nextPlan)
+          else {
+            val p = nextPlan.persist(MEMORY_AND_DISK)
+            val changed =
+              try p.join(labels.select(col("node"),
+                    col("lbl").as("__prev")), "node")
+                .filter(col("lbl") =!= col("__prev")).count()
+              catch { case t: Throwable =>
+                p.unpersist(blocking = true); throw t
+              }
+            converged = changed == 0L
+            p
+          }
+        labels.unpersist(blocking = false)
+        labels = next
+        sweep += 1
+      }
+      val out = CacheOps.persistMaterialized(
+        labels.select(col("node").as("id"), col("lbl").as("community")))
+      labels.unpersist(blocking = false)
+      out
+    } catch {
+      case t: Throwable => labels.unpersist(blocking = true); throw t
+    }
+  }
+
   /** The capped SSSP convergence loop shared by the inline
     * ([[shortestPathsFixpoint]]) and indexed
     * ([[shortestPathsFromIndex]]) paths: `e` is any self-looped

@@ -4401,7 +4401,11 @@ object DataOps {
     * frequent with ties to the smallest label. MATERIALIZED per step
     * (the k-core oracle lesson: inlined CTE chains re-evaluate
     * exponentially). */
-  private val communitiesCtePrefix: String = {
+  /** The unrolled synchronous-LPA sweep CTE chain (l1..lS over an `adj`
+    * (node, nbr) CTE and `l0` init) — shared by the rare-shingle prefix
+    * and the trading-graph indexed twin so one sweep definition serves
+    * every LPA oracle. */
+  private def lpaSweepCtes(sweeps: Int): String = {
     val step = (i: Int, prev: Int) =>
       s"""l$i AS MATERIALIZED (SELECT node, lbl FROM (
          |  SELECT adj.node, l.lbl, count(*) AS c,
@@ -4410,15 +4414,39 @@ object DataOps {
          |  FROM adj JOIN l$prev l ON adj.nbr = l.node
          |  GROUP BY adj.node, l.lbl)
          |WHERE rn = 1)""".stripMargin
+    (1 to sweeps).map(i => step(i, i - 1)).mkString(",\n")
+  }
+
+  private val communitiesCtePrefix: String =
     s"""$rareShingleEdgeCte,
        |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
        |  UNION ALL SELECT b, a FROM p),
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
-       |${(1 to 4).map(i => step(i, i - 1)).mkString(",\n")}""".stripMargin
-  }
+       |${lpaSweepCtes(4)}""".stripMargin
 
   val qCommunitiesSql: String =
     s"""WITH $communitiesCtePrefix
+       |SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin
+
+  /** Label-propagation communities through the SAME persisted graph
+    * index as q_pagerank_indexed / q_sssp_indexed
+    * ([[Graph.labelPropagationFromIndex]]) — the third analysis family
+    * on one build (the VERDICT r14 #6 "build once, analyze many"
+    * contract): the symmetric build's real rows are the both-directions
+    * adjacency read keyed by the bucket column, so every sweep's join is
+    * exchange-free on the edge side. The oracle unrolls the identical 4
+    * sweeps over the trading adjacency. */
+  def qCommunitiesIndexed(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagationFromIndex(spark, tradingGraphIndex(spark, dir),
+      sweeps = 4)
+
+  val qCommunitiesIndexedSql: String =
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
+       |  UNION ALL SELECT b, a FROM p),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
+       |${lpaSweepCtes(4)}
        |SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin
 
   /** Strongly connected components
@@ -5152,6 +5180,7 @@ object DataOps {
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
     "q_louvain_step"   -> ((qLouvainStep _, Some(qLouvainStepSql))),
+    "q_communities_indexed" -> ((qCommunitiesIndexed _, Some(qCommunitiesIndexedSql))),
     "q_modularity"     -> ((qModularity _, Some(qModularitySql))),
     "q_scc"            -> ((qScc _, Some(qSccSql))),
     "q_sssp"           -> ((qSssp _, Some(qSsspSql))),

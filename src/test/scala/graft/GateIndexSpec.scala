@@ -136,14 +136,28 @@ class GateIndexSpec extends AnyFunSuite {
       "a bare name-coincident table must survive the GC")
     assert(spark.catalog.tableExists(s"${fam}_ffffffffcafe1234"),
       "a content-only-era name must survive the GC")
+    // ADVICE r14: the 32-bit migration arm is OPT-IN now (a 32-bit path
+    // key can collide ACROSS directories — the exact defect the 64-bit
+    // key fixed), so by default the pre-r14 table SURVIVES…
+    assert(spark.catalog.tableExists(s"${fam}_p${legacy32}_deadbeef"),
+      "the legacy 32-bit table must survive the default (opted-out) GC")
+    // …and the opted-in arm migrates it on the next GC pass (content
+    // change mints a new generation, defeating the per-key GC memo)
+    spark.conf.set("spark.graft.gateindex.legacyGc", "true")
+    val cur2 =
+      try {
+        Files.write(d.resolve("b.parquet"), Array[Byte](7))
+        GateIndex.gatePrefix(spark, fam, d.toString)
+      } finally spark.conf.unset("spark.graft.gateindex.legacyGc")
     assert(!spark.catalog.tableExists(s"${fam}_p${legacy32}_deadbeef"),
-      "this directory's own pre-r14 32-bit-keyed index must be migrated")
+      "the opted-in legacy arm must migrate this directory's pre-r14 index")
     // a superseded generation of the current format is of course swept
-    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(cur)
-    Files.write(d.resolve("b.parquet"), Array[Byte](7))
-    val cur2 = GateIndex.gatePrefix(spark, fam, d.toString)
-    assert(cur2 != cur && !spark.catalog.tableExists(cur))
-    GateIndex.dropGateTable(spark, cur2)
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(cur2)
+    Files.write(d.resolve("c.parquet"), Array[Byte](8))
+    val cur3 = GateIndex.gatePrefix(spark, fam, d.toString)
+    assert(cur3 != cur2 && !spark.catalog.tableExists(cur2))
+    assert(cur != cur2 && cur != cur3) // three distinct content stamps
+    GateIndex.dropGateTable(spark, cur3)
     GateIndex.dropGateTable(spark, fam)
     GateIndex.dropGateTable(spark, s"${fam}_ffffffffcafe1234")
   }
