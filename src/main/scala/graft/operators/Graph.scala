@@ -1029,12 +1029,17 @@ object Graph {
         while (round < rounds && nActive > 0L) {
           // active-subgraph edges + one self-loop per active node: the
           // self rows carry each node's own label/mark through the
-          // sweeps' aggregations (single-reference, linear plans)
-          val ((ae, aeP), _) = flat(
-            e.join(active.select(col("id").as("src")), Seq("src"), "left_semi")
+          // sweeps' aggregations (single-reference, linear plans).
+          // Round 1's active set is ALL nodes by construction, so its
+          // two edge-sized semi-joins filter nothing — skip them (the
+          // heaviest round pays two fewer corpus-sized joins).
+          val aeEdges =
+            if (round == 0) e
+            else e
+              .join(active.select(col("id").as("src")), Seq("src"), "left_semi")
               .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi")
-              .unionByName(
-                active.select(col("id").as("src"), col("id").as("dst"))))
+          val ((ae, aeP), _) = flat(aeEdges.unionByName(
+            active.select(col("id").as("src"), col("id").as("dst"))))
           try {
             var f = active.select(col("id"), col("id").as("f"))
             for (_ <- 0 until sweeps)
