@@ -1290,6 +1290,96 @@ object Graph {
     } finally e0.unpersist(blocking = false)
   }
 
+  /** Deterministic random-walk corpus over a directed graph — the
+    * DeepWalk / node2vec-style training-data generator (Perozzi et al.
+    * 2014): `walksPerNode` walks of `steps` hops from every node with
+    * out-edges, emitted as (start, walk, step, node) rows a skip-gram
+    * trainer consumes directly. A driver-side RNG can't generate a
+    * 100 TB walk corpus reproducibly, so the "randomness" is a pure
+    * content hash: at step i the walk at node u takes u's out-edge of
+    * rank H(seed, start, walk, i) mod outdeg(u), with edge ranks =
+    * row_number over (src ORDER BY dst) and H = the first 8 md5 hex
+    * chars as an integer (the portable-hash discipline every sampler
+    * here shares) — reproducible across runs, partitionings, retries,
+    * and engines, and any single walk is auditable by hand. Modulo
+    * bias is < outdeg/2³² — immaterial for sampling. A walk reaching a
+    * SINK (no out-edges) terminates early (its rows up to the sink are
+    * kept — documented; symmetric graphs have no sinks).
+    *
+    * Scale shape: the ranked edge frame (rank + out-degree of BOTH
+    * endpoints embedded) is built once with two keyed shuffles and
+    * persisted src-partitioned; each step is ONE two-key equi-join of
+    * the walks-sized state against it (exactly one edge row matches
+    * per walk — the target rank is computed map-side from the carried
+    * degree, never by scanning a node's out-list), so the composed
+    * plan is linear in `steps` and the per-step traffic is
+    * walks-sized. The per-src rank window partitions by src (keyed,
+    * never global). Runs in the right-sized cloned loop session. */
+  def randomWalks(edges: DataFrame, steps: Int, walksPerNode: Int = 1,
+                  seed: String = "graft"): DataFrame = {
+    require(steps >= 1, s"randomWalks needs steps >= 1, got $steps")
+    require(walksPerNode >= 1,
+      s"randomWalks needs walksPerNode >= 1, got $walksPerNode")
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val base = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val wSrc = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val rk0 = base.select(col("src"), col("dst"),
+      (row_number().over(wSrc) - 1).cast("long").as("rk"),
+      count(lit(1)).over(Window.partitionBy(col("src"))).as("deg_src"))
+    // deg of the DESTINATION rides each edge row so the walk state
+    // always carries its current node's out-degree (the next target
+    // rank is then map-side); null marks a sink
+    val degs = base.groupBy(col("src").as("dst")).agg(count(lit(1)).as("deg_dst"))
+    val (e0, nE) = CacheOps.persistMaterializedCounted(
+      rk0.join(degs, Seq("dst"), "left")
+        .select(col("src"), col("dst"), col("rk"), col("deg_src"),
+          col("deg_dst"))
+        .repartition(col("src")))
+    val loop = LoopSession.forGraph(spark, nE, rowsPerPartition = 100000L)
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
+    // H(seed, start, walk, step) as a portable 32-bit integer
+    def h(step: Int): Column =
+      conv(substring(md5(concat_ws("-", lit(seed), col("start"), col("wk"),
+        lit(step.toLong)).cast("binary")), 1, 8), 16, 10).cast("long")
+    // each hop's state is PERSISTED: the final union references hop i
+    // both directly (its step-i rows) and inside hop i+1's lineage, so
+    // lazy states would re-execute the chain quadratically (hop j runs
+    // steps-j times; measured ~2x wall on the gate) — persisted, every
+    // hop executes once and the union's branches are cache scans
+    var state = CacheOps.persistMaterialized(
+      e.select(col("src").as("start"), col("deg_src").as("deg"))
+        .distinct()
+        .withColumn("wk", explode(array((0 until walksPerNode)
+          .map(i => lit(i.toLong)): _*)))
+        .select(col("start"), col("wk"), col("start").as("node"), col("deg")))
+    var hops: List[DataFrame] = List(state)
+    var out = state.select(col("start"), col("wk"), lit(0L).as("step"),
+      col("node"))
+    try {
+      for (i <- 1 to steps) {
+        state = CacheOps.persistMaterialized(
+          e.join(
+            state.filter(col("deg").isNotNull)
+              .select(col("start"), col("wk"), col("node").as("src"),
+                pmod(h(i), col("deg")).as("rk")),
+            Seq("src", "rk"))
+            .select(col("start"), col("wk"), col("dst").as("node"),
+              col("deg_dst").as("deg")))
+        hops ::= state
+        out = out.unionByName(state.select(col("start"), col("wk"),
+          lit(i.toLong).as("step"), col("node")))
+      }
+    } catch { // a mid-hop failure must not strand the hop caches
+      case t: Throwable =>
+        hops.foreach(_.unpersist(blocking = true))
+        e0.unpersist(blocking = true)
+        throw t
+    }
+    finishRanks(spark, out, e0 :: hops)
+  }
+
   /** One synchronous Louvain refinement step (Blondel et al. 2008, the
     * local-move phase, made deterministic): every node simultaneously
     * evaluates moving to each NEIGHBOR community and takes the move with

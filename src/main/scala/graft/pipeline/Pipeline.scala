@@ -111,6 +111,13 @@ object Pipeline {
   final case class PprStep(srcCol: String, dstCol: String, seeds: Seq[Long],
                            iterations: Int, symmetric: Boolean,
                            dataType: String) extends Step
+  /** Deterministic random-walk corpus over an edge-list flow
+    * ([[graft.operators.Graph.randomWalks]]): replaces the flow with
+    * (start, wk, step, node) skip-gram training rows; `symmetric` unions
+    * reversed edges first. */
+  final case class WalksStep(srcCol: String, dstCol: String, steps: Int,
+                             walksPerNode: Int, seed: String,
+                             symmetric: Boolean, dataType: String) extends Step
   /** Strongly connected components over a DIRECTED edge-list flow
     * ([[graft.operators.Graph.stronglyConnectedComponents]]): replaces
     * the flow with (id, scc), scc = each component's minimum member id.
@@ -586,6 +593,15 @@ object Pipeline {
           iterations = if (node.has("iterations")) node.get("iterations").asInt() else 5,
           symmetric = !node.has("symmetric") || node.get("symmetric").asBoolean(),
           dataType)
+      case "walks" | "random_walks" => WalksStep(str("src", "src"),
+        str("dst", "dst"),
+        steps = if (node.has("steps")) node.get("steps").asInt() else 4,
+        walksPerNode =
+          if (node.has("walks_per_node")) node.get("walks_per_node").asInt()
+          else 1,
+        seed = str("seed", "graft"),
+        symmetric = node.has("symmetric") && node.get("symmetric").asBoolean(),
+        dataType)
       case "scc" => SccStep(str("src", "src"), str("dst", "dst"),
         rounds = if (node.has("rounds")) node.get("rounds").asInt() else 3,
         sweeps = if (node.has("sweeps")) node.get("sweeps").asInt() else 6,
@@ -1171,6 +1187,17 @@ object Pipeline {
             else fwd
             flow.updated(dt, graft.operators.Graph.pageRankPersonalized(
               edges, seeds.toDF("id"), iters))
+          }.getOrElse(flow)
+        case WalksStep(src, dst, steps, wpn, seed, symmetric, dt) =>
+          flow(dt).map { df =>
+            val fwd = df.select(col(src).cast("long").as("src"),
+              col(dst).cast("long").as("dst"))
+            val edges = if (symmetric)
+              fwd.unionByName(fwd.select(col("dst").as("src"),
+                col("src").as("dst")))
+            else fwd
+            flow.updated(dt,
+              graft.operators.Graph.randomWalks(edges, steps, wpn, seed))
           }.getOrElse(flow)
         case SccStep(src, dst, rounds, sweeps, dt) =>
           flow(dt).map { df =>

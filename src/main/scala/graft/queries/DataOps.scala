@@ -4171,6 +4171,30 @@ object DataOps {
       |      GROUP BY 1, 2)""".stripMargin,
     "w")
 
+  /** Weighted SSSP through a WEIGHTED [[Graph.buildGraphIndex]] build —
+    * exercises the index's per-edge weight column (the unweighted
+    * trading index never reads it): same similarity→distance graph as
+    * q_sssp_weighted, same oracle (layout changes the plan, never a
+    * distance), second index family keyed per (session, dir). */
+  def qSsspWeightedIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = GateIndex.gatePrefix(spark, "graft_wgraph_gate", dir)
+    if (!spark.catalog.tableExists(prefix)) {
+      dropGateTable(spark, prefix)
+      val t = Tables(spark, dir)
+      val pairs = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .agg((lit(100L) - least(count(lit(1)), lit(99L))).as("w"))
+      Graph.buildGraphIndex(bothDirections(pairs, Seq("w")), prefix,
+        buckets = 8)
+    }
+    val src = Tables(spark, dir).orders
+      .agg((min(col("o_custkey")) * 2).cast("long").as("id"))
+    Graph.shortestPathsFromIndex(spark, prefix, src, sweeps = 6)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("dist"))
+  }
+
   /** Personalized PageRank ([[Graph.pageRankPersonalized]]) over the
     * trading graph, teleporting to the customers of nation 0 —
     * proximity-to-seed-set scoring beside the global q_pagerank. The
@@ -4448,6 +4472,57 @@ object DataOps {
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
        |${lpaSweepCtes(4)}
        |SELECT node AS id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin
+
+  /** Deterministic random-walk corpus ([[Graph.randomWalks]]) over the
+    * symmetric trading graph — 2 walks × 4 hops from every node, the
+    * DeepWalk-style skip-gram training rows. Every hop is the content
+    * hash H(seed, start, walk, step) mod outdeg picking the
+    * rank-H out-edge, so the oracle replays the identical corpus:
+    * ranked edges via a per-src row_number, the hash via the shared
+    * strpos hex expansion, 4 unrolled MATERIALIZED hop CTEs. */
+  def qRandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    Graph.randomWalks(bothDirections(pairs), steps = 4, walksPerNode = 2)
+      .select(col("start"), col("wk").as("walk"), col("step"), col("node"))
+  }
+
+  val qRandomWalksSql: String = {
+    val hexVal = (1 to 8).map { p =>
+      val w = BigInt(16).pow(8 - p)
+      s"(strpos('0123456789abcdef', substring(s.hx, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    val step = (i: Int) =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.start, s.wk, e2.dst AS node, e2.deg_dst AS deg
+         |  FROM (SELECT start, wk, node, deg,
+         |          md5('graft-' || start || '-' || wk || '-' || $i) AS hx
+         |        FROM s${i - 1} WHERE deg IS NOT NULL) s
+         |  JOIN e2 ON e2.src = s.node AND e2.rk = ($hexVal) % s.deg)""".stripMargin
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |b AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b, a FROM p),
+       |e AS MATERIALIZED (SELECT src, dst,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg_src
+       |  FROM b),
+       |dd AS (SELECT src AS dst, CAST(count(*) AS BIGINT) AS deg_dst
+       |       FROM b GROUP BY 1),
+       |e2 AS MATERIALIZED (SELECT e.src, e.dst, e.rk, e.deg_src, dd.deg_dst
+       |  FROM e LEFT JOIN dd USING (dst)),
+       |s0 AS MATERIALIZED (SELECT n.start, w.wk, n.start AS node, n.deg
+       |  FROM (SELECT DISTINCT src AS start, deg_src AS deg FROM e) n,
+       |       (SELECT unnest(range(2)) AS wk) w),
+       |${(1 to 4).map(step).mkString(",\n")}
+       |SELECT start, CAST(wk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step,
+       |  node FROM (
+       |  ${(0 to 4).map(i => s"SELECT start, wk, $i AS step, node FROM s$i")
+             .mkString(" UNION ALL ")})""".stripMargin
+  }
 
   /** Strongly connected components
     * ([[Graph.stronglyConnectedComponents]]) over the DIRECTED trading
@@ -5171,6 +5246,7 @@ object DataOps {
     "q_token_stats"    -> ((qTokenStats _, Some(qTokenStatsSql))),
     "q_zscore_norm"    -> ((qZscoreNorm _, Some(qZscoreNormSql))),
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
+    "q_random_walks"   -> ((qRandomWalks _, Some(qRandomWalksSql))),
     "q_pagerank_weighted" -> ((qPagerankWeighted _, Some(qPagerankWeightedSql))),
     "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
     "q_ppr"            -> ((qPpr _, Some(qPprSql))),
@@ -5186,6 +5262,7 @@ object DataOps {
     "q_sssp"           -> ((qSssp _, Some(qSsspSql))),
     "q_sssp_indexed"   -> ((qSsspIndexed _, Some(qSsspSql))),
     "q_sssp_weighted"  -> ((qSsspWeighted _, Some(qSsspWeightedSql))),
+    "q_sssp_weighted_indexed" -> ((qSsspWeightedIndexed _, Some(qSsspWeightedSql))),
     "q_layout_bucketed" -> ((qLayoutBucketed _, Some(qLayoutSql))),
     "q_layout_range"   -> ((qLayoutRange _, Some(qLayoutSql))),
     "q_layout_zorder"  -> ((qLayoutZorder _, Some(qLayoutSql))),

@@ -1824,6 +1824,53 @@ class OperatorsSpec extends SparkSpec {
       runToFixpoint = true)) == deepState)
   }
 
+  test("random walks: valid edges every hop, sink termination, deterministic under repartitioning") {
+    // diamond with a tail: 1→{2,3}, 2→4, 3→4, 4→1 (cycle) plus 4→5 with
+    // 5 a SINK; every node has out-edges except 5
+    val e = Seq((1L,2L),(1L,3L),(2L,4L),(3L,4L),(4L,1L),(4L,5L))
+      .toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val out = Graph.randomWalks(df, steps = 6, walksPerNode = 3)
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.unpersist()
+      rows.toSet
+    }
+    val walks = run(e)
+    // step 0 = every (start, walk) at its start node
+    val starts = Seq(1L, 2L, 3L, 4L) // 5 has no out-edges, so no walks
+    assert(walks.filter(_._3 == 0L) ==
+      (for (s <- starts; w <- 0L to 2L) yield (s, w, 0L, s)).toSet)
+    // every hop is an existing edge
+    val edgeSet = Set((1L,2L),(1L,3L),(2L,4L),(3L,4L),(4L,1L),(4L,5L))
+    val byWalk = walks.groupBy(r => (r._1, r._2))
+    byWalk.values.foreach { rs =>
+      rs.toSeq.sortBy(_._3).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 == a._3 + 1, s"gapped steps in walk $a -> $b")
+          assert(edgeSet.contains((a._4, b._4)),
+            s"hop ${a._4}->${b._4} is not an edge")
+        case _ => ()
+      }
+    }
+    // a walk that lands on sink 5 stops there (no step past the sink),
+    // walks that never hit 5 run the full 6 hops
+    byWalk.foreach { case ((s, w), rs) =>
+      val last = rs.maxBy(_._3)
+      assert(last._3 == 6L || last._4 == 5L,
+        s"walk ($s,$w) stopped early at ${last._4} step ${last._3}")
+    }
+    // deterministic: same corpus under any partitioning
+    assert(run(e.repartition(7)) == walks,
+      "partitioning must not change a single hop")
+    // walksPerNode spreads: with 3 walks from node 1 (outdeg 2), both
+    // out-edges are exercised across the hash-indexed first hops OR all
+    // three agree — either way the choice is the recorded hash's, so
+    // just pin the exact first hops for regression
+    val firstHops = walks.filter(r => r._1 == 1L && r._3 == 1L).map(_._4)
+    assert(firstHops.nonEmpty && firstHops.forall(Set(2L, 3L)))
+  }
+
   test("louvain step: ideal partition is a fixpoint; refinement raises Q from singletons") {
     // bridged cliques {1,2,3,4} + {5,6,7,8}, bridge 4-5 (m = 13)
     val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),

@@ -625,6 +625,27 @@ tab	end"""), Some(1.5), Some(true)),
       "fixpoint sssp must reach the 12-hop tail")
   }
 
+  test("walks step emits a deterministic random-walk corpus from config") {
+    val src = tmp("walks") + "/edges.parquet"
+    Seq((1L,2L),(2L,3L),(3L,1L)).toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"walks","src":"src","dst":"dst","steps":3,
+         |  "walks_per_node":2}
+         |]""".stripMargin)
+    val rows = flow.ok.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 3 starts x 2 walks x 4 steps on the sink-free 3-cycle
+    assert(rows.length == 24, s"got ${rows.length} rows")
+    // on a 3-cycle every node has outdeg 1, so hop i from start s is
+    // fully determined: node = ((s - 1 + i) mod 3) + 1
+    rows.foreach { case (s, _, i, n) =>
+      assert(n == (s - 1 + i) % 3 + 1, s"walk from $s step $i at $n")
+    }
+  }
+
   test("scc step labels directed cycles from config") {
     val src = tmp("scc") + "/edges.parquet"
     // cycle {1,2,3}, tail 3→4, cycle {5,6} behind a bridge 4→5

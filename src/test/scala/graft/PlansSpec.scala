@@ -362,6 +362,7 @@ class PlansSpec extends SparkSpec {
       "q_sssp_indexed" -> 6,
       // one bucketed-index scan per LPA sweep + the self-row init scan
       "q_communities_indexed" -> 5,
+      "q_sssp_weighted_indexed" -> 6,
       // gate fixtures derive their query/plane dims from the corpus table
       // itself (tiny filtered projections; production passes a separate
       // small frame), which costs extra pruned scans of the same file
