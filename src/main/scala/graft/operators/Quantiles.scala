@@ -197,6 +197,47 @@ object Quantiles {
     grouped.select(gc ++ (col("n") +: outCols): _*)
   }
 
+  /** Approximate per-group percentiles at BOUNDED state over an
+    * UNBOUNDED value domain — the scale path beside
+    * [[groupPercentiles]]'s exact integral-domain histogram, which is
+    * corpus-sized when every value is distinct (continuous measures,
+    * raw micros): keep the k rows with the SMALLEST portable content
+    * hashes per group (a uniform sample that is partitioning-, run- and
+    * engine-independent — the samplePerGroup discipline, held in the
+    * bounded minKByKey heap), then read nearest-lower-rank quantiles
+    * off the sorted sample. Rank error is the classical uniform-sample
+    * bound O(n/√k) w.h.p. (spec-pinned on an adversarial fixture); when
+    * a group has ≤ k rows the sample IS the group and the quantiles are
+    * exact. `idCol` must identify rows within a group (the hash input).
+    * Returns (groupCol, n_total, m_sample, <name>_s…) — exact stored
+    * longs, bit-replayable cross-engine. */
+  def hashSampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                          valueCol: String, k: Int,
+                          specs: Seq[(String, Long, Long)]): DataFrame = {
+    require(k >= 1, s"sample size k must be >= 1, got $k")
+    require(specs.nonEmpty, "need at least one rank spec")
+    val h = conv(substring(md5(
+      concat(col(groupCol), lit("-"), col(idCol)).cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val sample = df
+      .select(col(groupCol).as("g"), h.as("__h"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_total"),
+        graft.plans.Native.minKByKey(col("__h"), col("v"), k).as("ks"))
+      .select(col("g"), col("n_total"),
+        sort_array(transform(col("ks"), e => e.getField("p"))).as("s"))
+      .withColumn("m_sample", size(col("s")).cast("long"))
+    val outCols = specs.map { case (nm, num, den) =>
+      element_at(col("s"),
+        (expr(s"($num * (m_sample - 1)) div $den") + 1).cast("int"))
+        .as(s"${nm}_s")
+    }
+    sample.select(col("g").as(groupCol) +: col("n_total") +:
+      col("m_sample") +: outCols: _*)
+  }
+
   /** Per-group WINSORIZATION of an integral signal: clip each value into
     * its own group's [pLo, pHi] nearest-lower-rank percentile VALUES —
     * the outlier-taming step before moment-based statistics (a single

@@ -4856,6 +4856,39 @@ object DataOps {
       |  (CAST(v99lo * (100 - r99) + v99hi * r99 AS DOUBLE) / 100.0) / 100.0 AS p99
       |FROM p""".stripMargin
 
+  /** Sampled percentile bands at bounded state
+    * ([[graft.operators.Quantiles.hashSampleQuantiles]]) — the
+    * unbounded-domain scale path beside the exact q_group_percentiles:
+    * per event type, the 256 smallest-content-hash rows form a
+    * deterministic uniform sample and nearest-lower-rank p50/p95/p99
+    * read off it. The oracle replays the identical sample (md5 hex
+    * ordering ≡ the 60-bit integer ordering, the samplePerGroup
+    * pattern) and index arithmetic. */
+  def qSketchPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+    Quantiles.hashSampleQuantiles(e, "event_type", "event_id", "cents",
+      k = 256, Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L)))
+  }
+
+  val qSketchPercentilesSql: String =
+    """WITH d AS (SELECT event_type AS g, event_id AS id,
+      |             CAST(floor(value * 100.0) AS BIGINT) AS v FROM events),
+      |h AS (SELECT g, v, substring(md5(g || '-' || id), 1, 15) AS hx FROM d),
+      |r AS (SELECT g, v,
+      |        row_number() OVER (PARTITION BY g ORDER BY hx, v) AS rn,
+      |        count(*) OVER (PARTITION BY g) AS n FROM h),
+      |s AS (SELECT g, CAST(any_value(n) AS BIGINT) AS n_total,
+      |        CAST(count(*) AS BIGINT) AS m_sample,
+      |        list_sort(list(v)) AS sv
+      |      FROM r WHERE rn <= 256 GROUP BY g)
+      |SELECT g AS event_type, n_total, m_sample,
+      |  sv[CAST((1 * (m_sample - 1)) // 2 AS BIGINT) + 1] AS p50_s,
+      |  sv[CAST((19 * (m_sample - 1)) // 20 AS BIGINT) + 1] AS p95_s,
+      |  sv[CAST((99 * (m_sample - 1)) // 100 AS BIGINT) + 1] AS p99_s
+      |FROM s""".stripMargin
+
   /** Per-source winsorization of the token-count signal at [p1, p99]
     * ([[graft.operators.Quantiles.winsorizePerGroup]]) — outlier taming
     * before the moment-based statistics (q_zscore_norm / q_signal_corr)
@@ -5272,6 +5305,7 @@ object DataOps {
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
     "q_stream_percentiles" -> ((qStreamPercentiles _, Some(qStreamPercentilesSql))),
+    "q_sketch_percentiles" -> ((qSketchPercentiles _, Some(qSketchPercentilesSql))),
     "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
     "q_event_debounce" -> ((qEventDebounce _, Some(qEventDebounceSql))),
     "q_event_dau"      -> ((qEventDau _, Some(qEventDauSql))),

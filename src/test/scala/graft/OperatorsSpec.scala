@@ -1824,6 +1824,34 @@ class OperatorsSpec extends SparkSpec {
       runToFixpoint = true)) == deepState)
   }
 
+  test("hash-sample quantiles: exact under k, bounded rank error over k, partition-stable") {
+    import graft.operators.Quantiles
+    // a small group (n <= k): the sample IS the group, quantiles exact
+    val small = (1L to 100L).map(v => ("a", v, v * 10L))
+      .toDF("g", "id", "v")
+    val exactSmall = Quantiles.hashSampleQuantiles(small, "g", "id", "v",
+        k = 256, Seq(("p50", 1L, 2L), ("p95", 19L, 20L)))
+      .collect().head
+    assert(exactSmall.getLong(1) == 100L && exactSmall.getLong(2) == 100L)
+    // nearest-lower rank over the full sorted set: idx 49 -> 500, idx 94 -> 950
+    assert(exactSmall.getLong(3) == 500L && exactSmall.getLong(4) == 950L)
+    // a big group (n >> k): the sampled p50's TRUE rank must sit within
+    // the classical uniform-sample band (generous ±10% of n at k = 512)
+    val n = 20000L
+    val big = (1L to n).map(v => ("b", v, v)).toDF("g", "id", "v")
+    val s = Quantiles.hashSampleQuantiles(big, "g", "id", "v",
+        k = 512, Seq(("p50", 1L, 2L))).collect().head
+    assert(s.getLong(1) == n && s.getLong(2) == 512L)
+    val p50 = s.getLong(3) // value == its own rank by construction
+    assert(math.abs(p50 - n / 2) <= n / 10,
+      s"sampled p50 rank $p50 outside the [${n * 4 / 10}, ${n * 6 / 10}] band")
+    // deterministic under partitioning (the bounded heap is
+    // merge-order-free by lexicographic (hash, value) ordering)
+    val rep = Quantiles.hashSampleQuantiles(big.repartition(13), "g", "id",
+        "v", k = 512, Seq(("p50", 1L, 2L))).collect().head
+    assert(rep.getLong(3) == p50, "partitioning must not move the sample")
+  }
+
   test("random walks: valid edges every hop, sink termination, deterministic under repartitioning") {
     // diamond with a tail: 1→{2,3}, 2→4, 3→4, 4→1 (cycle) plus 4→5 with
     // 5 a SINK; every node has out-edges except 5
