@@ -1306,6 +1306,15 @@ object Graph {
     * SINK (no out-edges) terminates early (its rows up to the sink are
     * kept — documented; symmetric graphs have no sinks).
     *
+    * A `w` column (positive longs; parallel edges combine) makes the
+    * hop WEIGHT-PROPORTIONAL: each out-edge owns the interval
+    * [cw − w, cw) of [0, Σw) in dst order and the hop takes the edge
+    * whose interval contains H mod Σw — the deterministic analogue of
+    * weighted transition sampling (heavily-traded pairs draw more
+    * walks). The weighted hop joins each walk against its node's
+    * out-list (an interval lookup; the unweighted path keeps the
+    * exact-rank O(1) equi-join).
+    *
     * Scale shape: the ranked edge frame (rank + out-degree of BOTH
     * endpoints embedded) is built once with two keyed shuffles and
     * persisted src-partitioned; each step is ONE two-key equi-join of
@@ -1322,20 +1331,45 @@ object Graph {
       s"randomWalks needs walksPerNode >= 1, got $walksPerNode")
     val spark = edges.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val base = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
+    // WEIGHTED edges (a `w` column, positive longs — enforced: a zero
+    // weight would be an edge that exists but can never be taken) draw
+    // the hop weight-proportionally: each out-edge owns the cumulative
+    // interval [cw − w, cw) of [0, Σw), and the hop picks the edge whose
+    // interval contains H mod Σw. The draw carries the node's weight sum
+    // instead of its degree, and the hop join matches the interval
+    // (an equi-join on src + a range predicate: the walk scans its
+    // node's out-list — Σdeg work per step, vs the unweighted path's
+    // exact-rank O(1) equi-join; the CDF lookup is what weighting costs
+    // without an alias-table build).
+    val weighted = edges.columns.contains("w")
+    val base =
+      if (!weighted)
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .distinct().withColumn("w", lit(1L))
+      else {
+        val checked = assert_true(col("w") > 0L,
+          lit("randomWalks: edge weights must be positive " +
+            "(a zero/negative weight has no draw interval)"))
+        // parallel edges combine their weights (one interval per pair)
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+            when(checked.isNull, col("w").cast("long")).as("w"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      }
     val wSrc = Window.partitionBy(col("src")).orderBy(col("dst"))
     val rk0 = base.select(col("src"), col("dst"),
-      (row_number().over(wSrc) - 1).cast("long").as("rk"),
-      count(lit(1)).over(Window.partitionBy(col("src"))).as("deg_src"))
-    // deg of the DESTINATION rides each edge row so the walk state
-    // always carries its current node's out-degree (the next target
-    // rank is then map-side); null marks a sink
-    val degs = base.groupBy(col("src").as("dst")).agg(count(lit(1)).as("deg_dst"))
+      (sum(col("w")).over(wSrc) - col("w")).as("cw_lo"),
+      sum(col("w")).over(wSrc).as("cw_hi"),
+      sum(col("w")).over(Window.partitionBy(col("src"))).as("deg_src"))
+    // draw-mass of the DESTINATION rides each edge row so the walk
+    // state always carries its current node's draw modulus (the next
+    // target is then map-side); null marks a sink. Unweighted, cw_lo IS
+    // the edge's 0-based rank (unit widths), so the hop stays an exact
+    // two-key equi-join.
+    val degs = base.groupBy(col("src").as("dst")).agg(sum(col("w")).as("deg_dst"))
     val (e0, nE) = CacheOps.persistMaterializedCounted(
       rk0.join(degs, Seq("dst"), "left")
-        .select(col("src"), col("dst"), col("rk"), col("deg_src"),
-          col("deg_dst"))
+        .select(col("src"), col("dst"), col("cw_lo"), col("cw_hi"),
+          col("deg_src"), col("deg_dst"))
         .repartition(col("src")))
     val loop = LoopSession.forGraph(spark, nE, rowsPerPartition = 100000L)
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
@@ -1359,14 +1393,20 @@ object Graph {
       col("node"))
     try {
       for (i <- 1 to steps) {
+        val draw = state.filter(col("deg").isNotNull)
+          .select(col("start"), col("wk"), col("node").as("src"),
+            pmod(h(i), col("deg")).as("x"))
+        val hop =
+          if (!weighted)
+            // unit widths: the drawn x IS the target cw_lo — O(1) match
+            e.join(draw.withColumnRenamed("x", "cw_lo"), Seq("src", "cw_lo"))
+          else
+            // CDF lookup: match the out-edge whose interval holds x
+            e.join(draw, Seq("src"))
+              .filter(col("x") >= col("cw_lo") && col("x") < col("cw_hi"))
         state = CacheOps.persistMaterialized(
-          e.join(
-            state.filter(col("deg").isNotNull)
-              .select(col("start"), col("wk"), col("node").as("src"),
-                pmod(h(i), col("deg")).as("rk")),
-            Seq("src", "rk"))
-            .select(col("start"), col("wk"), col("dst").as("node"),
-              col("deg_dst").as("deg")))
+          hop.select(col("start"), col("wk"), col("dst").as("node"),
+            col("deg_dst").as("deg")))
         hops ::= state
         out = out.unionByName(state.select(col("start"), col("wk"),
           lit(i.toLong).as("step"), col("node")))

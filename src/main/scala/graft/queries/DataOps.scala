@@ -4524,6 +4524,66 @@ object DataOps {
              .mkString(" UNION ALL ")})""".stripMargin
   }
 
+  /** Weight-proportional random walks ([[Graph.randomWalks]] with a `w`
+    * column): the trading graph carries lineitem counts, so
+    * heavily-traded pairs draw proportionally more walk traffic — the
+    * weighted-transition analogue of q_random_walks. The oracle replays
+    * the cumulative-interval draw: per-src dst-ordered weight prefix
+    * sums, H mod Σw, and the interval-containment join, 4 unrolled
+    * MATERIALIZED hops. */
+  def qRandomWalksWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("w"))
+    Graph.randomWalks(bothDirections(pairs, Seq("w")), steps = 4,
+        walksPerNode = 2)
+      .select(col("start"), col("wk").as("walk"), col("step"), col("node"))
+  }
+
+  val qRandomWalksWeightedSql: String = {
+    val hexVal = (1 to 8).map { p =>
+      val w = BigInt(16).pow(8 - p)
+      s"(strpos('0123456789abcdef', substring(s.hx, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    val step = (i: Int) =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.start, s.wk, e2.dst AS node, e2.deg_dst AS deg
+         |  FROM (SELECT start, wk, node, deg,
+         |          md5('graft-' || start || '-' || wk || '-' || $i) AS hx
+         |        FROM s${i - 1} WHERE deg IS NOT NULL) s
+         |  JOIN e2 ON e2.src = s.node
+         |    AND ($hexVal) % s.deg >= e2.cw_lo
+         |    AND ($hexVal) % s.deg < e2.cw_hi)""".stripMargin
+    s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+       |             CAST(count(*) AS BIGINT) AS w
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |           GROUP BY 1, 2),
+       |b AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM p
+       |  UNION ALL SELECT b, a, w FROM p),
+       |e AS MATERIALIZED (SELECT src, dst,
+       |    CAST(sum(w) OVER win - w AS BIGINT) AS cw_lo,
+       |    CAST(sum(w) OVER win AS BIGINT) AS cw_hi,
+       |    CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS deg_src
+       |  FROM b
+       |  WINDOW win AS (PARTITION BY src ORDER BY dst
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |dd AS (SELECT src AS dst, CAST(sum(w) AS BIGINT) AS deg_dst
+       |       FROM b GROUP BY 1),
+       |e2 AS MATERIALIZED (SELECT e.src, e.dst, e.cw_lo, e.cw_hi,
+       |    e.deg_src, dd.deg_dst
+       |  FROM e LEFT JOIN dd USING (dst)),
+       |s0 AS MATERIALIZED (SELECT n.start, w.wk, n.start AS node, n.deg
+       |  FROM (SELECT DISTINCT src AS start, deg_src AS deg FROM e) n,
+       |       (SELECT unnest(range(2)) AS wk) w),
+       |${(1 to 4).map(step).mkString(",\n")}
+       |SELECT start, CAST(wk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step,
+       |  node FROM (
+       |  ${(0 to 4).map(i => s"SELECT start, wk, $i AS step, node FROM s$i")
+             .mkString(" UNION ALL ")})""".stripMargin
+  }
+
   /** Strongly connected components
     * ([[Graph.stronglyConnectedComponents]]) over the DIRECTED trading
     * graph: every customer→supplier edge, plus the REVERSE edge only for
@@ -5280,6 +5340,7 @@ object DataOps {
     "q_zscore_norm"    -> ((qZscoreNorm _, Some(qZscoreNormSql))),
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
     "q_random_walks"   -> ((qRandomWalks _, Some(qRandomWalksSql))),
+    "q_random_walks_weighted" -> ((qRandomWalksWeighted _, Some(qRandomWalksWeightedSql))),
     "q_pagerank_weighted" -> ((qPagerankWeighted _, Some(qPagerankWeightedSql))),
     "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
     "q_ppr"            -> ((qPpr _, Some(qPprSql))),

@@ -1899,6 +1899,43 @@ class OperatorsSpec extends SparkSpec {
     assert(firstHops.nonEmpty && firstHops.forall(Set(2L, 3L)))
   }
 
+  test("weighted random walks: unit weights equal the unweighted path, parallel edges combine") {
+    def runDf(df: org.apache.spark.sql.DataFrame) = {
+      val out = Graph.randomWalks(df, steps = 5, walksPerNode = 2)
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      out.unpersist()
+      rows
+    }
+    val base = Seq((1L,2L),(1L,3L),(2L,4L),(3L,4L),(4L,1L))
+    // all-unit weights must reproduce the unweighted corpus exactly
+    // (unit intervals [rk, rk+1) ≡ exact ranks)
+    val unweighted = runDf(base.toDF("src", "dst"))
+    val unitW = runDf(base.map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w"))
+    assert(unitW == unweighted, "w=1 must equal the unweighted draw")
+    // parallel edges combine: (1,2,1)+(1,2,2) ≡ (1,2,3)
+    val skew = Seq((1L,2L,3L),(1L,3L,1L),(2L,4L,1L),(3L,4L,1L),(4L,1L,1L))
+    val combined = runDf(skew.toDF("src", "dst", "w"))
+    val split = runDf((Seq((1L,2L,1L),(1L,2L,2L)) ++ skew.tail)
+      .toDF("src", "dst", "w"))
+    assert(split == combined, "parallel edges must combine their mass")
+    // every hop is still a real edge; partition-stable
+    val edgeSet = base.toSet
+    combined.groupBy(r => (r._1, r._2)).values.foreach { rs =>
+      rs.toSeq.sortBy(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet.contains((a._4, b._4)))
+        case _ => ()
+      }
+    }
+    assert(runDf(skew.toDF("src", "dst", "w").repartition(5)) == combined)
+    // non-positive weights reject loudly
+    val bad = intercept[Exception] {
+      Graph.randomWalks(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), 2).count()
+    }
+    assert(bad.getMessage.contains("positive"), s"wrong error: $bad")
+  }
+
   test("louvain step: ideal partition is a fixpoint; refinement raises Q from singletons") {
     // bridged cliques {1,2,3,4} + {5,6,7,8}, bridge 4-5 (m = 13)
     val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
