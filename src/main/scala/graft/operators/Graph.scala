@@ -994,10 +994,23 @@ object Graph {
     * materializing persists (labels, colored edges, marked, emitted) —
     * nothing collected but per-round 1-row counts; all in the
     * right-sized cloned loop session. */
+  /** `trimPasses` > 0 runs that many TRIM passes before each round's
+    * coloring (the standard FW-BW accelerator — Hong et al. 2013's
+    * trim step): a node with no in-edge or no out-edge WITHIN the
+    * active subgraph is its own SCC by construction, so it emits
+    * (id, id) and deactivates without paying the 2·sweeps coloring
+    * joins. Crawl-shaped graphs are mostly DAG — un-trimmed FW-BW
+    * peels ONE chain layer per round there, trimmed it strips whole
+    * chain prefixes/suffixes per pass. Changes the path, never the
+    * answer (the SCC partition is canonical and labels are min member
+    * ids — spec-pinned trim ≡ no-trim); default 0 keeps the gate's
+    * unrolled oracle shape. */
   def stronglyConnectedComponents(edges: DataFrame, rounds: Int = 3,
-                                  sweeps: Int = 6): DataFrame = {
+                                  sweeps: Int = 6,
+                                  trimPasses: Int = 0): DataFrame = {
     require(rounds >= 1, s"scc needs rounds >= 1, got $rounds")
     require(sweeps >= 1, s"scc needs sweeps >= 1, got $sweeps")
+    require(trimPasses >= 0, s"scc needs trimPasses >= 0, got $trimPasses")
     val spark = edges.sparkSession
     val (e0, nE) = CacheOps.persistMaterializedCounted(
       edges.select(col("src").cast("long"), col("dst").cast("long")).distinct())
@@ -1027,6 +1040,30 @@ object Graph {
       try {
         var round = 0
         while (round < rounds && nActive > 0L) {
+          // TRIM: peel trivially-singleton nodes (no active in-edge or
+          // no active out-edge) before paying the coloring sweeps
+          var t = 0
+          while (t < trimPasses && nActive > 0L) {
+            val aeR = CacheOps.persistMaterialized(
+              e.join(active.select(col("id").as("src")), Seq("src"), "left_semi")
+                .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+            try {
+              val core = active
+                .join(aeR.select(col("dst").as("id")), Seq("id"), "left_semi")
+                .join(aeR.select(col("src").as("id")), Seq("id"), "left_semi")
+              outs ::= CacheOps.persistMaterialized(
+                active.join(core, Seq("id"), "left_anti")
+                  .select(col("id"), col("id").as("scc")))
+              val ((nextActive, nextActiveP), nNext) = flat(core)
+              activeP.unpersist(blocking = false)
+              active = nextActive
+              activeP = nextActiveP
+              nActive = nNext
+            } finally aeR.unpersist(blocking = false)
+            t += 1
+          }
+          if (nActive == 0L) { round = rounds }
+          else {
           // active-subgraph edges + one self-loop per active node: the
           // self rows carry each node's own label/mark through the
           // sweeps' aggregations (single-reference, linear plans).
@@ -1077,6 +1114,7 @@ object Graph {
             } finally fpP.unpersist(blocking = false)
           } finally aeP.unpersist(blocking = false)
           round += 1
+          }
         }
         // union the per-round persisted results into one caller-session
         // frame whose persist the caller can release (the LPA contract)

@@ -124,7 +124,7 @@ object Pipeline {
     * Nodes not finalized within `rounds` are omitted (documented partial
     * result — raise rounds). */
   final case class SccStep(srcCol: String, dstCol: String, rounds: Int,
-                           sweeps: Int, dataType: String) extends Step
+                           sweeps: Int, trim: Int, dataType: String) extends Step
   /** BFS / shortest-path depth layer over an edge-list flow
     * ([[graft.operators.Graph.shortestPaths]]): distances from `seeds`
     * (explicit ids; empty = the minimum node id). An optional weight
@@ -605,6 +605,7 @@ object Pipeline {
       case "scc" => SccStep(str("src", "src"), str("dst", "dst"),
         rounds = if (node.has("rounds")) node.get("rounds").asInt() else 3,
         sweeps = if (node.has("sweeps")) node.get("sweeps").asInt() else 6,
+        trim = if (node.has("trim")) node.get("trim").asInt() else 0,
         dataType)
       case "sssp" => SsspStep(str("src", "src"), str("dst", "dst"),
         str("weight", ""),
@@ -1199,11 +1200,11 @@ object Pipeline {
             flow.updated(dt,
               graft.operators.Graph.randomWalks(edges, steps, wpn, seed))
           }.getOrElse(flow)
-        case SccStep(src, dst, rounds, sweeps, dt) =>
+        case SccStep(src, dst, rounds, sweeps, trim, dt) =>
           flow(dt).map { df =>
             flow.updated(dt, graft.operators.Graph.stronglyConnectedComponents(
               df.select(col(src).cast("long").as("src"),
-                col(dst).cast("long").as("dst")), rounds, sweeps))
+                col(dst).cast("long").as("dst")), rounds, sweeps, trim))
           }.getOrElse(flow)
         case SsspStep(src, dst, w, seeds, sweeps, symmetric, fixpoint, dt) =>
           flow(dt).map { df =>

@@ -2015,6 +2015,34 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("scc trim: same partition as no-trim, long DAG chains resolve in few rounds") {
+    def run(df: org.apache.spark.sql.DataFrame, r: Int, trim: Int) = {
+      val out = Graph.stronglyConnectedComponents(df, rounds = r,
+        sweeps = 4, trimPasses = trim)
+      val got = out.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      out.unpersist()
+      got
+    }
+    // an 8-node DAG chain feeding a 3-cycle: un-trimmed FW-BW peels one
+    // chain layer per round (needs ~8 rounds); two trim passes per round
+    // strip the chain from BOTH ends, so 2 rounds complete the partition
+    val chain = (10L until 17L).map(i => (i, i + 1)) ++
+      Seq((17L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+    val expected = ((10L to 17L).map(i => i -> i) ++
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L)).toMap
+    val trimmed = run(chain.toDF("src", "dst"), 2, 4)
+    assert(trimmed == expected, s"trimmed partition: $trimmed")
+    // trim changes the path, never the answer
+    assert(run(chain.toDF("src", "dst"), 12, 0) == expected,
+      "no-trim (enough rounds) must reach the same partition")
+    // the two-cycles-plus-tail fixture from the main spec, trimmed,
+    // still resolves exactly
+    val e = Seq((1L,2L),(2L,3L),(3L,1L),(3L,4L),(4L,5L),(5L,6L),(6L,5L),
+      (7L,1L)).toDF("src", "dst")
+    assert(run(e, 3, 2) ==
+      Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->5L, 6L->5L, 7L->7L))
+  }
+
   test("label propagation fixpoint: converged communities exit early, oscillators hit the cap") {
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
