@@ -1336,32 +1336,42 @@ object Graph {
     * 100 TB walk corpus reproducibly, so the "randomness" is a pure
     * content hash: at step i the walk at node u takes u's out-edge of
     * rank H(seed, start, walk, i) mod outdeg(u), with edge ranks =
-    * row_number over (src ORDER BY dst) and H = the first 8 md5 hex
-    * chars as an integer (the portable-hash discipline every sampler
-    * here shares) — reproducible across runs, partitionings, retries,
-    * and engines, and any single walk is auditable by hand. Modulo
-    * bias is < outdeg/2³² — immaterial for sampling. A walk reaching a
-    * SINK (no out-edges) terminates early (its rows up to the sink are
-    * kept — documented; symmetric graphs have no sinks).
+    * row_number over (src ORDER BY dst) and H = the first 15 md5 hex
+    * chars as a 60-bit integer (the shared portable-hash discipline —
+    * hashSampleQuantiles/samplePerGroup use the same width) —
+    * reproducible across runs, partitionings, retries, and engines,
+    * and any single walk is auditable by hand. Modulo bias is
+    * < modulus/2⁶⁰, so weight sums up to ~10¹⁵ keep full
+    * proportionality (the r15 32-bit draw silently truncated any node
+    * whose Σw exceeded 2³² — ADVICE r15). A walk reaching a SINK (no
+    * out-edges) terminates early (its rows up to the sink are kept —
+    * documented; symmetric graphs have no sinks).
     *
     * A `w` column (positive longs; parallel edges combine) makes the
     * hop WEIGHT-PROPORTIONAL: each out-edge owns the interval
     * [cw − w, cw) of [0, Σw) in dst order and the hop takes the edge
     * whose interval contains H mod Σw — the deterministic analogue of
     * weighted transition sampling (heavily-traded pairs draw more
-    * walks). The weighted hop joins each walk against its node's
-    * out-list (an interval lookup; the unweighted path keeps the
-    * exact-rank O(1) equi-join).
+    * walks). The weighted hop is served by a CUTPOINT index (Chen &
+    * Asau 1974): the draw domain of each node splits into outdeg
+    * equal buckets of width cut = ⌈Σw/outdeg⌉ and each out-edge is
+    * expanded into one row per bucket its interval intersects (≤
+    * 2|E| rows total), so the hop is an exact (src, bucket) equi-join
+    * whose per-walk fan-out is 1 + cut·outdeg/Σw ≤ 2 expected rows,
+    * then the containment filter — O(walks) per step, not Σdeg (the
+    * r15 full-out-list scan). The drawn edge for a given H is
+    * IDENTICAL to the plain interval lookup, so the index changes the
+    * plan, never the answer — the oracle replays naive containment.
     *
-    * Scale shape: the ranked edge frame (rank + out-degree of BOTH
+    * Scale shape: the ranked edge frame (rank + draw-mass/cut of BOTH
     * endpoints embedded) is built once with two keyed shuffles and
     * persisted src-partitioned; each step is ONE two-key equi-join of
-    * the walks-sized state against it (exactly one edge row matches
-    * per walk — the target rank is computed map-side from the carried
-    * degree, never by scanning a node's out-list), so the composed
-    * plan is linear in `steps` and the per-step traffic is
-    * walks-sized. The per-src rank window partitions by src (keyed,
-    * never global). Runs in the right-sized cloned loop session. */
+    * the walks-sized state against it (the target rank/bucket is
+    * computed map-side from the carried degree and cut, never by
+    * scanning a node's out-list), so the composed plan is linear in
+    * `steps` and the per-step traffic is walks-sized. The per-src
+    * rank window partitions by src (keyed, never global). Runs in the
+    * right-sized cloned loop session. */
   def randomWalks(edges: DataFrame, steps: Int, walksPerNode: Int = 1,
                   seed: String = "graft"): DataFrame = {
     require(steps >= 1, s"randomWalks needs steps >= 1, got $steps")
@@ -1374,11 +1384,9 @@ object Graph {
     // the hop weight-proportionally: each out-edge owns the cumulative
     // interval [cw − w, cw) of [0, Σw), and the hop picks the edge whose
     // interval contains H mod Σw. The draw carries the node's weight sum
-    // instead of its degree, and the hop join matches the interval
-    // (an equi-join on src + a range predicate: the walk scans its
-    // node's out-list — Σdeg work per step, vs the unweighted path's
-    // exact-rank O(1) equi-join; the CDF lookup is what weighting costs
-    // without an alias-table build).
+    // instead of its degree, and the lookup rides the cutpoint index
+    // (see the scaladoc): an exact (src, bucket) equi-join with ≤ 2
+    // expected candidate rows, then interval containment.
     val weighted = edges.columns.contains("w")
     val base =
       if (!weighted)
@@ -1394,38 +1402,58 @@ object Graph {
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       }
     val wSrc = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val wAll = Window.partitionBy(col("src"))
     val rk0 = base.select(col("src"), col("dst"),
       (sum(col("w")).over(wSrc) - col("w")).as("cw_lo"),
       sum(col("w")).over(wSrc).as("cw_hi"),
-      sum(col("w")).over(Window.partitionBy(col("src"))).as("deg_src"))
-    // draw-mass of the DESTINATION rides each edge row so the walk
-    // state always carries its current node's draw modulus (the next
-    // target is then map-side); null marks a sink. Unweighted, cw_lo IS
-    // the edge's 0-based rank (unit widths), so the hop stays an exact
-    // two-key equi-join.
-    val degs = base.groupBy(col("src").as("dst")).agg(sum(col("w")).as("deg_dst"))
+      sum(col("w")).over(wAll).as("deg_src"),
+      count(lit(1)).over(wAll).as("n_src"))
+    // draw-mass AND cutpoint width of the DESTINATION ride each edge row
+    // so the walk state always carries its current node's draw modulus
+    // and bucket width (the next target is then map-side); null marks a
+    // sink. Unweighted, cw_lo IS the edge's 0-based rank (unit widths),
+    // so the hop stays an exact two-key equi-join with no expansion.
+    val degs = base.groupBy(col("src").as("dst"))
+      .agg(sum(col("w")).as("deg_dst"), count(lit(1)).as("n_dst"))
+      .select(col("dst"), col("deg_dst"),
+        expr("(deg_dst + n_dst - 1) div n_dst").as("cut_dst"))
     val (e0, nE) = CacheOps.persistMaterializedCounted(
       rk0.join(degs, Seq("dst"), "left")
         .select(col("src"), col("dst"), col("cw_lo"), col("cw_hi"),
-          col("deg_src"), col("deg_dst"))
+          col("deg_src"),
+          expr("(deg_src + n_src - 1) div n_src").as("cut_src"),
+          col("deg_dst"), col("cut_dst"))
         .repartition(col("src")))
     val loop = LoopSession.forGraph(spark, nE, rowsPerPartition = 100000L)
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
-    // H(seed, start, walk, step) as a portable 32-bit integer
+    // Cutpoint expansion (weighted only): one row per (edge, bucket its
+    // interval intersects) — ≤ 2|E| rows — co-partitioned on the hop
+    // join key. Unit weights never build it (cw_lo is already the rank).
+    val ebOpt =
+      if (!weighted) None
+      else Some(CacheOps.persistMaterialized(
+        e.withColumn("bkt", explode(expr(
+            "sequence(cw_lo div cut_src, (cw_hi - 1) div cut_src)")))
+          .repartition(col("src"), col("bkt"))))
+    // H(seed, start, walk, step) as a portable 60-bit integer (15 md5
+    // hex chars — the shared sampler width; a 32-bit draw would silently
+    // cap weight-proportionality at Σw = 2³², ADVICE r15)
     def h(step: Int): Column =
       conv(substring(md5(concat_ws("-", lit(seed), col("start"), col("wk"),
-        lit(step.toLong)).cast("binary")), 1, 8), 16, 10).cast("long")
+        lit(step.toLong)).cast("binary")), 1, 15), 16, 10).cast("long")
     // each hop's state is PERSISTED: the final union references hop i
     // both directly (its step-i rows) and inside hop i+1's lineage, so
     // lazy states would re-execute the chain quadratically (hop j runs
     // steps-j times; measured ~2x wall on the gate) — persisted, every
     // hop executes once and the union's branches are cache scans
     var state = CacheOps.persistMaterialized(
-      e.select(col("src").as("start"), col("deg_src").as("deg"))
+      e.select(col("src").as("start"), col("deg_src").as("deg"),
+          col("cut_src").as("cut"))
         .distinct()
         .withColumn("wk", explode(array((0 until walksPerNode)
           .map(i => lit(i.toLong)): _*)))
-        .select(col("start"), col("wk"), col("start").as("node"), col("deg")))
+        .select(col("start"), col("wk"), col("start").as("node"), col("deg"),
+          col("cut")))
     var hops: List[DataFrame] = List(state)
     var out = state.select(col("start"), col("wk"), lit(0L).as("step"),
       col("node"))
@@ -1433,18 +1461,22 @@ object Graph {
       for (i <- 1 to steps) {
         val draw = state.filter(col("deg").isNotNull)
           .select(col("start"), col("wk"), col("node").as("src"),
-            pmod(h(i), col("deg")).as("x"))
+            pmod(h(i), col("deg")).as("x"), col("cut"))
         val hop =
           if (!weighted)
             // unit widths: the drawn x IS the target cw_lo — O(1) match
-            e.join(draw.withColumnRenamed("x", "cw_lo"), Seq("src", "cw_lo"))
+            e.join(draw.withColumnRenamed("x", "cw_lo").drop("cut"),
+              Seq("src", "cw_lo"))
           else
-            // CDF lookup: match the out-edge whose interval holds x
-            e.join(draw, Seq("src"))
+            // cutpoint lookup: equi-join on the drawn bucket, then match
+            // the (expected ≤ 2) candidate intervals
+            ebOpt.get.join(
+                draw.withColumn("bkt", expr("x div cut")).drop("cut"),
+                Seq("src", "bkt"))
               .filter(col("x") >= col("cw_lo") && col("x") < col("cw_hi"))
         state = CacheOps.persistMaterialized(
           hop.select(col("start"), col("wk"), col("dst").as("node"),
-            col("deg_dst").as("deg")))
+            col("deg_dst").as("deg"), col("cut_dst").as("cut")))
         hops ::= state
         out = out.unionByName(state.select(col("start"), col("wk"),
           lit(i.toLong).as("step"), col("node")))
@@ -1452,10 +1484,11 @@ object Graph {
     } catch { // a mid-hop failure must not strand the hop caches
       case t: Throwable =>
         hops.foreach(_.unpersist(blocking = true))
+        ebOpt.foreach(_.unpersist(blocking = true))
         e0.unpersist(blocking = true)
         throw t
     }
-    finishRanks(spark, out, e0 :: hops)
+    finishRanks(spark, out, e0 :: ebOpt.toList ::: hops)
   }
 
   /** One synchronous Louvain refinement step (Blondel et al. 2008, the
@@ -1487,36 +1520,60 @@ object Graph {
     * is the one corpus-sized aggregation; everything else is keyed
     * nodes-sized joins plus the broadcast 1-row m — no windows, nothing
     * collected. */
-  def louvainStep(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def louvainStep(edges: DataFrame, labels: DataFrame): DataFrame =
+    louvainStepWeighted(
+      edges.select(col("a").cast("long"), col("b").cast("long"),
+        lit(1L).as("w")),
+      labels)
+
+  /** [[louvainStep]] over a WEIGHTED multigraph `(a, b, w)` with a ≤ b —
+    * the form [[louvain]]'s contracted levels take: an intra-community
+    * edge bundle becomes a self-loop (a = b) whose weight counts twice
+    * in its node's degree (the standard A_vv = 2w convention, so Σdeg =
+    * 2m holds at every level) but never appears as a move candidate
+    * (e_{v,x} sums over u ≠ v; a self-loop stays internal to whichever
+    * community v joins, so it cancels in every Δ). Same exact integer
+    * gain algebra over the common denominator 4m² with m = Σw — the
+    * contraction preserves m, so the [[modularity]] m < 1.5·10⁹ bound
+    * holds once for the whole level loop (ENFORCED per step). */
+  def louvainStepWeighted(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e0 = CacheOps.persistMaterialized(
-      edges.select(col("a").cast("long"), col("b").cast("long")))
+      edges.select(col("a").cast("long"), col("b").cast("long"),
+        col("w").cast("long")))
     val lab = labels.select(col("id").cast("long"),
       col("community").cast("long")).persist(MEMORY_AND_DISK)
     try {
-      val m = e0.agg(count(lit(1)).as("m"))
+      val m = e0.agg(sum(col("w")).as("m"))
         .select(assert_true(col("m") < 1500000000L,
             lit("louvainStep: 4*m^2 must fit a long — m < 1.5e9")).as("__ck"),
           col("m"))
         .filter(col("__ck").isNull).drop("__ck")
       // (id, deg, community) feeds the community degree sums AND the
-      // per-node decision frame
-      val degL = CacheOps.persistMaterialized(
-        degreeFrame(e0).join(lab, "id"))
+      // per-node decision frame; the endpoint explode gives a self-loop
+      // its 2w degree contribution for free (both sides land on a)
+      val degW = e0.select(explode(array(
+          struct(col("a").as("id"), col("w")),
+          struct(col("b").as("id"), col("w")))).as("e"))
+        .select(col("e.id").as("id"), col("e.w").as("w"))
+        .groupBy(col("id")).agg(sum(col("w")).as("deg"))
+      val degL = CacheOps.persistMaterialized(degW.join(lab, "id"))
       try {
         val dc = degL.groupBy(col("community"))
           .agg(sum(col("deg")).as("dsum"))
-        // v's edge count into each adjacent community — the one
+        // v's edge mass into each adjacent community — the one
         // corpus-sized aggregation; referenced twice (own-community
-        // lookup + move candidates), hence persisted
-        val adj = e0.select(explode(array(
-            struct(col("a").as("node"), col("b").as("nbr")),
-            struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
-          .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
+        // lookup + move candidates), hence persisted. Self-loops are
+        // excluded (u ≠ v).
+        val adj = e0.filter(col("a") =!= col("b")).select(explode(array(
+            struct(col("a").as("node"), col("b").as("nbr"), col("w")),
+            struct(col("b").as("node"), col("a").as("nbr"), col("w")))).as("e"))
+          .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
+            col("e.w").as("w"))
         val evd = CacheOps.persistMaterialized(
           adj.join(lab.select(col("id").as("nbr"), col("community").as("d")),
               "nbr")
             .groupBy(col("node").as("id"), col("d"))
-            .agg(count(lit(1)).as("ec")))
+            .agg(sum(col("w")).as("ec")))
         try {
           val base = degL
             .join(dc, "community")
@@ -1549,6 +1606,88 @@ object Graph {
     } finally {
       e0.unpersist(blocking = false)
       lab.unpersist(blocking = false)
+    }
+  }
+
+  /** Multi-level Louvain (Blondel et al. 2008, both phases): from
+    * singletons, run `sweeps` synchronous [[louvainStepWeighted]] moves,
+    * CONTRACT each community into a super-node (inter-community bundles
+    * keep their summed weight; intra-community mass becomes self-loops,
+    * preserving m and every node's share of 2m), and repeat on the
+    * contracted graph for `levels` levels. Returns the composed
+    * (id, community) for every node of the input graph; community ids
+    * are original node ids (each level's labels are node ids of that
+    * level's graph, which are communities of the previous level).
+    *
+    * Fixed levels × fixed sweeps — the fixed-sweep ≡ fixpoint
+    * discipline: a level whose moves all stall contracts to an identical
+    * graph and every later level is a no-op, so an over-budgeted call is
+    * exact, and the whole run unrolls under a SQL oracle. Q is
+    * non-decreasing per level in practice (spec-pinned; the synchronous
+    * move's degenerate-tie swaps are the only exception, as documented
+    * on [[louvainStep]]).
+    *
+    * Scale shape: per level, one corpus-sized (node, nbr-community)
+    * aggregation per sweep plus ONE keyed contraction agg; the mapping
+    * composition is a nodes-sized join per level. Level boundaries
+    * persist AND truncate (the SCC analyzer lesson: a level references
+    * its labels twice — both contraction endpoints — so composed plans
+    * would grow 2^levels). */
+  def louvain(edges: DataFrame, levels: Int = 2, sweeps: Int = 2): DataFrame = {
+    require(levels >= 1, s"louvain needs levels >= 1, got $levels")
+    require(sweeps >= 1, s"louvain needs sweeps >= 1, got $sweeps")
+    import org.apache.spark.sql.graftbridge.Bridge
+    var g = CacheOps.persistMaterialized(
+      edges.select(col("a").cast("long"), col("b").cast("long"))
+        .withColumn("w", lit(1L)))
+    // composed original-id → current-community mapping (identity at entry)
+    var mapping = CacheOps.persistMaterialized(
+      g.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+        .select(col("id"), col("id").as("community")))
+    // release list holds the PERSISTED frames (a truncated wrapper's
+    // unpersist is a no-op on the cache entry underneath it)
+    var released: List[DataFrame] = List(g, mapping)
+    try {
+      var finalMapped = mapping
+      for (_ <- 1 to levels) {
+        var lab = CacheOps.persistMaterialized(
+          g.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+            .select(col("id"), col("id").as("community")))
+        released ::= lab
+        for (_ <- 1 to sweeps) {
+          val stepped = louvainStepWeighted(g, Bridge.truncatePlan(lab))
+          released ::= stepped
+          lab = stepped
+        }
+        val labT = Bridge.truncatePlan(lab)
+        // phase 2: contract communities into super-nodes
+        val la = labT.select(col("id").as("a"), col("community").as("ca"))
+        val lb = labT.select(col("id").as("b"), col("community").as("cb"))
+        val gNext = CacheOps.persistMaterialized(
+          g.join(la, "a").join(lb, "b")
+            .select(least(col("ca"), col("cb")).as("a"),
+              greatest(col("ca"), col("cb")).as("b"), col("w"))
+            .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
+        released ::= gNext
+        g = Bridge.truncatePlan(gNext)
+        val mapped = CacheOps.persistMaterialized(
+          Bridge.truncatePlan(mapping).join(
+              labT.select(col("community").as("next"),
+                col("id").as("community")),
+              "community")
+            .select(col("id"), col("next").as("community")))
+        released ::= mapped
+        mapping = mapped
+        finalMapped = mapped
+      }
+      // the final level's mapping cache is the RESULT — the caller owns
+      // its release; every intermediate is dropped here
+      released.filterNot(_ eq finalMapped)
+        .foreach(_.unpersist(blocking = false))
+      finalMapped
+    } catch { case t: Throwable =>
+      released.foreach(_.unpersist(blocking = true))
+      throw t
     }
   }
 

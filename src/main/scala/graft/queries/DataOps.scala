@@ -4491,8 +4491,9 @@ object DataOps {
   }
 
   val qRandomWalksSql: String = {
-    val hexVal = (1 to 8).map { p =>
-      val w = BigInt(16).pow(8 - p)
+    // 60-bit draw: 15 md5 hex chars (the shared sampler width)
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
       s"(strpos('0123456789abcdef', substring(s.hx, $p, 1)) - 1) * $w"
     }.mkString(" + ")
     val step = (i: Int) =>
@@ -4543,8 +4544,10 @@ object DataOps {
   }
 
   val qRandomWalksWeightedSql: String = {
-    val hexVal = (1 to 8).map { p =>
-      val w = BigInt(16).pow(8 - p)
+    // 60-bit draw: 15 md5 hex chars — full weight-proportionality for
+    // Σw up to ~10¹⁵ (the r15 32-bit draw capped at 2³², ADVICE r15)
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
       s"(strpos('0123456789abcdef', substring(s.hx, $p, 1)) - 1) * $w"
     }.mkString(" + ")
     val step = (i: Int) =>
@@ -4696,6 +4699,79 @@ object DataOps {
        |SELECT b.id,
        |  CAST(CASE WHEN bs.dnum > 0 THEN bs.d ELSE b.c END AS BIGINT) AS community
        |FROM base b LEFT JOIN best bs ON bs.id = b.id AND bs.rn = 1""".stripMargin
+
+  /** Multi-level Louvain ([[Graph.louvain]], Blondel et al. 2008 both
+    * phases) over the rare-shingle graph from singletons: 2 synchronous
+    * weighted move sweeps per level, community contraction (inter-
+    * community bundles keep summed weight, intra mass becomes
+    * self-loops), 2 levels — the standard community pipeline a curation
+    * user asking for "communities with good modularity" runs. The
+    * oracle unrolls the identical per-level weighted move algebra
+    * (exact integer Δnum over the invariant 4m²) and contraction as
+    * MATERIALIZED CTEs. */
+  def qLouvain(spark: SparkSession, dir: String): DataFrame =
+    Graph.louvain(rareShingleEdges(Tables(spark, dir).documents),
+      levels = 2, sweeps = 2)
+
+  val qLouvainSql: String = {
+    val L = 2; val S = 2
+    // one synchronous weighted move: the q_louvain_step algebra with
+    // count() → sum(w) and self-loops excluded from adjacency
+    def step(l: Int, s: Int): String =
+      s"""dcs${l}_$s AS MATERIALIZED (SELECT community,
+         |    CAST(sum(deg) AS BIGINT) AS dsum
+         |  FROM deg$l JOIN lab${l}_${s - 1} USING (id) GROUP BY 1),
+         |evd${l}_$s AS MATERIALIZED (SELECT adj.node AS id,
+         |    lx.community AS d, CAST(sum(adj.w) AS BIGINT) AS ec
+         |  FROM adj$l adj JOIN lab${l}_${s - 1} lx ON adj.nbr = lx.id
+         |  GROUP BY 1, 2),
+         |base${l}_$s AS MATERIALIZED (SELECT lb.id, lb.community AS c,
+         |    deg.deg AS k, CAST(COALESCE(ev.ec, 0) AS BIGINT) AS evc,
+         |    dcs.dsum AS dcur
+         |  FROM lab${l}_${s - 1} lb JOIN deg$l deg USING (id)
+         |  JOIN dcs${l}_$s dcs ON dcs.community = lb.community
+         |  LEFT JOIN evd${l}_$s ev ON ev.id = lb.id AND ev.d = lb.community),
+         |cand${l}_$s AS (SELECT b.id, ev.d,
+         |    4 * mm.m * (ev.ec - b.evc) - 2 * b.k * (dd.dsum - b.dcur)
+         |      - 2 * b.k * b.k AS dnum
+         |  FROM base${l}_$s b JOIN evd${l}_$s ev ON ev.id = b.id AND ev.d <> b.c
+         |  JOIN dcs${l}_$s dd ON dd.community = ev.d, mm),
+         |best${l}_$s AS (SELECT id, d, dnum,
+         |    row_number() OVER (PARTITION BY id ORDER BY dnum DESC, d) AS rn
+         |  FROM cand${l}_$s),
+         |lab${l}_$s AS MATERIALIZED (SELECT b.id,
+         |    CAST(CASE WHEN bs.dnum > 0 THEN bs.d ELSE b.c END AS BIGINT)
+         |      AS community
+         |  FROM base${l}_$s b
+         |  LEFT JOIN best${l}_$s bs ON bs.id = b.id AND bs.rn = 1)""".stripMargin
+    def level(l: Int): String = {
+      val steps = (1 to S).map(s => step(l, s)).mkString(",\n")
+      s"""deg$l AS MATERIALIZED (SELECT id, CAST(sum(w) AS BIGINT) AS deg
+         |  FROM (SELECT a AS id, w FROM g$l UNION ALL SELECT b, w FROM g$l)
+         |  GROUP BY 1),
+         |adj$l AS MATERIALIZED (SELECT a AS node, b AS nbr, w FROM g$l
+         |    WHERE a <> b
+         |  UNION ALL SELECT b, a, w FROM g$l WHERE a <> b),
+         |lab${l}_0 AS MATERIALIZED (SELECT id, id AS community FROM deg$l),
+         |$steps,
+         |g${l + 1} AS MATERIALIZED (
+         |  SELECT least(la.community, lb.community) AS a,
+         |    greatest(la.community, lb.community) AS b,
+         |    CAST(sum(g.w) AS BIGINT) AS w
+         |  FROM g$l g JOIN lab${l}_$S la ON g.a = la.id
+         |  JOIN lab${l}_$S lb ON g.b = lb.id
+         |  GROUP BY 1, 2),
+         |map$l AS MATERIALIZED (SELECT m.id, l.community
+         |  FROM map${l - 1} m JOIN lab${l}_$S l ON m.community = l.id)""".stripMargin
+    }
+    s"""WITH $rareShingleEdgeCte,
+       |g1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM p),
+       |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM g1),
+       |map0 AS MATERIALIZED (SELECT id, id AS community FROM (
+       |  SELECT DISTINCT a AS id FROM g1 UNION SELECT DISTINCT b FROM g1)),
+       |${(1 to L).map(level).mkString(",\n")}
+       |SELECT id, CAST(community AS BIGINT) AS community FROM map$L""".stripMargin
+  }
 
   /** Modularity scoring of the rare-shingle LPA labeling
     * ([[Graph.modularity]] over [[Graph.labelPropagation]]'s output) —
@@ -5350,6 +5426,7 @@ object DataOps {
     "q_kcore"          -> ((qKCore _, Some(qKCoreSql))),
     "q_communities"    -> ((qCommunities _, Some(qCommunitiesSql))),
     "q_louvain_step"   -> ((qLouvainStep _, Some(qLouvainStepSql))),
+    "q_louvain"        -> ((qLouvain _, Some(qLouvainSql))),
     "q_communities_indexed" -> ((qCommunitiesIndexed _, Some(qCommunitiesIndexedSql))),
     "q_modularity"     -> ((qModularity _, Some(qModularitySql))),
     "q_scc"            -> ((qScc _, Some(qSccSql))),

@@ -1976,6 +1976,41 @@ class OperatorsSpec extends SparkSpec {
       s"Q must not fall: ${q(stepped)} -> ${q(stepped2)}")
   }
 
+  test("louvain: multi-level contraction resolves bridged cliques; Q non-decreasing per level; level loop is idempotent past convergence") {
+    // bridged cliques {1,2,3,4} + {5,6,7,8}, bridge 4-5 (m = 13) — the
+    // louvainStep fixture, now through both phases from singletons
+    val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (5L,6L),(5L,7L),(5L,8L),(6L,7L),(6L,8L),(7L,8L),(4L,5L)).toDF("a","b")
+    def run(levels: Int) = {
+      val out = Graph.louvain(edges, levels = levels, sweeps = 2)
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out.unpersist()
+      got
+    }
+    def q(l: Map[Long, Long]) = {
+      val scored = Graph.modularity(edges, l.toSeq.toDF("id", "community"))
+      val total = scored.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("q"))).head().getDouble(0)
+      scored.unpersist()
+      total
+    }
+    val l1 = run(1); val l2 = run(2)
+    // the two cliques must resolve into exactly two communities
+    assert(l2.values.toSet.size == 2, s"expected 2 communities, got $l2")
+    assert((1L to 4L).map(l2).toSet.size == 1 && (5L to 8L).map(l2).toSet.size == 1,
+      s"cliques split: $l2")
+    // Q non-decreasing per level, strictly above singletons
+    val qSingle = q((1L to 8L).map(i => i -> i).toMap)
+    assert(q(l1) > qSingle, s"level 1 must raise Q: $qSingle -> ${q(l1)}")
+    assert(q(l2) >= q(l1), s"Q fell across levels: ${q(l1)} -> ${q(l2)}")
+    // past convergence, extra levels are no-ops (fixed-sweep ≡ fixpoint)
+    assert(run(3) == l2, "a converged level must contract to itself")
+    // deterministic under partitioning
+    val rep = Graph.louvain(edges.repartition(7), levels = 2, sweeps = 2)
+    assert(rep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == l2)
+    rep.unpersist()
+  }
+
   test("scc: two cycles joined by a tail resolve by hand; directed ≠ undirected") {
     // 1→2→3→1 (cycle A), tail 3→4, bridge 4→5, 5→6→5 (cycle B), feeder
     // 7→1. SCCs: {1,2,3} labeled 1, {5,6} labeled 5, singletons {4},{7}.
