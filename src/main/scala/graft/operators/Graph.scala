@@ -384,11 +384,14 @@ object Graph {
                              sweeps: Int = 8,
                              runToFixpoint: Boolean = false): DataFrame = {
     require(sweeps >= 1, s"shortestPaths needs sweeps >= 1, got $sweeps")
-    val e = Bucketing.readBucketed(spark, table)
-      .select(col("src"), col("dst"), col("w"))
-    val d0 = sources.select(col("id").cast("long")).distinct()
-      .withColumn("dist", lit(0L))
-    if (runToFixpoint) ssspFixpointLoop(spark, e, d0, sweeps)._1
+    // the fixed-sweep branch derives its own frames inside indexSsspPlan
+    if (runToFixpoint) {
+      val e = Bucketing.readBucketed(spark, table)
+        .select(col("src"), col("dst"), col("w"))
+      val d0 = sources.select(col("id").cast("long")).distinct()
+        .withColumn("dist", lit(0L))
+      ssspFixpointLoop(spark, e, d0, sweeps)._1
+    }
     else finishRanks(spark, indexSsspPlan(spark, table, sources, sweeps), Nil)
   }
 
@@ -1039,6 +1042,10 @@ object Graph {
         frames.foreach(_.unpersist(blocking = false))
       try {
         var round = 0
+        // the full node count at entry: trim only removes, so nActive
+        // still equal to it proves no pass deactivated anything — the
+        // condition the round-0 semi-join shortcut below needs
+        val nAllNodes = nActive
         while (round < rounds && nActive > 0L) {
           // TRIM: peel trivially-singleton nodes (no active in-edge or
           // no active out-edge) before paying the coloring sweeps
@@ -1067,11 +1074,13 @@ object Graph {
           // active-subgraph edges + one self-loop per active node: the
           // self rows carry each node's own label/mark through the
           // sweeps' aggregations (single-reference, linear plans).
-          // Round 1's active set is ALL nodes by construction, so its
-          // two edge-sized semi-joins filter nothing — skip them (the
-          // heaviest round pays two fewer corpus-sized joins).
+          // When the active set is still ALL nodes (round 1 with no
+          // trim pass having deactivated anything — checked against the
+          // entry count, since trim runs BEFORE this round's coloring),
+          // the two edge-sized semi-joins filter nothing — skip them
+          // (the heaviest round pays two fewer corpus-sized joins).
           val aeEdges =
-            if (round == 0) e
+            if (round == 0 && nActive == nAllNodes) e
             else e
               .join(active.select(col("id").as("src")), Seq("src"), "left_semi")
               .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi")
