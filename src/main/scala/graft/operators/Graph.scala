@@ -289,7 +289,12 @@ object Graph {
     *    edge weight (1 when the input has no `w` column; checked
     *    non-negative at build time, the SSSP contract), deg/wsum the
     *    source's out-degree and total out-weight embedded per row so no
-    *    consumer ever pays a degree join;
+    *    consumer ever pays a degree join — plus the WALK columns
+    *    (r16): cw_lo/cw_hi the source's dst-ordered weight prefix sums
+    *    (each out-edge's draw interval of [0, wsum)), cut the source's
+    *    cutpoint bucket width ⌈wsum/deg⌉, and wsum_dst/cut_dst the
+    *    DESTINATION's draw modulus and bucket width (null for sinks) so
+    *    a walk state carries its next node's draw parameters map-side;
     *  - one SELF row per node (`self = true`, src = dst = id, w = 0):
     *    carries the node universe (deg/wsum null for pure sinks) in the
     *    SAME src-keyed layout — consumers read their nodes-sized init
@@ -298,8 +303,9 @@ object Graph {
     *    pre-materialized.
     * Consumers: [[pageRankFromIndex]] (ranks — ignores w),
     * [[shortestPathsFromIndex]] (distances — the whole table IS its
-    * self-looped edge frame), and, over a SYMMETRIZED build, any
-    * src-keyed neighborhood pass (LPA adjacency, HITS halves). */
+    * self-looped edge frame), [[randomWalksFromIndex]] (walk corpora —
+    * reads the walk columns), and, over a SYMMETRIZED build, any
+    * src-keyed neighborhood pass (LPA adjacency, [[hitsFromIndex]]). */
   def buildGraphIndex(edges: DataFrame, table: String, buckets: Int): Unit = {
     val weighted =
       if (edges.columns.contains("w"))
@@ -319,17 +325,36 @@ object Graph {
     // plan would execute three times inside the one build action
     val e = checked.persist(MEMORY_AND_DISK)
     try {
+      import org.apache.spark.sql.expressions.Window
       val deg = e.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"), sum(col("w")).as("wsum"))
       val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
         .distinct()
         .join(deg, Seq("id"), "left")
+      // walk columns: per-src dst-ordered draw intervals + the cutpoint
+      // width (⌈wsum/deg⌉, floored at 1 so an all-zero-weight node can't
+      // divide by zero — such a node has no drawable edge anyway); the
+      // window is keyed per src, never global
+      val wSrc = Window.partitionBy(col("src")).orderBy(col("dst"))
       val real = e
         .join(deg.select(col("id").as("src"), col("deg"), col("wsum")), "src")
         .select(col("src"), col("dst"), col("w"), lit(false).as("self"),
-          col("deg"), col("wsum"))
+          col("deg"), col("wsum"),
+          (sum(col("w")).over(wSrc) - col("w")).as("cw_lo"),
+          sum(col("w")).over(wSrc).as("cw_hi"),
+          expr("greatest(1L, (wsum + deg - 1) div deg)").as("cut"))
+        .join(deg.select(col("id").as("dst"), col("wsum").as("wsum_dst"),
+          expr("greatest(1L, (wsum + deg - 1) div deg)").as("cut_dst")),
+          Seq("dst"), "left")
+        .select(col("src"), col("dst"), col("w"), col("self"), col("deg"),
+          col("wsum"), col("cw_lo"), col("cw_hi"), col("cut"),
+          col("wsum_dst"), col("cut_dst"))
+      val nullL = lit(null).cast("long")
       val selfRows = nodes.select(col("id").as("src"), col("id").as("dst"),
-        lit(0L).as("w"), lit(true).as("self"), col("deg"), col("wsum"))
+        lit(0L).as("w"), lit(true).as("self"), col("deg"), col("wsum"),
+        nullL.as("cw_lo"), nullL.as("cw_hi"),
+        expr("greatest(1L, (wsum + deg - 1) div deg)").as("cut"),
+        nullL.as("wsum_dst"), nullL.as("cut_dst"))
       Bucketing.writeBucketed(real.unionByName(selfRows), table, buckets,
         keys = Seq("src"))
     } finally e.unpersist(blocking = false)
@@ -545,68 +570,122 @@ object Graph {
       // projections — the union scans the edge cache once per branch
       val nodes = CacheOps.persistMaterialized(
         e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
-      // rescale guard: (max · scale) must fit a long — checked on the
-      // value each half-iteration already collects
-      def checkedMax(m: Long): Long = {
-        require(m <= Long.MaxValue / scale,
-          s"hits: summed score $m would overflow at scale $scale " +
-            s"(max-degree * scale^2 must stay below 2^63) — lower `scale`")
-        m
-      }
-      try {
-        var state = CacheOps.persistMaterialized(
-          nodes.withColumn("h", lit(scale)).withColumn("a", lit(scale)))
-        try {
-          var it = 0
-          while (it < iterations) {
-            // authority half: pull hub mass along in-edges, rescale by
-            // max. The max action itself materializes the fresh persist
-            // (it scans every partition), so no separate count job —
-            // each half pays ONE job, not two.
-            def persistMax(df: DataFrame, c: String): (DataFrame, Long) = {
-              val p = df.persist(
-                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try (p, checkedMax(p.agg(max(col(c))).head().getLong(0)))
-              catch { case t: Throwable =>
-                p.unpersist(blocking = true); throw t }
-            }
-            val (aRaw, amax) = persistMax(
-              e.join(state.select(col("id").as("src"), col("h")), "src")
-                .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar")), "ar")
-            val next =
-              try {
-                val aNew = nodes.join(aRaw, Seq("id"), "left")
-                  .select(col("id"),
-                    coalesce(expr(s"(ar * ${scale}L) DIV ${amax}L"), lit(0L)).as("a"))
-                // hub half: pull the fresh authority mass along out-edges
-                val (hRaw, hmax) = persistMax(
-                  e.join(aNew.select(col("id").as("dst"), col("a")), "dst")
-                    .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr")), "hr")
-                try {
-                  val hNew = nodes.join(hRaw, Seq("id"), "left")
-                    .select(col("id"),
-                      coalesce(expr(s"(hr * ${scale}L) DIV ${hmax}L"), lit(0L)).as("h"))
-                  CacheOps.persistMaterialized(
-                    hNew.join(aNew, "id").select(col("id"), col("h"), col("a")))
-                } finally hRaw.unpersist(blocking = false)
-              } finally aRaw.unpersist(blocking = false)
-            state.unpersist(blocking = false)
-            state = next
-            it += 1
-          }
-        } catch { // a mid-iteration failure must not strand the round
-          case t: Throwable => state.unpersist(blocking = true); throw t
-        }
-        // caller-session result whose persist the caller can release
-        // (see labelPropagation — same contract)
-        val out = CacheOps.persistMaterialized(
-          org.apache.spark.sql.graftbridge.Bridge.rebind(
-            state.select(col("id"), col("h").as("hub"), col("a").as("auth")),
-            spark))
-        state.unpersist(blocking = false)
-        out
-      } finally nodes.unpersist(blocking = false)
+      // the hub half pulls along out-edges — expressed as a src-keyed
+      // join over the REVERSED frame (a map over the same cache scan),
+      // so hitsLoop has one join shape both hits and hitsFromIndex share
+      val eRev = e.select(col("dst").as("src"), col("src").as("dst"))
+      try hitsLoop(spark, e, eRev, nodes, iterations, scale)
+      finally nodes.unpersist(blocking = false)
     } finally e0.unpersist(blocking = false)
+  }
+
+  /** [[hits]] over a [[buildGraphIndex]] table — identical dynamics (the
+    * gate shares [[hits]]'s oracle). HITS needs BOTH orientations of the
+    * directed graph, so the table must be a SYMMETRIZED build (one row
+    * per orientation) with `forward` selecting the forward-orientation
+    * rows — e.g. a parity predicate on typed node ids. Both halves then
+    * read the edge side as a src-keyed join against the bucketed scan
+    * (exchange-free): the authority half over the forward rows, the hub
+    * half over the reverse rows (each reverse row (s, c) IS the reversed
+    * forward edge (c, s), so joining the fresh authority mass on its src
+    * and aggregating on its dst is exactly the out-edge pull). */
+  def hitsFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    forward: Column, iterations: Int = 3,
+                    scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"hits needs iterations >= 1, got $iterations")
+    require(scale >= 1L, s"hits needs scale >= 1, got $scale")
+    val idx = Bucketing.readBucketed(spark, table)
+    val real = idx.filter(!col("self"))
+    val eFwd = real.filter(forward).select(col("src"), col("dst"))
+    val eRev = real.filter(!forward).select(col("src"), col("dst"))
+    val (nodes, nNodes) = CacheOps.persistMaterializedCounted(
+      idx.filter(col("self")).select(col("src").as("id")))
+    try {
+      if (nNodes == 0) { // no graph: no scores (matches the oracle's joins)
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("id", "hub", "auth")
+      }
+      else hitsLoop(spark, eFwd, eRev, nodes, iterations, scale)
+    } finally nodes.unpersist(blocking = false)
+  }
+
+  /** The HITS mutual-reinforcement loop over pre-shaped halves: `eFwd`
+    * serves the authority pull (join hub mass on src, aggregate on dst),
+    * `eRev` — the REVERSED forward edges — serves the hub pull the same
+    * way, so the edge side's join key is always src (the bucketed-index
+    * layout key). Caller owns `nodes`' release. */
+  private def hitsLoop(caller: org.apache.spark.sql.SparkSession,
+                       eFwd: DataFrame, eRev: DataFrame, nodes: DataFrame,
+                       iterations: Int, scale: Long): DataFrame = {
+    // rescale guard: (max · scale) must fit a long — checked on the
+    // value each half-iteration already collects
+    def checkedMax(m: Long): Long = {
+      require(m <= Long.MaxValue / scale,
+        s"hits: summed score $m would overflow at scale $scale " +
+          s"(max-degree * scale^2 must stay below 2^63) — lower `scale`")
+      m
+    }
+    var state = CacheOps.persistMaterialized(
+      nodes.withColumn("h", lit(scale)).withColumn("a", lit(scale)))
+    try {
+      var it = 0
+      while (it < iterations) {
+        // authority half: pull hub mass along in-edges, rescale by
+        // max. The max action itself materializes the fresh persist
+        // (it scans every partition), so no separate count job —
+        // each half pays ONE job, not two.
+        def persistMax(df: DataFrame, c: String): (DataFrame, Long) = {
+          val p = df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val row = p.agg(max(col(c))).head()
+            require(!row.isNullAt(0),
+              "hits: an orientation has no edges — the mutual " +
+                "reinforcement needs both halves non-empty")
+            (p, checkedMax(row.getLong(0)))
+          }
+          catch { case t: Throwable =>
+            p.unpersist(blocking = true); throw t }
+        }
+        val (aRaw, amax) = persistMax(
+          eFwd.join(state.select(col("id").as("src"), col("h")), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar")), "ar")
+        val next =
+          try {
+            val aNew = nodes.join(aRaw, Seq("id"), "left")
+              .select(col("id"),
+                coalesce(expr(s"(ar * ${scale}L) DIV ${amax}L"), lit(0L)).as("a"))
+            // hub half: pull the fresh authority mass along out-edges
+            // (the reversed rows, joined on THEIR src = the out-target)
+            val (hRaw, hmax) = persistMax(
+              eRev.join(aNew.select(col("id").as("src"), col("a")), "src")
+                .groupBy(col("dst").as("id")).agg(sum(col("a")).as("hr")), "hr")
+            try {
+              val hNew = nodes.join(hRaw, Seq("id"), "left")
+                .select(col("id"),
+                  coalesce(expr(s"(hr * ${scale}L) DIV ${hmax}L"), lit(0L)).as("h"))
+              CacheOps.persistMaterialized(
+                hNew.join(aNew, "id").select(col("id"), col("h"), col("a")))
+            } finally hRaw.unpersist(blocking = false)
+          } finally aRaw.unpersist(blocking = false)
+        state.unpersist(blocking = false)
+        state = next
+        it += 1
+      }
+    } catch { // a mid-iteration failure must not strand the round
+      case t: Throwable => state.unpersist(blocking = true); throw t
+    }
+    // caller-session result whose persist the caller can release (see
+    // labelPropagation — same contract). The rename-only projection
+    // canonicalizes to the SAME plan as the final state, so a fresh
+    // persist would just attach to state's existing cache entry — and
+    // unpersisting state then drops the shared entry, turning every
+    // later read of the result into a full loop re-execution (caught by
+    // the r16 scan audit on hitsFromIndex). So: keep the final state's
+    // cache AS the result cache; the caller's unpersist() releases it.
+    org.apache.spark.sql.graftbridge.Bridge.rebind(
+      state.select(col("id"), col("h").as("hub"), col("a").as("auth")),
+      caller)
   }
 
   /** Connected components over an undirected edge list `(a, b)` —
@@ -1498,6 +1577,188 @@ object Graph {
         throw t
     }
     finishRanks(spark, out, e0 :: ebOpt.toList ::: hops)
+  }
+
+  /** [[randomWalks]] over a [[buildGraphIndex]] table — identical draws
+    * (the gate shares [[randomWalks]]'s oracle: layout changes the plan,
+    * never a hop). The index already carries every per-node walk
+    * parameter (draw intervals, cutpoint width, destination modulus), so
+    * the per-call ranked-edge build disappears: each hop is the
+    * (src, bucket) cutpoint equi-join of the walks-sized state against
+    * the bucketed scan — the edge side reads exchange-free from disk
+    * (never cached: the index IS the materialization; a nightly walk
+    * corpus never re-shuffles or re-ranks the graph). Works for weighted
+    * and unit-weight builds alike (unit widths make the expansion one
+    * bucket per edge). Zero-weight edges own empty draw intervals and
+    * are filtered from the expansion; a node whose out-weights are all
+    * zero is a walk sink. */
+  def randomWalksFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, steps: Int, walksPerNode: Int = 1,
+                           seed: String = "graft"): DataFrame = {
+    require(steps >= 1, s"randomWalks needs steps >= 1, got $steps")
+    require(walksPerNode >= 1,
+      s"randomWalks needs walksPerNode >= 1, got $walksPerNode")
+    // the hop equi-joins on (src, bkt) while the table is bucketed on
+    // src alone; under the default requireAllClusterKeysForCoPartition
+    // EnsureRequirements re-shuffles the EDGE side by both keys — the
+    // subset-key co-partition (draw side shuffles by src, edge side
+    // reads in place) needs the relaxed setting, scoped to a cloned
+    // session so the caller's conf never mutates (measured: the default
+    // inserts `Exchange hashpartitioning(src, bkt)` over the bucketed
+    // scan; relaxed, the edge side carries no exchange)
+    val walkSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
+      spark, Map("spark.sql.requireAllClusterKeysForCoPartition" -> "false"))
+    val idx = Bucketing.readBucketed(walkSession, table)
+    val eb = indexWalkExpansion(idx)
+    def h(step: Int): Column =
+      conv(substring(md5(concat_ws("-", lit(seed), col("start"), col("wk"),
+        lit(step.toLong)).cast("binary")), 1, 15), 16, 10).cast("long")
+    // starts = the self rows with drawable out-mass — a filtered bucket
+    // scan, not an explode+distinct shuffle
+    var state = CacheOps.persistMaterialized(
+      idx.filter(col("self") && col("wsum").isNotNull && col("wsum") > 0L)
+        .select(col("src").as("start"), col("wsum").as("deg"), col("cut"))
+        .withColumn("wk", explode(array((0 until walksPerNode)
+          .map(i => lit(i.toLong)): _*)))
+        .select(col("start"), col("wk"), col("start").as("node"), col("deg"),
+          col("cut")))
+    var hops: List[DataFrame] = List(state)
+    var out = state.select(col("start"), col("wk"), lit(0L).as("step"),
+      col("node"))
+    try {
+      for (i <- 1 to steps) {
+        val draw = state.filter(col("deg").isNotNull && col("deg") > 0L)
+          .select(col("start"), col("wk"), col("node").as("src"),
+            pmod(h(i), col("deg")).as("x"), col("cut"))
+        val hop = eb.join(
+            draw.withColumn("bkt", expr("x div cut")).drop("cut"),
+            Seq("src", "bkt"))
+          .filter(col("x") >= col("cw_lo") && col("x") < col("cw_hi"))
+        state = CacheOps.persistMaterialized(
+          hop.select(col("start"), col("wk"), col("dst").as("node"),
+            col("wsum_dst").as("deg"), col("cut_dst").as("cut")))
+        hops ::= state
+        out = out.unionByName(state.select(col("start"), col("wk"),
+          lit(i.toLong).as("step"), col("node")))
+      }
+    } catch { case t: Throwable =>
+      hops.foreach(_.unpersist(blocking = true))
+      throw t
+    }
+    finishRanks(spark, out, hops)
+  }
+
+  /** The cutpoint expansion of a [[buildGraphIndex]] scan — map-side
+    * over the bucketed read (the src partitioning survives the explode),
+    * so [[randomWalksFromIndex]]'s hop equi-join reads the edge side
+    * exchange-free; only drawable edges (w > 0) expand. Plan-shape
+    * audits read this frame directly. */
+  private[graft] def indexWalkExpansion(idx: DataFrame): DataFrame =
+    idx.filter(!col("self") && col("w") > 0L)
+      .withColumn("bkt", explode(expr(
+        "sequence(cw_lo div cut, (cw_hi - 1) div cut)")))
+      .select(col("src"), col("bkt"), col("dst"), col("cw_lo"), col("cw_hi"),
+        col("wsum_dst"), col("cut_dst"))
+
+  /** Second-order (node2vec) biased walks — Grover & Leskovec 2016 made
+    * deterministic: at each hop the walk at `node` with previous node
+    * `prev` reweights every out-edge (node → x) by an INTEGER bias —
+    * `biasReturn` when x = prev, `biasNeighbor` when (prev, x) is an
+    * edge (distance 1 from prev), `biasFar` otherwise — and draws
+    * proportional to bias·w with the shared 60-bit content hash over the
+    * per-walk cumulative intervals. Integer biases are the rational
+    * (p, q) parameterization cleared of denominators: (1/p : 1 : 1/q)
+    * scaled by lcm — e.g. p = 2, q = 1/2 is (1, 2, 4) — so every draw
+    * modulus is exact and any engine replays the corpus bit-for-bit.
+    * Hop 1 initializes prev = start, whose out-edges are all distance 1
+    * (the graph has no self-loops), so the first hop degenerates to the
+    * plain weight-proportional draw — one uniform code path.
+    *
+    * Scale shape: the (prev, node) context makes the draw distribution a
+    * function of the PAIR, so no per-node CDF or index can serve it —
+    * each step honestly joins the walks against their nodes' out-lists
+    * (Σ outdeg(cur) work per step, windows keyed per walk) plus one
+    * (prev, dst) membership probe of the edge frame. That is the
+    * inherent cost of second-order walks; the reference alternative
+    * (per-EDGE alias tables) precomputes Σ_edges outdeg(dst) state,
+    * which explodes on hub graphs. Per-hop state is persisted (the
+    * [[randomWalks]] union-re-execution lesson). */
+  def node2vecWalks(edges: DataFrame, steps: Int, walksPerNode: Int = 1,
+                    biasReturn: Long = 1L, biasNeighbor: Long = 1L,
+                    biasFar: Long = 1L, seed: String = "graft"): DataFrame = {
+    require(steps >= 1, s"node2vecWalks needs steps >= 1, got $steps")
+    require(walksPerNode >= 1,
+      s"node2vecWalks needs walksPerNode >= 1, got $walksPerNode")
+    require(biasReturn >= 1L && biasNeighbor >= 1L && biasFar >= 1L,
+      "node2vecWalks biases must be positive integers (clear the " +
+        "rational (p, q) of denominators)")
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val weighted = edges.columns.contains("w")
+    val base =
+      if (!weighted)
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .distinct().withColumn("w", lit(1L))
+      else {
+        val checked = assert_true(col("w") > 0L,
+          lit("node2vecWalks: edge weights must be positive"))
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+            when(checked.isNull, col("w").cast("long")).as("w"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      }
+    val (e0, nE) = CacheOps.persistMaterializedCounted(
+      base.repartition(col("src")))
+    val loop = LoopSession.forGraph(spark, nE, rowsPerPartition = 100000L)
+    val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
+    def h(step: Int): Column =
+      conv(substring(md5(concat_ws("-", lit(seed), col("start"), col("wk"),
+        lit(step.toLong)).cast("binary")), 1, 15), 16, 10).cast("long")
+    var state = CacheOps.persistMaterialized(
+      e.select(col("src").as("start")).distinct()
+        .withColumn("wk", explode(array((0 until walksPerNode)
+          .map(i => lit(i.toLong)): _*)))
+        .select(col("start"), col("wk"), col("start").as("prev"),
+          col("start").as("node")))
+    var hops: List[DataFrame] = List(state)
+    var out = state.select(col("start"), col("wk"), lit(0L).as("step"),
+      col("node"))
+    try {
+      for (i <- 1 to steps) {
+        // the walk's out-list with the second-order bias applied: return
+        // beats neighbor beats far (dst = prev is never an edge of
+        // (prev, dst) since the graph has no self-loops)
+        val cand = state.join(e, state("node") === e("src"))
+          .select(col("start"), col("wk"), col("prev"), col("node"),
+            col("dst"), col("w"))
+          .join(e.select(col("src").as("prev"), col("dst"),
+            lit(1L).as("isn")), Seq("prev", "dst"), "left")
+          .select(col("start"), col("wk"), col("node"), col("dst"),
+            (when(col("dst") === col("prev"), lit(biasReturn))
+              .when(col("isn").isNotNull, lit(biasNeighbor))
+              .otherwise(lit(biasFar)) * col("w")).as("aw"))
+        val wWalk = Window.partitionBy(col("start"), col("wk"))
+          .orderBy(col("dst"))
+        val wTot = Window.partitionBy(col("start"), col("wk"))
+        val cum = cand.select(col("start"), col("wk"), col("node"),
+          col("dst"),
+          (sum(col("aw")).over(wWalk) - col("aw")).as("lo"),
+          sum(col("aw")).over(wWalk).as("hi"),
+          sum(col("aw")).over(wTot).as("tot"))
+        val hop = cum.withColumn("x", pmod(h(i), col("tot")))
+          .filter(col("x") >= col("lo") && col("x") < col("hi"))
+        state = CacheOps.persistMaterialized(
+          hop.select(col("start"), col("wk"), col("node").as("prev"),
+            col("dst").as("node")))
+        hops ::= state
+        out = out.unionByName(state.select(col("start"), col("wk"),
+          lit(i.toLong).as("step"), col("node")))
+      }
+    } catch { case t: Throwable =>
+      hops.foreach(_.unpersist(blocking = true))
+      e0.unpersist(blocking = true)
+      throw t
+    }
+    finishRanks(spark, out, e0 :: hops)
   }
 
   /** One synchronous Louvain refinement step (Blondel et al. 2008, the

@@ -4587,6 +4587,88 @@ object DataOps {
              .mkString(" UNION ALL ")})""".stripMargin
   }
 
+  /** The walk corpus served from the shared persisted graph index
+    * ([[Graph.randomWalksFromIndex]] over the same `graft_graph_gate`
+    * table as q_pagerank_indexed/q_sssp_indexed) — the per-call
+    * ranked-edge build disappears and each hop reads the edge side
+    * exchange-free from the bucketed table. Same oracle as
+    * q_random_walks: layout changes the plan, never a hop. */
+  def qRandomWalksIndexed(spark: SparkSession, dir: String): DataFrame =
+    Graph.randomWalksFromIndex(spark, tradingGraphIndex(spark, dir),
+        steps = 4, walksPerNode = 2)
+      .select(col("start"), col("wk").as("walk"), col("step"), col("node"))
+
+  /** HITS served from the shared persisted graph index
+    * ([[Graph.hitsFromIndex]]): the symmetric table stores each directed
+    * trading edge in both orientations, and the typed ids (even =
+    * customer, odd = supplier) make the forward rows a parity filter —
+    * both halves then join the bucketed scan on its layout key. Same
+    * oracle as q_hits. */
+  def qHitsIndexed(spark: SparkSession, dir: String): DataFrame =
+    Graph.hitsFromIndex(spark, tradingGraphIndex(spark, dir),
+        forward = pmod(col("src"), lit(2L)) === 0L, iterations = 3)
+      .select(pmod(col("id"), lit(2L)).as("kind"), expr("id div 2").as("key"),
+        col("hub"), col("auth"))
+
+  /** node2vec biased walks ([[Graph.node2vecWalks]]) over the weighted
+    * trading graph at (p, q) = (2, 1/2) — integer biases (1, 2, 4):
+    * outward-exploring walks (return discouraged, far-hops favored),
+    * the walk corpus graph-pretraining pipelines actually generate. The
+    * oracle replays the per-hop biased CDF: the walk's out-list joined
+    * against the (prev, dst) edge membership, integer bias × weight
+    * prefix sums per walk, 60-bit draw, 3 unrolled MATERIALIZED hops. */
+  def qRandomWalksN2v(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("w"))
+    Graph.node2vecWalks(bothDirections(pairs, Seq("w")), steps = 3,
+        walksPerNode = 1, biasReturn = 1L, biasNeighbor = 2L, biasFar = 4L)
+      .select(col("start"), col("wk").as("walk"), col("step"), col("node"))
+  }
+
+  val qRandomWalksN2vSql: String = {
+    val hexVal = (1 to 15).map { p =>
+      val w = BigInt(16).pow(15 - p)
+      s"(strpos('0123456789abcdef', substring(m.hx, $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    val step = (i: Int) =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s.start, s.wk, s.node, e.dst,
+         |    (CASE WHEN e.dst = s.prev THEN 1
+         |          WHEN nb.src IS NOT NULL THEN 2
+         |          ELSE 4 END) * e.w AS aw
+         |  FROM s${i - 1} s JOIN e ON e.src = s.node
+         |  LEFT JOIN e nb ON nb.src = s.prev AND nb.dst = e.dst),
+         |m$i AS MATERIALIZED (
+         |  SELECT start, wk, node, dst,
+         |    CAST(sum(aw) OVER win - aw AS BIGINT) AS lo,
+         |    CAST(sum(aw) OVER win AS BIGINT) AS hi,
+         |    CAST(sum(aw) OVER (PARTITION BY start, wk) AS BIGINT) AS tot
+         |  FROM c$i
+         |  WINDOW win AS (PARTITION BY start, wk ORDER BY dst
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s$i AS MATERIALIZED (
+         |  SELECT start, wk, node AS prev, dst AS node FROM (
+         |    SELECT m0.*, md5('graft-' || start || '-' || wk || '-' || $i) AS hx
+         |    FROM m$i m0) m
+         |  WHERE ($hexVal) % m.tot >= m.lo AND ($hexVal) % m.tot < m.hi)""".stripMargin
+    s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+       |             CAST(count(*) AS BIGINT) AS w
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |           GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM p
+       |  UNION ALL SELECT b, a, w FROM p),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS start, CAST(0 AS BIGINT) AS wk,
+       |  src AS prev, src AS node FROM e),
+       |${(1 to 3).map(step).mkString(",\n")}
+       |SELECT start, CAST(wk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step,
+       |  node FROM (
+       |  ${(0 to 3).map(i => s"SELECT start, wk, $i AS step, node FROM s$i")
+           .mkString(" UNION ALL ")})""".stripMargin
+  }
+
   /** Strongly connected components
     * ([[Graph.stronglyConnectedComponents]]) over the DIRECTED trading
     * graph: every customer→supplier edge, plus the REVERSE edge only for
@@ -5417,6 +5499,9 @@ object DataOps {
     "q_pagerank"       -> ((qPagerank _, Some(qPagerankSql))),
     "q_random_walks"   -> ((qRandomWalks _, Some(qRandomWalksSql))),
     "q_random_walks_weighted" -> ((qRandomWalksWeighted _, Some(qRandomWalksWeightedSql))),
+    "q_random_walks_indexed" -> ((qRandomWalksIndexed _, Some(qRandomWalksSql))),
+    "q_random_walks_n2v" -> ((qRandomWalksN2v _, Some(qRandomWalksN2vSql))),
+    "q_hits_indexed"   -> ((qHitsIndexed _, Some(qHitsSql))),
     "q_pagerank_weighted" -> ((qPagerankWeighted _, Some(qPagerankWeightedSql))),
     "q_pagerank_indexed"  -> ((qPagerankIndexed _, Some(qPagerankSql))),
     "q_ppr"            -> ((qPpr _, Some(qPprSql))),

@@ -1936,6 +1936,89 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.getMessage.contains("positive"), s"wrong error: $bad")
   }
 
+  test("node2vec walks: neutral biases equal first-order walks; return bias oscillates, far bias advances") {
+    // symmetric ring of 8: every node has exactly two choices — its two
+    // ring neighbors, never adjacent to each other, so from (prev, cur)
+    // one candidate is the RETURN and the other is FAR (distance 2)
+    val ring = (0L until 8L).flatMap(i =>
+      Seq((i, (i + 1) % 8), ((i + 1) % 8, i))).toDF("src", "dst")
+    def corpus(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      df.unpersist()
+      rows.toSet
+    }
+    // (1,1,1) biases ARE the first-order draw: same modulus, same
+    // intervals, same hash — the corpora must be identical
+    val plain = corpus(Graph.randomWalks(ring, steps = 4, walksPerNode = 2))
+    val neutral = corpus(Graph.node2vecWalks(ring, steps = 4,
+      walksPerNode = 2, 1L, 1L, 1L))
+    assert(neutral == plain, "neutral node2vec must equal first-order walks")
+    // dominant return bias: every step >= 2 draws the return edge unless
+    // the 60-bit hash lands in the 1/10000 far sliver — on 16 walks x 3
+    // late hops, demand ALL oscillate
+    def byWalk(rows: Set[(Long, Long, Long, Long)]) =
+      rows.groupBy(r => (r._1, r._2))
+        .map { case (k, rs) => k -> rs.toSeq.sortBy(_._3).map(_._4) }
+    val osc = byWalk(corpus(Graph.node2vecWalks(ring, steps = 4,
+      walksPerNode = 2, 9999L, 1L, 1L)))
+    osc.values.foreach { path =>
+      (2 until path.length).foreach { i =>
+        assert(path(i) == path(i - 2),
+          s"return-biased walk must oscillate: $path")
+      }
+    }
+    // dominant far bias: the walk never returns — every hop advances
+    // around the ring
+    val adv = byWalk(corpus(Graph.node2vecWalks(ring, steps = 4,
+      walksPerNode = 2, 1L, 1L, 9999L)))
+    adv.values.foreach { path =>
+      (2 until path.length).foreach { i =>
+        assert(path(i) != path(i - 2),
+          s"far-biased walk must keep advancing: $path")
+      }
+    }
+    // partition-stable
+    val rep = corpus(Graph.node2vecWalks(ring.repartition(5), steps = 4,
+      walksPerNode = 2, 1L, 1L, 1L))
+    assert(rep == neutral, "partitioning must not change a hop")
+  }
+
+  test("walks from the graph index equal the direct walks, weighted and unit") {
+    val spark = this.spark
+    val dirEdges = Seq((1L,2L),(1L,3L),(2L,4L),(3L,4L),(4L,1L),(4L,5L))
+    def sym(ps: Seq[(Long, Long)]) = (ps ++ ps.map(p => (p._2, p._1)))
+      .toDF("src", "dst")
+    def corpus(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      df.unpersist()
+      rows.toSet
+    }
+    spark.sql("DROP TABLE IF EXISTS rw_idx_spec")
+    Graph.buildGraphIndex(sym(dirEdges), "rw_idx_spec", buckets = 4)
+    try {
+      val direct = corpus(Graph.randomWalks(sym(dirEdges), steps = 5,
+        walksPerNode = 2))
+      val fromIdx = corpus(Graph.randomWalksFromIndex(spark, "rw_idx_spec",
+        steps = 5, walksPerNode = 2))
+      assert(fromIdx == direct, "layout must change the plan, never a hop")
+    } finally spark.sql("DROP TABLE IF EXISTS rw_idx_spec")
+    // weighted build: parallel-free weighted edges, same equivalence
+    val wEdges = Seq((1L,2L,3L),(1L,3L,1L),(2L,4L,2L),(3L,4L,1L),(4L,1L,5L))
+    val wDf = (wEdges ++ wEdges.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    spark.sql("DROP TABLE IF EXISTS rw_widx_spec")
+    Graph.buildGraphIndex(wDf, "rw_widx_spec", buckets = 4)
+    try {
+      val direct = corpus(Graph.randomWalks(wDf, steps = 5, walksPerNode = 2))
+      val fromIdx = corpus(Graph.randomWalksFromIndex(spark, "rw_widx_spec",
+        steps = 5, walksPerNode = 2))
+      assert(fromIdx == direct,
+        "weighted layout must change the plan, never a hop")
+    } finally spark.sql("DROP TABLE IF EXISTS rw_widx_spec")
+  }
+
   test("louvain step: ideal partition is a fixpoint; refinement raises Q from singletons") {
     // bridged cliques {1,2,3,4} + {5,6,7,8}, bridge 4-5 (m = 13)
     val edges = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),

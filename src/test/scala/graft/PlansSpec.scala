@@ -363,6 +363,11 @@ class PlansSpec extends SparkSpec {
       // one bucketed-index scan per LPA sweep + the self-row init scan
       "q_communities_indexed" -> 5,
       "q_sssp_weighted_indexed" -> 6,
+      // one bucketed-index scan per hop (4) + the self-row start scan
+      "q_random_walks_indexed" -> 5,
+      // two bucketed-index scans per iteration (one per half, 3
+      // iterations) + the self-row node scan
+      "q_hits_indexed" -> 7,
       // gate fixtures derive their query/plane dims from the corpus table
       // itself (tiny filtered projections; production passes a separate
       // small frame), which costs extra pruned scans of the same file
@@ -544,6 +549,44 @@ class PlansSpec extends SparkSpec {
     ssspEdgeSides.foreach { ch =>
       val ex = nodes(ch).collect { case s: ShuffleExchangeExec => s }
       assert(ex.isEmpty, s"edge side of a sweep join re-shuffles the graph:\n$ch")
+    }
+    // the walk family reads the SAME table (r16): the cutpoint hop joins
+    // the walks-sized draw against the bucketed expansion on EXACTLY
+    // (src, bkt) — an exact-key lookup, not an out-list range scan — and
+    // under the walk session's relaxed co-partitioning (the conf
+    // randomWalksFromIndex clones in) HashPartitioning(src) serves the
+    // two-key clustering, so the edge side carries no exchange. Broadcast
+    // is disabled here so the audited plan is the production SMJ shape,
+    // not the spec-scale broadcast degenerate.
+    val walkSession = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(
+      spark, Map("spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+    val idx = operators.Bucketing.readBucketed(walkSession, table)
+    val eb = operators.Graph.indexWalkExpansion(idx)
+    val draw = {
+      import spark.implicits._
+      org.apache.spark.sql.graftbridge.Bridge.rebind(
+        Seq((2L, 0L, 0L)).toDF("src", "bkt", "x"), walkSession)
+    }
+    val hopPlan = executed(eb.join(draw, Seq("src", "bkt"))
+      .filter(org.apache.spark.sql.functions.col("x") >= org.apache.spark.sql.functions.col("cw_lo") &&
+        org.apache.spark.sql.functions.col("x") < org.apache.spark.sql.functions.col("cw_hi")))
+    val hopJoins = nodes(hopPlan).collect {
+      case j: SortMergeJoinExec => (j.leftKeys.size, j.children)
+      case j: ShuffledHashJoinExec => (j.leftKeys.size, j.children)
+      case j: BroadcastHashJoinExec => (j.leftKeys.size, j.children)
+    }
+    assert(hopJoins.nonEmpty, "expected a walk-hop join")
+    hopJoins.foreach { case (nKeys, _) =>
+      assert(nKeys == 2, s"walk hop must equi-join on exactly (src, bkt), got $nKeys keys")
+    }
+    val hopEdgeSides = hopJoins.flatMap(_._2).filter { ch =>
+      nodes(ch).exists { case f: FileSourceScanExec => f.bucketedScan; case _ => false }
+    }
+    assert(hopEdgeSides.nonEmpty, "expected the hop's bucketed edge side")
+    hopEdgeSides.foreach { ch =>
+      val ex = nodes(ch).collect { case s: ShuffleExchangeExec => s }
+      assert(ex.isEmpty, s"walk-hop edge side re-shuffles the graph:\n$ch")
     }
   }
 
