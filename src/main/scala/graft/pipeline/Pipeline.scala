@@ -141,6 +141,20 @@ object Pipeline {
     * q_num, q) — the graded quality/degeneracy signal. */
   final case class ModularityStep(srcCol: String, dstCol: String,
                                   sweeps: Int, dataType: String) extends Step
+  /** Multi-level Louvain communities over an edge-list flow
+    * ([[graft.operators.Graph.louvain]] — both Blondel phases: fixed
+    * synchronous move sweeps per level, then community contraction):
+    * replaces the flow with (id, community). */
+  final case class LouvainStep(srcCol: String, dstCol: String, levels: Int,
+                               sweeps: Int, dataType: String) extends Step
+  /** Bounded-state sampled percentile bands per group
+    * ([[graft.operators.Quantiles.hashSampleQuantiles]] — the
+    * unbounded-value-domain scale path beside the exact histogram):
+    * replaces the flow with (group, n_total, m_sample, <name>_s…). */
+  final case class SketchPercentilesStep(groupCol: String, idCol: String,
+                                         valueCol: String, k: Int,
+                                         specs: Seq[(String, Long, Long)],
+                                         dataType: String) extends Step
   /** Token-budget sampling (`sample` with a `budget` key): keep the
     * maximal hash-ordered prefix of each source whose cumulative token
     * count stays within budget — "N tokens per source". */
@@ -619,6 +633,30 @@ object Pipeline {
         dataType)
       case "modularity" => ModularityStep(str("src", "src"), str("dst", "dst"),
         if (node.has("sweeps")) node.get("sweeps").asInt() else 4, dataType)
+      case "louvain" => LouvainStep(str("src", "src"), str("dst", "dst"),
+        levels = if (node.has("levels")) node.get("levels").asInt() else 2,
+        sweeps = if (node.has("sweeps")) node.get("sweeps").asInt() else 2,
+        dataType)
+      case "sketch_percentiles" =>
+        // quantiles are rational ranks written "num/den" (the winsorize
+        // convention), named q<num>_<den> in the output
+        val specs =
+          if (!node.has("quantiles")) Seq(("p50", 1L, 2L))
+          else {
+            import scala.jdk.CollectionConverters._
+            node.get("quantiles").elements().asScala.map { q =>
+              q.asText().split("/") match {
+                case Array(n, d) =>
+                  (s"q${n.trim}_${d.trim}", n.trim.toLong, d.trim.toLong)
+                case _ => throw new IllegalArgumentException(
+                  s"sketch_percentiles quantiles want \"num/den\", got ${q.asText()}")
+              }
+            }.toSeq
+          }
+        SketchPercentilesStep(str("group_by", "source"), str("id", "doc_id"),
+          str("field", "n_chars"),
+          k = if (node.has("k")) node.get("k").asInt() else 512,
+          specs, dataType)
       case "kcore" => KCoreStep(str("src", "src"), str("dst", "dst"),
         k = if (node.has("k")) node.get("k").asInt() else 2,
         maxSweeps = if (node.has("max_sweeps")) node.get("max_sweeps").asInt() else 20,
@@ -1233,6 +1271,19 @@ object Pipeline {
             flow.updated(dt,
               graft.operators.Graph.shortestPaths(edges, seedDf, sweeps,
                 fixpoint))
+          }.getOrElse(flow)
+        case LouvainStep(src, dst, levels, sweeps, dt) =>
+          flow(dt).map { df =>
+            val e = df.select(
+                least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+                greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+              .filter(col("a") < col("b")).distinct()
+            flow.updated(dt, graft.operators.Graph.louvain(e, levels, sweeps))
+          }.getOrElse(flow)
+        case SketchPercentilesStep(group, id, field, k, specs, dt) =>
+          flow(dt).map { df =>
+            flow.updated(dt, graft.operators.Quantiles
+              .hashSampleQuantiles(df, group, id, field, k, specs))
           }.getOrElse(flow)
         case ModularityStep(src, dst, sweeps, dt) =>
           flow(dt).map { df =>

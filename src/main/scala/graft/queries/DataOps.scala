@@ -4073,6 +4073,10 @@ object DataOps {
     * the production contract, not one index per algorithm). */
   private[graft] def tradingGraphIndex(spark: SparkSession,
                                        dir: String): String = {
+    // r15 renamed this family from graft_pr_gate; sweep the retired
+    // family's generations once so old deployments don't carry them
+    // forever (ADVICE r15)
+    GateIndex.dropRetiredFamily(spark, "graft_pr_gate", dir)
     val prefix = GateIndex.gatePrefix(spark, "graft_graph_gate", dir)
     if (!spark.catalog.tableExists(prefix)) {
       dropGateTable(spark, prefix)

@@ -73,11 +73,6 @@ object GateIndex {
     d.take(8).map(b => f"$b%02x").mkString
   }
 
-  /** The pre-r14 32-bit path component — matched ONLY to migrate this
-    * same directory's old-format tables into the GC's reach. */
-  private def legacyPathKey(dir: String): String =
-    java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-
   private val gcDone =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -98,33 +93,20 @@ object GateIndex {
     // an unchanged dataset has nothing to collect
     if (!gcDone.add(current)) return current
     // Collectable: a superseded generation of THIS directory under the
-    // current 64-bit path component. The old `family_*`-wildcard legacy
-    // arm is GONE (ADVICE r13: it could reach tables this GC never
-    // created); the r14 32-bit MIGRATION arm is now OPT-IN behind
-    // `spark.graft.gateindex.legacyGc` and off by default (ADVICE r14:
-    // during migration a cross-directory 32-bit collision could drop
-    // another directory's live pre-r14 index — the exact defect the
-    // 64-bit key fixed; one full GC sweep has since run, so remaining
-    // 32-bit leftovers are inert and a user who wants them swept opts
-    // in). Legacy-arm deletions log at WARN, not info. Every deletion is
+    // current 64-bit path component — nothing else. The `family_*`
+    // wildcard arm died in r14 (ADVICE r13: it could reach tables this
+    // GC never created) and the 32-bit migration arm — opt-in in r15 —
+    // is DELETED in r16 (its migration window is over; a 32-bit path key
+    // can collide across directories, so any remaining pre-r14 leftovers
+    // are for the operator to drop by exact name). Every deletion is
     // logged, and failures log loudly instead of silently swallowing (a
     // GC that can't list the warehouse should say so, not pretend it
     // collected).
-    val legacyGc = spark.conf
-      .getOption("spark.graft.gateindex.legacyGc").contains("true")
-    def staleLegacy(n: String): Boolean =
-      legacyGc && n.startsWith(s"${family}_p${legacyPathKey(dir)}_")
     def stale(n: String): Boolean =
-      (n.startsWith(s"${scope}_") && !n.startsWith(current)) || staleLegacy(n)
+      n.startsWith(s"${scope}_") && !n.startsWith(current)
     def logDrop(n: String, what: String): Unit =
-      if (staleLegacy(n))
-        log.warn(s"GateIndex GC (legacy 32-bit arm, opted in): dropping " +
-          s"$what $n (current generation: $current, data dir: $dir) — " +
-          s"32-bit path keys can collide across directories; verify no " +
-          s"other dataset's pre-r14 index shares this prefix")
-      else
-        log.info(s"GateIndex GC: dropping superseded $what $n " +
-          s"(current generation: $current, data dir: $dir)")
+      log.info(s"GateIndex GC: dropping superseded $what $n " +
+        s"(current generation: $current, data dir: $dir)")
     try {
       // catalog entries from this or earlier sessions
       spark.catalog.listTables().collect()
@@ -155,6 +137,47 @@ object GateIndex {
           s"generations may accumulate until a later sweep succeeds)", e)
     }
     current
+  }
+
+  /** One-time retirement drop for a RENAMED gate family (ADVICE r15):
+    * r15 renamed the indexed-graph family graft_pr_gate →
+    * graft_graph_gate, which orphaned any deployment's existing
+    * graft_pr_gate generations forever — the GC is family-scoped and
+    * nothing probes the old family anymore. This sweeps the retired
+    * family's tables and warehouse dirs for THIS directory, scoped by
+    * the exact `retired_p<64-bit pathKey>_` prefix (the same reach
+    * discipline as the live GC — name-coincident tables the family
+    * never minted can't match). Memoized per (family, dir) per JVM. */
+  def dropRetiredFamily(spark: SparkSession, retired: String,
+                        dir: String): Unit = {
+    val scope = s"${retired}_p${pathKey(dir)}_"
+    if (!gcDone.add(scope)) return
+    try {
+      spark.catalog.listTables().collect()
+        .map(_.name)
+        .filter(_.startsWith(scope))
+        .foreach { n =>
+          log.info(s"GateIndex GC: dropping retired-family index table $n " +
+            s"(family $retired superseded; data dir: $dir)")
+          dropGateTable(spark, n)
+        }
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) {
+        fs.listStatus(wh).foreach { st =>
+          if (st.getPath.getName.startsWith(scope)) {
+            log.info(s"GateIndex GC: dropping retired-family warehouse " +
+              s"dir ${st.getPath} (family $retired superseded)")
+            fs.delete(st.getPath, true)
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"GateIndex retired-family sweep for $scope failed " +
+          s"(leftovers may persist until a later sweep succeeds)", e)
+    }
   }
 
   /** Clear a gate-owned warehouse table AND its physical location: a fresh

@@ -720,20 +720,40 @@ object MongoConnector {
              skip: Long, limit: Int): Seq[String]
     def insert(database: String, collection: String, docsJson: Seq[String]): Unit
     def drop(database: String, collection: String): Unit
+    /** Cursor-session walk (reference: paginator/mongodb/cursor.rs — the
+      * driver cursor's getMore chain): fetch the page after `cursor`
+      * (None = the first page), returning the docs plus the next token
+      * (None = exhausted). The default emulates the chain over
+      * skip/limit so existing adapters keep working unchanged; a
+      * driver-backed client overrides with the real cursor session
+      * (whose token is the live cursor id). */
+    def findWithCursor(database: String, collection: String,
+                       filterJson: String, cursor: Option[String],
+                       limit: Int): (Seq[String], Option[String]) = {
+      val skip = cursor.map(_.toLong).getOrElse(0L)
+      val docs = find(database, collection, filterJson, skip, limit)
+      (docs,
+        if (docs.size < limit) None else Some((skip + docs.size).toString))
+    }
   }
 }
 
 /** MongoDB connector (reference: mongodb.rs — endpoint/db/collection,
-  * `filter` find query, offset pagination, update/erase). With a client
-  * the whole execution path runs: a count probe plans page-per-partition
-  * parallel finds (the curl known-count shape), bodies parse with
-  * distributed JSON inference, saves insert in per-partition batches.
-  * Without a client (this container has no driver jar and no egress) the
-  * operations fail fast with a clear message instead of a classpath
-  * error. */
+  * `filter` find query, offset OR cursor pagination, update/erase). With
+  * a client the whole execution path runs: offset pagination plans
+  * page-per-partition parallel finds off a count probe (the curl
+  * known-count shape); cursor pagination (reference:
+  * paginator/mongodb/cursor.rs) walks the driver's next-token chain
+  * sequentially on the driver — each page names the next, so the walk
+  * cannot parallelize, exactly like the curl cursor paginator — and
+  * parses distributed. Bodies parse with distributed JSON inference,
+  * saves insert in per-partition batches. Without a client (this
+  * container has no driver jar and no egress) the operations fail fast
+  * with a clear message instead of a classpath error. */
 final case class MongoConnector(uri: String, database: String, collection: String,
                                 filter: String = "{}", batchSize: Int = 1000,
-                                client: Option[MongoConnector.Client] = None)
+                                client: Option[MongoConnector.Client] = None,
+                                pagination: String = "offset")
     extends Connector {
   private def unavailable = new UnsupportedOperationException(
     "MongoDB support requires a client (mongo driver jar) on the classpath " +
@@ -741,6 +761,23 @@ final case class MongoConnector(uri: String, database: String, collection: Strin
 
   override def load(spark: SparkSession): DataFrame = client match {
     case None => throw unavailable
+    case Some(c) if pagination == "cursor" =>
+      import spark.implicits._
+      // sequential token-chain walk (driver-side buffer, bounded by the
+      // collection — the curl cursor paginator's documented contract);
+      // page bodies then parse distributed
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cursor: Option[String] = None
+      var done = false
+      while (!done) {
+        val (docs, next) =
+          c.findWithCursor(database, collection, filter, cursor, batchSize)
+        buf ++= docs
+        cursor = next
+        done = next.isEmpty || docs.isEmpty
+      }
+      if (buf.isEmpty) spark.emptyDataFrame
+      else spark.read.json(spark.createDataset(buf.toSeq))
     case Some(c) =>
       import spark.implicits._
       val total = c.count(database, collection, filter)
@@ -871,11 +908,20 @@ object Connector {
           .exists(f => node.has(f) && node.get(f).asBoolean())
         CurlConnector(str("endpoint"), str("path"), headers, pag, transport, counter,
           auth, isCached = isCached, docType = docType, opts = opts)
-      case "mongodb" | "mongo"    => MongoConnector(str("endpoint"), str("database"),
-        str("collection"),
-        if (node.has("filter")) node.get("filter").toString else "{}",
-        if (node.has("batch_size")) node.get("batch_size").asInt() else 1000,
-        client = mongoClient)
+      case "mongodb" | "mongo"    =>
+        // reference: paginator/mongodb/{offset,cursor}.rs — the paginator
+        // node picks the walk; limit maps onto the page/batch size
+        val pagNode = Option(node.get("paginator_type"))
+        val pagKind = pagNode.filter(p => p.has("type"))
+          .map(_.get("type").asText()).getOrElse("offset")
+        val pageSize = pagNode.filter(_.has("limit")).map(_.get("limit").asInt())
+        MongoConnector(str("endpoint"), str("database"),
+          str("collection"),
+          if (node.has("filter")) node.get("filter").toString else "{}",
+          pageSize.getOrElse(
+            if (node.has("batch_size")) node.get("batch_size").asInt() else 1000),
+          client = mongoClient,
+          pagination = pagKind)
       case other => throw new IllegalArgumentException(s"unknown connector type: $other")
     }
   }

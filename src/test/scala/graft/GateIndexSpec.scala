@@ -115,8 +115,11 @@ class GateIndexSpec extends AnyFunSuite {
     // ADVICE r13: the old legacy arm swept ANY `family_*` table, which
     // could destroy a user/other-application table that merely shares the
     // name prefix. The GC's reach is now exactly `family_p<64-bit path
-    // key>_…` (current format) plus `family_p<32-bit legacy key>_…` for
-    // the SAME directory (migration) — everything else survives.
+    // key>_…` — everything else survives, INCLUDING pre-r14 32-bit-keyed
+    // leftovers (the r15 opt-in migration arm is deleted in r16: its
+    // window is over, and a 32-bit path key can collide across
+    // directories, so such leftovers are the operator's to drop by
+    // exact name).
     val spark = SparkSpec.session
     import spark.implicits._
     val d = tmpDir()
@@ -128,7 +131,7 @@ class GateIndexSpec extends AnyFunSuite {
     }
     mk(fam)                           // bare name: NOT ours to delete
     mk(s"${fam}_ffffffffcafe1234")    // content-only era name: untouched
-    // pre-r14 32-bit path component for THIS directory: migrated (swept)
+    // pre-r14 32-bit path component for THIS directory: also untouched
     val legacy32 = java.lang.Long.toHexString(d.toString.hashCode.toLong & 0xffffffffL)
     mk(s"${fam}_p${legacy32}_deadbeef")
     val cur = GateIndex.gatePrefix(spark, fam, d.toString)
@@ -136,29 +139,51 @@ class GateIndexSpec extends AnyFunSuite {
       "a bare name-coincident table must survive the GC")
     assert(spark.catalog.tableExists(s"${fam}_ffffffffcafe1234"),
       "a content-only-era name must survive the GC")
-    // ADVICE r14: the 32-bit migration arm is OPT-IN now (a 32-bit path
-    // key can collide ACROSS directories — the exact defect the 64-bit
-    // key fixed), so by default the pre-r14 table SURVIVES…
     assert(spark.catalog.tableExists(s"${fam}_p${legacy32}_deadbeef"),
-      "the legacy 32-bit table must survive the default (opted-out) GC")
-    // …and the opted-in arm migrates it on the next GC pass (content
-    // change mints a new generation, defeating the per-key GC memo)
-    spark.conf.set("spark.graft.gateindex.legacyGc", "true")
-    val cur2 =
-      try {
-        Files.write(d.resolve("b.parquet"), Array[Byte](7))
-        GateIndex.gatePrefix(spark, fam, d.toString)
-      } finally spark.conf.unset("spark.graft.gateindex.legacyGc")
-    assert(!spark.catalog.tableExists(s"${fam}_p${legacy32}_deadbeef"),
-      "the opted-in legacy arm must migrate this directory's pre-r14 index")
+      "a pre-r14 32-bit table must survive (the migration arm is retired)")
     // a superseded generation of the current format is of course swept
-    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(cur2)
+    Seq((1L, "x")).toDF("id", "v").write.saveAsTable(cur)
     Files.write(d.resolve("c.parquet"), Array[Byte](8))
     val cur3 = GateIndex.gatePrefix(spark, fam, d.toString)
-    assert(cur3 != cur2 && !spark.catalog.tableExists(cur2))
-    assert(cur != cur2 && cur != cur3) // three distinct content stamps
+    assert(cur3 != cur && !spark.catalog.tableExists(cur))
     GateIndex.dropGateTable(spark, cur3)
     GateIndex.dropGateTable(spark, fam)
     GateIndex.dropGateTable(spark, s"${fam}_ffffffffcafe1234")
+    GateIndex.dropGateTable(spark, s"${fam}_p${legacy32}_deadbeef")
+  }
+
+  test("dropRetiredFamily sweeps exactly the renamed family's generations for this directory") {
+    // ADVICE r15: renaming graft_pr_gate → graft_graph_gate orphaned the
+    // old family's tables (the GC is family-scoped). The retirement drop
+    // reaches exactly `retired_p<this dir's 64-bit key>_…` — not the
+    // bare name, not another directory's generations, not the live
+    // family.
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val d = tmpDir(); val dOther = tmpDir()
+    Files.write(d.resolve("a.parquet"), Array[Byte](4, 2))
+    val fam = "graft_retired_spec_gate"
+    def mk(n: String): Unit = {
+      GateIndex.dropGateTable(spark, n)
+      Seq((1L, "x")).toDF("id", "v").write.saveAsTable(n)
+    }
+    val mine = GateIndex.gatePrefix(spark, fam, d.toString)
+    val other = GateIndex.gatePrefix(spark, fam, dOther.toString)
+    mk(mine); mk(other); mk(fam)
+    GateIndex.dropRetiredFamily(spark, fam, d.toString)
+    assert(!spark.catalog.tableExists(mine),
+      "the retired family's generation for this directory must drop")
+    assert(spark.catalog.tableExists(other),
+      "another directory's generation must survive the retirement drop")
+    assert(spark.catalog.tableExists(fam),
+      "a bare name-coincident table must survive the retirement drop")
+    // memoized: re-minting the same name is safe within this JVM run
+    mk(mine)
+    GateIndex.dropRetiredFamily(spark, fam, d.toString)
+    assert(spark.catalog.tableExists(mine),
+      "the retirement sweep runs once per (family, dir) per JVM")
+    GateIndex.dropGateTable(spark, mine)
+    GateIndex.dropGateTable(spark, other)
+    GateIndex.dropGateTable(spark, fam)
   }
 }

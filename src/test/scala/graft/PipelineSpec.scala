@@ -662,6 +662,51 @@ tab	end"""), Some(1.5), Some(true)),
       s"got $got")
   }
 
+  test("louvain step finds multi-level communities from config") {
+    val src = tmp("louvain") + "/edges.parquet"
+    // bridged cliques {1,2,3,4} + {5,6,7,8} — the Graph.louvain fixture
+    Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+        (5L,6L),(5L,7L),(5L,8L),(6L,7L),(6L,8L),(7L,8L),(4L,5L))
+      .toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"louvain","src":"src","dst":"dst","levels":2,"sweeps":2}
+         |]""".stripMargin)
+    val got = flow.ok.get.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got.keySet == (1L to 8L).toSet, s"every node labeled: $got")
+    assert(got.values.toSet.size == 2 &&
+      (1L to 4L).map(got).toSet.size == 1 && (5L to 8L).map(got).toSet.size == 1,
+      s"cliques must resolve into two communities: $got")
+  }
+
+  test("sketch_percentiles step emits bounded-state sampled bands from config") {
+    val src = tmp("sketchp") + "/docs.parquet"
+    // two sources; values are their own ranks so bands are readable
+    (1L to 200L).map(i => ("a", i, i)).union((1L to 40L).map(i => ("b", i, i * 10)))
+      .toDF("source", "doc_id", "n_chars").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"sketch_percentiles","group_by":"source","id":"doc_id",
+         |  "field":"n_chars","k":64,"quantiles":["1/4","1/2","3/4"]}
+         |]""".stripMargin)
+    val rows = flow.ok.get.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // group b has 40 <= k rows: the sample IS the group, quantiles exact
+    val (bn, bm, bq1, bq2, bq3) = rows("b")
+    assert(bn == 40L && bm == 40L, s"b counts: $bn/$bm")
+    assert((bq1, bq2, bq3) == (100L, 200L, 300L),
+      s"b small-group quantiles must be exact: ($bq1, $bq2, $bq3)")
+    // group a samples 64 of 200: the p50 band lands near 100 (the
+    // uniform-sample rank bound; a fixed hash makes this deterministic)
+    val (an, am, _, aq2, _) = rows("a")
+    assert(an == 200L && am == 64L, s"a counts: $an/$am")
+    assert(math.abs(aq2 - 100L) <= 30L, s"a sampled p50 drifted: $aq2")
+  }
+
   test("modularity step scores LPA communities over an edge flow from config") {
     val src = tmp("mod") + "/edges.parquet"
     // two triangles + bridge: m=7, each community q_num = 4*7*3-49 = 35
@@ -1507,6 +1552,72 @@ tab	end"""), Some(1.5), Some(true)),
     // without a client the operations fail fast with a clear message
     val err = intercept[UnsupportedOperationException](parsed.load(spark))
     assert(err.getMessage.contains("client"))
+  }
+
+  test("mongodb cursor paginator: token chain pages the collection, parity with offset") {
+    // reference: src/connector/paginator/mongodb/cursor.rs — the driver
+    // cursor's getMore chain. The fake client issues REAL tokens (the
+    // last-served index), records every call, and refuses a token it
+    // never issued, so the spec proves page chaining, not skip emulation.
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val docs = (0 until 7).map(i => s"""{"id":$i}""")
+    object ChainedMongo extends sources.MongoConnector.Client {
+      private val issued = java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+      override def count(db: String, coll: String, f: String): Long = docs.size.toLong
+      override def find(db: String, coll: String, f: String,
+                        skip: Long, limit: Int): Seq[String] =
+        docs.slice(skip.toInt, skip.toInt + limit)
+      override def insert(db: String, coll: String, d: Seq[String]): Unit = ()
+      override def drop(db: String, coll: String): Unit = ()
+      override def findWithCursor(db: String, coll: String, f: String,
+                                  cursor: Option[String],
+                                  limit: Int): (Seq[String], Option[String]) = {
+        calls.add(s"cursor:${cursor.getOrElse("-")}+$limit")
+        cursor.foreach(t => require(issued.remove(t), s"unknown cursor token $t"))
+        val at = cursor.map(_.stripPrefix("tok").toInt).getOrElse(0)
+        val page = docs.slice(at, at + limit)
+        val next =
+          if (at + page.size >= docs.size) None
+          else { val t = s"tok${at + page.size}"; issued.add(t); Some(t) }
+        (page, next)
+      }
+    }
+    val cursorConn = sources.MongoConnector("mongodb://test", "db1", "items",
+      batchSize = 3, client = Some(ChainedMongo), pagination = "cursor")
+    val viaCursor = cursorConn.load(spark).orderBy("id")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(viaCursor == (0L until 7L), s"cursor walk lost rows: $viaCursor")
+    // the chain really chained: 3 pages, each naming the next token
+    import scala.jdk.CollectionConverters._
+    assert(calls.asScala.toSeq == Seq("cursor:-+3", "cursor:tok3+3", "cursor:tok6+3"),
+      s"unexpected page chain: ${calls.asScala.toSeq}")
+    // parity with the offset path on the same fixture
+    val offsetConn = sources.MongoConnector("mongodb://test", "db1", "items",
+      batchSize = 3, client = Some(ChainedMongo))
+    val viaOffset = offsetConn.load(spark).orderBy("id")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(viaOffset == viaCursor, "offset and cursor walks must agree")
+    // config parse: a cursor paginator node selects the cursor walk and
+    // its limit becomes the page size
+    val cfg = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      """{"type":"mongodb","endpoint":"mongodb://h","database":"d",
+        |  "collection":"c","paginator_type":{"type":"cursor","limit":4}}""".stripMargin)
+    val parsed = sources.Connector.fromConfig(cfg, "json", Documents.DocOptions())
+      .asInstanceOf[sources.MongoConnector]
+    assert(parsed.pagination == "cursor" && parsed.batchSize == 4)
+    // the default skip/limit emulation serves clients that don't
+    // override the cursor call (FakeMongo here)
+    PipelineSpec.FakeMongo.reset()
+    val seedConn = sources.MongoConnector("mongodb://test", "db1", "emul",
+      batchSize = 2, client = Some(PipelineSpec.FakeMongo))
+    import spark.implicits._
+    seedConn.save(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val emul = sources.MongoConnector("mongodb://test", "db1", "emul",
+      batchSize = 2, client = Some(PipelineSpec.FakeMongo),
+      pagination = "cursor")
+    assert(emul.load(spark).count() == 3)
   }
 
   test("curl config: header counter (X-Total-Count) unlocks parallel offset pagination") {
