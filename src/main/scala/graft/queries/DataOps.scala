@@ -2288,6 +2288,73 @@ object DataOps {
       |  (CAST(v99lo * (100 - r99) + v99hi * r99 AS DOUBLE) / 100.0) / 100.0 AS p99
       |FROM p""".stripMargin
 
+  /** Streaming SAMPLED percentile bands — the bounded-state,
+    * unbounded-value-domain complement of [[qStreamPercentiles]] (whose
+    * per-window state is the value histogram, corpus-sized when every
+    * value is distinct): the watermarked 6-hour window aggregation holds
+    * per (window, event_type) only a count and the k = 256 rows with the
+    * smallest portable content hashes (the [[Quantiles
+    * .hashSampleQuantiles]] discipline riding the bounded MinKByKey
+    * heap in the state store), and the nearest-lower-rank bands read off
+    * the sorted sample after emission. A REAL executing stream
+    * (file source → append sink); the oracle is the batch sample replay
+    * restricted to closed windows (window end ≤ watermark = max ts − 2h,
+    * the q_stream_heavy_hitters model). */
+  def qStreamSketchPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_stream_spct_sink"
+    spark.catalog.dropTempView(sink)
+    // 60-bit portable row hash: within-group sample order must replay in
+    // SQL (lexicographic 15-hex == numeric 60-bit order)
+    val h = conv(substring(md5(concat(col("event_type"), lit("-"),
+      col("event_id")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val q = stagedEventsStream(spark, dir).withWatermark("ts", "2 hours")
+      .select(col("ts"), col("event_type"), h.as("__h"),
+        floor(col("value") * lit(100.0)).cast("long").as("v"))
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        graft.plans.Native.minKByKey(col("__h"), col("v"), 256).as("ks"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
+        col("event_type"), col("n_total"),
+        sort_array(transform(col("ks"), e => e.getField("p"))).as("s"))
+      .withColumn("m_sample", size(col("s")).cast("long"))
+      .select(col("win"), col("event_type"), col("n_total"), col("m_sample"),
+        element_at(col("s"),
+          (expr("(1 * (m_sample - 1)) div 2") + 1).cast("int")).as("p50_s"),
+        element_at(col("s"),
+          (expr("(19 * (m_sample - 1)) div 20") + 1).cast("int")).as("p95_s"),
+        element_at(col("s"),
+          (expr("(99 * (m_sample - 1)) div 100") + 1).cast("int")).as("p99_s"))
+  }
+
+  val qStreamSketchPercentilesSql: String =
+    """WITH mx AS (SELECT max(ts) AS m1 FROM events),
+      |wm AS (SELECT (epoch_us(m1) // 1000) * 1000 - 7200000000 AS w_us FROM mx),
+      |d AS (SELECT strftime(make_timestamp(
+      |          (epoch_us(ts) // 21600000000) * 21600000000),
+      |          '%Y-%m-%d %H:%M:%S') AS win,
+      |        event_type, event_id, CAST(floor(value * 100.0) AS BIGINT) AS v
+      |      FROM events, wm
+      |      WHERE (epoch_us(ts) // 21600000000 + 1) * 21600000000 <= w_us),
+      |h AS (SELECT win, event_type, v,
+      |        substring(md5(event_type || '-' || event_id), 1, 15) AS hx
+      |      FROM d),
+      |r AS (SELECT win, event_type, v,
+      |        row_number() OVER (PARTITION BY win, event_type
+      |                           ORDER BY hx, v) AS rn,
+      |        count(*) OVER (PARTITION BY win, event_type) AS n FROM h),
+      |s AS (SELECT win, event_type, CAST(any_value(n) AS BIGINT) AS n_total,
+      |        CAST(count(*) AS BIGINT) AS m_sample,
+      |        list_sort(list(v)) AS sv
+      |      FROM r WHERE rn <= 256 GROUP BY 1, 2)
+      |SELECT win, event_type, n_total, m_sample,
+      |  sv[CAST((1 * (m_sample - 1)) // 2 AS BIGINT) + 1] AS p50_s,
+      |  sv[CAST((19 * (m_sample - 1)) // 20 AS BIGINT) + 1] AS p95_s,
+      |  sv[CAST((99 * (m_sample - 1)) // 100 AS BIGINT) + 1] AS p99_s
+      |FROM s""".stripMargin
+
   /** As-of join: each purchase event picks up the user's most recent view
     * at-or-before it. Oracle: DuckDB's native ASOF JOIN. */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -5532,6 +5599,7 @@ object DataOps {
     "q_chi2_terms"     -> ((qChi2Terms _, Some(qChi2TermsSql))),
     "q_group_percentiles" -> ((qGroupPercentiles _, Some(qGroupPercentilesSql))),
     "q_stream_percentiles" -> ((qStreamPercentiles _, Some(qStreamPercentilesSql))),
+    "q_stream_sketch_percentiles" -> ((qStreamSketchPercentiles _, Some(qStreamSketchPercentilesSql))),
     "q_sketch_percentiles" -> ((qSketchPercentiles _, Some(qSketchPercentilesSql))),
     "q_event_anomaly"  -> ((qEventAnomaly _, Some(qEventAnomalySql))),
     "q_event_debounce" -> ((qEventDebounce _, Some(qEventDebounceSql))),
