@@ -117,7 +117,18 @@ object Pipeline {
     * reversed edges first. */
   final case class WalksStep(srcCol: String, dstCol: String, steps: Int,
                              walksPerNode: Int, seed: String,
-                             symmetric: Boolean, dataType: String) extends Step
+                             symmetric: Boolean, dataType: String,
+                             wCol: String = "") extends Step
+  /** Second-order node2vec walks over an edge-list flow
+    * ([[graft.operators.Graph.node2vecWalks]]): integer
+    * return/neighbor/far biases (the rational (p, q) cleared of
+    * denominators); replaces the flow with (start, wk, step, node). */
+  final case class Node2vecStep(srcCol: String, dstCol: String, wCol: String,
+                                steps: Int, walksPerNode: Int,
+                                biasReturn: Long, biasNeighbor: Long,
+                                biasFar: Long, seed: String,
+                                symmetric: Boolean,
+                                dataType: String) extends Step
   /** Strongly connected components over a DIRECTED edge-list flow
     * ([[graft.operators.Graph.stronglyConnectedComponents]]): replaces
     * the flow with (id, scc), scc = each component's minimum member id.
@@ -613,6 +624,23 @@ object Pipeline {
         walksPerNode =
           if (node.has("walks_per_node")) node.get("walks_per_node").asInt()
           else 1,
+        seed = str("seed", "graft"),
+        symmetric = node.has("symmetric") && node.get("symmetric").asBoolean(),
+        dataType,
+        wCol = str("weight", ""))
+      case "node2vec" => Node2vecStep(str("src", "src"), str("dst", "dst"),
+        str("weight", ""),
+        steps = if (node.has("steps")) node.get("steps").asInt() else 4,
+        walksPerNode =
+          if (node.has("walks_per_node")) node.get("walks_per_node").asInt()
+          else 1,
+        biasReturn =
+          if (node.has("bias_return")) node.get("bias_return").asLong() else 1L,
+        biasNeighbor =
+          if (node.has("bias_neighbor")) node.get("bias_neighbor").asLong()
+          else 1L,
+        biasFar =
+          if (node.has("bias_far")) node.get("bias_far").asLong() else 1L,
         seed = str("seed", "graft"),
         symmetric = node.has("symmetric") && node.get("symmetric").asBoolean(),
         dataType)
@@ -1227,16 +1255,40 @@ object Pipeline {
             flow.updated(dt, graft.operators.Graph.pageRankPersonalized(
               edges, seeds.toDF("id"), iters))
           }.getOrElse(flow)
-        case WalksStep(src, dst, steps, wpn, seed, symmetric, dt) =>
+        case WalksStep(src, dst, steps, wpn, seed, symmetric, dt, w) =>
           flow(dt).map { df =>
-            val fwd = df.select(col(src).cast("long").as("src"),
-              col(dst).cast("long").as("dst"))
+            val fwd =
+              if (w.nonEmpty)
+                df.select(col(src).cast("long").as("src"),
+                  col(dst).cast("long").as("dst"), col(w).cast("long").as("w"))
+              else df.select(col(src).cast("long").as("src"),
+                col(dst).cast("long").as("dst"))
             val edges = if (symmetric)
-              fwd.unionByName(fwd.select(col("dst").as("src"),
-                col("src").as("dst")))
+              fwd.unionByName(
+                if (w.nonEmpty)
+                  fwd.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+                else fwd.select(col("dst").as("src"), col("src").as("dst")))
             else fwd
             flow.updated(dt,
               graft.operators.Graph.randomWalks(edges, steps, wpn, seed))
+          }.getOrElse(flow)
+        case Node2vecStep(src, dst, w, steps, wpn, bR, bN, bF, seed,
+                          symmetric, dt) =>
+          flow(dt).map { df =>
+            val fwd =
+              if (w.nonEmpty)
+                df.select(col(src).cast("long").as("src"),
+                  col(dst).cast("long").as("dst"), col(w).cast("long").as("w"))
+              else df.select(col(src).cast("long").as("src"),
+                col(dst).cast("long").as("dst"))
+            val edges = if (symmetric)
+              fwd.unionByName(
+                if (w.nonEmpty)
+                  fwd.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+                else fwd.select(col("dst").as("src"), col("src").as("dst")))
+            else fwd
+            flow.updated(dt, graft.operators.Graph.node2vecWalks(
+              edges, steps, wpn, bR, bN, bF, seed))
           }.getOrElse(flow)
         case SccStep(src, dst, rounds, sweeps, trim, dt) =>
           flow(dt).map { df =>

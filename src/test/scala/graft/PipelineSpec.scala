@@ -646,6 +646,47 @@ tab	end"""), Some(1.5), Some(true)),
     }
   }
 
+  test("node2vec step emits biased walks from config; weighted walks step draws by weight") {
+    val src = tmp("n2v") + "/edges.parquet"
+    // symmetric ring of 6: from (prev, cur) one candidate returns, the
+    // other advances — a dominant far bias must never backtrack
+    (0L until 6L).flatMap(i => Seq((i, (i + 1) % 6), ((i + 1) % 6, i)))
+      .toDF("src", "dst").write.parquet(src)
+    val flow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$src"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"node2vec","src":"src","dst":"dst","steps":3,
+         |  "walks_per_node":1,"bias_return":1,"bias_far":9999}
+         |]""".stripMargin)
+    val paths = flow.ok.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.sortBy(_._3).map(_._4).toSeq }
+    assert(paths.size == 6 && paths.forall(_.length == 4))
+    paths.foreach { p =>
+      (2 until p.length).foreach(i =>
+        assert(p(i) != p(i - 2), s"far-biased walk backtracked: $p"))
+    }
+    // weighted walks step: a weight column reaches the draw (an
+    // overwhelming weight forces the hop deterministically)
+    val wsrc = tmp("wwalk") + "/edges.parquet"
+    Seq((1L, 2L, 1L), (1L, 3L, 999999L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w").write.parquet(wsrc)
+    val wflow = Pipeline.run(spark,
+      s"""[
+         | {"type":"reader","connector":{"type":"local","path":"$wsrc"},
+         |  "document":{"type":"parquet"}},
+         | {"type":"walks","src":"src","dst":"dst","weight":"w","steps":2,
+         |  "walks_per_node":2}
+         |]""".stripMargin)
+    val hops1 = wflow.ok.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(r => r._1 == 1L && r._3 == 1L).map(_._4)
+    assert(hops1.nonEmpty && hops1.forall(_ == 3L),
+      s"the 999999:1 weight must force every first hop to 3: ${hops1.toSeq}")
+  }
+
   test("scc step labels directed cycles from config") {
     val src = tmp("scc") + "/edges.parquet"
     // cycle {1,2,3}, tail 3→4, cycle {5,6} behind a bridge 4→5
