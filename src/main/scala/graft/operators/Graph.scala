@@ -1708,8 +1708,22 @@ object Graph {
       }
     val (e0, nE) = CacheOps.persistMaterializedCounted(
       base.repartition(col("src")))
-    val loop = LoopSession.forGraph(spark, nE, rowsPerPartition = 100000L)
+    // Unlike the first-order walks, the per-step traffic here is
+    // Σ outdeg(cur) — CORPUS-sized, not walks-sized — so the loop keeps
+    // whole-stage codegen ON (codegenCutoff = 0: the r16 shard bench read
+    // the interpreted out-list windows as the dominant cost) and sizes
+    // its width to the edge frame like HITS.
+    val loop = LoopSession.forGraph(spark, nE, rowsPerPartition = 100000L,
+      codegenCutoff = 0L)
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
+    // the (prev, dst) membership side is STEP-INVARIANT: shape and
+    // hash-partition it once on the probe keys, so each step's bias
+    // left-join reads this side exchange-free and only the candidate
+    // stream shuffles to match (guide §2.4 applied to the one edge-sized
+    // join the steps repeat)
+    val nb = CacheOps.persistMaterialized(
+      e.select(col("src").as("prev"), col("dst"), lit(1L).as("isn"))
+        .repartition(col("prev"), col("dst")))
     def h(step: Int): Column =
       conv(substring(md5(concat_ws("-", lit(seed), col("start"), col("wk"),
         lit(step.toLong)).cast("binary")), 1, 15), 16, 10).cast("long")
@@ -1726,13 +1740,18 @@ object Graph {
       for (i <- 1 to steps) {
         // the walk's out-list with the second-order bias applied: return
         // beats neighbor beats far (dst = prev is never an edge of
-        // (prev, dst) since the graph has no self-loops)
-        val cand = state.join(e, state("node") === e("src"))
+        // (prev, dst) since the graph has no self-loops). The 60-bit
+        // draw hash is computed HERE, on the walks-sized state — one
+        // md5 per walk per step, carried through the join — not on the
+        // Σ outdeg(cur)-sized candidate stream (the r16 shard bench
+        // read the per-candidate md5/conv pair as a top cost).
+        val st = state.withColumn("hh", h(i))
+        val cand = st.join(e, st("node") === e("src"))
           .select(col("start"), col("wk"), col("prev"), col("node"),
-            col("dst"), col("w"))
-          .join(e.select(col("src").as("prev"), col("dst"),
-            lit(1L).as("isn")), Seq("prev", "dst"), "left")
-          .select(col("start"), col("wk"), col("node"), col("dst"),
+            col("hh"), col("dst"), col("w"))
+          .join(nb, Seq("prev", "dst"), "left")
+          .select(col("start"), col("wk"), col("node"), col("hh"),
+            col("dst"),
             (when(col("dst") === col("prev"), lit(biasReturn))
               .when(col("isn").isNotNull, lit(biasNeighbor))
               .otherwise(lit(biasFar)) * col("w")).as("aw"))
@@ -1740,11 +1759,11 @@ object Graph {
           .orderBy(col("dst"))
         val wTot = Window.partitionBy(col("start"), col("wk"))
         val cum = cand.select(col("start"), col("wk"), col("node"),
-          col("dst"),
+          col("hh"), col("dst"),
           (sum(col("aw")).over(wWalk) - col("aw")).as("lo"),
           sum(col("aw")).over(wWalk).as("hi"),
           sum(col("aw")).over(wTot).as("tot"))
-        val hop = cum.withColumn("x", pmod(h(i), col("tot")))
+        val hop = cum.withColumn("x", pmod(col("hh"), col("tot")))
           .filter(col("x") >= col("lo") && col("x") < col("hi"))
         state = CacheOps.persistMaterialized(
           hop.select(col("start"), col("wk"), col("node").as("prev"),
@@ -1755,10 +1774,11 @@ object Graph {
       }
     } catch { case t: Throwable =>
       hops.foreach(_.unpersist(blocking = true))
+      nb.unpersist(blocking = true)
       e0.unpersist(blocking = true)
       throw t
     }
-    finishRanks(spark, out, e0 :: hops)
+    finishRanks(spark, out, e0 :: nb :: hops)
   }
 
   /** One synchronous Louvain refinement step (Blondel et al. 2008, the
