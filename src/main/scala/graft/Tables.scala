@@ -13,6 +13,22 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a FACT-table scan whose file layout yields far fewer splits
+    * than the session has cores (guide §2.5 "input skew — one huge
+    * unsplittable file … repartition immediately after the read"): a
+    * single small parquet file is one input split, so every downstream
+    * tokenize/explode/partial-agg serializes on one task while the
+    * other cores idle (measured: the r16 per-job profile showed 1-6 s
+    * single-task scan stages under every documents/lineitem-heavy
+    * gate). Data-adaptive, not config: at real scale the scan already
+    * has ≥ cores splits and this is the identity, so no corpus-sized
+    * shuffle is ever added. Only fact tables route through here —
+    * dimension tables stay broadcast-sized single scans. */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 < want) df.repartition(want) else df
+  }
+
   /** Normalise a timestamp-carrying column to session-TZ TimestampType
     * whatever physical encoding the testdata generation used: BIGINT nanos
     * (TIMESTAMP(NANOS) under `spark.sql.legacy.parquet.nanosAsLong`, exact
@@ -36,9 +52,9 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame   = t("customer")
   def supplier: DataFrame   = t("supplier")
   def part: DataFrame       = t("part")
-  def orders: DataFrame     = normTs(t("orders"), "o_orderdate")
-  def lineitem: DataFrame   = normTs(t("lineitem"), "l_shipdate")
-  def events: DataFrame     = normTs(t("events"), "ts")
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def orders: DataFrame     = spread(normTs(t("orders"), "o_orderdate"))
+  def lineitem: DataFrame   = spread(normTs(t("lineitem"), "l_shipdate"))
+  def events: DataFrame     = spread(normTs(t("events"), "ts"))
+  def documents: DataFrame  = spread(t("documents"))
+  def embeddings: DataFrame = spread(t("embeddings"))
 }

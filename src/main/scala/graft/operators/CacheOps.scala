@@ -24,4 +24,27 @@ private[graft] object CacheOps {
     try { (p, p.count()) }
     catch { case t: Throwable => p.unpersist(blocking = true); throw t }
   }
+
+  /** [[persistMaterialized]] DECOUPLED from the input caches it was
+    * computed from: the plan is truncated to a flat scan of its
+    * execution RDD before persisting, so the cached plan references no
+    * upstream InMemoryRelation. Required for every RESULT an operator
+    * materializes immediately before releasing its inputs — Spark's
+    * non-cascading unpersist RECACHES dependent entries (discarding
+    * their just-built buffers), so an undetached result cache is
+    * invalidated by the very release that follows it and the caller's
+    * first read re-executes the whole pipeline (measured: the r16
+    * per-job profile showed every graph gate paying its pipeline twice
+    * — once materializing, once on the driver's count). Lineage-safe:
+    * the RDD recomputes through the original plan on eviction. */
+  def persistMaterializedDetached(df: DataFrame): DataFrame =
+    persistMaterialized(
+      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(df))
+
+  /** [[persistMaterializedDetached]] returning the row count (the
+    * [[persistMaterializedCounted]] contract) — for loop states whose
+    * predecessor is released right after the new state materializes. */
+  def persistMaterializedDetachedCounted(df: DataFrame): (DataFrame, Long) =
+    persistMaterializedCounted(
+      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(df))
 }

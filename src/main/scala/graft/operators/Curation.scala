@@ -167,7 +167,9 @@ object Curation {
       val b = sk.select(col("s").as("src_b"), col("sk").as("sb"))
       val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
       val both = size(array_intersect(array_intersect(u, col("sa")), col("sb")))
-      CacheOps.persistMaterialized(
+      // DETACHED: the sk release right below would otherwise recache
+      // (invalidate) the result and re-run the sketch build on first read
+      CacheOps.persistMaterializedDetached(
         a.join(b, col("src_a") < col("src_b"))
           .select(col("src_a"), col("src_b"),
             size(u).cast("bigint").as("n_union"), both.cast("bigint").as("n_both"),

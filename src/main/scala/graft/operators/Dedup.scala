@@ -263,7 +263,10 @@ object Dedup {
     val sorted =
       try {
         val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
-        CacheOps.persistMaterialized(toks.join(freq, "tok")
+        // DETACHED: the toks release right below would otherwise
+        // recache (invalidate) this entry the moment it materializes,
+        // and all THREE consumers would re-run the tokenize+rank agg
+        CacheOps.persistMaterializedDetached(toks.join(freq, "tok")
           .groupBy(col("id"))
           .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
           .select(col("id"), transform(col("st"), e => e.getField("tok")).as("toks"),
@@ -296,7 +299,8 @@ object Dedup {
         (col("pb") - shiftleft(col("nb"), 40)).as("id_b"))
       .distinct()
     // pairs-sized; materializing it lets the corpus-sized sorted cache go
-    CacheOps.persistMaterialized(cands
+    // (DETACHED so that very release cannot invalidate it)
+    CacheOps.persistMaterializedDetached(cands
       .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))

@@ -272,8 +272,10 @@ object Graph {
       // composed loop must execute at loop width, AQE off), THEN hand the
       // caller a caller-session view of the SAME plan: the CacheManager is
       // shared and keyed on the canonical plan, so the rebound frame is a
-      // cache hit and its unpersist() releases the entry
-      val p = CacheOps.persistMaterialized(ranks)
+      // cache hit and its unpersist() releases the entry. DETACHED: the
+      // input releases right below would otherwise recache (and so
+      // invalidate) this freshly-built result entry.
+      val p = CacheOps.persistMaterializedDetached(ranks)
       org.apache.spark.sql.graftbridge.Bridge.rebind(p, caller)
     } finally release.foreach(_.unpersist(blocking = false))
 
@@ -499,7 +501,9 @@ object Graph {
     var converged = false
     try {
       while (!converged && sweep < maxSweeps) {
-        val (next, c) = CacheOps.persistMaterializedCounted(
+        // DETACHED per sweep: releasing the predecessor right below
+        // would otherwise recache (invalidate) the state just built
+        val (next, c) = CacheOps.persistMaterializedDetachedCounted(
           degrees(alive).filter(col("deg") >= k))
         alive.foreach(_.unpersist(blocking = false))
         alive = Some(next)
@@ -664,7 +668,11 @@ object Graph {
               val hNew = nodes.join(hRaw, Seq("id"), "left")
                 .select(col("id"),
                   coalesce(expr(s"(hr * ${scale}L) DIV ${hmax}L"), lit(0L)).as("h"))
-              CacheOps.persistMaterialized(
+              // DETACHED: the aRaw/hRaw releases in the finally blocks
+              // right below would otherwise recache (invalidate) this
+              // iteration's state the moment it materializes, making
+              // the next iteration re-execute the whole chain
+              CacheOps.persistMaterializedDetached(
                 hNew.join(aNew, "id").select(col("id"), col("h"), col("a")))
             } finally hRaw.unpersist(blocking = false)
           } finally aRaw.unpersist(blocking = false)
@@ -776,13 +784,18 @@ object Graph {
             .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
             .select(col("node"), col("m.lbl").as("lbl"))
           val next =
-            if (!runToFixpoint) CacheOps.persistMaterialized(nextPlan)
+            // DETACHED per sweep: the predecessor's release two lines
+            // below would otherwise recache (drop the buffers of) the
+            // state just materialized, re-executing the whole sweep
+            // chain from the adjacency on every later read
+            if (!runToFixpoint) CacheOps.persistMaterializedDetached(nextPlan)
             else {
               // the changed-label count IS the materializing action (it
               // scans every fresh partition) — one job per sweep, and
               // zero changes proves the fixpoint (both sides persisted
               // nodes-sized frames, so this is a cache-scan keyed join)
-              val p = nextPlan.persist(MEMORY_AND_DISK)
+              val p = org.apache.spark.sql.graftbridge.Bridge
+                .truncatePlan(nextPlan).persist(MEMORY_AND_DISK)
               val changed =
                 try p.join(labels.select(col("node"),
                       col("lbl").as("__prev")), "node")
@@ -804,8 +817,9 @@ object Graph {
       // hand back a CALLER-session frame (or downstream queries inherit
       // the loop confs) whose persist the caller can actually release:
       // the projection is persisted itself — an unpersist() on a select
-      // WRAPPER would miss the internal cache entry
-      val out = CacheOps.persistMaterialized(
+      // WRAPPER would miss the internal cache entry. DETACHED, so the
+      // adjacency/label releases below cannot invalidate it.
+      val out = CacheOps.persistMaterializedDetached(
         org.apache.spark.sql.graftbridge.Bridge.rebind(
           labels.select(col("node").as("id"), col("lbl").as("community")),
           spark))
@@ -972,9 +986,13 @@ object Graph {
           .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
           .select(col("node"), col("m.lbl").as("lbl"))
         val next =
-          if (!runToFixpoint) CacheOps.persistMaterialized(nextPlan)
+          // DETACHED per sweep (and for the final projection): the
+          // predecessor release below would otherwise recache
+          // (invalidate) the state just materialized
+          if (!runToFixpoint) CacheOps.persistMaterializedDetached(nextPlan)
           else {
-            val p = nextPlan.persist(MEMORY_AND_DISK)
+            val p = org.apache.spark.sql.graftbridge.Bridge
+              .truncatePlan(nextPlan).persist(MEMORY_AND_DISK)
             val changed =
               try p.join(labels.select(col("node"),
                     col("lbl").as("__prev")), "node")
@@ -989,7 +1007,7 @@ object Graph {
         labels = next
         sweep += 1
       }
-      val out = CacheOps.persistMaterialized(
+      val out = CacheOps.persistMaterializedDetached(
         labels.select(col("node").as("id"), col("lbl").as("community")))
       labels.unpersist(blocking = false)
       out
@@ -1013,7 +1031,10 @@ object Graph {
     var converged = false
     try {
       while (!converged && sweep < maxSweeps) {
-        val next = ssspSweep(e, d).persist(MEMORY_AND_DISK)
+        // truncated (DETACHED) per sweep: the predecessor release below
+        // would otherwise recache (invalidate) the fresh distance frame
+        val next = org.apache.spark.sql.graftbridge.Bridge
+          .truncatePlan(ssspSweep(e, d)).persist(MEMORY_AND_DISK)
         // the monotone-pair scan IS the materializing action: one job
         val pair =
           try {
@@ -1137,7 +1158,10 @@ object Graph {
               val core = active
                 .join(aeR.select(col("dst").as("id")), Seq("id"), "left_semi")
                 .join(aeR.select(col("src").as("id")), Seq("id"), "left_semi")
-              outs ::= CacheOps.persistMaterialized(
+              // DETACHED: aeR (which core references) is released at the
+              // end of this trim pass — an attached entry would be
+              // recached (invalidated) by that release
+              outs ::= CacheOps.persistMaterializedDetached(
                 active.join(core, Seq("id"), "left_anti")
                   .select(col("id"), col("id").as("scc")))
               val ((nextActive, nextActiveP), nNext) = flat(core)
@@ -1215,7 +1239,10 @@ object Graph {
             .map(o => org.apache.spark.sql.graftbridge.Bridge.rebind(o, sp))
             .reduce(_ unionByName _)
         }
-        val res = CacheOps.persistMaterialized(all)
+        // DETACHED: releaseAll(outs) below would otherwise recache
+        // (invalidate) the union just materialized and the caller's
+        // first read would re-execute every round
+        val res = CacheOps.persistMaterializedDetached(all)
         releaseAll(outs)
         res
       } catch { // a mid-round failure must not strand the round's caches
@@ -1248,10 +1275,17 @@ object Graph {
     * nodes-sized label frame, two keyed aggregations, and a broadcast of
     * the 1-row global (m) — nothing collected, no windows. */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e0 = CacheOps.persistMaterialized(
+    val caller = edges.sparkSession
+    val (e0c, nE) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long")))
-    val lab = labels.select(col("id").cast("long"),
+    val labC = labels.select(col("id").cast("long"),
       col("community").cast("long")).persist(MEMORY_AND_DISK)
+    // fixed pipeline of keyed joins/aggs over nodes/edges-sized frames —
+    // run at the shared right-sized loop width like the sweep loops
+    // (same rationale as louvainStepWeighted)
+    val loopS = LoopSession.forGraph(caller, nE)
+    val e0 = org.apache.spark.sql.graftbridge.Bridge.rebind(e0c, loopS)
+    val lab = org.apache.spark.sql.graftbridge.Bridge.rebind(labC, loopS)
     try {
       val m = e0.agg(count(lit(1)).as("m"))
         .select(assert_true(col("m") < 1500000000L,
@@ -1267,20 +1301,22 @@ object Graph {
         .filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("community"))
         .agg(count(lit(1)).as("internal_edges"))
-      CacheOps.persistMaterialized(
-        dsum.join(intra, Seq("community"), "left")
-          .na.fill(0L, Seq("internal_edges"))
-          .crossJoin(broadcast(m))
-          .select(col("community"), col("n_nodes"), col("deg_sum"),
-            col("internal_edges"),
-            (lit(4L) * col("m") * col("internal_edges") -
-              col("deg_sum") * col("deg_sum")).as("q_num"),
-            ((lit(4L) * col("m") * col("internal_edges") -
-              col("deg_sum") * col("deg_sum")).cast("double") /
-              (lit(4L) * col("m") * col("m")).cast("double")).as("q")))
+      org.apache.spark.sql.graftbridge.Bridge.rebind(
+        CacheOps.persistMaterializedDetached(
+          dsum.join(intra, Seq("community"), "left")
+            .na.fill(0L, Seq("internal_edges"))
+            .crossJoin(broadcast(m))
+            .select(col("community"), col("n_nodes"), col("deg_sum"),
+              col("internal_edges"),
+              (lit(4L) * col("m") * col("internal_edges") -
+                col("deg_sum") * col("deg_sum")).as("q_num"),
+              ((lit(4L) * col("m") * col("internal_edges") -
+                col("deg_sum") * col("deg_sum")).cast("double") /
+                (lit(4L) * col("m") * col("m")).cast("double")).as("q"))),
+        caller)
     } finally {
-      e0.unpersist(blocking = false)
-      lab.unpersist(blocking = false)
+      e0c.unpersist(blocking = false)
+      labC.unpersist(blocking = false)
     }
   }
 
@@ -1341,7 +1377,9 @@ object Graph {
           .filter(col("y") < col("z"))
         val tri = wedges.join(
           ekp.select(col("ks").as("y"), col("kd").as("z")), Seq("y", "z"))
-        CacheOps.persistMaterialized(
+        // DETACHED: the ekp release right below would otherwise recache
+        // (invalidate) the result and re-run the wedge join on first read
+        CacheOps.persistMaterializedDetached(
           tri.select(explode(array(col("x"), col("y"), col("z"))).as("kk"))
             .groupBy(col("kk")).agg(count(lit(1)).as("tri"))
             .select(pmod(col("kk"), lit(1099511627776L)).as("id"), col("tri")))
@@ -1365,7 +1403,7 @@ object Graph {
     try {
       val tri = triangleCounts(e0) // persisted+materialized by contract
       try {
-        CacheOps.persistMaterialized(
+        CacheOps.persistMaterializedDetached(
           tri.join(degreeFrame(e0), "id")
             .select(col("id"), col("tri"), col("deg"),
               (lit(2L) * col("tri")).as("cc_num"),
@@ -1404,7 +1442,7 @@ object Graph {
           .join(deg.select(col("id").as("b"), col("deg").as("dy")), "b")
         val num = col("n") * col("sxy") - col("sx") * col("sx")
         val den = col("n") * col("sxx") - col("sx") * col("sx")
-        CacheOps.persistMaterialized(
+        CacheOps.persistMaterializedDetached(
           j.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
               sum(col("dx") * col("dx")).as("sxx"),
               sum(col("dx") * col("dy")).as("sxy"))
@@ -1827,11 +1865,22 @@ object Graph {
     * contraction preserves m, so the [[modularity]] m < 1.5·10⁹ bound
     * holds once for the whole level loop (ENFORCED per step). */
   def louvainStepWeighted(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e0 = CacheOps.persistMaterialized(
+    val caller = edges.sparkSession
+    val (e0c, nE) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long"),
         col("w").cast("long")))
-    val lab = labels.select(col("id").cast("long"),
+    val labC = labels.select(col("id").cast("long"),
       col("community").cast("long")).persist(MEMORY_AND_DISK)
+    // The step is a fixed pipeline of keyed joins/aggs whose frames are
+    // nodes-or-edges-sized — the same profile as the sweep loops, so it
+    // runs in the shared right-sized cloned session (AQE's per-exchange
+    // materialize-and-replan and per-join codegen dominate small
+    // graphs; at cluster scale loopParts keeps the caller's width).
+    // rebind, not truncate: the shared CacheManager serves both
+    // persists inside the loop.
+    val loopS = LoopSession.forGraph(caller, nE)
+    val e0 = org.apache.spark.sql.graftbridge.Bridge.rebind(e0c, loopS)
+    val lab = org.apache.spark.sql.graftbridge.Bridge.rebind(labC, loopS)
     try {
       val m = e0.agg(sum(col("w")).as("m"))
         .select(assert_true(col("m") < 1500000000L,
@@ -1886,16 +1935,21 @@ object Graph {
           val best = cand.groupBy(col("id"))
             .agg(min(struct((-col("dnum")).as("nd"), col("d"))).as("b"))
             .select(col("id"), col("b.nd").as("nd"), col("b.d").as("bd"))
-          CacheOps.persistMaterialized(
-            base.join(best, Seq("id"), "left")
-              .select(col("id"),
-                when(col("nd").isNotNull && col("nd") < 0L, col("bd"))
-                  .otherwise(col("c")).as("community")))
+          // DETACHED materialization under the loop session, handed
+          // back as a CALLER-session view (the labelPropagation
+          // contract): the caller's unpersist() matches the shared
+          // cache entry, and the releases below cannot invalidate it
+          org.apache.spark.sql.graftbridge.Bridge.rebind(
+            CacheOps.persistMaterializedDetached(
+              base.join(best, Seq("id"), "left")
+                .select(col("id"),
+                  when(col("nd").isNotNull && col("nd") < 0L, col("bd"))
+                    .otherwise(col("c")).as("community"))), caller)
         } finally evd.unpersist(blocking = false)
       } finally degL.unpersist(blocking = false)
     } finally {
-      e0.unpersist(blocking = false)
-      lab.unpersist(blocking = false)
+      e0c.unpersist(blocking = false)
+      labC.unpersist(blocking = false)
     }
   }
 

@@ -97,28 +97,52 @@ object Retrieval {
     // keeps the direct path one-pass too.
     val t = docs.select(col(idCol), toks(col(textCol)).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val lens = t.select(col(idCol), size(col("__t")).cast("bigint").as("dl"))
-      val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-      val qt = queryTerms(queries, qIdCol, qTextCol)
-      val termSet = qt.select(col("term")).distinct()
-      // scan-stage prefilter: only query-term occurrences survive the explode
-      val stream = t.select(col(idCol), explode(col("__t")).as("term"))
-        .join(broadcast(termSet), "term")
-      val tf = stream.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
-      // tf has one row per (term, doc) ⇒ count(*) per term IS the doc frequency
-      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(qt), "term")
-        .join(broadcast(dfT), "term")
-        .join(lens, idCol)
-        .crossJoin(broadcast(stats))
-        .select(col(qIdCol), col(idCol), termScore(k1, b, scale).as("__ts"))
-      val perDoc = scored.groupBy(col(qIdCol), col(idCol))
-        .agg(sum(col("__ts")).as("score"))
-      CacheOps.persistMaterialized(rankTopK(perDoc, k, qIdCol, idCol, "score"))
-    } finally t.unpersist(blocking = false)
+    // DETACHED: the t release right below would otherwise recache
+    // (invalidate) the result and re-run the tokenize on first read
+    try CacheOps.persistMaterializedDetached(
+      bm25PlanOn(t, queries, k, idCol, qIdCol, qTextCol, k1, b, scale))
+    finally t.unpersist(blocking = false)
   }
+
+  /** The COMPOSED direct-BM25 plan over a (persisted) tokenized corpus —
+    * the public [[bm25TopK]] materializes it DETACHED (a flat cache
+    * scan), so plan-shape audits read this composed tree instead. */
+  private[graft] def bm25PlanOn(t: DataFrame, queries: DataFrame, k: Int,
+                                idCol: String, qIdCol: String,
+                                qTextCol: String, k1: Double, b: Double,
+                                scale: Double): DataFrame = {
+    val lens = t.select(col(idCol), size(col("__t")).cast("bigint").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    val termSet = qt.select(col("term")).distinct()
+    // scan-stage prefilter: only query-term occurrences survive the explode
+    val stream = t.select(col(idCol), explode(col("__t")).as("term"))
+      .join(broadcast(termSet), "term")
+    val tf = stream.groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    // tf has one row per (term, doc) ⇒ count(*) per term IS the doc frequency
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfT), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(qIdCol), col(idCol), termScore(k1, b, scale).as("__ts"))
+    val perDoc = scored.groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__ts")).as("score"))
+    rankTopK(perDoc, k, qIdCol, idCol, "score")
+  }
+
+  /** [[bm25PlanOn]] over a lazily-tokenized corpus (no persist): the
+    * audit entry point matching [[bm25TopK]]'s defaults. */
+  private[graft] def bm25Plan(docs: DataFrame, queries: DataFrame, k: Int,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              qIdCol: String = "q_id",
+                              qTextCol: String = "q_text",
+                              k1: Double = 1.25, b: Double = 0.75,
+                              scale: Double = 1048576.0): DataFrame =
+    bm25PlanOn(docs.select(col(idCol), toks(col(textCol)).as("__t")),
+      queries, k, idCol, qIdCol, qTextCol, k1, b, scale)
 
   /** Paper-faithful BM25 (natural-log idf, double scores) — NOT
     * bit-portable across engines (ln differs in the last ulp); use for

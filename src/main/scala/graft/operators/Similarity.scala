@@ -179,7 +179,10 @@ object Similarity {
     val buckets = cappedIds.join(sig.select(col("id"), col("v")), "id")
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
-    CacheOps.persistMaterialized(
+    // DETACHED: bandedCosinePairs releases sig right after this
+    // materializes — an attached entry would be recached (invalidated)
+    // and every later read would re-run the banding + fetch-back
+    CacheOps.persistMaterializedDetached(
       buckets.select(explode(flatten(transform(col("ms"),
           (a, i) => transform(slice(col("ms"), i + 2, size(col("ms"))),
             b => struct(a.getField("id").as("a"), b.getField("id").as("b"),
@@ -324,7 +327,19 @@ object Similarity {
     * cell cache on return. */
   private def semDedupOnCells(cells: DataFrame, tau: Double, maxCell: Int,
                               idT: org.apache.spark.sql.types.DataType,
-                              idCol: String): DataFrame = {
+                              idCol: String): DataFrame =
+    // DETACHED: callers release the cell cache right after this
+    // materializes — an attached entry would be recached (invalidated)
+    CacheOps.persistMaterializedDetached(
+      semDedupPlanOnCells(cells, tau, maxCell, idT, idCol))
+
+  /** The COMPOSED keep-first plan over an assigned `(id, v, cell)` frame
+    * — [[semDedupOnCells]] materializes it DETACHED (a flat cache scan),
+    * so plan-shape audits read this composed tree instead. */
+  private[graft] def semDedupPlanOnCells(
+      cells: DataFrame, tau: Double, maxCell: Int,
+      idT: org.apache.spark.sql.types.DataType,
+      idCol: String): DataFrame = {
     // anchor ids: capped sorted prefix per cell (ids only, cap inside the
     // bounded min-k heap buffer — ≤ maxCell entries even on a one-cell
     // corpus; the vectors are fetched back by an equi-join so no buffer
@@ -346,9 +361,8 @@ object Similarity {
     val dropped = b.join(anchors, "cell")
       .filter(col("a") < col("b") && cosine(col("va"), col("vb")) >= tau)
       .select(col("b")).distinct()
-    CacheOps.persistMaterialized(
-      cells.join(dropped, cells("id") === dropped("b"), "left_anti")
-        .select(col("id").as(idCol), col("cell").cast("bigint").as("cell")))
+    cells.join(dropped, cells("id") === dropped("b"), "left_anti")
+      .select(col("id").as(idCol), col("cell").cast("bigint").as("cell"))
   }
 
   /** Persist a SemDeDup anchor index for incremental SEMANTIC dedup (the
@@ -406,6 +420,24 @@ object Similarity {
       assignCells(batch, broadcast(centroids), idCol, vecCol)
         .select(col(idCol).as("id"), col("__v").as("v"), col("cell")),
       table, tau)
+
+  /** The COMPOSED whole-pipeline [[semDedup]] plan for plan-shape
+    * audits (the public method's detached result is a flat cache scan):
+    * returns (plan, persisted cells frame) — the PERSISTED cells mirror
+    * the production shape (the two pair-join branches read one cached
+    * assignment), and the CALLER owns the cells' release. */
+  private[graft] def semDedupPlanForAudit(corpus: DataFrame,
+                                          centroids: DataFrame, tau: Double,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding",
+                                          maxCell: Int = 4096)
+      : (DataFrame, DataFrame) = {
+    val cells = assignCells(corpus, broadcast(centroids), idCol, vecCol)
+      .select(col(idCol).as("id"), col("__v").as("v"), col("cell"))
+      .persist(MEMORY_AND_DISK)
+    (semDedupPlanOnCells(cells, tau, maxCell,
+      corpus.schema(idCol).dataType, idCol), cells)
+  }
 
   /** Incremental semantic dedup: drop batch vectors tau-similar to ANY
     * indexed corpus anchor in their assigned cell, then run keep-first
@@ -603,7 +635,21 @@ object Similarity {
     // released on return (the finishRanks discipline); callers doing
     // further passes over the graph (mutual filter, clustering sweeps)
     // then read the k·|corpus| edge cache, never the vectors again.
-    val ranked = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val ranked = knnRankedPlan(corpus, cents, nprobe, idCol, vecCol)
+      .persist(MEMORY_AND_DISK)
+    // DETACHED: the ranked release right below would otherwise
+    // recache (invalidate) the edge list just materialized
+    try CacheOps.persistMaterializedDetached(
+      knnGraphPlanOn(ranked, k, idCol, maxCell))
+    finally ranked.unpersist(blocking = false)
+  }
+
+  /** The probe-ranked (id, top-nprobe cells, vector) frame feeding
+    * [[knnGraph]] — factored so the audit plan and the production path
+    * share one definition. */
+  private def knnRankedPlan(corpus: DataFrame, cents: DataFrame, nprobe: Int,
+                            idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .join(cents)
       .select(col(idCol), col("__v"),
         cosine(col("__v"), col("c_vec")).as("__d"), col("c_id"))
@@ -611,27 +657,41 @@ object Similarity {
       .agg(graft.plans.Native.topKByScore(col("__d"), col("c_id").cast("long"), nprobe)
              .as("__tk"),
            first(col("__v")).as("__v"))
-      .persist(MEMORY_AND_DISK)
-    try {
-      val members = ranked.select(col(idCol).as("__nid"), col("__v").as("__nv"),
-        col("__tk").getItem(0).getField("id").cast("int").as("cell"))
-      val memberIds = members.groupBy(col("cell"))
-        .agg(graft.plans.Native.minKByKey(
-          col("__nid").cast("long"), col("__nid").cast("long"), maxCell).as("ks"))
-        .select(explode(col("ks")).as("e"))
-        .select(col("e.id").as("__aid"))
-      val cappedMembers = members.join(memberIds,
-        members("__nid").cast("long") === col("__aid"))
-      val probes = ranked.select(col(idCol), col("__v"),
-        explode(org.apache.spark.sql.functions.transform(col("__tk"),
-          e => e.getField("id").cast("int"))).as("cell"))
-      val scored = probes.join(cappedMembers, "cell")
-        .filter(col(idCol) =!= col("__nid"))
-        .select(col(idCol), col("__nid").as("nbr_id"),
-          cosine(col("__nv"), col("__v")).as("cos"))
-      CacheOps.persistMaterialized(rankTopK(scored, k, idCol, "nbr_id"))
-    } finally ranked.unpersist(blocking = false)
+
+  /** The COMPOSED edge-list plan over a probe-ranked frame — the public
+    * [[knnGraph]] materializes it DETACHED (a flat cache scan), so
+    * plan-shape audits read this composed tree instead. */
+  private[graft] def knnGraphPlanOn(ranked: DataFrame, k: Int, idCol: String,
+                                    maxCell: Int): DataFrame = {
+    val members = ranked.select(col(idCol).as("__nid"), col("__v").as("__nv"),
+      col("__tk").getItem(0).getField("id").cast("int").as("cell"))
+    val memberIds = members.groupBy(col("cell"))
+      .agg(graft.plans.Native.minKByKey(
+        col("__nid").cast("long"), col("__nid").cast("long"), maxCell).as("ks"))
+      .select(explode(col("ks")).as("e"))
+      .select(col("e.id").as("__aid"))
+    val cappedMembers = members.join(memberIds,
+      members("__nid").cast("long") === col("__aid"))
+    val probes = ranked.select(col(idCol), col("__v"),
+      explode(org.apache.spark.sql.functions.transform(col("__tk"),
+        e => e.getField("id").cast("int"))).as("cell"))
+    val scored = probes.join(cappedMembers, "cell")
+      .filter(col(idCol) =!= col("__nid"))
+      .select(col(idCol), col("__nid").as("nbr_id"),
+        cosine(col("__nv"), col("__v")).as("cos"))
+    rankTopK(scored, k, idCol, "nbr_id")
   }
+
+  /** The full composed [[knnGraph]] plan with a LAZY ranked frame (no
+    * persist, no materialization) — audit entry point. */
+  private[graft] def knnGraphPlan(corpus: DataFrame, centroids: DataFrame,
+                                  k: Int, nprobe: Int = 2,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  maxCell: Int = 4096): DataFrame =
+    knnGraphPlanOn(
+      knnRankedPlan(corpus, broadcast(centroids), nprobe, idCol, vecCol),
+      k, idCol, maxCell)
 
   /** k-NN label propagation: classify every corpus vector by majority
     * vote among its k nearest LABELED seed vectors — the semi-supervised

@@ -96,7 +96,7 @@ object Skyline {
         .select(col("__x"), col("__my"))
       // frontier-sized by construction — broadcast keeps the corpus side
       // exchange-free; materialize before g0's cache goes away
-      CacheOps.persistMaterialized(
+      CacheOps.persistMaterializedDetached(
         base.join(broadcast(front), Seq("__x"))
           .filter(col("__y") === col("__my"))
           .select(df.columns.map(col): _*))

@@ -221,18 +221,27 @@ class PlansSpec extends SparkSpec {
   }
 
   test("semdedup: keyed cell join, no cartesian, no corpus window") {
-    val df = queries.DataOps.qSemDedup(spark, sf)
-    val s = planString(df)
-    // centroid fan-out is a broadcast nested loop over k rows (fine);
-    // the PAIR join must be keyed on cell, never all-pairs
-    assert(!s.contains("CartesianProduct"), s)
-    // assignment is an argmax aggregate, not a per-vector ranking window
-    assert(!s.contains("row_number"), s"corpus-side window crept in:\n$s")
-    // both pair-join branches shuffle the same cell assignment: Spark must
-    // compute it once and reuse the exchange/stage, not run it twice
-    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage") ||
-      s.contains("TableCacheQueryStage"),
-      s"cell-assignment subplan should be reused across the self-join:\n$s")
+    // the public semDedup materializes DETACHED (a flat cache scan that
+    // hides the pipeline) — audit the composed plan over the persisted
+    // cell assignment, the gate's exact inputs
+    val e = Tables(spark, sf).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        operators.Similarity.asDouble(col("embedding")).as("c_vec"))
+    val (plan, cells) =
+      operators.Similarity.semDedupPlanForAudit(e, cents, tau = 0.3)
+    try {
+      val s = planString(plan)
+      // centroid fan-out is a broadcast nested loop over k rows (fine);
+      // the PAIR join must be keyed on cell, never all-pairs
+      assert(!s.contains("CartesianProduct"), s)
+      // assignment is an argmax aggregate, not a per-vector ranking window
+      assert(!s.contains("row_number"), s"corpus-side window crept in:\n$s")
+      // both pair-join branches read ONE persisted cell assignment — the
+      // corpus-scale assign runs once, never per branch
+      assert("InMemoryTableScan".r.findAllIn(s).size >= 2,
+        s"both pair-join branches must read the cached cell assignment:\n$s")
+    } finally cells.unpersist(blocking = true)
   }
 
   test("minhash candidates: no cross join anywhere in the plan") {
@@ -267,8 +276,15 @@ class PlansSpec extends SparkSpec {
 
   test("knn family: broadcast dims, no cartesian, no window over the corpus") {
     // knn graph: centroids broadcast; candidate join keyed on cell (no
-    // cartesian); ranking is the bounded heap (no Window at all)
-    val gp = planString(queries.DataOps.qKnnGraph(spark, sf))
+    // cartesian); ranking is the bounded heap (no Window at all).
+    // knnGraph materializes DETACHED — audit the composed plan over the
+    // gate's exact inputs
+    val ge = Tables(spark, sf).embeddings
+    val gc = ge.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        operators.Similarity.asDouble(col("embedding")).as("c_vec"))
+    val gp = planString(operators.Similarity.knnGraphPlan(
+      ge, gc, k = 5, nprobe = 2, maxCell = 100))
     assert(!gp.contains("CartesianProduct"))
     assert(!gp.contains("Window"))
     assert(gp.contains("BroadcastNestedLoopJoin") || gp.contains("BroadcastHashJoin"),

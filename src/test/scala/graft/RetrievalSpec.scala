@@ -131,7 +131,9 @@ class RetrievalSpec extends SparkSpec {
     val q = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id").as("q_id"),
         array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ").as("q_text"))
-    val s = planString(Retrieval.bm25TopK(docs, q, k = 10))
+    // the public bm25TopK materializes DETACHED (a flat cache scan that
+    // hides the pipeline) — audit the composed plan instead
+    val s = planString(Retrieval.bm25Plan(docs, q, k = 10))
     // the corpus term stream must meet the (tiny) query-term set in a
     // broadcast join — a shuffled join here would exchange every corpus token
     assert(s.contains("BroadcastHashJoin"), s"query-term prefilter must broadcast:\n$s")
