@@ -260,6 +260,11 @@ object Dedup {
     val toks = sets.select(col("id"), explode(col("stoks")).as("stok"))
       .select(col("id"), xxhash64(col("stok")).as("tok"))
       .persist(MEMORY_AND_DISK)
+    // see cpuWidth below — the re-collect agg is equally CPU-dense
+    val cpuWidth = math.max(
+      df.sparkSession.sparkContext.defaultParallelism * 2,
+      scala.util.Try(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt).getOrElse(200))
     val sorted =
       try {
         val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
@@ -267,6 +272,7 @@ object Dedup {
         // recache (invalidate) this entry the moment it materializes,
         // and all THREE consumers would re-run the tokenize+rank agg
         CacheOps.persistMaterializedDetached(toks.join(freq, "tok")
+          .repartition(cpuWidth, col("id"))
           .groupBy(col("id"))
           .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("st"))
           .select(col("id"), transform(col("st"), e => e.getField("tok")).as("toks"),
@@ -283,7 +289,16 @@ object Dedup {
       explode(slice(col("toks"), lit(1),
         (col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1).cast("int")))
         .as("tok"))
-    val buckets = prefix.groupBy(col("tok"))
+    // CPU-DENSE WIDTH PIN (cpuWidth above; used on the re-collect, the
+    // bucket agg here, and the verify join below): these stages carry
+    // few BYTES but heavy per-row CPU (million-group object aggs; array
+    // intersects), so AQE's byte-proportional coalescing squeezes them
+    // onto 1-10 tasks while the rest of the machine idles (profiled: an
+    // 8-12 s single-task bucket agg and a 46 s-CPU verify on 10 tasks).
+    // Pinned to a core-proportional width — at cluster scale the same
+    // number is the configured shuffle width, so nothing is under-sized
+    // there.
+    val buckets = prefix.repartition(cpuWidth, col("tok")).groupBy(col("tok"))
       .agg(graft.plans.Native.minKByKey(col("id"), col("packed"), maxBucket).as("ks"))
       .select(transform(col("ks"), e => e.getField("p")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -303,6 +318,9 @@ object Dedup {
     CacheOps.persistMaterializedDetached(cands
       .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
+      // the intersect/union walk is the CPU hot loop — spread it at the
+      // pinned width (see cpuWidth above) before computing
+      .repartition(cpuWidth, col("id_a"), col("id_b"))
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .withColumn("uni",
         (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
@@ -350,8 +368,13 @@ object Dedup {
     // the edge list feeds every propagation sweep — persist it or each
     // lazy iteration re-runs the whole upstream pair-discovery pipeline
     val spark = pairs.sparkSession
+    // partitioned AND sorted on `b` — the key both hops of every sweep
+    // join on (SMJ under the loop conf): the edge side is then
+    // exchange-free and sort-free for the whole loop, and it is REBOUND
+    // below, never truncated (truncation would erase the layout)
     val edgesCache = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).sortWithinPartitions(col("b"))
       .persist(MEMORY_AND_DISK)
     // Right-sized cloned loop session — the ONE shared definition (see
     // LoopSession for the measured rationale: ~1M edge rows/partition,
@@ -372,7 +395,8 @@ object Dedup {
     def truncated(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.Bridge.rebind(
         org.apache.spark.sql.graftbridge.Bridge.truncatePlan(df), loopSession)
-    val edges = truncated(edgesCache)
+    val edges = org.apache.spark.sql.graftbridge.Bridge.rebind(
+      edgesCache, loopSession)
     // labels₀ stays lazy: it is two cheap aggregations over the cached edge
     // list, and the first sweep's materialization doubles as the first
     // convergence check — one action per sweep, none upfront

@@ -76,8 +76,16 @@ object Graph {
     // session below.
     val spark = edges.sparkSession
     val base = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // partitioned AND sorted on the per-iteration join keys: the loop
+    // session's broadcast-off conf plans every iteration join as a
+    // sort-merge join (threshold -1 also vetoes shuffled-hash), and the
+    // cached InMemoryTableScan preserves outputPartitioning AND
+    // outputOrdering — so the edge side of all `iterations` joins is
+    // exchange-free AND sort-free (without the pre-sort each iteration
+    // re-sorted the whole edge frame; profiled as the dominant loop cost)
     val (e0, nEdges) = CacheOps.persistMaterializedCounted(
-      saltEdges(base, salts).repartition(saltKeys(salts): _*))
+      saltEdges(base, salts).repartition(saltKeys(salts): _*)
+        .sortWithinPartitions(saltKeys(salts): _*))
     // The fixed-count rank loop runs in the shared right-sized cloned
     // session like kCore/LPA/HITS (r13's A/B left it in the caller
     // session; r14's re-run measured the move a ~35% win — AQE's
@@ -123,7 +131,7 @@ object Graph {
     val spark = edges.sparkSession
     val base = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val (e0, nEdges) = CacheOps.persistMaterializedCounted(
-      base.repartition(col("src")))
+      base.repartition(col("src")).sortWithinPartitions(col("src")))
     val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
     val sd = org.apache.spark.sql.graftbridge.Bridge.rebind(
@@ -485,7 +493,13 @@ object Graph {
     val spark = e0.sparkSession
     val n = if (nEdges >= 0L) nEdges else e0.count()
     val loopSession = LoopSession.forGraph(spark, n)
-    val eLoop = LoopSession.bindInto(e0, loopSession)
+    // the peel's first semi-join keys the edge frame by `a` every sweep
+    // (an SMJ under the loop conf): persist it partitioned AND sorted on
+    // `a` once so that side is exchange-free and sort-free for the whole
+    // peel; only the alive set and the already-filtered stream move
+    val eLoop = CacheOps.persistMaterialized(
+      LoopSession.bindInto(e0, loopSession)
+        .repartition(col("a")).sortWithinPartitions(col("a")))
     def degrees(alive: Option[DataFrame]): DataFrame = {
       val ef = alive match {
         case None => eLoop
@@ -513,12 +527,15 @@ object Graph {
       }
     } catch { // a mid-sweep failure must not strand the round's cache
       case t: Throwable =>
+        eLoop.unpersist(blocking = true)
         alive.foreach(_.unpersist(blocking = true)); throw t
     }
     // the surviving frame already carries in-core degrees (computed
-    // against the converged alive set on the final no-op sweep); rebind
-    // to the CALLER session — the logical plan is unchanged, so the
-    // caller's unpersist() still matches the cache entry
+    // against the converged alive set on the final no-op sweep) and is
+    // DETACHED, so the loop-layout release here cannot invalidate it;
+    // rebind to the CALLER session — the logical plan is unchanged, so
+    // the caller's unpersist() still matches the cache entry
+    eLoop.unpersist(blocking = false)
     org.apache.spark.sql.graftbridge.Bridge.rebind(alive.get, spark)
   }
 
@@ -577,9 +594,21 @@ object Graph {
       // the hub half pulls along out-edges — expressed as a src-keyed
       // join over the REVERSED frame (a map over the same cache scan),
       // so hitsLoop has one join shape both hits and hitsFromIndex share
-      val eRev = e.select(col("dst").as("src"), col("src").as("dst"))
-      try hitsLoop(spark, e, eRev, nodes, iterations, scale)
-      finally nodes.unpersist(blocking = false)
+      // both orientation frames persist partitioned AND sorted on src —
+      // the key every half-iteration's sort-merge join uses, so the
+      // edge side of all 2*iterations pulls is exchange-free and
+      // sort-free (only the nodes-sized score frame moves per half)
+      val eFwd = CacheOps.persistMaterialized(
+        e.repartition(col("src")).sortWithinPartitions(col("src")))
+      val eRev = CacheOps.persistMaterialized(
+        e.select(col("dst").as("src"), col("src").as("dst"))
+          .repartition(col("src")).sortWithinPartitions(col("src")))
+      try hitsLoop(spark, eFwd, eRev, nodes, iterations, scale)
+      finally {
+        nodes.unpersist(blocking = false)
+        eFwd.unpersist(blocking = false)
+        eRev.unpersist(blocking = false)
+      }
     } finally e0.unpersist(blocking = false)
   }
 
@@ -754,15 +783,21 @@ object Graph {
       edges: DataFrame, sweeps: Int = 4,
       runToFixpoint: Boolean = false): (DataFrame, Int) = {
     require(sweeps >= 1, s"labelPropagation needs sweeps >= 1, got $sweeps")
+    // the adjacency persists partitioned AND sorted on nbr — the key
+    // every sweep's sort-merge join uses — and is REBOUND, not
+    // truncated (truncation would erase the layout metadata), so the
+    // corpus-sized side of all `sweeps` joins is exchange-free and
+    // sort-free; only the nodes-sized label frame moves per sweep
     val (adjC, nAdj) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long"))
         .select(explode(array(
           struct(col("a").as("node"), col("b").as("nbr")),
           struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
-        .select(col("e.node").as("node"), col("e.nbr").as("nbr")))
+        .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
+        .repartition(col("nbr")).sortWithinPartitions(col("nbr")))
     val spark = edges.sparkSession
     val loopSession = LoopSession.forGraph(spark, nAdj)
-    val adj = LoopSession.bindInto(adjC, loopSession)
+    val adj = org.apache.spark.sql.graftbridge.Bridge.rebind(adjC, loopSession)
     var sweepsRun = 0
     try {
       var labels = CacheOps.persistMaterialized(
@@ -900,7 +935,7 @@ object Graph {
         checked.select(explode(array(col("src"), col("dst"))).as("src"))
           .distinct()
           .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
-        .repartition(col("src")))
+        .repartition(col("src")).sortWithinPartitions(col("src")))
   }
 
   /** One min-relaxation: edges ⋈ distances keyed by src, min(dist+w) by
@@ -1134,6 +1169,25 @@ object Graph {
           org.apache.spark.sql.graftbridge.Bridge.truncatePlan(p), loop),
           p), n)
       }
+      // Edge-shaped ROUND frames (ae, ce) instead persist HASH-
+      // PARTITIONED AND SORTED on their sweep-join key, NOT truncated:
+      // their plans stay shallow (one join/union over already-truncated
+      // boundary frames) so the analyzer still grows linearly, while the
+      // preserved layout metadata (InMemoryTableScan reports its cached
+      // plan's outputPartitioning AND outputOrdering) makes the edge
+      // side of all `sweeps` per-round sort-merge joins both
+      // exchange-free and SORT-free. The loop session's broadcast-off
+      // conf (threshold -1) also vetoes shuffled-hash selection, so
+      // every loop join is an SMJ — without the pre-sort each sweep
+      // re-sorted the whole edge frame (profiled as the dominant SCC
+      // cost); now only the nodes-sized label/mark frame is exchanged
+      // and sorted per sweep (guide §2.4; truncation would erase the
+      // layout, which is why these two frames skip it).
+      def flatKeyed(df: DataFrame, key: String): (DataFrame, DataFrame) = {
+        val p = CacheOps.persistMaterialized(
+          df.repartition(col(key)).sortWithinPartitions(col(key)))
+        (p, p)
+      }
       val e = LoopSession.bindInto(e0, loop)
       var ((active, activeP), nActive) = flat(
         e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
@@ -1187,8 +1241,8 @@ object Graph {
             else e
               .join(active.select(col("id").as("src")), Seq("src"), "left_semi")
               .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi")
-          val ((ae, aeP), _) = flat(aeEdges.unionByName(
-            active.select(col("id").as("src"), col("id").as("dst"))))
+          val (ae, aeP) = flatKeyed(aeEdges.unionByName(
+            active.select(col("id").as("src"), col("id").as("dst"))), "src")
           try {
             var f = active.select(col("id"), col("id").as("f"))
             for (_ <- 0 until sweeps)
@@ -1198,11 +1252,11 @@ object Graph {
             val ((fp, fpP), _) = flat(f)
             try {
               // color-internal edges (self rows pass trivially: f = f)
-              val ((ce, ceP), _) = flat(
+              val (ce, ceP) = flatKeyed(
                 ae.join(fp.select(col("id").as("src"), col("f").as("fs")), "src")
                   .join(fp.select(col("id").as("dst"), col("f").as("fd")), "dst")
                   .filter(col("fs") === col("fd"))
-                  .select(col("src"), col("dst")))
+                  .select(col("src"), col("dst")), "dst")
               try {
                 // backward reach from the roots, within color: a node is
                 // marked when any color-internal out-edge hits a marked
@@ -1549,7 +1603,8 @@ object Graph {
           col("deg_src"),
           expr("(deg_src + n_src - 1) div n_src").as("cut_src"),
           col("deg_dst"), col("cut_dst"))
-        .repartition(col("src")))
+        .repartition(col("src"))
+        .sortWithinPartitions(col("src"), col("cw_lo")))
     val loop = LoopSession.forGraph(spark, nE, rowsPerPartition = 100000L)
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
     // Cutpoint expansion (weighted only): one row per (edge, bucket its
@@ -1560,7 +1615,8 @@ object Graph {
       else Some(CacheOps.persistMaterialized(
         e.withColumn("bkt", explode(expr(
             "sequence(cw_lo div cut_src, (cw_hi - 1) div cut_src)")))
-          .repartition(col("src"), col("bkt"))))
+          .repartition(col("src"), col("bkt"))
+          .sortWithinPartitions(col("src"), col("bkt"))))
     // H(seed, start, walk, step) as a portable 60-bit integer (15 md5
     // hex chars — the shared sampler width; a 32-bit draw would silently
     // cap weight-proportionality at Σw = 2³², ADVICE r15)
@@ -1745,7 +1801,7 @@ object Graph {
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       }
     val (e0, nE) = CacheOps.persistMaterializedCounted(
-      base.repartition(col("src")))
+      base.repartition(col("src")).sortWithinPartitions(col("src")))
     // Unlike the first-order walks, the per-step traffic here is
     // Σ outdeg(cur) — CORPUS-sized, not walks-sized — so the loop keeps
     // whole-stage codegen ON (codegenCutoff = 0: the r16 shard bench read
@@ -1761,7 +1817,8 @@ object Graph {
     // join the steps repeat)
     val nb = CacheOps.persistMaterialized(
       e.select(col("src").as("prev"), col("dst"), lit(1L).as("isn"))
-        .repartition(col("prev"), col("dst")))
+        .repartition(col("prev"), col("dst"))
+        .sortWithinPartitions(col("prev"), col("dst")))
     def h(step: Int): Column =
       conv(substring(md5(concat_ws("-", lit(seed), col("start"), col("wk"),
         lit(step.toLong)).cast("binary")), 1, 15), 16, 10).cast("long")
@@ -2050,7 +2107,8 @@ object Graph {
     val (e0, nEdges) = CacheOps.persistMaterializedCounted(
       saltEdges(edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long")), salts)
-        .repartition(saltKeys(salts): _*))
+        .repartition(saltKeys(salts): _*)
+        .sortWithinPartitions(saltKeys(salts): _*))
     val loop = LoopSession.forGraph(spark, nEdges, rowsPerPartition = 100000L)
     val e = org.apache.spark.sql.graftbridge.Bridge.rebind(e0, loop)
     val nd = e.select(col("src").as("id"), col("w").as("c"))
