@@ -23,10 +23,24 @@ final case class Tables(spark: SparkSession, dir: String) {
     * gate). Data-adaptive, not config: at real scale the scan already
     * has ≥ cores splits and this is the identity, so no corpus-sized
     * shuffle is ever added. Only fact tables route through here —
-    * dimension tables stay broadcast-sized single scans. */
-  private def spread(df: DataFrame): DataFrame = {
+    * dimension tables stay broadcast-sized single scans.
+    *
+    * ORDERING CONTRACT (ADVICE r16): the round-robin repartition does
+    * not preserve file row order, so a table read through here has NO
+    * deterministic row order — gates using order-sensitive ops
+    * (collect_list, first) must sort explicitly, as everywhere else.
+    *
+    * The split probe (`df.rdd.getNumPartitions`) pays a full physical-
+    * planning pass, so the DECISION is memoized per (path, want): gates
+    * that reference a fact table several times plan the probe once per
+    * JVM, not once per accessor call (ADVICE r16). The file layout of a
+    * data dir is immutable for a run, so the memo can never go stale. */
+  private def spread(name: String, df: DataFrame): DataFrame = {
     val want = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 < want) df.repartition(want) else df
+    val need = Tables.spreadMemo.computeIfAbsent(
+      (s"$dir/$name", want),
+      _ => Boolean.box(df.rdd.getNumPartitions * 4 < want))
+    if (need) df.repartition(want) else df
   }
 
   /** Normalise a timestamp-carrying column to session-TZ TimestampType
@@ -52,9 +66,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame   = t("customer")
   def supplier: DataFrame   = t("supplier")
   def part: DataFrame       = t("part")
-  def orders: DataFrame     = spread(normTs(t("orders"), "o_orderdate"))
-  def lineitem: DataFrame   = spread(normTs(t("lineitem"), "l_shipdate"))
-  def events: DataFrame     = spread(normTs(t("events"), "ts"))
-  def documents: DataFrame  = spread(t("documents"))
-  def embeddings: DataFrame = spread(t("embeddings"))
+  def orders: DataFrame     = spread("orders", normTs(t("orders"), "o_orderdate"))
+  def lineitem: DataFrame   = spread("lineitem", normTs(t("lineitem"), "l_shipdate"))
+  def events: DataFrame     = spread("events", normTs(t("events"), "ts"))
+  def documents: DataFrame  = spread("documents", t("documents"))
+  def embeddings: DataFrame = spread("embeddings", t("embeddings"))
+}
+
+object Tables {
+  /** spread()'s split-probe memo — see the doc there. Keyed on (path,
+    * cores) so a different session width re-probes; holds only a
+    * Boolean decision, never data. */
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Boolean]()
 }

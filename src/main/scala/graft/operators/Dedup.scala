@@ -370,8 +370,7 @@ object Dedup {
     val spark = pairs.sparkSession
     // partitioned AND sorted on `b` — the key both hops of every sweep
     // join on (SMJ under the loop conf): the edge side is then
-    // exchange-free and sort-free for the whole loop, and it is REBOUND
-    // below, never truncated (truncation would erase the layout)
+    // exchange-free and sort-free for the whole loop
     val edgesCache = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b")).sortWithinPartitions(col("b"))
@@ -395,8 +394,14 @@ object Dedup {
     def truncated(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.Bridge.rebind(
         org.apache.spark.sql.graftbridge.Bridge.truncatePlan(df), loopSession)
+    // truncated WITH layout (ADVICE r16): the flat LogicalRDD keeps the
+    // cached hashpartitioning(b)+sort metadata, so the sweeps' edge side
+    // stays exchange-free and sort-free AND the upstream pair-discovery
+    // plan (e.g. a whole kNN pipeline) is no longer re-embedded ~5x into
+    // every sweep's logical plan for the analyzer/CacheManager to re-walk
     val edges = org.apache.spark.sql.graftbridge.Bridge.rebind(
-      edgesCache, loopSession)
+      org.apache.spark.sql.graftbridge.Bridge.truncatePlanKeepLayout(edgesCache),
+      loopSession)
     // labels₀ stays lazy: it is two cheap aggregations over the cached edge
     // list, and the first sweep's materialization doubles as the first
     // convergence check — one action per sweep, none upfront

@@ -467,7 +467,7 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxSweeps: Int = 20): DataFrame = {
     val (e0, n) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long")))
-    try kCoreOn(e0, k, maxSweeps, n)
+    try kCoreOn(e0, k, maxSweeps, n, releaseInput = true)
     finally e0.unpersist(blocking = false)
   }
 
@@ -484,7 +484,8 @@ object Graph {
     * derives its k from the same frame) avoid a second corpus-sized
     * cache of identical data. The caller owns e0's release. */
   private[graft] def kCoreOn(e0: DataFrame, k: Int, maxSweeps: Int,
-                             nEdges: Long = -1L): DataFrame = {
+                             nEdges: Long = -1L,
+                             releaseInput: Boolean = false): DataFrame = {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     require(maxSweeps >= 1, s"k-core needs maxSweeps >= 1, got $maxSweeps")
     // Peel sweeps run in the shared right-sized loop session; callers
@@ -500,6 +501,10 @@ object Graph {
     val eLoop = CacheOps.persistMaterialized(
       LoopSession.bindInto(e0, loopSession)
         .repartition(col("a")).sortWithinPartitions(col("a")))
+    // a caller with no later use of e0 hands its release here so the peel
+    // never holds TWO edge-sized caches (eLoop is built from e0's
+    // truncated plan — this release cannot recache it); VERDICT r16 #6
+    if (releaseInput) e0.unpersist(blocking = false)
     def degrees(alive: Option[DataFrame]): DataFrame = {
       val ef = alive match {
         case None => eLoop
@@ -603,6 +608,11 @@ object Graph {
       val eRev = CacheOps.persistMaterialized(
         e.select(col("dst").as("src"), col("src").as("dst"))
           .repartition(col("src")).sortWithinPartitions(col("src")))
+      // e0 has no consumer past this point — nodes/eFwd/eRev are all
+      // materialized from its TRUNCATED plan (bindInto), so this release
+      // cannot recache them; holding e0 through the loop tripled the
+      // edge-sized cache residency for nothing (ADVICE r16)
+      e0.unpersist(blocking = false)
       try hitsLoop(spark, eFwd, eRev, nodes, iterations, scale)
       finally {
         nodes.unpersist(blocking = false)
@@ -784,10 +794,9 @@ object Graph {
       runToFixpoint: Boolean = false): (DataFrame, Int) = {
     require(sweeps >= 1, s"labelPropagation needs sweeps >= 1, got $sweeps")
     // the adjacency persists partitioned AND sorted on nbr — the key
-    // every sweep's sort-merge join uses — and is REBOUND, not
-    // truncated (truncation would erase the layout metadata), so the
-    // corpus-sized side of all `sweeps` joins is exchange-free and
-    // sort-free; only the nodes-sized label frame moves per sweep
+    // every sweep's sort-merge join uses — so the corpus-sized side of
+    // all `sweeps` joins is exchange-free and sort-free; only the
+    // nodes-sized label frame moves per sweep
     val (adjC, nAdj) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long"))
         .select(explode(array(
@@ -797,7 +806,12 @@ object Graph {
         .repartition(col("nbr")).sortWithinPartitions(col("nbr")))
     val spark = edges.sparkSession
     val loopSession = LoopSession.forGraph(spark, nAdj)
-    val adj = org.apache.spark.sql.graftbridge.Bridge.rebind(adjC, loopSession)
+    // truncated WITH layout (ADVICE r16): keeps the hashpartitioning(nbr)
+    // + sort metadata while flattening the upstream adjacency plan out of
+    // every sweep's logical tree
+    val adj = org.apache.spark.sql.graftbridge.Bridge.rebind(
+      org.apache.spark.sql.graftbridge.Bridge.truncatePlanKeepLayout(adjC),
+      loopSession)
     var sweepsRun = 0
     try {
       var labels = CacheOps.persistMaterialized(
@@ -1582,7 +1596,11 @@ object Graph {
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       }
     val wSrc = Window.partitionBy(col("src")).orderBy(col("dst"))
-    val wAll = Window.partitionBy(col("src"))
+    // per-src totals share wSrc's partitioning and ordering (unbounded
+    // frame) so all four ride ONE Window operator — a separate unordered
+    // spec costs a second Sort+Window pass over the edge frame
+    val wAll = wSrc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val rk0 = base.select(col("src"), col("dst"),
       (sum(col("w")).over(wSrc) - col("w")).as("cw_lo"),
       sum(col("w")).over(wSrc).as("cw_hi"),
@@ -1852,7 +1870,13 @@ object Graph {
               .otherwise(lit(biasFar)) * col("w")).as("aw"))
         val wWalk = Window.partitionBy(col("start"), col("wk"))
           .orderBy(col("dst"))
-        val wTot = Window.partitionBy(col("start"), col("wk"))
+        // the partition total shares wWalk's partitioning AND ordering
+        // (an unbounded frame over the same sorted run), so Catalyst
+        // plans ONE Window operator — a separate unordered spec costs a
+        // second Sort+Window pass over the corpus-sized candidate stream
+        // per step (VERDICT r16 #5). Sums are longs: frame-order exact.
+        val wTot = wWalk.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
         val cum = cand.select(col("start"), col("wk"), col("node"),
           col("hh"), col("dst"),
           (sum(col("aw")).over(wWalk) - col("aw")).as("lo"),

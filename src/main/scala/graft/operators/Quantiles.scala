@@ -174,7 +174,11 @@ object Quantiles {
     import org.apache.spark.sql.expressions.Window
     val gc = groupCols.map(col)
     val w = Window.partitionBy(gc: _*).orderBy("v")
-    val wAll = Window.partitionBy(gc: _*)
+    // the group total shares w's partitioning AND ordering (unbounded
+    // frame), so all three sums ride ONE Window operator — a separate
+    // unordered spec costs a second Sort+Window pass over the histogram
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     var cum = hist
       .withColumn("hi", sum(col("c")).over(w))
       .withColumn("lo", col("hi") - col("c"))
@@ -259,7 +263,10 @@ object Quantiles {
       .filter(col("v").isNotNull)
       .groupBy(col("__wg"), col("v")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("__wg").orderBy("v")
-    val wAll = Window.partitionBy("__wg")
+    // unbounded frame on the SAME ordered spec: one Window operator, one
+    // sort pass (a separate unordered spec costs a second Sort+Window)
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val cum = hist
       .withColumn("hi_", sum(col("c")).over(w))
       .withColumn("lo_", col("hi_") - col("c"))

@@ -1730,8 +1730,11 @@ object DataOps {
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
     val tagged = uw
+      // unbounded frame on the same ordered spec as the lag: one Window
+      // operator, one sort pass (min over the whole partition is
+      // order-independent)
       .withColumn("first_week", min(col("week")).over(
-        Window.partitionBy(col("user_id"))))
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("prev_week", lag(col("week"), 1).over(w))
       .withColumn("status",
         when(col("week") === col("first_week"), "new")
@@ -2010,7 +2013,29 @@ object DataOps {
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val src0 = spark.readStream.schema(raw.schema).parquet(stage.toString)
+    // The replay runs in a cloned session whose shuffle width — which for
+    // a streaming query is ALSO the number of state-store instances every
+    // stateful operator commits per micro-batch — is sized to the staged
+    // bytes (guide §2.2 fewer-larger partitions, §5 per-task state): a
+    // single small file replay otherwise schedules `spark.sql.shuffle
+    // .partitions` state stores × operators × micro-batches of pure
+    // overhead (measured: the state+sink stages dominate these gates at
+    // sf0.1). Data-adaptive, never a local constant: at real scale
+    // bytes/8MB exceeds any configured width, so the caller's width is
+    // preserved verbatim.
+    val callerParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val bytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val parts = math.max(1L, math.min(callerParts.toLong, bytes / (8L << 20) + 1L))
+    // checkpoint on tmpfs (see TempDirs.createEphemeral): a bounded
+    // replay's offset/commit/state files are exit-deleted, so the only
+    // thing ext4 adds is an fsync per file per micro-batch
+    val sess = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(spark,
+      Map("spark.sql.shuffle.partitions" -> parts.toString,
+        "spark.sql.streaming.checkpointLocation" ->
+          TempDirs.createEphemeral("graft_sevents_ckpt")))
+    val src0 = sess.readStream.schema(raw.schema).parquet(stage.toString)
     (raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -2023,13 +2048,14 @@ object DataOps {
 
   def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
     val src = stagedEventsStream(spark, dir)
+    val sess = src.sparkSession // the right-sized replay session
     val sink = "graft_stream_funnel_sink"
-    spark.catalog.dropTempView(sink)
+    sess.catalog.dropTempView(sink)
     val q = graft.streaming.EventStream
-      .funnelStream(spark, src, Seq("view", "click", "purchase"))
+      .funnelStream(sess, src, Seq("view", "click", "purchase"))
       .writeStream.format("memory").queryName(sink).outputMode("update").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(sink)
+    sess.table(sink)
       .groupBy(col("user_id"))
       .agg(max(col("depth")).cast("bigint").as("depth"))
   }
@@ -2085,13 +2111,26 @@ object DataOps {
       fs.setTimes(dest, 1000000000000L + k * 60000L, -1)
       lo = hi
     }
-    val src = spark.readStream.schema(docs.schema)
+    // same right-sized replay session as stagedEventsStream: the three
+    // micro-batches' dedup joins, index probes and bucketed writes are
+    // batch-sized — at the caller's width every one of them schedules
+    // `shuffle.partitions` tasks per batch (state-free here, but the
+    // same small-replay overhead shape); width from the staged bytes,
+    // caller width at real scale.
+    val callerParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    val inBytes = fs.getContentSummary(new Path(inDir)).getLength
+    val parts = math.max(1L,
+      math.min(callerParts.toLong, inBytes / (8L << 20) + 1L))
+    val sess = org.apache.spark.sql.graftbridge.Bridge.sessionWithConf(spark,
+      Map("spark.sql.shuffle.partitions" -> parts.toString))
+    val src = sess.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val idx = GateIndex.gatePrefix(spark, "graft_sdi_gate", dir) + "_run"
     GateIndex.dropGateTable(spark, idx)
     val q = graft.streaming.EventStream.dedupStreamAgainstIndex(
       src, idx, indexBuckets = 8, idCol = "doc_id", keyCol = "text",
-      checkpoint = s"$stage/ckpt") { kept =>
+      checkpoint = TempDirs.createEphemeral("graft_sdi_ckpt")) { kept =>
       kept.select(col("doc_id")).write.mode("append").parquet(outDir)
     }
     try q.processAllAvailable() finally q.stop()
@@ -2112,13 +2151,14 @@ object DataOps {
     * to the oracle's NULL. */
   def qStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
     val src = stagedEventsStream(spark, dir)
+    val sess = src.sparkSession // the right-sized replay session
     val sink = "graft_stream_attr_sink"
-    spark.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStream.attributionStream(spark, src)
+    sess.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStream.attributionStream(sess, src)
       .toDF()
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(sink).select(col("event_id"), col("user_id"), col("sess"),
+    sess.table(sink).select(col("event_id"), col("user_id"), col("sess"),
       when(col("first_view_id") < 0, lit(null).cast("long"))
         .otherwise(col("first_view_id")).as("first_view_id"))
   }
@@ -2137,13 +2177,14 @@ object DataOps {
     * the weekly counts, using the identical integer-moment algebra. */
   def qStreamAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val src = stagedEventsStream(spark, dir)
+    val sess = src.sparkSession // the right-sized replay session
     val sink = "graft_stream_anomaly_sink"
-    spark.catalog.dropTempView(sink)
-    val q = graft.streaming.EventStream.weeklyAnomalyStream(spark, src)
+    sess.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStream.weeklyAnomalyStream(sess, src)
       .toDF()
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(sink).select(col("event_type"),
+    sess.table(sink).select(col("event_type"),
       date_format(timestamp_micros(col("week_start_us")), "yyyy-MM-dd").as("week"),
       col("n"), col("z"))
   }
@@ -2185,8 +2226,10 @@ object DataOps {
   def qStreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables(spark, dir).events
     val sink = "graft_stream_hh_sink"
-    spark.catalog.dropTempView(sink)
-    val q = stagedEventsStream(spark, dir).withWatermark("ts", "2 hours")
+    val src = stagedEventsStream(spark, dir)
+    val sess = src.sparkSession // the right-sized replay session
+    sess.catalog.dropTempView(sink)
+    val q = src.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "6 hours"))
       .agg(graft.plans.Native.misraGries(xxhash64(col("event_type")), 8).as("mg"))
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
@@ -2194,7 +2237,7 @@ object DataOps {
     // hash → name through the (tiny) type dim; broadcast by size
     val dim = events.select(col("event_type")).distinct()
       .withColumn("h", xxhash64(col("event_type")))
-    spark.table(sink)
+    sess.table(sink)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
         explode(col("mg")).as("e"))
       .select(col("win"), col("e.id").as("h"), col("e.c").as("n"))
@@ -2229,14 +2272,16 @@ object DataOps {
     * watermark closed (the q_stream_heavy_hitters wm model). */
   def qStreamPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val sink = "graft_stream_pct_sink"
-    spark.catalog.dropTempView(sink)
-    val q = stagedEventsStream(spark, dir).withWatermark("ts", "2 hours")
+    val src = stagedEventsStream(spark, dir)
+    val sess = src.sparkSession // the right-sized replay session
+    sess.catalog.dropTempView(sink)
+    val q = src.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"),
         floor(col("value") * lit(100.0)).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    val hist = spark.table(sink)
+    val hist = sess.table(sink)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
         col("event_type"), col("v"), col("c"))
     Quantiles.groupPercentilesFromHist(hist, Seq("win", "event_type"),
@@ -2302,12 +2347,14 @@ object DataOps {
     * the q_stream_heavy_hitters model). */
   def qStreamSketchPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val sink = "graft_stream_spct_sink"
-    spark.catalog.dropTempView(sink)
+    val src = stagedEventsStream(spark, dir)
+    val sess = src.sparkSession // the right-sized replay session
+    sess.catalog.dropTempView(sink)
     // 60-bit portable row hash: within-group sample order must replay in
     // SQL (lexicographic 15-hex == numeric 60-bit order)
     val h = conv(substring(md5(concat(col("event_type"), lit("-"),
       col("event_id")).cast("binary")), 1, 15), 16, 10).cast("long")
-    val q = stagedEventsStream(spark, dir).withWatermark("ts", "2 hours")
+    val q = src.withWatermark("ts", "2 hours")
       .select(col("ts"), col("event_type"), h.as("__h"),
         floor(col("value") * lit(100.0)).cast("long").as("v"))
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
@@ -2315,7 +2362,7 @@ object DataOps {
         graft.plans.Native.minKByKey(col("__h"), col("v"), 256).as("ks"))
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(sink)
+    sess.table(sink)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
         col("event_type"), col("n_total"),
         sort_array(transform(col("ks"), e => e.getField("p"))).as("s"))
@@ -4015,7 +4062,11 @@ object DataOps {
       .select(col("source"), TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("nt"))
     val hist = d.groupBy(col("source"), col("nt")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("nt")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    // unbounded frame on the same ordered spec: one Window operator, one
+    // sort pass over the histogram
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     // value nt covers 0-based sorted ranks [lo, hi); totals fold into the
     // same histogram pass so the plan keeps a single FileScan
     val cum = hist
@@ -4412,7 +4463,7 @@ object DataOps {
       val medianDeg = deg0.orderBy(col("deg"), col("id"))
         .limit(((n + 1) / 2).toInt).agg(max(col("deg"))).head().getLong(0)
       Graph.kCoreOn(e, k = math.max(2L, medianDeg / 2).toInt, maxSweeps = 8,
-          nEdges = nE)
+          nEdges = nE, releaseInput = true)
         .orderBy(col("id"))
     } finally e.unpersist(blocking = false)
   }

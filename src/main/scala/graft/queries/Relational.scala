@@ -435,7 +435,11 @@ object Relational {
     * unfiltered they would sort below every value and shift every rank. */
   private def intOrderStatNumerator(df: DataFrame, key: String, num: Int, den: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key).orderBy("v")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    // unbounded frame on the same ordered spec: one Window operator, one
+    // sort pass over the histogram
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val cum = df.filter(col("v").isNotNull)
       .groupBy(col(key), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("hi", sum(col("c")).over(w))

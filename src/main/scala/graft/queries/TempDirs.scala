@@ -30,6 +30,23 @@ object TempDirs {
     p.toString
   }
 
+  /** A temp dir for EPHEMERAL-BY-DESIGN state (bounded-replay stream
+    * checkpoints: offset/commit logs + state-store deltas are dozens of
+    * small fsync'd files per run), rooted on tmpfs when the platform has
+    * one — the files never need to survive the process (the whole dir is
+    * exit-deleted either way), so disk durability buys nothing and costs
+    * an fsync per file. Production streams pass their own durable
+    * checkpoint path; this is only for gates that replay a staged file. */
+  def createEphemeral(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) {
+      val p = java.nio.file.Files.createTempDirectory(shm, prefix)
+      registry.add(p)
+      p.toString
+    } else create(prefix)
+  }
+
   /** Delete a staged directory NOW and drop it from the exit registry —
     * call only when every lazy frame over the staged files is consumed. */
   def release(dir: String): Unit = {

@@ -31,6 +31,24 @@ object Bridge {
       ClassicConversions.castToImpl(df).queryExecution.toRdd, df.schema)
   }
 
+  /** [[truncatePlan]] KEEPING the physical layout metadata: the flat
+    * LogicalRDD records the executed plan's outputPartitioning and
+    * outputOrdering (attribute-rewritten onto the new output), so a
+    * persisted truncated frame still satisfies downstream exchange/sort
+    * requirements — plain truncation erases both and every consumer
+    * re-shuffles and re-sorts data that is already laid out (ADVICE r16:
+    * representatives() had to give up truncation entirely to keep its
+    * layout, re-embedding the whole upstream plan per sweep). Built on
+    * Spark's own LogicalRDD.fromDataset (the Dataset.checkpoint path). */
+  def truncatePlanKeepLayout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = ClassicConversions.castToImpl(df)
+    val rdd = classic.queryExecution.toRdd
+    val lr = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, classic, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      ClassicConversions.castToImpl(df.sparkSession), lr)
+  }
+
   /** [[truncatePlan]] exposing the raw execution RDD alongside the
     * truncated frame: an iterative operator can run its per-sweep
     * convergence scan as ONE RDD job over InternalRows instead of paying
@@ -77,6 +95,12 @@ object Bridge {
     confs.foreach { case (k, v) => c.conf.set(k, v) }
     c
   }
+
+  /** The formatted explain text as a string (Dataset.explain only prints)
+    * — for the plan-dump evidence files. */
+  def explainFormatted(df: org.apache.spark.sql.DataFrame): String =
+    ClassicConversions.castToImpl(df).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   /** Rebind `df`'s logical plan to another session of the same context:
     * operations and actions on the result plan/execute under `spark`'s

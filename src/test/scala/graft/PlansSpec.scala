@@ -244,6 +244,66 @@ class PlansSpec extends SparkSpec {
     } finally cells.unpersist(blocking = true)
   }
 
+  test("histogram percentiles: cumulative and total sums share ONE Window operator") {
+    // r17: the group total used to ride a second unordered Window spec —
+    // a full extra Sort+Window pass over every histogram (and, in the
+    // walk operators, over the corpus-sized per-step candidate stream).
+    // The total is now an unbounded frame on the SAME ordered spec, which
+    // Catalyst plans as one Window operator; this pins that shape.
+    val hist = Tables(spark, sf).documents
+      .select(col("source"), (col("doc_id") % 7).as("v"))
+      .groupBy(col("source"), col("v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+    val df = operators.Quantiles.groupPercentilesFromHist(
+      hist, Seq("source"), Seq(("p50", 1L, 2L)))
+    val wins = nodes(executed(df)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1,
+      s"expected ONE Window operator (shared sort), got ${wins.size}")
+    // and the single operator carries both the running and the unbounded
+    // frame (3 window expressions: hi, lo's input, n)
+    assert(wins.head.windowExpression.size >= 2,
+      s"expected the total folded into the same Window:\n${wins.head}")
+  }
+
+  test("public detached results: one flat cache scan, no cached-input reference") {
+    // ADVICE r16: the composed-plan audits read private *Plan helpers, so
+    // a regression in the PUBLIC wrapper itself (a stray repartition, a
+    // lost detach) would escape them. This guard pins the wrapper
+    // contract: the result is exactly one cache scan, and the cached plan
+    // is a flat RDD scan referencing NO input cache — which is what makes
+    // the operators' input releases unable to invalidate the result.
+    val e = Tables(spark, sf).embeddings
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        operators.Similarity.asDouble(col("embedding")).as("c_vec"))
+    val docs = Tables(spark, sf).documents
+    val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    Seq(
+      "semDedup" -> operators.Similarity.semDedup(e, cents, tau = 0.3),
+      "knnGraph" -> operators.Similarity.knnGraph(e, cents, k = 5, nprobe = 2,
+        maxCell = 100),
+      "bm25TopK" -> operators.Retrieval.bm25TopK(docs, qs, k = 3)
+    ).foreach { case (nm, df) =>
+      try {
+        val scans = nodes(executed(df)).collect {
+          case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
+        }
+        assert(scans.size == 1,
+          s"$nm: expected exactly one cache scan, got ${scans.size}")
+        val cached = scans.head.relation.cachedPlan
+        assert(!nodes(cached).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+          s"$nm: detached result still references an input cache:\n$cached")
+        assert(nodes(cached).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]),
+          s"$nm: expected a flat RDD scan under the cache:\n$cached")
+      } finally df.unpersist(blocking = true)
+    }
+  }
+
   test("minhash candidates: no cross join anywhere in the plan") {
     val df = operators.Dedup.minhashCandidates(Tables(spark, sf).documents, "doc_id", "text")
     val s = planString(df)
