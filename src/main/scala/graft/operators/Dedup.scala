@@ -302,21 +302,47 @@ object Dedup {
       .agg(graft.plans.Native.minKByKey(col("id"), col("packed"), maxBucket).as("ks"))
       .select(transform(col("ks"), e => e.getField("p")).as("ids"))
       .filter(size(col("ids")) > 1)
-    val cands = buckets.select(explode(flatten(transform(col("ids"),
-        (a, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a").as("pa"), col("p.b").as("pb"))
+    // TWO-LEVEL pair explode (r17): the one-shot flatten emitted a
+    // bucket's whole s(s−1)/2 pair set inside its aggregation task — a
+    // capped hot bucket (4096 members) is 8.4M pairs in ONE task, and
+    // the stage profile showed that straggler as the gate's dominant
+    // cost (18.9 s wall on a 0.6 s median). Level 1 emits one row per
+    // bucket MEMBER carrying its pair tail (the later members that can
+    // still pass the length filter — the same predicate the pair filter
+    // applied, decided per element here so pruned pairs never shuffle);
+    // a round-robin repartition then spreads the ≤ maxBucket-sized
+    // tails across the pinned width, and level 2 explodes each tail in
+    // place — per-task work is now O(maxBucket) per row, not
+    // O(maxBucket²) per bucket. Output multiset is identical.
+    val cands = buckets
+      .select(posexplode(col("ids")).as(Seq("__i", "pa")), col("ids"))
+      .select(col("pa"), filter(
+          slice(col("ids"), col("__i") + lit(2), size(col("ids"))),
+          pb => lit(tDen.toLong) * least(shiftright(col("pa"), 40),
+              shiftright(pb, 40)) >=
+            lit(tNum.toLong) * greatest(shiftright(col("pa"), 40),
+              shiftright(pb, 40))).as("tail"))
+      .filter(size(col("tail")) > 0)
+      .repartition(cpuWidth)
+      .select(col("pa"), explode(col("tail")).as("pb"))
       .withColumn("na", shiftright(col("pa"), 40))
       .withColumn("nb", shiftright(col("pb"), 40))
-      .filter(lit(tDen.toLong) * least(col("na"), col("nb")) >=
-        lit(tNum.toLong) * greatest(col("na"), col("nb")))
       .select((col("pa") - shiftleft(col("na"), 40)).as("id_a"),
         (col("pb") - shiftleft(col("nb"), 40)).as("id_b"))
       .distinct()
     // pairs-sized; materializing it lets the corpus-sized sorted cache go
-    // (DETACHED so that very release cannot invalidate it)
+    // (DETACHED so that very release cannot invalidate it).
+    // The explicit widths on the two verify probes keep AQE from running
+    // them at the DISTINCT's byte-proportional width: the pair stream is
+    // 16 bytes/row but each probe fetches two token ARRAYS per pair and
+    // the intersect walk is the CPU hot loop — profiled at 16 AQE-chosen
+    // tasks (63.7 s task time) while the other half of the machine
+    // idled. The repartitions sit where the joins need an exchange
+    // anyway, so no new shuffle is added.
     CacheOps.persistMaterializedDetached(cands
+      .repartition(cpuWidth, col("id_a"))
       .join(sorted.select(col("id").as("id_a"), col("toks").as("__ta")), "id_a")
+      .repartition(cpuWidth, col("id_b"))
       .join(sorted.select(col("id").as("id_b"), col("toks").as("__tb")), "id_b")
       // the intersect/union walk is the CPU hot loop — spread it at the
       // pinned width (see cpuWidth above) before computing

@@ -1946,91 +1946,131 @@ object Graph {
     * contraction preserves m, so the [[modularity]] m < 1.5·10⁹ bound
     * holds once for the whole level loop (ENFORCED per step). */
   def louvainStepWeighted(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val caller = edges.sparkSession
     val (e0c, nE) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long"),
         col("w").cast("long")))
-    val labC = labels.select(col("id").cast("long"),
-      col("community").cast("long")).persist(MEMORY_AND_DISK)
-    // The step is a fixed pipeline of keyed joins/aggs whose frames are
-    // nodes-or-edges-sized — the same profile as the sweep loops, so it
-    // runs in the shared right-sized cloned session (AQE's per-exchange
-    // materialize-and-replan and per-join codegen dominate small
-    // graphs; at cluster scale loopParts keeps the caller's width).
-    // rebind, not truncate: the shared CacheManager serves both
-    // persists inside the loop.
+    try louvainSweeps(e0c, nE, labels, sweeps = 1)
+    finally e0c.unpersist(blocking = false)
+  }
+
+  /** `sweeps` synchronous [[louvainStepWeighted]] moves over ONE
+    * persisted edge frame, with the level-invariant pieces — the loop
+    * session, the m scalar check, the weighted degree frame and the
+    * (node, nbr, w) adjacency — built ONCE and shared by every sweep
+    * (the r17 q_louvain profile showed each step call rebuilding all
+    * three plus re-persisting the already-cached edges). Only the
+    * label-dependent joins run per sweep. Returns the final labels as a
+    * DETACHED caller-session persist (the labelPropagation contract);
+    * `labels0` is never unpersisted here.
+    *
+    * The step is a fixed pipeline of keyed joins/aggs whose frames are
+    * nodes-or-edges-sized — the same profile as the sweep loops, so it
+    * runs in the shared right-sized cloned session (AQE's per-exchange
+    * materialize-and-replan and per-join codegen dominate small graphs;
+    * at cluster scale loopParts keeps the caller's width). rebind, not
+    * truncate: the shared CacheManager serves the persists inside. */
+  private[graft] def louvainSweeps(e0c: DataFrame, nE: Long,
+                                   labels0: DataFrame,
+                                   sweeps: Int): DataFrame = {
+    require(sweeps >= 1, s"louvainSweeps needs sweeps >= 1, got $sweeps")
+    val caller = e0c.sparkSession
     val loopS = LoopSession.forGraph(caller, nE)
     val e0 = org.apache.spark.sql.graftbridge.Bridge.rebind(e0c, loopS)
-    val lab = org.apache.spark.sql.graftbridge.Bridge.rebind(labC, loopS)
-    try {
-      val m = e0.agg(sum(col("w")).as("m"))
-        .select(assert_true(col("m") < 1500000000L,
-            lit("louvainStep: 4*m^2 must fit a long — m < 1.5e9")).as("__ck"),
-          col("m"))
-        .filter(col("__ck").isNull).drop("__ck")
-      // (id, deg, community) feeds the community degree sums AND the
-      // per-node decision frame; the endpoint explode gives a self-loop
-      // its 2w degree contribution for free (both sides land on a)
-      val degW = e0.select(explode(array(
+    val m = e0.agg(sum(col("w")).as("m"))
+      .select(assert_true(col("m") < 1500000000L,
+          lit("louvainStep: 4*m^2 must fit a long — m < 1.5e9")).as("__ck"),
+        col("m"))
+      .filter(col("__ck").isNull).drop("__ck")
+    // (id, deg) feeds every sweep's community degree sums AND decision
+    // frame; the endpoint explode gives a self-loop its 2w degree
+    // contribution for free (both sides land on a). Label-independent —
+    // persisted once for the whole sweep loop.
+    val degW = CacheOps.persistMaterialized(
+      e0.select(explode(array(
           struct(col("a").as("id"), col("w")),
           struct(col("b").as("id"), col("w")))).as("e"))
         .select(col("e.id").as("id"), col("e.w").as("w"))
-        .groupBy(col("id")).agg(sum(col("w")).as("deg"))
-      val degL = CacheOps.persistMaterialized(degW.join(lab, "id"))
-      try {
-        val dc = degL.groupBy(col("community"))
-          .agg(sum(col("deg")).as("dsum"))
-        // v's edge mass into each adjacent community — the one
-        // corpus-sized aggregation; referenced twice (own-community
-        // lookup + move candidates), hence persisted. Self-loops are
-        // excluded (u ≠ v).
-        val adj = e0.filter(col("a") =!= col("b")).select(explode(array(
-            struct(col("a").as("node"), col("b").as("nbr"), col("w")),
-            struct(col("b").as("node"), col("a").as("nbr"), col("w")))).as("e"))
-          .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
-            col("e.w").as("w"))
-        val evd = CacheOps.persistMaterialized(
-          adj.join(lab.select(col("id").as("nbr"), col("community").as("d")),
-              "nbr")
-            .groupBy(col("node").as("id"), col("d"))
-            .agg(sum(col("w")).as("ec")))
+        .groupBy(col("id")).agg(sum(col("w")).as("deg")))
+    // v's edge mass rides (node, nbr, w) rows; self-loops are excluded
+    // (u ≠ v). Label-independent; persisted only when >1 sweep reads it
+    // (a single sweep composes it into evd exactly as before).
+    val adjPlan = e0.filter(col("a") =!= col("b")).select(explode(array(
+        struct(col("a").as("node"), col("b").as("nbr"), col("w")),
+        struct(col("b").as("node"), col("a").as("nbr"), col("w")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
+        col("e.w").as("w"))
+    val adjShared =
+      if (sweeps > 1) Some(CacheOps.persistMaterialized(adjPlan)) else None
+    val adj = adjShared.getOrElse(adjPlan)
+    // each sweep references its label frame twice (degree join + mass
+    // join) — the incoming frame is persisted so a lazy caller plan
+    // can't execute twice; stepped states are already persisted
+    val labC = labels0.select(col("id").cast("long"),
+      col("community").cast("long")).persist(MEMORY_AND_DISK)
+    var labCur: DataFrame = null // internal stepped persists (released here)
+    try {
+      var out: DataFrame = null
+      for (_ <- 1 to sweeps) {
+        val lab =
+          if (labCur != null) labCur
+          else org.apache.spark.sql.graftbridge.Bridge.rebind(labC, loopS)
+        // per-sweep: the label-dependent joins only
+        val degL = CacheOps.persistMaterialized(degW.join(lab, "id"))
         try {
-          val base = degL
-            .join(dc, "community")
-            .join(evd.select(col("id"), col("d"), col("ec").as("evc")),
-              degL("id") === evd("id") && col("d") === degL("community"),
-              "left")
-            .select(degL("id").as("id"), col("deg"),
-              col("community").as("c"), col("dsum").as("dcur"),
-              coalesce(col("evc"), lit(0L)).as("evc"))
-          val cand = base
-            .join(evd.select(col("id"), col("d"), col("ec")), Seq("id"))
-            .filter(col("d") =!= col("c"))
-            .join(dc.select(col("community").as("d"), col("dsum").as("dnew")),
-              "d")
-            .crossJoin(broadcast(m))
-            .select(col("id"), col("d"),
-              (lit(4L) * col("m") * (col("ec") - col("evc")) -
-                lit(2L) * col("deg") * (col("dnew") - col("dcur")) -
-                lit(2L) * col("deg") * col("deg")).as("dnum"))
-          val best = cand.groupBy(col("id"))
-            .agg(min(struct((-col("dnum")).as("nd"), col("d"))).as("b"))
-            .select(col("id"), col("b.nd").as("nd"), col("b.d").as("bd"))
-          // DETACHED materialization under the loop session, handed
-          // back as a CALLER-session view (the labelPropagation
-          // contract): the caller's unpersist() matches the shared
-          // cache entry, and the releases below cannot invalidate it
-          org.apache.spark.sql.graftbridge.Bridge.rebind(
-            CacheOps.persistMaterializedDetached(
+          val dc = degL.groupBy(col("community"))
+            .agg(sum(col("deg")).as("dsum"))
+          // the one corpus-sized aggregation; referenced twice
+          // (own-community lookup + move candidates), hence persisted
+          val evd = CacheOps.persistMaterialized(
+            adj.join(lab.select(col("id").as("nbr"), col("community").as("d")),
+                "nbr")
+              .groupBy(col("node").as("id"), col("d"))
+              .agg(sum(col("w")).as("ec")))
+          try {
+            val base = degL
+              .join(dc, "community")
+              .join(evd.select(col("id"), col("d"), col("ec").as("evc")),
+                degL("id") === evd("id") && col("d") === degL("community"),
+                "left")
+              .select(degL("id").as("id"), col("deg"),
+                col("community").as("c"), col("dsum").as("dcur"),
+                coalesce(col("evc"), lit(0L)).as("evc"))
+            val cand = base
+              .join(evd.select(col("id"), col("d"), col("ec")), Seq("id"))
+              .filter(col("d") =!= col("c"))
+              .join(dc.select(col("community").as("d"), col("dsum").as("dnew")),
+                "d")
+              .crossJoin(broadcast(m))
+              .select(col("id"), col("d"),
+                (lit(4L) * col("m") * (col("ec") - col("evc")) -
+                  lit(2L) * col("deg") * (col("dnew") - col("dcur")) -
+                  lit(2L) * col("deg") * col("deg")).as("dnum"))
+            val best = cand.groupBy(col("id"))
+              .agg(min(struct((-col("dnum")).as("nd"), col("d"))).as("b"))
+              .select(col("id"), col("b.nd").as("nd"), col("b.d").as("bd"))
+            // DETACHED: the degL/evd/predecessor releases cannot
+            // invalidate the state just materialized
+            val next = CacheOps.persistMaterializedDetached(
               base.join(best, Seq("id"), "left")
                 .select(col("id"),
                   when(col("nd").isNotNull && col("nd") < 0L, col("bd"))
-                    .otherwise(col("c")).as("community"))), caller)
-        } finally evd.unpersist(blocking = false)
-      } finally degL.unpersist(blocking = false)
+                    .otherwise(col("c")).as("community")))
+            if (labCur != null) labCur.unpersist(blocking = false)
+            labCur = next
+            out = next
+          } finally evd.unpersist(blocking = false)
+        } finally degL.unpersist(blocking = false)
+      }
+      // hand back a CALLER-session view (the labelPropagation contract):
+      // the caller's unpersist() matches the shared cache entry
+      org.apache.spark.sql.graftbridge.Bridge.rebind(out, caller)
+    } catch { case t: Throwable =>
+      if (labCur != null) labCur.unpersist(blocking = true)
+      throw t
     } finally {
-      e0c.unpersist(blocking = false)
       labC.unpersist(blocking = false)
+      degW.unpersist(blocking = false)
+      adjShared.foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -2062,7 +2102,7 @@ object Graph {
     require(levels >= 1, s"louvain needs levels >= 1, got $levels")
     require(sweeps >= 1, s"louvain needs sweeps >= 1, got $sweeps")
     import org.apache.spark.sql.graftbridge.Bridge
-    var g = CacheOps.persistMaterialized(
+    var (g, nG) = CacheOps.persistMaterializedCounted(
       edges.select(col("a").cast("long"), col("b").cast("long"))
         .withColumn("w", lit(1L)))
     // composed original-id → current-community mapping (identity at entry)
@@ -2074,27 +2114,43 @@ object Graph {
     var released: List[DataFrame] = List(g, mapping)
     try {
       var finalMapped = mapping
-      for (_ <- 1 to levels) {
-        var lab = CacheOps.persistMaterialized(
-          g.select(explode(array(col("a"), col("b"))).as("id")).distinct()
-            .select(col("id"), col("id").as("community")))
+      // the NEXT level's singleton labeling — (id, id) over the level's
+      // node universe. Level 1's IS the identity mapping (same persisted
+      // frame); each contraction derives the next one nodes-sized from
+      // the level's final labels (nodes of the contracted graph = image
+      // of the communities — every node carries an edge, possibly a
+      // self-loop, so the sets are identical), where the r16 shape paid
+      // an edges-sized explode+distinct over the contracted graph.
+      var lab0: DataFrame = mapping
+      for (lvl <- 1 to levels) {
+        // all `sweeps` moves share one edge persist + level-invariant
+        // degree/adjacency frames (louvainSweeps; the r16 shape re-built
+        // them per sweep)
+        val lab = louvainSweeps(g, nG, Bridge.truncatePlan(lab0), sweeps)
         released ::= lab
-        for (_ <- 1 to sweeps) {
-          val stepped = louvainStepWeighted(g, Bridge.truncatePlan(lab))
-          released ::= stepped
-          lab = stepped
-        }
         val labT = Bridge.truncatePlan(lab)
-        // phase 2: contract communities into super-nodes
-        val la = labT.select(col("id").as("a"), col("community").as("ca"))
-        val lb = labT.select(col("id").as("b"), col("community").as("cb"))
-        val gNext = CacheOps.persistMaterialized(
-          g.join(la, "a").join(lb, "b")
-            .select(least(col("ca"), col("cb")).as("a"),
-              greatest(col("ca"), col("cb")).as("b"), col("w"))
-            .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
-        released ::= gNext
-        g = Bridge.truncatePlan(gNext)
+        // phase 2: contract communities into super-nodes, and derive the
+        // next level's singleton labeling (image of this level's
+        // communities, see lab0 note above) — both skipped on the final
+        // level, whose only consumer is the composed mapping below (the
+        // r16 shape built a dead final contraction)
+        if (lvl < levels) {
+          val la = labT.select(col("id").as("a"), col("community").as("ca"))
+          val lb = labT.select(col("id").as("b"), col("community").as("cb"))
+          val (gNext, nNext) = CacheOps.persistMaterializedCounted(
+            g.join(la, "a").join(lb, "b")
+              .select(least(col("ca"), col("cb")).as("a"),
+                greatest(col("ca"), col("cb")).as("b"), col("w"))
+              .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
+          released ::= gNext
+          g = Bridge.truncatePlan(gNext)
+          nG = nNext
+          val nextLab0 = CacheOps.persistMaterialized(
+            labT.select(col("community")).distinct()
+              .select(col("community").as("id"), col("community")))
+          released ::= nextLab0
+          lab0 = nextLab0
+        }
         val mapped = CacheOps.persistMaterialized(
           Bridge.truncatePlan(mapping).join(
               labT.select(col("community").as("next"),
