@@ -1984,13 +1984,17 @@ object Graph {
     // (id, deg) feeds every sweep's community degree sums AND decision
     // frame; the endpoint explode gives a self-loop its 2w degree
     // contribution for free (both sides land on a). Label-independent —
-    // persisted once for the whole sweep loop.
-    val degW = CacheOps.persistMaterialized(
-      e0.select(explode(array(
-          struct(col("a").as("id"), col("w")),
-          struct(col("b").as("id"), col("w")))).as("e"))
-        .select(col("e.id").as("id"), col("e.w").as("w"))
-        .groupBy(col("id")).agg(sum(col("w")).as("deg")))
+    // persisted only when >1 sweep reads it (a single sweep composes it
+    // into degL exactly as the one-step path always did; an extra
+    // materialization job there was a measured one-shot regression).
+    val degWPlan = e0.select(explode(array(
+        struct(col("a").as("id"), col("w")),
+        struct(col("b").as("id"), col("w")))).as("e"))
+      .select(col("e.id").as("id"), col("e.w").as("w"))
+      .groupBy(col("id")).agg(sum(col("w")).as("deg"))
+    val degWShared =
+      if (sweeps > 1) Some(CacheOps.persistMaterialized(degWPlan)) else None
+    val degW = degWShared.getOrElse(degWPlan)
     // v's edge mass rides (node, nbr, w) rows; self-loops are excluded
     // (u ≠ v). Label-independent; persisted only when >1 sweep reads it
     // (a single sweep composes it into evd exactly as before).
@@ -2069,7 +2073,7 @@ object Graph {
       throw t
     } finally {
       labC.unpersist(blocking = false)
-      degW.unpersist(blocking = false)
+      degWShared.foreach(_.unpersist(blocking = false))
       adjShared.foreach(_.unpersist(blocking = false))
     }
   }
